@@ -1,0 +1,101 @@
+"""Model configuration.
+
+Role model: reference `python/sglang/srt/configs/model_config.py:83`
+(`ModelConfig` — an HF config wrapper with quantization detection and derived
+attention geometry).  We read `config.json` directly (offline-friendly) and
+keep the same derived-quantity surface the runtime needs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Dict, Optional
+
+from sglang_awq_tpu.quantization.awq_config import AWQConfig, detect_quant_config
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    model_path: str
+    hf_config: Dict[str, Any]
+    quant_config: Optional[AWQConfig] = None
+    context_length: Optional[int] = None  # override
+
+    # Derived fields (filled in __post_init__)
+    architecture: str = ""
+    vocab_size: int = 0
+    hidden_size: int = 0
+    num_layers: int = 0
+    num_attention_heads: int = 0
+    num_kv_heads: int = 0
+    head_dim: int = 0
+    intermediate_size: int = 0
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 10000.0
+    rope_scaling: Optional[Dict[str, Any]] = None
+    max_position_embeddings: int = 4096
+    tie_word_embeddings: bool = False
+    bos_token_id: Optional[int] = None
+    eos_token_id: Any = None  # int or list
+
+    @classmethod
+    def from_model_path(
+        cls,
+        model_path: str,
+        context_length: Optional[int] = None,
+        quantization: Optional[str] = None,
+    ) -> "ModelConfig":
+        cfg_path = os.path.join(model_path, "config.json")
+        with open(cfg_path) as f:
+            hf_config = json.load(f)
+        quant_config = detect_quant_config(model_path, hf_config)
+        if quantization == "awq" and quant_config is None:
+            raise ValueError(
+                f"--quantization awq given but no AWQ config found at {model_path}"
+            )
+        return cls(
+            model_path=model_path,
+            hf_config=hf_config,
+            quant_config=quant_config,
+            context_length=context_length,
+        )
+
+    def __post_init__(self):
+        c = self.hf_config
+        archs = c.get("architectures") or ["LlamaForCausalLM"]
+        self.architecture = archs[0]
+        self.vocab_size = int(c["vocab_size"])
+        self.hidden_size = int(c["hidden_size"])
+        self.num_layers = int(c.get("num_hidden_layers", c.get("n_layer")))
+        self.num_attention_heads = int(c["num_attention_heads"])
+        self.num_kv_heads = int(c.get("num_key_value_heads", self.num_attention_heads))
+        self.head_dim = int(c.get("head_dim") or self.hidden_size // self.num_attention_heads)
+        self.intermediate_size = int(c["intermediate_size"])
+        self.rms_norm_eps = float(c.get("rms_norm_eps", 1e-6))
+        self.rope_theta = float(c.get("rope_theta", 10000.0))
+        self.rope_scaling = c.get("rope_scaling")
+        self.max_position_embeddings = int(c.get("max_position_embeddings", 4096))
+        self.tie_word_embeddings = bool(c.get("tie_word_embeddings", False))
+        self.bos_token_id = c.get("bos_token_id")
+        self.eos_token_id = c.get("eos_token_id")
+        if self.context_length is None:
+            self.context_length = self.max_position_embeddings
+
+    @property
+    def is_quantized(self) -> bool:
+        return self.quant_config is not None
+
+    def eos_token_ids(self) -> set:
+        e = self.eos_token_id
+        if e is None:
+            return set()
+        if isinstance(e, int):
+            return {e}
+        return set(e)
+
+    def save(self, path: str):
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "config.json"), "w") as f:
+            json.dump(self.hf_config, f, indent=2)

@@ -1,0 +1,381 @@
+"""Fused AWQ INT4-dequant + bf16 matmul for the TPU MXU.
+
+This is the TPU-native replacement for the reference's Marlin W4A16 fused
+GEMM (`sgl-kernel/csrc/gemm/marlin/gptq_marlin.cu`) and the slow
+dequant-then-matmul path (`sgl-kernel/csrc/gemm/awq_kernel.cu:127`).
+
+Design (SURVEY.md §A.1/§A.2 "TPU decision"):
+
+* The AWQ checkpoint's interleaved nibble order is undone ONCE at load time
+  (`convert_awq_tensor` below).  The device-resident layout is chosen so the
+  kernel's unpack is pure shift/mask with NO permutation network:
+
+    qweight_u8 : uint8 [L, K/2, N]
+        Packed per K-superblock of `pack_block` rows: within superblock b,
+        byte[b*PB/2 + i, n] = w[b*PB + i, n] | (w[b*PB + i + PB/2, n] << 4)
+        so that in-kernel `concat([byte & 0xF, byte >> 4], axis=0)` yields the
+        superblock's rows in original order (a free layout op, no shuffle).
+    scales_f32 : float32 [L, k_tiles * sr_pad, N]  per-k-tile scale strips
+        (`tile_scale_layout`), 8-sublane aligned.
+    bias_f32   : float32 [L, K/G, N]  zero*scale per group (original layout).
+
+* Scale-in-epilogue structure (keeps the VPU off the critical path):
+      Y = sum_g (X_g @ W_g_int4) * s_g  -  groupsum(X) @ bias
+  The int4 nibbles are cast straight to bf16 (values 0..15, exact) and fed to
+  the MXU; per-group scales multiply the [M, BN] accumulator, not the weight
+  tile.  The zero-point term only needs per-group sums of X, so it is hoisted
+  OUT of the kernel into a tiny XLA matmul (`awq_zero_correction`).  This is
+  also slightly more accurate than dequantize-to-bf16-then-matmul.
+
+* All operands carry a leading layer dimension and the kernel takes the layer
+  index as a scalar-prefetch argument, so a `lax.scan` over stacked layer
+  weights feeds the kernel without materializing per-layer weight copies.
+
+Decode (small M) is HBM-bandwidth-bound on the packed weight bytes — the
+0.5 byte/weight layout is the speed-of-light lever vs 2 bytes/weight bf16.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sglang_awq_tpu.quantization.awq_config import unpack_awq_int32
+from sglang_awq_tpu.utils import cdiv, pallas_interpret_default, round_up
+
+
+def choose_pack_block(K: int, group_size: int) -> int:
+    """Largest pack block that keeps groups tile-aligned.
+
+    Either G | PB (tile spans whole groups) or PB | G (tile inside one group).
+    Prefers 8 whole groups per tile so the per-tile scale strip is 8-sublane
+    aligned without padding (TPU f32 tiling is (8, 128)).
+    """
+    preferred = 8 * group_size
+    for pb in (preferred, 1024, 512, 256, 128):
+        if (
+            pb >= 128
+            and K % pb == 0
+            and (pb % group_size == 0 or group_size % pb == 0)
+        ):
+            return pb
+    raise ValueError(f"cannot choose pack block for K={K}, G={group_size}")
+
+
+def scale_rows_per_tile(pack_block: int, group_size: int) -> Tuple[int, int]:
+    """(live scale rows per k-tile, padded rows per k-tile)."""
+    sr = max(1, pack_block // group_size)
+    return sr, round_up(sr, 8)
+
+
+# ---------------------------------------------------------------------------
+# Offline layout conversion (numpy, once at checkpoint load)
+# ---------------------------------------------------------------------------
+
+
+def pack_rows_tpu(w_nibbles: np.ndarray, pack_block: int) -> np.ndarray:
+    """Pack logical int4 rows [K, N] into the TPU superblock byte layout [K/2, N]."""
+    K, N = w_nibbles.shape
+    assert K % pack_block == 0, (K, pack_block)
+    hb = pack_block // 2
+    w = w_nibbles.reshape(K // pack_block, pack_block, N).astype(np.uint8)
+    packed = (w[:, :hb, :] & 0xF) | (w[:, hb:, :] << 4)
+    return packed.reshape(K // 2, N)
+
+
+def unpack_rows_tpu(packed: np.ndarray, pack_block: int) -> np.ndarray:
+    """Inverse of pack_rows_tpu -> int32 [K, N] (for tests)."""
+    K2, N = packed.shape
+    hb = pack_block // 2
+    p = packed.reshape(K2 // hb, hb, N)
+    lo = (p & 0xF).astype(np.int32)
+    hi = (p >> 4).astype(np.int32)
+    return np.concatenate([lo, hi], axis=1).reshape(K2 * 2, N)
+
+
+def tile_scale_layout(
+    per_group: np.ndarray,  # f32 [K/G, N]
+    K: int,
+    group_size: int,
+    pack_block: int,
+) -> np.ndarray:
+    """Per-group rows -> per-k-tile strips padded to 8 sublanes.
+
+    Output [k_tiles * sr_pad, N]: rows [k*sr_pad, k*sr_pad + sr) hold the
+    scale rows covering k-tile k.  When pack_block == 8*G (the preferred
+    choice) sr == sr_pad == 8 and this is a pure reshape (no padding).
+    """
+    k_tiles = K // pack_block
+    sr, sr_pad = scale_rows_per_tile(pack_block, group_size)
+    N = per_group.shape[1]
+    out = np.zeros((k_tiles, sr_pad, N), dtype=per_group.dtype)
+    for k in range(k_tiles):
+        g0 = (k * pack_block) // group_size
+        out[k, :sr] = per_group[g0 : g0 + sr]
+    return out.reshape(k_tiles * sr_pad, N)
+
+
+def convert_awq_tensor(
+    qweight_i32: np.ndarray,  # int32 [K, N/8] (AWQ checkpoint layout)
+    qzeros_i32: Optional[np.ndarray],  # int32 [K/G, N/8] or None (no zero point)
+    scales: np.ndarray,  # fp16/fp32 [K/G, N]
+    group_size: int,
+    pack_block: Optional[int] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """AWQ checkpoint tensors -> (qweight_u8, scales_t, bias, pack_block).
+
+    De-interleaves the AWQ nibble order; scales go to the per-k-tile strip
+    layout consumed by the kernel, the folded zero-point term
+    bias = zero * scale stays in per-group layout [K/G, N] (consumed by the
+    XLA-side `awq_zero_correction`).
+    """
+    K = qweight_i32.shape[0]
+    if group_size == -1:
+        group_size = K
+    if pack_block is None:
+        pack_block = choose_pack_block(K, group_size)
+    w_nib = unpack_awq_int32(qweight_i32)  # [K, N] logical order
+    scales_f32 = scales.astype(np.float32)
+    if qzeros_i32 is not None:
+        z_nib = unpack_awq_int32(qzeros_i32)  # [K/G, N]
+        bias_f32 = z_nib.astype(np.float32) * scales_f32
+    else:
+        bias_f32 = np.zeros_like(scales_f32)
+    qweight_u8 = pack_rows_tpu(w_nib, pack_block)
+    scales_t = tile_scale_layout(scales_f32, K, group_size, pack_block)
+    return qweight_u8, scales_t, bias_f32, pack_block
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+
+def _awq_matmul_kernel(
+    layer_ref, x_ref, qw_ref, s_ref, o_ref, *, pack_block, group_size
+):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    # Unpack: [1, PB/2, BN] uint8 -> [PB, BN] bf16 in original row order.
+    w8 = qw_ref[0].astype(jnp.int32)
+    w = jnp.concatenate([w8 & 0xF, w8 >> 4], axis=0)
+    wb = w.astype(jnp.bfloat16)  # nibble values 0..15, exact in bf16
+
+    x = x_ref[:]
+    sr, _ = scale_rows_per_tile(pack_block, group_size)
+    if pack_block >= group_size:
+        g = group_size
+        acc = o_ref[:]
+        for i in range(sr):
+            part = jnp.dot(
+                x[:, i * g : (i + 1) * g],
+                wb[i * g : (i + 1) * g, :],
+                preferred_element_type=jnp.float32,
+            )
+            acc = acc + part * s_ref[0, i : i + 1, :]
+        o_ref[:] = acc
+    else:
+        # whole k-tile lies inside one quantization group
+        part = jnp.dot(x, wb, preferred_element_type=jnp.float32)
+        o_ref[:] += part * s_ref[0, :1, :]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "group_size",
+        "pack_block",
+        "block_m",
+        "block_n",
+        "out_dtype",
+        "interpret",
+    ),
+)
+def awq_matmul_raw(
+    x: jax.Array,  # [M, K] bf16
+    qweight: jax.Array,  # [L, K/2, N] uint8 (TPU layout)
+    scales: jax.Array,  # [L, k_tiles * sr_pad, N] f32
+    layer: jax.Array,  # [] or [1] int32 — which layer of the stack
+    *,
+    group_size: int,
+    pack_block: int,
+    block_m: int = 512,
+    block_n: int = 512,
+    out_dtype=jnp.float32,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Y[M, N] = X @ unpack(qweight[layer]) * scales  (no zero-point term).
+
+    Callers normally use `awq_matmul` which adds the zero correction.
+    """
+    if interpret is None:
+        interpret = pallas_interpret_default()
+    M, K = x.shape
+    L, K2, N = qweight.shape
+    assert K2 == K // 2, (qweight.shape, x.shape)
+    assert K % pack_block == 0
+
+    bm = min(block_m, round_up(M, 8))
+    bn = min(block_n, N)
+    assert N % bn == 0, (N, bn)
+
+    m_pad = round_up(M, bm)
+    if m_pad != M:
+        x = jnp.pad(x, ((0, m_pad - M), (0, 0)))
+
+    k_tiles = K // pack_block
+    _, sr_pad = scale_rows_per_tile(pack_block, group_size)
+    assert scales.shape == (L, k_tiles * sr_pad, N), (scales.shape, k_tiles, sr_pad)
+
+    # Clamp: an out-of-range index would drive the block DMA out of bounds
+    # (opaque device-internal error observed on TPU).
+    layer = jnp.clip(jnp.asarray(layer, jnp.int32).reshape(1), 0, L - 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(m_pad // bm, N // bn, k_tiles),
+        in_specs=[
+            pl.BlockSpec((bm, pack_block), lambda m, n, k, lr: (m, k)),
+            pl.BlockSpec((1, pack_block // 2, bn), lambda m, n, k, lr: (lr[0], k, n)),
+            pl.BlockSpec((1, sr_pad, bn), lambda m, n, k, lr: (lr[0], k, n)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda m, n, k, lr: (m, n)),
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _awq_matmul_kernel, pack_block=pack_block, group_size=group_size
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m_pad, N), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * K * N,
+            bytes_accessed=K * N // 2 + m_pad * K * 2 + m_pad * N * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(layer, x, qweight, scales)
+    if m_pad != M:
+        out = out[:M]
+    return out.astype(out_dtype)
+
+
+def awq_group_sums(x: jax.Array, group_size: int) -> jax.Array:
+    """Per-group sums of x along K: [M, K] -> [M, K/G] f32."""
+    M, K = x.shape
+    g = min(group_size, K)
+    return jnp.sum(x.astype(jnp.float32).reshape(M, K // g, g), axis=-1)
+
+
+def awq_zero_correction(
+    x: jax.Array, bias: jax.Array, layer: jax.Array, group_size: int
+) -> jax.Array:
+    """groupsum(X) @ bias[layer] — the zero-point term of the AWQ matmul."""
+    xg = awq_group_sums(x, group_size)
+    b = jax.lax.dynamic_index_in_dim(bias, layer, axis=0, keepdims=False)
+    return jnp.dot(xg, b, preferred_element_type=jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "group_size",
+        "pack_block",
+        "block_m",
+        "block_n",
+        "out_dtype",
+        "interpret",
+    ),
+)
+def awq_matmul(
+    x: jax.Array,  # [M, K] bf16
+    qweight: jax.Array,  # [L, K/2, N] uint8
+    scales: jax.Array,  # [L, k_tiles * sr_pad, N] f32
+    bias: jax.Array,  # [L, K/G, N] f32  (zero * scale)
+    layer: jax.Array | int = 0,
+    *,
+    group_size: int,
+    pack_block: int,
+    block_m: int = 512,
+    block_n: int = 512,
+    out_dtype=jnp.bfloat16,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Full AWQ linear: Y = X @ ((W_int4 - zero) * scale) for one layer."""
+    layer = jnp.asarray(layer, jnp.int32)
+    y = awq_matmul_raw(
+        x,
+        qweight,
+        scales,
+        layer,
+        group_size=group_size,
+        pack_block=pack_block,
+        block_m=block_m,
+        block_n=block_n,
+        out_dtype=jnp.float32,
+        interpret=interpret,
+    )
+    y = y - awq_zero_correction(x, bias, layer, group_size)
+    return y.astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# XLA fallback (CPU tests, and a baseline to beat on TPU)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("group_size", "pack_block", "out_dtype"))
+def dequantize_xla(
+    qweight: jax.Array,  # [K/2, N] uint8 TPU layout (single layer)
+    scales: jax.Array,  # [k_tiles * sr_pad, N] f32 (tile_scale_layout)
+    bias: jax.Array,  # [K/G, N] f32
+    *,
+    group_size: int,
+    pack_block: int,
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    K2, N = qweight.shape
+    K = K2 * 2
+    hb = pack_block // 2
+    k_tiles = K // pack_block
+    sr, sr_pad = scale_rows_per_tile(pack_block, group_size)
+    p = qweight.reshape(k_tiles, hb, N).astype(jnp.int32)
+    w = jnp.concatenate([p & 0xF, p >> 4], axis=1).astype(jnp.float32)  # [kt, PB, N]
+    rep = min(group_size, pack_block)
+    s = scales.reshape(k_tiles, sr_pad, N)[:, :sr, :]
+    s = jnp.repeat(s, rep, axis=1)  # [kt, PB, N]
+    g = min(group_size, K)
+    b = jnp.repeat(bias, g, axis=0).reshape(k_tiles, pack_block, N)
+    return ((w * s).reshape(K, N) - b.reshape(K, N)).astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("group_size", "pack_block", "out_dtype"))
+def awq_matmul_xla(
+    x: jax.Array,
+    qweight: jax.Array,  # [L, K/2, N]
+    scales: jax.Array,
+    bias: jax.Array,
+    layer: jax.Array | int = 0,
+    *,
+    group_size: int,
+    pack_block: int,
+    out_dtype=jnp.bfloat16,
+) -> jax.Array:
+    li = jnp.asarray(layer, jnp.int32)
+    qw = jax.lax.dynamic_index_in_dim(qweight, li, axis=0, keepdims=False)
+    s = jax.lax.dynamic_index_in_dim(scales, li, axis=0, keepdims=False)
+    b = jax.lax.dynamic_index_in_dim(bias, li, axis=0, keepdims=False)
+    w = dequantize_xla(qw, s, b, group_size=group_size, pack_block=pack_block)
+    return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(out_dtype)
