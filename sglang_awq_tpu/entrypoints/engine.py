@@ -1,0 +1,206 @@
+"""In-process Engine.
+
+Role model: reference `Engine` (`python/sglang/srt/entrypoints/engine.py:184`
+— generate/async_generate/encode + subprocess topology).  TPU variant: one
+process; the scheduler runs on a daemon thread (device work releases the GIL
+during jit execution), requests arrive via a queue, outputs fan out through
+TokenizerManager subscriber queues (SURVEY.md §2.6 collapse of the 3-process
+ZMQ topology).
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+import time
+from typing import Any, AsyncGenerator, Dict, Iterator, List, Optional, Union
+
+import numpy as np
+
+from sglang_awq_tpu.configs.model_config import ModelConfig
+from sglang_awq_tpu.managers.scheduler import Scheduler
+from sglang_awq_tpu.managers.tokenizer_manager import (
+    GenerateReqInput,
+    TokenizerManager,
+)
+from sglang_awq_tpu.model_executor.model_runner import ModelRunner
+from sglang_awq_tpu.server_args import ServerArgs, set_global_server_args
+from sglang_awq_tpu.utils import configure_logger
+
+logger = logging.getLogger(__name__)
+
+
+def _load_tokenizer(path: str):
+    try:
+        from transformers import AutoTokenizer
+
+        return AutoTokenizer.from_pretrained(path, use_fast=True)
+    except Exception as e:  # synthetic checkpoints have no tokenizer files
+        logger.warning("no tokenizer loaded from %s (%s); input_ids only", path, e)
+        return None
+
+
+class Engine:
+    def __init__(
+        self,
+        server_args: Optional[ServerArgs] = None,
+        model_config: Optional[ModelConfig] = None,
+        tensors: Optional[Dict[str, np.ndarray]] = None,
+        tokenizer=None,
+        **kwargs,
+    ):
+        if server_args is None:
+            server_args = ServerArgs(**kwargs)
+        set_global_server_args(server_args)
+        configure_logger(server_args.log_level)
+        self.server_args = server_args
+
+        self.runner = ModelRunner(server_args, model_config=model_config, tensors=tensors)
+        self.scheduler = Scheduler(server_args, self.runner)
+        if tokenizer is None and server_args.tokenizer_path:
+            tokenizer = _load_tokenizer(server_args.tokenizer_path)
+        self.tokenizer_manager = TokenizerManager(
+            tokenizer,
+            self.runner.model_config.eos_token_ids(),
+            scheduler_submit=self._submit,
+            scheduler_abort=self._abort_async,
+        )
+
+        self._in_queue: "queue.Queue" = queue.Queue()
+        self._abort_queue: "queue.Queue" = queue.Queue()
+        self._shutdown = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True, name="scheduler")
+        self._thread.start()
+
+    # ------------------------------------------------------------------
+    # scheduler thread
+    # ------------------------------------------------------------------
+
+    def _submit(self, req):
+        self._in_queue.put(req)
+
+    def _abort_async(self, rid: str):
+        self._abort_queue.put(rid)
+
+    def _loop(self):
+        sched = self.scheduler
+        idle_sleep = 0.0005
+        while not self._shutdown.is_set():
+            moved = False
+            while True:
+                try:
+                    req = self._in_queue.get_nowait()
+                except queue.Empty:
+                    break
+                if isinstance(req, _FlushSentinel):
+                    req.fn()
+                    moved = True
+                    continue
+                sched.add_request(req)
+                if req.finished():  # rejected at admission (queue full)
+                    from sglang_awq_tpu.managers.scheduler import ReqOutput
+
+                    self.tokenizer_manager.on_output(ReqOutput(req, []))
+                moved = True
+            while True:
+                try:
+                    rid = self._abort_queue.get_nowait()
+                except queue.Empty:
+                    break
+                sched.abort_request(rid)
+                moved = True
+            if sched.has_work():
+                try:
+                    outputs = sched.step()
+                except Exception:
+                    logger.exception("scheduler step failed; aborting in-flight reqs")
+                    self._fail_all()
+                    continue
+                for out in outputs:
+                    self.tokenizer_manager.on_output(out)
+            elif not moved:
+                time.sleep(idle_sleep)  # IdleSleeper role (scheduler.py:2654)
+
+    def _fail_all(self):
+        from sglang_awq_tpu.managers.schedule_batch import FinishInfo, FinishReason
+        from sglang_awq_tpu.managers.scheduler import ReqOutput
+
+        sched = self.scheduler
+        sched.running.clear()
+        sched.waiting.clear()
+        sched.chunked_req = None
+        sched.tree.reset()
+        sched.allocator.clear()
+        # fail EVERY unfinished in-flight request, including one mid-step
+        with self.tokenizer_manager.lock:
+            states = list(self.tokenizer_manager.states.values())
+        for st in states:
+            if not st.finished:
+                st.req.finish_info = FinishInfo(FinishReason.ABORT)
+                self.tokenizer_manager.on_output(ReqOutput(st.req, []))
+
+    # ------------------------------------------------------------------
+    # public API (reference engine.py:264 generate / :346 async_generate)
+    # ------------------------------------------------------------------
+
+    def generate(
+        self,
+        prompt: Optional[str] = None,
+        input_ids: Optional[List[int]] = None,
+        sampling_params: Optional[Dict[str, Any]] = None,
+        stream: bool = False,
+        rid: Optional[str] = None,
+    ) -> Union[dict, Iterator[dict]]:
+        gin = GenerateReqInput(
+            text=prompt,
+            input_ids=input_ids,
+            sampling_params=sampling_params,
+            stream=stream,
+            rid=rid,
+        )
+        state = self.tokenizer_manager.create_request(gin)
+        if stream:
+            return self.tokenizer_manager.stream_responses(state)
+        return self.tokenizer_manager.wait_response(state)
+
+    def abort_request(self, rid: str):
+        self._abort_async(rid)
+
+    def flush_cache(self) -> bool:
+        done = threading.Event()
+        result = {}
+
+        def _do():
+            result["ok"] = self.scheduler.flush_cache()
+            done.set()
+
+        # run on the scheduler thread for safety
+        self._in_queue.put(_FlushSentinel(_do))
+        done.wait(timeout=30)
+        return result.get("ok", False)
+
+    def get_server_info(self) -> dict:
+        mc = self.runner.model_config
+        return {
+            "model_path": mc.model_path,
+            "architecture": mc.architecture,
+            "context_length": mc.context_length,
+            "is_quantized": mc.is_quantized,
+            "max_total_tokens": self.runner.max_total_tokens,
+            "page_size": self.runner.page_size,
+            "waiting_queue_size": len(self.scheduler.waiting),
+            "running_requests": len(self.scheduler.running),
+            "version": __import__("sglang_awq_tpu").__version__,
+        }
+
+    def shutdown(self):
+        self._shutdown.set()
+        self._thread.join(timeout=5)
+
+
+class _FlushSentinel:
+    """Queue item that executes a callback on the scheduler thread."""
+
+    def __init__(self, fn):
+        self.fn = fn

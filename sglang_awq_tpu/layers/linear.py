@@ -1,0 +1,133 @@
+"""Linear layers over the stacked-param representation.
+
+Role model: reference `python/sglang/srt/layers/linear.py:135-1212`
+(Column/Row/QKV/MergedColumn parallel linears deferring to a quant method's
+`apply`).  TPU translation: a linear is a dict of stacked arrays
+(leading dim = layer) plus static metadata; `linear_apply` dispatches to the
+fused AWQ Pallas kernel or a plain bf16 dot.  TP sharding is declared by a
+PartitionSpec per array (consumed by parallel/sharding.py), replacing the
+reference's per-rank weight-loader shard arithmetic.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sglang_awq_tpu.ops.awq_matmul import (
+    awq_matmul,
+    awq_matmul_xla,
+    choose_pack_block,
+    convert_awq_tensor,
+    scale_rows_per_tile,
+)
+from sglang_awq_tpu.quantization.awq_config import AWQConfig
+from sglang_awq_tpu.utils import is_tpu_backend
+
+
+@dataclasses.dataclass(frozen=True)
+class LinearSpec:
+    """Static description of one (stacked) linear layer."""
+
+    name: str
+    in_features: int  # K (full, unsharded)
+    out_features: int  # N (full, unsharded)
+    quantized: bool
+    group_size: int = 128
+    pack_block: int = 0
+    shard_axis: Optional[str] = None  # "column" (shard N) | "row" (shard K) | None
+
+    @classmethod
+    def make(
+        cls,
+        name: str,
+        K: int,
+        N: int,
+        quant: Optional[AWQConfig],
+        shard_axis: Optional[str],
+    ) -> "LinearSpec":
+        if quant is not None:
+            g = quant.group_size if quant.group_size != -1 else K
+            return cls(name, K, N, True, g, choose_pack_block(K, g), shard_axis)
+        return cls(name, K, N, False, shard_axis=shard_axis)
+
+    def param_shapes(self, num_layers: int, tp_size: int = 1) -> Dict[str, tuple]:
+        """Per-device array shapes (after TP sharding)."""
+        K, N = self.in_features, self.out_features
+        if self.shard_axis == "column":
+            N = N // tp_size
+        elif self.shard_axis == "row":
+            K = K // tp_size
+        if not self.quantized:
+            return {"weight": ((num_layers, K, N), jnp.bfloat16)}
+        kt = K // self.pack_block
+        _, sr_pad = scale_rows_per_tile(self.pack_block, self.group_size)
+        return {
+            "qweight": ((num_layers, K // 2, N), jnp.uint8),
+            "scales": ((num_layers, kt * sr_pad, N), jnp.float32),
+            "zbias": ((num_layers, K // self.group_size, N), jnp.float32),
+        }
+
+
+def linear_apply(
+    spec: LinearSpec,
+    params: Dict[str, jax.Array],
+    x: jax.Array,  # [M, K_shard] bf16
+    layer: jax.Array | int,
+    *,
+    use_xla: Optional[bool] = None,
+) -> jax.Array:
+    """Y = X @ W[layer]; bf16 out."""
+    if spec.quantized:
+        if use_xla is None:
+            use_xla = not is_tpu_backend()
+        fn = awq_matmul_xla if use_xla else awq_matmul
+        return fn(
+            x,
+            params["qweight"],
+            params["scales"],
+            params["zbias"],
+            layer,
+            group_size=spec.group_size,
+            pack_block=spec.pack_block,
+            out_dtype=jnp.bfloat16,
+        )
+    w = jax.lax.dynamic_index_in_dim(params["weight"], jnp.asarray(layer, jnp.int32), 0, keepdims=False)
+    return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+
+
+def convert_awq_weights_np(
+    spec: LinearSpec,
+    qweight_i32: np.ndarray,  # [K, N/8] AWQ checkpoint layout (possibly merged)
+    qzeros_i32: Optional[np.ndarray],
+    scales: np.ndarray,
+) -> Dict[str, np.ndarray]:
+    """Checkpoint tensors -> device layout arrays for ONE layer (numpy)."""
+    qw, st, zb, pb = convert_awq_tensor(
+        qweight_i32, qzeros_i32, scales, spec.group_size, pack_block=spec.pack_block
+    )
+    assert pb == spec.pack_block
+    return {"qweight": qw, "scales": st, "zbias": zb}
+
+
+def random_awq_weights_np(
+    spec: LinearSpec, rng: np.random.Generator, num_layers: int
+) -> Dict[str, np.ndarray]:
+    """Random-but-valid device-layout weights (benchmarks; reference
+    dummy-random loader `model_loader/loader.py:1178` role)."""
+    shapes = spec.param_shapes(num_layers)
+    out = {}
+    for name, (shape, dtype) in shapes.items():
+        if name == "qweight":
+            out[name] = rng.integers(0, 256, shape, dtype=np.uint8)
+        elif name == "scales":
+            out[name] = (rng.standard_normal(shape) * 0.01).astype(np.float32)
+        elif name == "zbias":
+            out[name] = (rng.standard_normal(shape) * 0.08).astype(np.float32)
+        else:
+            out[name] = (rng.standard_normal(shape) * 0.02).astype(np.float32)
+    return out

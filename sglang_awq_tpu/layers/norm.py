@@ -1,0 +1,25 @@
+"""RMSNorm (reference `python/sglang/srt/layers/layernorm.py` semantics).
+
+Plain jnp — XLA fuses the reduce+scale into neighbors on TPU; no Pallas
+needed (SURVEY.md §2.7: "XLA fusions usually suffice").
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    """x: [..., H] bf16; weight: [H]. Compute in f32, return x.dtype."""
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    out = xf * jax.lax.rsqrt(var + eps) * weight.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def fused_add_rms_norm(x, residual, weight, eps: float):
+    """Returns (normed(x + residual), x + residual) like the reference's
+    fused_add_rmsnorm (layernorm.py)."""
+    s = (x.astype(jnp.float32) + residual.astype(jnp.float32)).astype(x.dtype)
+    return rms_norm(s, weight, eps), s

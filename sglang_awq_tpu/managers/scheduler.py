@@ -1,0 +1,439 @@
+"""Continuous-batching scheduler.
+
+Role model: reference `Scheduler`
+(`python/sglang/srt/managers/scheduler.py:215` — waiting queue + running
+batch + radix cache; `get_next_batch_to_run:1704`, `get_new_batch_prefill:1783`,
+`run_batch:2052`, `process_batch_result:2195`, retraction
+`schedule_batch.py:1711`, budget formulas SURVEY.md §A.4).
+
+TPU adaptation: a single host thread drives the chip through the
+ModelRunner's bucketed-jit steps; prefill runs one request chunk per step
+(bs=1 extend — SURVEY.md §7 phase 1), decode runs the whole running batch.
+The reference's per-rank scheduler processes + ZMQ broadcast collapse into
+this one loop (SPMD; §2.6).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from collections import deque
+from typing import Deque, List, Optional
+
+import numpy as np
+
+from sglang_awq_tpu.environ import envs
+from sglang_awq_tpu.managers.schedule_batch import FinishInfo, FinishReason, Req
+from sglang_awq_tpu.managers.schedule_policy import (
+    AddReqResult,
+    PrefillBudget,
+    SchedulePolicy,
+)
+from sglang_awq_tpu.mem_cache.allocator import PagedAllocator
+from sglang_awq_tpu.mem_cache.radix_cache import RadixCache
+from sglang_awq_tpu.model_executor.forward_batch import DecodeInput, ExtendInput
+from sglang_awq_tpu.model_executor.model_runner import ModelRunner
+from sglang_awq_tpu.server_args import ServerArgs
+from sglang_awq_tpu.utils import cdiv
+
+logger = logging.getLogger(__name__)
+
+RETRACT_DECODE_STEPS = envs.SGLT_RETRACT_DECODE_STEPS.value
+
+
+class ReqOutput:
+    """One step's incremental output for a request (token ids; detokenization
+    happens downstream — reference BatchTokenIDOutput role, io_struct.py:913)."""
+
+    def __init__(self, req: Req, new_tokens: List[int]):
+        self.rid = req.rid
+        self.new_tokens = new_tokens
+        self.finished = req.finished()
+        self.finish_reason = (
+            req.finish_info.to_finish_reason_str() if req.finished() else None
+        )
+        self.output_len = len(req.output_ids)
+        self.prompt_len = len(req.input_ids)
+        self.cached_tokens = req.prefix_len
+
+
+class Scheduler:
+    def __init__(self, server_args: ServerArgs, runner: ModelRunner):
+        self.server_args = server_args
+        self.runner = runner
+        self.page_size = runner.page_size
+
+        self.allocator = PagedAllocator(runner.num_pages, self.page_size)
+        self.tree = RadixCache(
+            self.allocator, self.page_size, disable=server_args.disable_radix_cache
+        )
+        self.policy = SchedulePolicy(server_args.schedule_policy, self.tree)
+
+        self.waiting: Deque[Req] = deque()
+        self.running: List[Req] = []
+        self.chunked_req: Optional[Req] = None
+
+        self.base_new_token_ratio = min(1.0, 0.3 * server_args.schedule_conservativeness)
+        self.new_token_ratio = self.base_new_token_ratio
+        self.new_token_ratio_decay = 0.001
+
+        self.steps = 0
+        self.last_progress_time = time.monotonic()
+        self.abort_rids: set = set()
+
+    # ------------------------------------------------------------------
+    # intake
+    # ------------------------------------------------------------------
+
+    def add_request(self, req: Req):
+        if (
+            self.server_args.max_queued_requests is not None
+            and len(self.waiting) >= self.server_args.max_queued_requests
+        ):
+            req.finish_info = FinishInfo(FinishReason.ABORT)
+            return
+        max_ctx = self.runner.model_config.context_length
+        if len(req.input_ids) >= max_ctx:
+            req.input_ids = req.input_ids[: max_ctx - 1]
+        # clamp generation length to context
+        room = max_ctx - len(req.input_ids) - 1
+        req.sampling_params.max_new_tokens = min(req.max_new_tokens, max(room, 0))
+        req.queued_time = time.monotonic()
+        self.waiting.append(req)
+
+    def abort_request(self, rid: str):
+        self.abort_rids.add(rid)
+
+    def has_work(self) -> bool:
+        return bool(self.waiting or self.running or self.chunked_req)
+
+    # ------------------------------------------------------------------
+    # main iteration
+    # ------------------------------------------------------------------
+
+    def step(self) -> List[ReqOutput]:
+        """One scheduler iteration -> incremental outputs."""
+        self._process_aborts()
+        outputs: List[ReqOutput] = []
+
+        prefill_req = self._get_prefill_req()
+        if prefill_req is not None:
+            outputs += self._run_prefill_chunk(prefill_req)
+        elif self.running:
+            outputs += self._run_decode_step()
+
+        self.steps += 1
+        if self.steps % 512 == 0:
+            self.check_memory()
+        if outputs:
+            self.last_progress_time = time.monotonic()
+        return outputs
+
+    # ------------------------------------------------------------------
+    # prefill
+    # ------------------------------------------------------------------
+
+    def _get_prefill_req(self) -> Optional[Req]:
+        if self.chunked_req is not None:
+            req = self.chunked_req
+            return req
+        if not self.waiting:
+            return None
+        if len(self.running) >= self.server_args.max_running_requests:
+            return None
+        self.policy.calc_priority(self.waiting)
+        budget = PrefillBudget(
+            self.allocator.available_size(),
+            self.tree.evictable_size(),
+            self.running,
+            self.new_token_ratio,
+            self.server_args.max_prefill_tokens,
+            self.server_args.chunked_prefill_size,
+        )
+        for i, req in enumerate(list(self.waiting)):
+            verdict = budget.can_add(req)
+            if verdict == AddReqResult.CONTINUE:
+                self.waiting.remove(req)
+                return req
+            if verdict == AddReqResult.NO_TOKEN:
+                break
+        return None
+
+    def _run_prefill_chunk(self, req: Req) -> List[ReqOutput]:
+        ps = self.page_size
+        fresh = req.fill_len == 0 and req.prefix_len == 0
+        if fresh:
+            m = self.tree.match_prefix(req.fill_ids)
+            # never reuse the whole fill (at least one token must compute
+            # so logits exist — reference match trim)
+            max_match = (len(req.fill_ids) - 1) // ps * ps
+            matched = min(m.matched_len, max_match)
+            n_prefix_pages = matched // ps
+            req.pages = list(m.pages[:n_prefix_pages])
+            req.prefix_pages = n_prefix_pages
+            req.prefix_len = matched
+            req.fill_len = matched
+            req.last_node = m.last_node
+            self.tree.inc_lock_ref(m.last_node)
+
+        chunk = min(req.extend_len, self.server_args.chunked_prefill_size)
+        target = req.fill_len + chunk
+        new_pages = self._alloc_with_evict(req.fill_len, target, req.pages)
+        if new_pages is None:
+            # could not make room (running batch holds it) — requeue
+            self._release_prefill_state(req)
+            self.waiting.appendleft(req)
+            self.chunked_req = None
+            return []
+        req.pages.extend(new_pages)
+
+        positions = np.arange(req.fill_len, target, dtype=np.int32)
+        pages_np = np.asarray(req.pages, np.int32)
+        slots = pages_np[positions // ps] * ps + positions % ps
+        tokens = np.asarray(req.fill_ids[req.fill_len : target], np.int32)
+
+        ext = ExtendInput(
+            tokens=tokens,
+            positions=positions,
+            slots=slots,
+            pages=pages_np,
+            prefix_len=req.fill_len,
+            sampling=req.sampling_row(),
+        )
+        next_id, _logits = self.runner.forward_extend(ext)
+        req.fill_len = target
+        self._cache_unfinished(req)
+
+        if req.extend_len > 0:
+            self.chunked_req = req  # more chunks to go
+            return []
+        self.chunked_req = None
+
+        outputs = []
+        if req.output_ids:
+            # retracted request finishing its re-prefill: the next token was
+            # already sampled before retraction — discard the bonus sample
+            pass
+        else:
+            req.output_ids.append(next_id)
+            if req.first_token_time is None:
+                req.first_token_time = time.monotonic()
+            req.check_finished(next_id)
+            outputs.append(ReqOutput(req, [next_id]))
+        if req.finished():
+            self._finish_req(req)
+        else:
+            self.running.append(req)
+        return outputs
+
+    def _cache_unfinished(self, req: Req):
+        """Publish this request's filled full pages into the radix tree so
+        concurrent requests share them (reference cache_unfinished_req,
+        radix_cache.py:475).  The request's duplicate pages are swapped for
+        the tree's and freed; the path is re-locked at the deeper node."""
+        if self.server_args.disable_radix_cache:
+            return
+        ps = self.page_size
+        fp = req.fill_len // ps
+        if fp == 0:
+            return
+        key = req.fill_ids[: fp * ps]
+        dup = self.tree.insert(key, req.pages[:fp])
+        dup = max(dup, req.prefix_pages)
+        m = self.tree.match_prefix(key)
+        assert m.matched_len == fp * ps, (m.matched_len, fp * ps)
+        # free our own copies of pages the tree already had
+        self.allocator.free_pages(req.pages[req.prefix_pages : dup])
+        req.pages[:fp] = m.pages
+        if req.last_node is not None:
+            self.tree.dec_lock_ref(req.last_node)
+        self.tree.inc_lock_ref(m.last_node)
+        req.last_node = m.last_node
+        req.prefix_pages = fp
+
+    def _alloc_with_evict(self, before: int, after: int, pages):
+        """alloc_extend with tree eviction fallback (reference: allocator OOM
+        -> evict evictable radix pages, then retry)."""
+        new = self.allocator.alloc_extend(before, after, pages)
+        if new is None:
+            need = cdiv(after, self.page_size) - len(pages)
+            self.tree.evict(need - self.allocator.available_pages())
+            new = self.allocator.alloc_extend(before, after, pages)
+        return new
+
+    def _release_prefill_state(self, req: Req):
+        """Undo partial prefill state (pages + lock) before requeueing."""
+        self.allocator.free_pages(req.owned_pages())
+        if req.last_node is not None:
+            self.tree.dec_lock_ref(req.last_node)
+        req.reset_for_retract()
+
+    # ------------------------------------------------------------------
+    # decode
+    # ------------------------------------------------------------------
+
+    def _run_decode_step(self) -> List[ReqOutput]:
+        self._ensure_decode_memory()
+        if not self.running:
+            return []
+        ps = self.page_size
+        B = len(self.running)
+        tokens = np.zeros(B, np.int32)
+        positions = np.zeros(B, np.int32)
+        slots = np.zeros(B, np.int32)
+        lengths = np.zeros(B, np.int32)
+        sample_steps = np.zeros(B, np.int32)
+        pmax = max(len(r.pages) for r in self.running)
+        page_table = np.zeros((B, pmax), np.int32)
+        rows = []
+        for i, r in enumerate(self.running):
+            tokens[i] = r.output_ids[-1]
+            pos = r.fill_len
+            positions[i] = pos
+            slots[i] = r.pages[pos // ps] * ps + pos % ps
+            lengths[i] = pos + 1
+            sample_steps[i] = len(r.output_ids)
+            page_table[i, : len(r.pages)] = r.pages
+            rows.append(r.sampling_row())
+
+        d = DecodeInput(
+            tokens=tokens,
+            positions=positions,
+            slots=slots,
+            page_table=page_table,
+            lengths=lengths,
+            sample_steps=sample_steps,
+            sampling=rows,
+        )
+        ids = self.runner.forward_decode(d)
+
+        outputs = []
+        still_running = []
+        for i, r in enumerate(self.running):
+            r.fill_len += 1
+            new_id = int(ids[i])
+            r.output_ids.append(new_id)
+            r.check_finished(new_id)
+            outputs.append(ReqOutput(r, [new_id]))
+            if r.finished():
+                self._finish_req(r)
+            else:
+                still_running.append(r)
+        self.running = still_running
+        self.new_token_ratio = max(
+            self.new_token_ratio - self.new_token_ratio_decay,
+            self.base_new_token_ratio,
+        )
+        return outputs
+
+    def _ensure_decode_memory(self):
+        """Grow each running req by one token; retract on OOM
+        (reference check_decode_mem + retract_decode)."""
+        ps = self.page_size
+        need_page = [
+            r for r in self.running if cdiv(r.fill_len + 1, ps) > len(r.pages)
+        ]
+        if not need_page:
+            return
+        want = len(need_page)
+        if self.allocator.available_pages() < want:
+            self.tree.evict(want - self.allocator.available_pages())
+        while self.allocator.available_pages() < want and len(self.running) > 1:
+            self._retract_one()
+            need_page = [
+                r for r in self.running if cdiv(r.fill_len + 1, ps) > len(r.pages)
+            ]
+            want = len(need_page)
+        for r in need_page:
+            pages = self.allocator.alloc_pages(1)
+            assert pages is not None, "decode OOM after retraction"
+            r.pages.extend(pages)
+
+    def _retract_one(self):
+        """Retract the req with most output / shortest prompt
+        (reference retract policy, schedule_batch.py:1711-1760)."""
+        victim = max(
+            self.running, key=lambda r: (len(r.output_ids), -len(r.input_ids))
+        )
+        self.running.remove(victim)
+        self.allocator.free_pages(victim.owned_pages())
+        if victim.last_node is not None:
+            self.tree.dec_lock_ref(victim.last_node)
+        victim.reset_for_retract()
+        self.waiting.appendleft(victim)
+        # raise the reservation estimate (reference new_estimate_ratio)
+        total_max = sum(r.max_new_tokens for r in self.running) or 1
+        decoded = sum(len(r.output_ids) for r in self.running)
+        self.new_token_ratio = min(
+            1.0,
+            max(
+                self.new_token_ratio,
+                (decoded + RETRACT_DECODE_STEPS * max(len(self.running), 1))
+                / total_max,
+            ),
+        )
+        logger.info("retracted %s (new_token_ratio=%.3f)", victim.rid, self.new_token_ratio)
+
+    # ------------------------------------------------------------------
+    # finish / abort / release
+    # ------------------------------------------------------------------
+
+    def _finish_req(self, req: Req):
+        ps = self.page_size
+        if self.server_args.disable_radix_cache:
+            self.allocator.free_pages(req.owned_pages())
+        else:
+            fill_tokens = req.fill_len
+            full_pages = fill_tokens // ps
+            dup = self.tree.insert(
+                req.fill_ids[: full_pages * ps], req.pages[:full_pages]
+            )
+            dup = max(dup, req.prefix_pages)
+            # req's own pages duplicating existing tree content
+            self.allocator.free_pages(req.pages[req.prefix_pages : dup])
+            # unfilled tail pages stay ours -> free
+            self.allocator.free_pages(req.pages[full_pages:])
+            if req.last_node is not None:
+                self.tree.dec_lock_ref(req.last_node)
+        req.pages = []
+        req.prefix_pages = 0
+        req.last_node = None
+
+    def _process_aborts(self):
+        if not self.abort_rids:
+            return
+        rids = self.abort_rids
+        self.abort_rids = set()
+        for req in list(self.waiting):
+            if req.rid in rids:
+                self.waiting.remove(req)
+                req.finish_info = FinishInfo(FinishReason.ABORT)
+        for req in list(self.running):
+            if req.rid in rids:
+                self.running.remove(req)
+                req.finish_info = FinishInfo(FinishReason.ABORT)
+                self._finish_req(req)
+        if self.chunked_req is not None and self.chunked_req.rid in rids:
+            req = self.chunked_req
+            self.chunked_req = None
+            req.finish_info = FinishInfo(FinishReason.ABORT)
+            self._finish_req(req)
+
+    def flush_cache(self) -> bool:
+        """Drop the prefix cache (reference scheduler.py:2326): only when idle."""
+        if self.running or self.waiting or self.chunked_req:
+            return False
+        self.tree.reset()
+        self.allocator.clear()
+        self.runner.flush_cache()
+        return True
+
+    # ------------------------------------------------------------------
+    # self checks (reference scheduler_runtime_checker_mixin.py:173,309)
+    # ------------------------------------------------------------------
+
+    def check_memory(self):
+        held = sum(len(r.owned_pages()) for r in self.running)
+        if self.chunked_req is not None:
+            held += len(self.chunked_req.owned_pages())
+        self.tree.check_invariant(request_held_pages=held)

@@ -1,0 +1,188 @@
+"""Tokenizer manager: request intake, tokenization, response assembly.
+
+Role model: reference `TokenizerManager`
+(`python/sglang/srt/managers/tokenizer_manager.py:414` generate_request,
+`ReqState:123` per-request futures).  In-process variant: requests flow to
+the scheduler thread via a queue; token outputs come back through per-rid
+subscriber queues; this class tokenizes, detokenizes incrementally, applies
+stop strings, and assembles the reference's meta_info schema.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+import uuid
+from typing import Any, Dict, List, Optional
+
+from sglang_awq_tpu.managers.detokenizer import (
+    IncrementalDetokenizer,
+    find_stop_string,
+    partial_stop_suffix_len,
+)
+from sglang_awq_tpu.managers.schedule_batch import Req
+from sglang_awq_tpu.sampling.sampling_params import SamplingParams
+
+
+@dataclasses.dataclass
+class GenerateReqInput:
+    """Reference io_struct.GenerateReqInput:158 subset (text OR input_ids)."""
+
+    text: Optional[str] = None
+    input_ids: Optional[List[int]] = None
+    sampling_params: Optional[Dict[str, Any]] = None
+    rid: Optional[str] = None
+    stream: bool = False
+    return_logprob: bool = False
+
+    def normalize(self):
+        if self.rid is None:
+            self.rid = uuid.uuid4().hex
+        if self.sampling_params is None:
+            self.sampling_params = {}
+
+
+class ReqState:
+    """Per-request in-flight state + output queue."""
+
+    def __init__(self, req: Req, detok: IncrementalDetokenizer):
+        self.req = req
+        self.detok = detok
+        self.out_queue: "queue.Queue[Optional[dict]]" = queue.Queue()
+        self.created_time = time.monotonic()
+        self.finished = False
+        self.text = ""
+        self.held_text = ""  # possible partial stop-string suffix
+
+
+class TokenizerManager:
+    def __init__(self, tokenizer, eos_token_ids: set, scheduler_submit, scheduler_abort):
+        self.tokenizer = tokenizer
+        self.eos_token_ids = set(eos_token_ids)
+        if tokenizer is not None and tokenizer.eos_token_id is not None:
+            self.eos_token_ids.add(tokenizer.eos_token_id)
+        self._submit = scheduler_submit  # callable(Req)
+        self._abort = scheduler_abort  # callable(rid)
+        self.states: Dict[str, ReqState] = {}
+        self.lock = threading.Lock()
+
+    # ------------------------------------------------------------------
+
+    def create_request(self, gin: GenerateReqInput) -> ReqState:
+        gin.normalize()
+        sp = SamplingParams.from_dict(gin.sampling_params)
+        if gin.input_ids is not None:
+            ids = list(gin.input_ids)
+        else:
+            if self.tokenizer is None:
+                raise ValueError("no tokenizer loaded; pass input_ids")
+            ids = self.tokenizer.encode(gin.text)
+        if len(ids) == 0:
+            raise ValueError("empty prompt")
+        req = Req(
+            rid=gin.rid,
+            input_ids=ids,
+            sampling_params=sp,
+            stream=gin.stream,
+            eos_token_ids=self.eos_token_ids,
+        )
+        detok = IncrementalDetokenizer(
+            self.tokenizer, skip_special_tokens=sp.skip_special_tokens
+        )
+        state = ReqState(req, detok)
+        with self.lock:
+            self.states[gin.rid] = state
+        self._submit(req)
+        return state
+
+    def abort_request(self, rid: str):
+        self._abort(rid)
+
+    # called from the scheduler thread with each ReqOutput
+    def on_output(self, out) -> None:
+        with self.lock:
+            state = self.states.get(out.rid)
+        if state is None or state.finished:
+            return
+        new_text = state.detok.append(out.new_tokens)
+        if out.finished:
+            new_text += state.detok.flush()
+        sp = state.req.sampling_params
+        emit_finish = out.finished
+        finish_reason = out.finish_reason
+        matched_stop = None
+
+        if new_text and sp.stop:
+            candidate = state.held_text + new_text
+            hit = find_stop_string(state.text + candidate, sp.stop)
+            if hit is not None:
+                pos, matched = hit
+                full = (state.text + candidate)[:pos]
+                new_text = full[len(state.text) :]
+                state.held_text = ""
+                emit_finish = True
+                finish_reason = "stop"
+                matched_stop = matched
+                self._abort(out.rid)
+            else:
+                hold = partial_stop_suffix_len(candidate, sp.stop)
+                if hold and not emit_finish:
+                    state.held_text = candidate[len(candidate) - hold :]
+                    new_text = candidate[: len(candidate) - hold]
+                else:
+                    state.held_text = ""
+                    new_text = candidate
+        elif state.held_text:
+            new_text = state.held_text + new_text
+            state.held_text = ""
+
+        state.text += new_text
+        chunk = {
+            "rid": out.rid,
+            "text": state.text,
+            "delta": new_text,
+            "output_ids": list(state.detok.ids),
+            "meta_info": {
+                "prompt_tokens": out.prompt_len,
+                "completion_tokens": out.output_len,
+                "cached_tokens": out.cached_tokens,
+                "finish_reason": (
+                    {"type": finish_reason, "matched": matched_stop}
+                    if emit_finish
+                    else None
+                ),
+            },
+            "finished": emit_finish,
+        }
+        state.out_queue.put(chunk)
+        if emit_finish:
+            state.finished = True
+            state.out_queue.put(None)  # sentinel
+
+    # ------------------------------------------------------------------
+
+    def wait_response(self, state: ReqState, timeout: float = 3600.0) -> dict:
+        """Blocking collect (non-stream path)."""
+        last = None
+        while True:
+            item = state.out_queue.get(timeout=timeout)
+            if item is None:
+                break
+            last = item
+        self._drop(state)
+        assert last is not None, "request produced no output"
+        return last
+
+    def stream_responses(self, state: ReqState, timeout: float = 3600.0):
+        while True:
+            item = state.out_queue.get(timeout=timeout)
+            if item is None:
+                break
+            yield item
+        self._drop(state)
+
+    def _drop(self, state: ReqState):
+        with self.lock:
+            self.states.pop(state.req.rid, None)

@@ -1,0 +1,96 @@
+"""Host-side batch descriptions handed to the ModelRunner.
+
+Role model: reference `ForwardBatch`/`ForwardMode`
+(`python/sglang/srt/model_executor/forward_batch_info.py:70,227`).  The TPU
+runner needs only the numpy arrays that become jit inputs; attention-backend
+metadata is implicit in the kernels.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional
+
+import numpy as np
+
+
+class ForwardMode(enum.Enum):
+    EXTEND = enum.auto()
+    DECODE = enum.auto()
+    IDLE = enum.auto()
+
+
+@dataclasses.dataclass
+class ExtendInput:
+    """One request's (chunked) prefill step — bs=1 (SURVEY.md §7 phase 1)."""
+
+    tokens: np.ndarray  # [T] int32 new tokens of this chunk
+    positions: np.ndarray  # [T] absolute positions
+    slots: np.ndarray  # [T] flat KV slots
+    pages: np.ndarray  # [n_pages] page ids covering prefix + chunk
+    prefix_len: int
+    # sampling for the bonus token produced by this chunk (if last chunk)
+    sampling: Optional["SamplingRow"] = None
+
+
+@dataclasses.dataclass
+class DecodeInput:
+    """Padded decode batch."""
+
+    tokens: np.ndarray  # [B] int32 last sampled tokens
+    positions: np.ndarray  # [B]
+    slots: np.ndarray  # [B]
+    page_table: np.ndarray  # [B, PMAX]
+    lengths: np.ndarray  # [B] (0 = padded row)
+    sample_steps: np.ndarray = None  # [B] per-req sample position (seed folding)
+    sampling: list = None  # List[SamplingRow], len B
+
+    def sampling_padded(self, bs_pad: int) -> "SamplingBatch":
+        return SamplingBatch.from_rows(self.sampling or [], pad_to=bs_pad)
+
+
+@dataclasses.dataclass
+class SamplingRow:
+    temperature: float = 0.0
+    top_p: float = 1.0
+    top_k: int = 1 << 30
+    min_p: float = 0.0
+    seed: int = 0
+    frequency_penalty: float = 0.0
+    presence_penalty: float = 0.0
+    repetition_penalty: float = 1.0
+
+
+@dataclasses.dataclass
+class SamplingBatch:
+    temperatures: np.ndarray  # [B] f32
+    top_ps: np.ndarray
+    top_ks: np.ndarray
+    min_ps: np.ndarray
+    seeds: np.ndarray  # [B] u32
+    frequency_penalties: np.ndarray
+    presence_penalties: np.ndarray
+    repetition_penalties: np.ndarray
+
+    @classmethod
+    def from_rows(cls, rows, pad_to: int) -> "SamplingBatch":
+        n = len(rows)
+        assert pad_to >= n
+
+        def arr(get, dtype, pad):
+            a = np.full(pad_to, pad, dtype)
+            for i, r in enumerate(rows):
+                a[i] = get(r)
+            return a
+
+        return cls(
+            temperatures=arr(lambda r: r.temperature, np.float32, 0.0),
+            top_ps=arr(lambda r: r.top_p, np.float32, 1.0),
+            top_ks=arr(lambda r: r.top_k, np.int32, 1),
+            min_ps=arr(lambda r: r.min_p, np.float32, 0.0),
+            seeds=arr(lambda r: r.seed, np.uint32, 0),
+            frequency_penalties=arr(lambda r: r.frequency_penalty, np.float32, 0.0),
+            presence_penalties=arr(lambda r: r.presence_penalty, np.float32, 0.0),
+            repetition_penalties=arr(lambda r: r.repetition_penalty, np.float32, 1.0),
+        )

@@ -1,0 +1,332 @@
+"""Model runner: owns device state and the bucketed-jit step functions.
+
+Role model: reference `ModelRunner`
+(`python/sglang/srt/model_executor/model_runner.py:271` — distributed init,
+model load, KV pool sizing `profile_max_num_token:1411`/`init_memory_pool:1682`,
+graph capture `init_device_graphs:2498`, forward dispatch `forward:2721`).
+
+TPU re-design (SURVEY.md §7 decisions 2-4):
+* CUDA graphs -> BUCKETED JIT: one compiled executable per
+  (mode, padded size) key; decode buckets on batch size, prefill buckets on
+  chunk tokens (reference bucket table role, §A.5).
+* Each step fuses model forward + sampling into ONE dispatch (host-device
+  round trips are the enemy; sampled ids return as a small array).
+* `decode_multi` runs N decode steps inside one jit via `lax.scan`, feeding
+  sampled tokens straight back into the next step on device — the TPU
+  analogue of the reference's overlap scheduling + multi-step decode
+  (`--num-continuous-decode-steps`), with KV paging advanced in-jit over a
+  pre-allocated page table.
+* KV caches are donated through every step (functional in-place update).
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sglang_awq_tpu.configs.model_config import ModelConfig
+from sglang_awq_tpu.layers.sampler import SamplingInfo, apply_penalties, sample
+from sglang_awq_tpu.mem_cache.kv_pool import KVPoolSpec, PAD_SLOT
+from sglang_awq_tpu.model_executor.forward_batch import (
+    DecodeInput,
+    ExtendInput,
+    SamplingBatch,
+)
+from sglang_awq_tpu.model_loader.loader import load_model
+from sglang_awq_tpu.server_args import ServerArgs
+from sglang_awq_tpu.utils import (
+    cdiv,
+    default_decode_bs_buckets,
+    default_prefill_token_buckets,
+    pick_bucket,
+    round_up,
+)
+
+logger = logging.getLogger(__name__)
+
+HBM_BYTES_DEFAULT = 16 * 1024**3  # v5e
+RESERVE_BYTES = 1536 * 1024**2  # workspace + fragmentation headroom
+
+
+def _sampling_info(sb: SamplingBatch) -> SamplingInfo:
+    return SamplingInfo(
+        temperatures=jnp.asarray(sb.temperatures),
+        top_ps=jnp.asarray(sb.top_ps),
+        top_ks=jnp.asarray(sb.top_ks),
+        min_ps=jnp.asarray(sb.min_ps),
+        seeds=jnp.asarray(sb.seeds),
+        frequency_penalties=jnp.asarray(sb.frequency_penalties),
+        presence_penalties=jnp.asarray(sb.presence_penalties),
+        repetition_penalties=jnp.asarray(sb.repetition_penalties),
+    )
+
+
+class ModelRunner:
+    def __init__(
+        self,
+        server_args: ServerArgs,
+        model_config: Optional[ModelConfig] = None,
+        tensors: Optional[Dict[str, np.ndarray]] = None,
+    ):
+        self.server_args = server_args
+        if model_config is None:
+            model_config = ModelConfig.from_model_path(
+                server_args.model_path,
+                context_length=server_args.context_length,
+                quantization=server_args.quantization,
+            )
+        self.model_config = model_config
+        self.model, self.params = load_model(
+            model_config,
+            tp_size=server_args.tp_size,
+            tensors=tensors,
+            random_weights=server_args.random_weights,
+        )
+        self.rope_tab = jax.device_put(self.model.rope())
+        self.page_size = server_args.page_size
+
+        self._init_memory_pool()
+
+        self.decode_bs_buckets = server_args.decode_bs_buckets or default_decode_bs_buckets(
+            server_args.max_running_requests
+        )
+        self.prefill_token_buckets = (
+            server_args.prefill_token_buckets
+            or default_prefill_token_buckets(server_args.chunked_prefill_size)
+        )
+        # prefill KV-length buckets in PAGES (gathered KV is page-granular)
+        self.prefill_page_buckets = sorted(
+            {
+                cdiv(t, self.page_size)
+                for t in default_prefill_token_buckets(model_config.context_length)
+            }
+        )
+        self._fns: Dict[Any, Any] = {}
+        self.decode_steps_counter = 0
+
+    # ------------------------------------------------------------------
+    # memory pool
+    # ------------------------------------------------------------------
+
+    def _init_memory_pool(self):
+        sa, mc = self.server_args, self.model_config
+        kv_heads = max(mc.num_kv_heads // sa.tp_size, 1)
+        probe = KVPoolSpec(mc.num_layers, kv_heads, 1, self.page_size, mc.head_dim)
+        if sa.max_total_tokens is not None:
+            tokens = sa.max_total_tokens
+        else:
+            hbm = self._device_hbm_bytes()
+            weight_bytes = sum(
+                x.nbytes for x in jax.tree.leaves(self.params)
+            ) + self.rope_tab.nbytes
+            budget = int((hbm - weight_bytes - RESERVE_BYTES) * sa.mem_fraction_static)
+            if budget <= 0:
+                raise RuntimeError(
+                    f"no HBM left for KV cache (weights {weight_bytes>>20} MiB)"
+                )
+            tokens = budget // probe.bytes_per_token()
+        num_pages = max(tokens // self.page_size, 8)
+        self.kv_spec = KVPoolSpec(
+            mc.num_layers, kv_heads, num_pages, self.page_size, mc.head_dim,
+            dtype="bfloat16" if sa.kv_cache_dtype in ("auto", "bfloat16") else sa.kv_cache_dtype,
+        )
+        self.max_total_tokens = num_pages * self.page_size
+        self.pmax = cdiv(mc.context_length, self.page_size)
+        self.k_cache, self.v_cache = self.kv_spec.alloc()
+        logger.info(
+            "KV pool: %d pages x %d tokens (%.2f GiB)",
+            num_pages,
+            self.page_size,
+            2 * self.k_cache.nbytes / 1024**3,
+        )
+
+    def _device_hbm_bytes(self) -> int:
+        try:
+            stats = jax.devices()[0].memory_stats()
+            if stats and "bytes_limit" in stats:
+                return int(stats["bytes_limit"])
+        except Exception:
+            pass
+        return HBM_BYTES_DEFAULT
+
+    # ------------------------------------------------------------------
+    # jitted step builders
+    # ------------------------------------------------------------------
+
+    def _extend_fn(self, t_pad: int, n_pages: int):
+        key = ("extend", t_pad, n_pages)
+        if key in self._fns:
+            return self._fns[key]
+        model, params, rope = self.model, self.params, self.rope_tab
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def fn(kc, vc, tokens, positions, slots, pages, prefix_len, q_len, info, step):
+            logits, kc, vc = model.extend_step(
+                params, kc, vc, rope, tokens, positions, slots, pages, prefix_len, q_len
+            )
+            ids = sample(logits, info, step)
+            return ids, logits, kc, vc
+
+        self._fns[key] = fn
+        return fn
+
+    def _decode_fn(self, bs: int):
+        key = ("decode", bs)
+        if key in self._fns:
+            return self._fns[key]
+        model, params, rope = self.model, self.params, self.rope_tab
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def fn(kc, vc, tokens, positions, slots, page_table, lengths, info, steps):
+            logits, kc, vc = model.decode_step(
+                params, kc, vc, rope, tokens, positions, slots, page_table, lengths
+            )
+            ids = sample(logits, info, steps)
+            return ids, logits, kc, vc
+
+        self._fns[key] = fn
+        return fn
+
+    def _decode_multi_fn(self, bs: int, n_steps: int):
+        key = ("decode_multi", bs, n_steps)
+        if key in self._fns:
+            return self._fns[key]
+        model, params, rope = self.model, self.params, self.rope_tab
+        ps = self.page_size
+
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def fn(kc, vc, tokens0, lengths0, page_table, info, steps0):
+            def body(carry, s):
+                kc, vc, toks, lens = carry
+                live = lens > 0
+                pos = jnp.maximum(lens - 1, 0)
+                page = page_table[jnp.arange(bs), pos // ps]
+                slots = jnp.where(live, page * ps + pos % ps, PAD_SLOT)
+                logits, kc, vc = model.decode_step(
+                    params, kc, vc, rope, toks, pos, slots, page_table, lens
+                )
+                ids = sample(logits, info, steps0 + s)
+                lens = jnp.where(live, lens + 1, lens)
+                return (kc, vc, ids, lens), ids
+
+            (kc, vc, _, _), all_ids = jax.lax.scan(
+                body, (kc, vc, tokens0, lengths0), jnp.arange(n_steps)
+            )
+            return all_ids, kc, vc
+
+        self._fns[key] = fn
+        return fn
+
+    # ------------------------------------------------------------------
+    # public forward API (numpy in, numpy out)
+    # ------------------------------------------------------------------
+
+    def forward_extend(self, ext: ExtendInput) -> Tuple[int, Optional[np.ndarray]]:
+        """Run one chunk; returns (sampled next-token id, logits row).
+
+        The sampled id is only meaningful when this is the request's LAST
+        chunk (prefix_len + T == full prompt length).
+        """
+        T = len(ext.tokens)
+        t_pad = pick_bucket(T, self.prefill_token_buckets)
+        total_pages = len(ext.pages)
+        pg_pad = pick_bucket(max(total_pages, 1), self.prefill_page_buckets)
+        fn = self._extend_fn(t_pad, pg_pad)
+
+        tokens = np.zeros(t_pad, np.int32)
+        tokens[:T] = ext.tokens
+        positions = np.zeros(t_pad, np.int32)
+        positions[:T] = ext.positions
+        slots = np.full(t_pad, PAD_SLOT, np.int32)
+        slots[:T] = ext.slots
+        pages = np.zeros(pg_pad, np.int32)
+        pages[:total_pages] = ext.pages
+
+        row = ext.sampling
+        sb = SamplingBatch.from_rows([row] if row else [], pad_to=1)
+        info = _sampling_info(sb)
+        ids, logits, self.k_cache, self.v_cache = fn(
+            self.k_cache,
+            self.v_cache,
+            jnp.asarray(tokens),
+            jnp.asarray(positions),
+            jnp.asarray(slots),
+            jnp.asarray(pages),
+            jnp.int32(ext.prefix_len),
+            jnp.int32(T),
+            info,
+            jnp.int32(0),
+        )
+        return int(np.asarray(ids)[0]), np.asarray(logits)
+
+    def forward_decode(self, d: DecodeInput) -> np.ndarray:
+        """One decode step over a padded batch -> sampled ids [bs_pad]."""
+        bs = len(d.tokens)
+        bs_pad = pick_bucket(bs, self.decode_bs_buckets)
+        fn = self._decode_fn(bs_pad)
+        arrays = self._pad_decode(d, bs_pad)
+        info = _sampling_info(d.sampling_padded(bs_pad))
+        steps = np.zeros(bs_pad, np.int32)
+        if d.sample_steps is not None:
+            steps[:bs] = d.sample_steps
+        self.decode_steps_counter += 1
+        ids, logits, self.k_cache, self.v_cache = fn(
+            self.k_cache, self.v_cache, *arrays, info, jnp.asarray(steps)
+        )
+        return np.asarray(ids)
+
+    def forward_decode_multi(self, d: DecodeInput, n_steps: int) -> np.ndarray:
+        """n_steps decode steps in one dispatch -> ids [n_steps, bs_pad].
+
+        Pages for all steps must already be in d.page_table.
+        """
+        bs = len(d.tokens)
+        bs_pad = pick_bucket(bs, self.decode_bs_buckets)
+        fn = self._decode_multi_fn(bs_pad, n_steps)
+        tokens, _, _, page_table, lengths = self._pad_decode(d, bs_pad)
+        info = _sampling_info(d.sampling_padded(bs_pad))
+        steps0 = np.zeros(bs_pad, np.int32)
+        if d.sample_steps is not None:
+            steps0[:bs] = d.sample_steps
+        self.decode_steps_counter += n_steps
+        all_ids, self.k_cache, self.v_cache = fn(
+            self.k_cache, self.v_cache, tokens, lengths, page_table, info,
+            jnp.asarray(steps0),
+        )
+        return np.asarray(all_ids)
+
+    def _pad_decode(self, d: DecodeInput, bs_pad: int):
+        bs = len(d.tokens)
+        tokens = np.zeros(bs_pad, np.int32)
+        tokens[:bs] = d.tokens
+        positions = np.zeros(bs_pad, np.int32)
+        positions[:bs] = d.positions
+        slots = np.full(bs_pad, PAD_SLOT, np.int32)
+        slots[:bs] = d.slots
+        pt = np.zeros((bs_pad, self.pmax), np.int32)
+        pt[:bs, : d.page_table.shape[1]] = d.page_table[:, : self.pmax]
+        lengths = np.zeros(bs_pad, np.int32)
+        lengths[:bs] = d.lengths
+        return (
+            jnp.asarray(tokens),
+            jnp.asarray(positions),
+            jnp.asarray(slots),
+            jnp.asarray(pt),
+            jnp.asarray(lengths),
+        )
+
+    # --- memory info for the scheduler ---
+
+    @property
+    def num_pages(self) -> int:
+        return self.kv_spec.num_pages
+
+    def flush_cache(self):
+        """Zero + reallocate the KV pool (reference /flush_cache)."""
+        self.k_cache, self.v_cache = self.kv_spec.alloc()

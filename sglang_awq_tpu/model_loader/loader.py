@@ -1,0 +1,160 @@
+"""Checkpoint loading: HF safetensors -> layer-stacked TPU param pytree.
+
+Role model: reference `python/sglang/srt/model_loader/loader.py:297`
+(`DefaultModelLoader` — safetensors iteration `:451`, per-param
+`weight_loader`, then `process_weights_after_loading` doing the marlin
+repack `awq.py:542`).  TPU translation: weights are merged (q,k,v ->
+qkv; gate,up -> gate_up), stacked along a leading layer dim, and AWQ
+tensors are de-interleaved/re-packed into the Pallas kernel layout ONCE
+here (no device-side repack).
+
+Weight name schema handled (Llama/Qwen2 family):
+    model.embed_tokens.weight
+    model.layers.{l}.self_attn.{q,k,v,o}_proj.{weight|qweight|qzeros|scales|bias}
+    model.layers.{l}.mlp.{gate,up,down}_proj.{...}
+    model.layers.{l}.{input,post_attention}_layernorm.weight
+    model.norm.weight
+    lm_head.weight
+"""
+
+from __future__ import annotations
+
+import glob
+import logging
+import os
+from typing import Any, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sglang_awq_tpu.configs.model_config import ModelConfig
+from sglang_awq_tpu.layers.linear import LinearSpec, convert_awq_weights_np
+from sglang_awq_tpu.models.registry import get_model_class
+
+logger = logging.getLogger(__name__)
+
+
+def iterate_safetensors(model_path: str) -> Iterator[Tuple[str, np.ndarray]]:
+    from safetensors import safe_open
+
+    files = sorted(glob.glob(os.path.join(model_path, "*.safetensors")))
+    if not files:
+        raise FileNotFoundError(f"no .safetensors under {model_path}")
+    for f in files:
+        with safe_open(f, framework="np") as sf:
+            for name in sf.keys():
+                yield name, sf.get_tensor(name)
+
+
+def _torch_state_dict_to_np(sd) -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in sd.items():
+        arr = v.detach().to("cpu")
+        if str(arr.dtype) == "torch.bfloat16":
+            arr = arr.float()
+        out[k] = arr.numpy()
+    return out
+
+
+MERGES = {
+    # target: (source proj names, hf prefix)
+    "qkv": ["self_attn.q_proj", "self_attn.k_proj", "self_attn.v_proj"],
+    "o": ["self_attn.o_proj"],
+    "gate_up": ["mlp.gate_proj", "mlp.up_proj"],
+    "down": ["mlp.down_proj"],
+}
+
+
+def load_params_from_tensors(
+    model,
+    tensors: Dict[str, np.ndarray],
+    dtype=jnp.bfloat16,
+) -> Dict[str, Any]:
+    """Build the model's param pytree from a flat HF-named tensor dict."""
+    cfg: ModelConfig = model.config
+    L = cfg.num_layers
+    quant = cfg.quant_config
+
+    def t(name):  # fetch + fail loud
+        if name not in tensors:
+            raise KeyError(f"missing checkpoint tensor {name}")
+        return tensors[name]
+
+    params: Dict[str, Any] = {
+        "embed": {"weight": jnp.asarray(t("model.embed_tokens.weight"), dtype)},
+        "layers": {},
+        "final_norm": jnp.asarray(t("model.norm.weight"), jnp.float32),
+    }
+    if cfg.tie_word_embeddings:
+        lm_head = t("model.embed_tokens.weight").T
+    else:
+        lm_head = t("lm_head.weight").T
+    params["lm_head"] = {"weight": jnp.asarray(np.ascontiguousarray(lm_head), dtype)}
+
+    params["layers"]["input_norm"] = jnp.asarray(
+        np.stack([t(f"model.layers.{l}.input_layernorm.weight") for l in range(L)]),
+        jnp.float32,
+    )
+    params["layers"]["post_norm"] = jnp.asarray(
+        np.stack(
+            [t(f"model.layers.{l}.post_attention_layernorm.weight") for l in range(L)]
+        ),
+        jnp.float32,
+    )
+
+    for target, sources in MERGES.items():
+        spec: LinearSpec = model.specs[target]
+        quant_here = spec.quantized
+        per_layer = []
+        biases = []
+        for l in range(L):
+            names = [f"model.layers.{l}.{s}" for s in sources]
+            if quant_here:
+                qw = np.concatenate([t(n + ".qweight") for n in names], axis=1)
+                has_zeros = names[0] + ".qzeros" in tensors
+                qz = (
+                    np.concatenate([t(n + ".qzeros") for n in names], axis=1)
+                    if has_zeros
+                    else None
+                )
+                sc = np.concatenate([t(n + ".scales") for n in names], axis=1)
+                per_layer.append(convert_awq_weights_np(spec, qw, qz, sc))
+            else:
+                # torch nn.Linear stores [out, in]; we want [in, out]
+                w = np.concatenate([t(n + ".weight").T for n in names], axis=1)
+                per_layer.append({"weight": w})
+            bias_name = names[0] + ".bias"
+            if bias_name in tensors:
+                biases.append(np.concatenate([t(n + ".bias") for n in names], axis=-1))
+        stacked = {
+            key: jnp.asarray(
+                np.stack([pl[key] for pl in per_layer]),
+                dtype if key == "weight" else None,
+            )
+            for key in per_layer[0]
+        }
+        if biases:
+            assert len(biases) == L
+            stacked["bias"] = jnp.asarray(np.stack(biases), dtype)
+        params["layers"][target] = stacked
+    return params
+
+
+def load_model(
+    model_config: ModelConfig,
+    tp_size: int = 1,
+    tp_axis: Optional[str] = None,
+    tensors: Optional[Dict[str, np.ndarray]] = None,
+    random_weights: bool = False,
+):
+    """Returns (model, params). tensors overrides disk reading (tests/RL)."""
+    cls = get_model_class(model_config.architecture)
+    model = cls(config=model_config, tp_size=tp_size, tp_axis=tp_axis)
+    if random_weights:
+        params = model.random_params()
+        return model, params
+    if tensors is None:
+        tensors = dict(iterate_safetensors(model_config.model_path))
+    params = load_params_from_tensors(model, tensors)
+    return model, params

@@ -1,0 +1,270 @@
+"""Llama-family causal LM, TPU-native.
+
+Role model: reference `python/sglang/srt/models/llama.py` (`LlamaAttention:109`
+QKVParallelLinear + RoPE + RadixAttention, `LlamaMLP:61`,
+`LlamaForCausalLM.forward:460`).  TPU re-design:
+
+* Functional: params are a pytree of LAYER-STACKED arrays; the forward is a
+  `lax.scan` over layers, so one layer is traced/compiled once regardless of
+  depth.  Quantized weights stay packed in the pytree; Pallas kernels index
+  the stack with the scan's layer counter (no per-layer weight copies).
+* Two jitted step shapes replace the reference's eager/graph split
+  (SURVEY.md §7 decision 2): `decode_step` over a padded batch with paged
+  attention, and `extend_step` over one request's padded token chunk with
+  prefix-offset flash attention (chunked prefill).
+* qkv / gate_up are merged at load (checkpoint q,k,v merge along N — valid
+  because AWQ groups run along K).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sglang_awq_tpu.configs.model_config import ModelConfig
+from sglang_awq_tpu.layers.activation import silu_and_mul
+from sglang_awq_tpu.layers.linear import LinearSpec, linear_apply
+from sglang_awq_tpu.layers.norm import rms_norm
+from sglang_awq_tpu.layers.rotary import apply_rope, rope_table
+from sglang_awq_tpu.mem_cache.kv_pool import gather_kv, write_kv
+from sglang_awq_tpu.ops.flash_prefill import flash_prefill, flash_prefill_xla
+from sglang_awq_tpu.ops.paged_attention import paged_attention, paged_attention_xla
+from sglang_awq_tpu.utils import is_tpu_backend
+
+
+@dataclasses.dataclass
+class LlamaForCausalLM:
+    config: ModelConfig
+    tp_size: int = 1
+    tp_axis: Optional[str] = None  # mesh axis name when running under shard_map
+    qkv_bias: bool = False  # Qwen2 sets True
+
+    def __post_init__(self):
+        c = self.config
+        assert c.num_attention_heads % self.tp_size == 0
+        assert c.num_kv_heads % self.tp_size == 0 or self.tp_size % c.num_kv_heads == 0
+        self.qh = c.num_attention_heads // self.tp_size
+        self.kvh = max(c.num_kv_heads // self.tp_size, 1)
+        self.head_dim = c.head_dim
+        self.sm_scale = 1.0 / float(np.sqrt(c.head_dim))
+        q = c.quant_config
+        H = c.hidden_size
+        qkv_n = (self.qh + 2 * self.kvh) * self.head_dim * self.tp_size
+        self.specs: Dict[str, LinearSpec] = {
+            # K/N are FULL sizes; shard axis tells the sharder which dim splits
+            "qkv": LinearSpec.make("qkv", H, qkv_n, q, "column"),
+            "o": LinearSpec.make(
+                "o", self.qh * self.head_dim * self.tp_size, H, q, "row"
+            ),
+            "gate_up": LinearSpec.make("gate_up", H, 2 * c.intermediate_size, q, "column"),
+            "down": LinearSpec.make("down", c.intermediate_size, H, q, "row"),
+        }
+
+    # ------------------------------------------------------------------
+    # parameter construction
+    # ------------------------------------------------------------------
+
+    def param_shapes(self) -> Dict[str, Any]:
+        c = self.config
+        L, H, V = c.num_layers, c.hidden_size, c.vocab_size
+        shapes: Dict[str, Any] = {
+            "embed": {"weight": ((V, H), jnp.bfloat16)},
+            "layers": {
+                "input_norm": ((L, H), jnp.float32),
+                "post_norm": ((L, H), jnp.float32),
+            },
+            "final_norm": ((H,), jnp.float32),
+            "lm_head": {"weight": ((H, V), jnp.bfloat16)},
+        }
+        for name, spec in self.specs.items():
+            shapes["layers"][name] = spec.param_shapes(L, self.tp_size)
+        if self.qkv_bias:
+            qn = (self.qh + 2 * self.kvh) * self.head_dim
+            shapes["layers"]["qkv"]["bias"] = ((L, qn * self.tp_size), jnp.bfloat16)
+        return shapes
+
+    def random_params(self, seed: int = 0) -> Dict[str, Any]:
+        """Random weights for benchmarking (reference dummy-random loader role)."""
+        rng = np.random.default_rng(seed)
+
+        def make(x):
+            shape, dtype = x
+            if dtype == jnp.uint8:
+                return jnp.asarray(rng.integers(0, 256, shape, dtype=np.uint8))
+            scale = 0.02 if len(shape) >= 2 else 1.0
+            arr = rng.standard_normal(shape).astype(np.float32) * scale
+            if "norm" not in str(shape):
+                pass
+            return jnp.asarray(arr, dtype)
+
+        shapes = self.param_shapes()
+        params = jax.tree.map(make, shapes, is_leaf=lambda x: isinstance(x, tuple) and len(x) == 2 and isinstance(x[0], tuple))
+        # norms ~ 1
+        params["layers"]["input_norm"] = jnp.ones_like(params["layers"]["input_norm"])
+        params["layers"]["post_norm"] = jnp.ones_like(params["layers"]["post_norm"])
+        params["final_norm"] = jnp.ones_like(params["final_norm"])
+        return params
+
+    def rope(self) -> jax.Array:
+        c = self.config
+        return rope_table(c.context_length, c.head_dim, c.rope_theta, c.rope_scaling)
+
+    # ------------------------------------------------------------------
+    # forward building blocks (shard-local shapes)
+    # ------------------------------------------------------------------
+
+    def _maybe_psum(self, x):
+        if self.tp_axis is not None:
+            return jax.lax.psum(x, self.tp_axis)
+        return x
+
+    def _layer(
+        self,
+        params: Dict[str, Any],
+        x: jax.Array,  # [T, H] bf16
+        l: jax.Array,
+        positions: jax.Array,  # [T]
+        rope_tab: jax.Array,
+        attn_fn,  # (q [T, QH, D], k [T,KVH,D], v, l) -> [T, QH, D] f32
+    ) -> jax.Array:
+        c = self.config
+        lp = params["layers"]
+        T = x.shape[0]
+        D = self.head_dim
+
+        h = rms_norm(x, lp["input_norm"][l], c.rms_norm_eps)
+        qkv = linear_apply(self.specs["qkv"], lp["qkv"], h, l)
+        if "bias" in lp["qkv"]:
+            qkv = qkv + lp["qkv"]["bias"][l]
+        q, k, v = jnp.split(
+            qkv, [self.qh * D, (self.qh + self.kvh) * D], axis=-1
+        )
+        q = q.reshape(T, self.qh, D)
+        k = k.reshape(T, self.kvh, D)
+        v = v.reshape(T, self.kvh, D)
+        q, k = apply_rope(q, k, positions, rope_tab)
+
+        attn = attn_fn(q, k, v, l)  # [T, QH, D] f32
+        attn = attn.reshape(T, self.qh * D).astype(jnp.bfloat16)
+        o = linear_apply(self.specs["o"], lp["o"], attn, l)
+        x = x + self._maybe_psum(o.astype(jnp.float32)).astype(x.dtype)
+
+        h2 = rms_norm(x, lp["post_norm"][l], c.rms_norm_eps)
+        gu = linear_apply(self.specs["gate_up"], lp["gate_up"], h2, l)
+        act = silu_and_mul(gu)
+        d = linear_apply(self.specs["down"], lp["down"], act, l)
+        x = x + self._maybe_psum(d.astype(jnp.float32)).astype(x.dtype)
+        return x
+
+    def _logits(self, params, h: jax.Array) -> jax.Array:
+        c = self.config
+        h = rms_norm(h, params["final_norm"], c.rms_norm_eps)
+        logits = jnp.dot(
+            h, params["lm_head"]["weight"], preferred_element_type=jnp.float32
+        )
+        # vocab-parallel lm_head: gather shards along vocab dim
+        if self.tp_axis is not None:
+            logits = jax.lax.all_gather(
+                logits, self.tp_axis, axis=-1, tiled=True
+            )
+        return logits
+
+    # ------------------------------------------------------------------
+    # step functions (called inside jit by the ModelRunner)
+    # ------------------------------------------------------------------
+
+    def decode_step(
+        self,
+        params: Dict[str, Any],
+        k_cache: jax.Array,
+        v_cache: jax.Array,
+        rope_tab: jax.Array,
+        tokens: jax.Array,  # [B] int32
+        positions: jax.Array,  # [B] int32 (= lengths - 1; 0 for pads)
+        slots: jax.Array,  # [B] int32 flat KV slot for the new token (-1 pad)
+        page_table: jax.Array,  # [B, PMAX] int32
+        lengths: jax.Array,  # [B] int32 incl. the new token (0 for pads)
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """One decode step for a padded batch -> (logits [B, V], kc, vc)."""
+        B = tokens.shape[0]
+        x = params["embed"]["weight"][tokens]
+
+        use_xla_attn = not is_tpu_backend()
+
+        def body(carry, l):
+            x, kc, vc = carry
+
+            def attn(q, k, v, l):
+                nonlocal_state["kc"], nonlocal_state["vc"] = write_kv(
+                    nonlocal_state["kc"], nonlocal_state["vc"], k, v, slots, l
+                )
+                fn = paged_attention_xla if use_xla_attn else paged_attention
+                return fn(
+                    q,
+                    nonlocal_state["kc"],
+                    nonlocal_state["vc"],
+                    page_table,
+                    lengths,
+                    l,
+                    sm_scale=self.sm_scale,
+                )
+
+            nonlocal_state = {"kc": kc, "vc": vc}
+            x = self._layer(params, x, l, positions, rope_tab, attn)
+            return (x, nonlocal_state["kc"], nonlocal_state["vc"]), None
+
+        (x, k_cache, v_cache), _ = jax.lax.scan(
+            body, (x, k_cache, v_cache), jnp.arange(self.config.num_layers)
+        )
+        logits = self._logits(params, x)
+        return logits, k_cache, v_cache
+
+    def extend_step(
+        self,
+        params: Dict[str, Any],
+        k_cache: jax.Array,
+        v_cache: jax.Array,
+        rope_tab: jax.Array,
+        tokens: jax.Array,  # [T_pad] int32
+        positions: jax.Array,  # [T_pad] int32 absolute positions
+        slots: jax.Array,  # [T_pad] int32 (-1 for pads)
+        pages: jax.Array,  # [S_pad // page_size] int32 page ids of this request
+        prefix_len: jax.Array,  # [] int32
+        q_len: jax.Array,  # [] int32 live new tokens
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """One chunked-prefill step for ONE request -> (last-token logits [1, V], kc, vc)."""
+        T = tokens.shape[0]
+        x = params["embed"]["weight"][tokens]
+        kv_len = prefix_len + q_len
+        use_xla_attn = not is_tpu_backend()
+
+        def body(carry, l):
+            x, kc, vc = carry
+
+            def attn(q, k, v, l):
+                st = state
+                st["kc"], st["vc"] = write_kv(st["kc"], st["vc"], k, v, slots, l)
+                kg, vg = gather_kv(st["kc"], st["vc"], pages, l)  # [KVH, S_pad, D]
+                qh = jnp.swapaxes(q, 0, 1)  # [QH, T, D]
+                fn = flash_prefill_xla if use_xla_attn else flash_prefill
+                out = fn(
+                    qh, kg, vg, prefix_len, q_len, kv_len, sm_scale=self.sm_scale
+                )
+                return jnp.swapaxes(out, 0, 1)  # [T, QH, D]
+
+            state = {"kc": kc, "vc": vc}
+            x = self._layer(params, x, l, positions, rope_tab, attn)
+            return (x, state["kc"], state["vc"]), None
+
+        (x, k_cache, v_cache), _ = jax.lax.scan(
+            body, (x, k_cache, v_cache), jnp.arange(self.config.num_layers)
+        )
+        last = jnp.clip(q_len - 1, 0, T - 1)
+        h_last = jax.lax.dynamic_slice_in_dim(x, last, 1, axis=0)  # [1, H]
+        logits = self._logits(params, h_last)
+        return logits, k_cache, v_cache

@@ -1,0 +1,28 @@
+"""Model registry.
+
+Role model: the reference's `EntryClass` convention + auto-import registry
+(`python/sglang/srt/models/registry.py:18,93-128`).  Architectures map to
+model classes by HF `architectures[0]`.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Type
+
+
+def get_model_class(architecture: str):
+    from sglang_awq_tpu.models.llama import LlamaForCausalLM
+    from sglang_awq_tpu.models.qwen2 import Qwen2ForCausalLM
+
+    registry: Dict[str, Type] = {
+        "LlamaForCausalLM": LlamaForCausalLM,
+        "TinyLlamaForCausalLM": LlamaForCausalLM,
+        "MistralForCausalLM": LlamaForCausalLM,  # same graph, no bias
+        "Qwen2ForCausalLM": Qwen2ForCausalLM,
+        "Qwen3ForCausalLM": Qwen2ForCausalLM,
+    }
+    if architecture not in registry:
+        raise ValueError(
+            f"unsupported architecture {architecture!r}; known: {sorted(registry)}"
+        )
+    return registry[architecture]

@@ -1,0 +1,181 @@
+"""End-to-end Engine tests (CPU, tiny HF-equivalent model).
+
+Covers the continuous-batching stack: prefix cache reuse, chunked prefill,
+concurrent requests, stop conditions, retraction, abort — against HF greedy
+generation as ground truth (reference integration-test strategy, §4).
+"""
+
+import threading
+
+import numpy as np
+import pytest
+
+from sglang_awq_tpu.configs.model_config import ModelConfig
+from sglang_awq_tpu.entrypoints.engine import Engine
+from sglang_awq_tpu.model_loader.loader import _torch_state_dict_to_np
+from sglang_awq_tpu.server_args import ServerArgs
+
+TINY_CFG = dict(
+    architectures=["LlamaForCausalLM"],
+    vocab_size=512,
+    hidden_size=256,
+    num_hidden_layers=2,
+    num_attention_heads=8,
+    num_key_value_heads=4,
+    intermediate_size=448,
+    rms_norm_eps=1e-5,
+    rope_theta=10000.0,
+    max_position_embeddings=256,
+    tie_word_embeddings=False,
+    bos_token_id=1,
+    eos_token_id=2,
+)
+
+
+@pytest.fixture(scope="module")
+def engine_and_hf():
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    torch.manual_seed(0)
+    hf_cfg = LlamaConfig(**{k: v for k, v in TINY_CFG.items() if k != "architectures"})
+    hf = LlamaForCausalLM(hf_cfg).eval()
+    tensors = _torch_state_dict_to_np(hf.state_dict())
+    mc = ModelConfig(model_path="", hf_config=dict(TINY_CFG))
+    sa = ServerArgs(
+        model_path="tiny",
+        page_size=8,
+        max_total_tokens=2048,
+        chunked_prefill_size=32,
+        max_running_requests=8,
+        watchdog_timeout=60,
+    )
+    eng = Engine(server_args=sa, model_config=mc, tensors=tensors, tokenizer=None)
+    yield eng, hf
+    eng.shutdown()
+
+
+def hf_greedy(hf, ids, n):
+    import torch
+
+    with torch.no_grad():
+        out = hf.generate(
+            torch.tensor([ids]),
+            max_new_tokens=n,
+            do_sample=False,
+            eos_token_id=None,
+            pad_token_id=0,
+        )
+    return out[0][len(ids) :].tolist()
+
+
+def test_single_greedy_matches_hf(engine_and_hf):
+    eng, hf = engine_and_hf
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(3, 500, 21).tolist()
+    ref = hf_greedy(hf, prompt, 8)
+    out = eng.generate(
+        input_ids=prompt,
+        sampling_params={"max_new_tokens": 8, "temperature": 0.0, "ignore_eos": True},
+    )
+    assert out["output_ids"] == ref, (out["output_ids"], ref)
+    assert out["meta_info"]["completion_tokens"] == 8
+    assert out["meta_info"]["finish_reason"]["type"] == "length"
+
+
+def test_long_prompt_chunked_prefill(engine_and_hf):
+    eng, hf = engine_and_hf
+    rng = np.random.default_rng(1)
+    prompt = rng.integers(3, 500, 100).tolist()  # > chunked_prefill_size=32
+    ref = hf_greedy(hf, prompt, 5)
+    out = eng.generate(
+        input_ids=prompt,
+        sampling_params={"max_new_tokens": 5, "temperature": 0.0, "ignore_eos": True},
+    )
+    assert out["output_ids"] == ref
+
+
+def test_concurrent_and_prefix_cache(engine_and_hf):
+    eng, hf = engine_and_hf
+    rng = np.random.default_rng(2)
+    base = rng.integers(3, 500, 40).tolist()
+    prompts = [base + rng.integers(3, 500, 5).tolist() for _ in range(4)]
+    refs = [hf_greedy(hf, p, 6) for p in prompts]
+
+    results = [None] * 4
+
+    def run(i):
+        results[i] = eng.generate(
+            input_ids=prompts[i],
+            sampling_params={"max_new_tokens": 6, "temperature": 0.0, "ignore_eos": True},
+        )
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    for i in range(4):
+        assert results[i] is not None, f"req {i} hung"
+        assert results[i]["output_ids"] == refs[i], f"req {i}"
+    # at least one of the later requests should have hit the prefix cache
+    cached = [r["meta_info"]["cached_tokens"] for r in results]
+    assert max(cached) >= 32, cached
+
+
+def test_stop_token(engine_and_hf):
+    eng, hf = engine_and_hf
+    rng = np.random.default_rng(3)
+    prompt = rng.integers(3, 500, 10).tolist()
+    ref = hf_greedy(hf, prompt, 16)
+    stop_tok = ref[3]
+    out = eng.generate(
+        input_ids=prompt,
+        sampling_params={
+            "max_new_tokens": 16,
+            "temperature": 0.0,
+            "ignore_eos": True,
+            "stop_token_ids": [stop_tok],
+        },
+    )
+    assert out["output_ids"] == ref[:4]  # includes the matched stop token
+    assert out["meta_info"]["finish_reason"]["type"] == "stop"
+
+
+def test_streaming(engine_and_hf):
+    eng, hf = engine_and_hf
+    rng = np.random.default_rng(4)
+    prompt = rng.integers(3, 500, 9).tolist()
+    chunks = list(
+        eng.generate(
+            input_ids=prompt,
+            sampling_params={"max_new_tokens": 5, "temperature": 0.0, "ignore_eos": True},
+            stream=True,
+        )
+    )
+    assert len(chunks) >= 2
+    assert chunks[-1]["finished"]
+    assert len(chunks[-1]["output_ids"]) == 5
+
+
+def test_sampling_determinism(engine_and_hf):
+    eng, _ = engine_and_hf
+    rng = np.random.default_rng(5)
+    prompt = rng.integers(3, 500, 12).tolist()
+    sp = {"max_new_tokens": 8, "temperature": 0.8, "top_p": 0.9, "seed": 42,
+          "ignore_eos": True}
+    a = eng.generate(input_ids=prompt, sampling_params=dict(sp))
+    b = eng.generate(input_ids=prompt, sampling_params=dict(sp))
+    assert a["output_ids"] == b["output_ids"]
+
+
+def test_memory_invariant_after_load(engine_and_hf):
+    eng, _ = engine_and_hf
+    # after all requests completed, no pages may leak
+    import time
+
+    for _ in range(100):
+        if not eng.scheduler.has_work():
+            break
+        time.sleep(0.05)
+    eng.scheduler.check_memory()

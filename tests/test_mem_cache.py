@@ -1,0 +1,125 @@
+"""Paged allocator + radix cache semantics tests.
+
+Ports the spirit of the reference's allocator/radix accounting self-checks
+(`scheduler_runtime_checker_mixin.py:173-188`, `allocator.py:432`).
+"""
+
+import numpy as np
+import pytest
+
+from sglang_awq_tpu.mem_cache.allocator import PagedAllocator
+from sglang_awq_tpu.mem_cache.radix_cache import RadixCache
+
+
+def test_allocator_basics():
+    a = PagedAllocator(num_pages=10, page_size=16)
+    assert a.available_size() == 160
+    p = a.alloc_pages(3)
+    assert len(p) == 3 and a.available_pages() == 7
+    # extend from 40 tokens (3 pages) to 75 tokens (5 pages)
+    new = a.alloc_extend(40, 75, p)
+    assert len(new) == 2
+    # decode within last page: no new page
+    assert a.alloc_decode(76, p + new) == []
+    # decode crossing page boundary: 80 -> 81 needs page 6
+    assert len(a.alloc_extend(80, 81, p + new)) == 1
+    a.free_pages(p)
+    assert a.available_pages() == 10 - 3
+    with pytest.raises(AssertionError):
+        a.check_consistency(0)
+    a.check_consistency(3)
+
+
+def test_allocator_oom_all_or_nothing():
+    a = PagedAllocator(num_pages=4, page_size=8)
+    assert a.alloc_pages(5) is None
+    assert a.available_pages() == 4
+    p = a.alloc_pages(4)
+    assert a.alloc_extend(32, 33, p) is None
+
+
+def toks(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 1000, n).tolist()
+
+
+def test_radix_match_insert_roundtrip():
+    a = PagedAllocator(64, page_size=4)
+    rc = RadixCache(a, page_size=4)
+    ids = toks(20)
+    pages = a.alloc_pages(5)
+    dup = rc.insert(ids, pages)
+    assert dup == 0
+    m = rc.match_prefix(ids)
+    assert m.matched_len == 20 and m.pages == pages
+    # partial prefix: first 10 tokens -> 2 full pages
+    m2 = rc.match_prefix(ids[:10])
+    assert m2.matched_len == 8 and m2.pages == pages[:2]
+    # diverging sequence shares first 2 pages then splits
+    ids2 = ids[:8] + toks(12, seed=1)
+    m3 = rc.match_prefix(ids2)
+    assert m3.matched_len == 8 and m3.pages == pages[:2]
+
+
+def test_radix_insert_dedup_and_split():
+    a = PagedAllocator(64, page_size=4)
+    rc = RadixCache(a, page_size=4)
+    ids = toks(16)
+    pages = a.alloc_pages(4)
+    rc.insert(ids, pages)
+    # another request with same first 8 tokens, then new tail
+    ids2 = ids[:8] + toks(8, seed=2)
+    pages2 = a.alloc_pages(4)
+    dup = rc.insert(ids2, pages2)
+    assert dup == 2  # first two pages duplicated -> caller frees pages2[:2]
+    a.free_pages(pages2[:2])
+    rc.check_invariant(request_held_pages=0)
+    # both sequences still fully matchable
+    assert rc.match_prefix(ids).matched_len == 16
+    assert rc.match_prefix(ids2).matched_len == 16
+
+
+def test_radix_lock_and_evict():
+    a = PagedAllocator(16, page_size=4)
+    rc = RadixCache(a, page_size=4)
+    ids = toks(32)  # 8 pages
+    pages = a.alloc_pages(8)
+    rc.insert(ids, pages)
+    assert a.available_pages() == 8
+    assert rc.evictable_size() == 32
+
+    m = rc.match_prefix(ids[:16])  # lock first 4 pages
+    rc.inc_lock_ref(m.last_node)
+    assert rc.protected_size() == 16
+    assert rc.evictable_size() == 16
+
+    freed = rc.evict(100)  # evict everything unlocked
+    assert freed == 4
+    assert a.available_pages() == 12
+    assert rc.match_prefix(ids).matched_len == 16  # locked part survives
+
+    rc.dec_lock_ref(m.last_node)
+    rc.evict(100)
+    assert a.available_pages() == 16
+    rc.check_invariant(request_held_pages=0)
+
+
+def test_radix_lru_order():
+    a = PagedAllocator(64, page_size=2)
+    rc = RadixCache(a, page_size=2)
+    seqs = [toks(8, seed=i) for i in range(3)]
+    for s in seqs:
+        rc.insert(s, a.alloc_pages(4))
+    # touch seq 0 -> most recent
+    rc.match_prefix(seqs[0])
+    rc.evict(4)  # should evict seq 1 (oldest untouched)
+    assert rc.match_prefix(seqs[0]).matched_len == 8
+    assert rc.match_prefix(seqs[1]).matched_len == 0
+    assert rc.match_prefix(seqs[2]).matched_len == 8
+
+
+def test_radix_disabled():
+    a = PagedAllocator(8, page_size=4)
+    rc = RadixCache(a, page_size=4, disable=True)
+    assert rc.insert(toks(8), a.alloc_pages(2)) == 0
+    assert rc.match_prefix(toks(8)).matched_len == 0
