@@ -1,0 +1,143 @@
+"""Round benchmark: Llama-3-8B-AWQ decode throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline compares against the reference's CI throughput floor for
+Llama-3.1-8B on an H100-class GPU (>3,800 tok/s offline — BASELINE.md).
+
+Measurement notes (see .claude/skills/verify/SKILL.md): the TPU may sit
+behind a high-latency relay where only data fetch synchronizes, so decode
+runs as on-device multi-step scans and the rate is taken from the SLOPE
+between two scan lengths (cancels fixed dispatch latency).
+
+Env knobs:
+  SGLT_BENCH_MODEL = llama3-8b (default) | tiny
+  SGLT_BENCH_BS    = decode batch size (default 64)
+  SGLT_BENCH_CTX   = context tokens per sequence (default 512)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    from sglang_awq_tpu.configs.model_config import ModelConfig
+    from sglang_awq_tpu.model_executor.forward_batch import DecodeInput, SamplingRow
+    from sglang_awq_tpu.model_executor.model_runner import ModelRunner
+    from sglang_awq_tpu.server_args import ServerArgs
+
+    model_kind = os.environ.get("SGLT_BENCH_MODEL", "llama3-8b")
+    bs = int(os.environ.get("SGLT_BENCH_BS", "64"))
+    ctx = int(os.environ.get("SGLT_BENCH_CTX", "512"))
+
+    if model_kind == "tiny":
+        cfg = dict(
+            vocab_size=2048, hidden_size=1024, num_hidden_layers=4,
+            num_attention_heads=8, num_key_value_heads=8, intermediate_size=2816,
+        )
+    else:
+        cfg = dict(
+            vocab_size=128256, hidden_size=4096, num_hidden_layers=32,
+            num_attention_heads=32, num_key_value_heads=8, intermediate_size=14336,
+        )
+    hf_cfg = dict(
+        architectures=["LlamaForCausalLM"],
+        rms_norm_eps=1e-5,
+        rope_theta=500000.0,
+        max_position_embeddings=4096,
+        tie_word_embeddings=False,
+        bos_token_id=1,
+        eos_token_id=2,
+        quantization_config={
+            "quant_method": "awq", "bits": 4, "group_size": 128, "zero_point": True,
+        },
+        **cfg,
+    )
+    ps = 16
+    mc = ModelConfig(model_path="", hf_config=hf_cfg, context_length=4096)
+    sa = ServerArgs(
+        model_path="bench",
+        random_weights=True,
+        page_size=ps,
+        max_running_requests=bs,
+        mem_fraction_static=0.80,
+    )
+    log(f"bench: building {model_kind} runner (bs={bs}, ctx={ctx})...")
+    t0 = time.time()
+    runner = ModelRunner(sa, model_config=mc)
+    log(f"bench: runner up in {time.time()-t0:.1f}s; pool {runner.max_total_tokens} tokens")
+
+    # synthetic steady-state decode batch: bs sequences at ctx tokens
+    pages_per_seq = (ctx + 256) // ps  # room for the measured steps
+    assert bs * pages_per_seq <= runner.num_pages, "KV pool too small for bench"
+    rng = np.random.default_rng(0)
+    page_table = rng.permutation(bs * pages_per_seq).reshape(bs, pages_per_seq).astype(np.int32)
+    lengths = np.full(bs, ctx, np.int32)
+    d = DecodeInput(
+        tokens=rng.integers(10, 1000, bs).astype(np.int32),
+        positions=lengths - 1,
+        slots=np.zeros(bs, np.int32),  # unused by decode_multi
+        page_table=page_table,
+        lengths=lengths,
+        sample_steps=np.zeros(bs, np.int32),
+        sampling=[SamplingRow() for _ in range(bs)],
+    )
+
+    lo_steps, hi_steps = 8, 72
+    log("bench: compiling multi-step decode (lo)...")
+    t0 = time.time()
+    runner.forward_decode_multi(d, lo_steps)
+    log(f"bench: lo compile+run {time.time()-t0:.1f}s; compiling hi...")
+    t0 = time.time()
+    runner.forward_decode_multi(d, hi_steps)
+    log(f"bench: hi compile+run {time.time()-t0:.1f}s; measuring...")
+
+    def timed(n_steps, trial):
+        dd = DecodeInput(
+            tokens=((d.tokens + trial) % 1000).astype(np.int32),
+            positions=d.positions,
+            slots=d.slots,
+            page_table=d.page_table,
+            lengths=d.lengths,
+            sample_steps=d.sample_steps + trial,
+            sampling=d.sampling,
+        )
+        t0 = time.perf_counter()
+        out = runner.forward_decode_multi(dd, n_steps)  # np.asarray inside = fetch sync
+        assert out.shape[0] == n_steps
+        return time.perf_counter() - t0
+
+    mins = {}
+    for n in (lo_steps, hi_steps):
+        mins[n] = min(timed(n, t) for t in range(3))
+    per_step = (mins[hi_steps] - mins[lo_steps]) / (hi_steps - lo_steps)
+    tok_s = bs / per_step
+    log(
+        f"bench: per-step {per_step*1e3:.2f} ms @ bs={bs} -> {tok_s:.0f} tok/s "
+        f"(lo={mins[lo_steps]:.3f}s hi={mins[hi_steps]:.3f}s)"
+    )
+
+    baseline = 3800.0  # reference CI floor, Llama-3.1-8B, 1x H100-class GPU
+    print(
+        json.dumps(
+            {
+                "metric": f"decode_throughput_{model_kind}_awq_bs{bs}_ctx{ctx}",
+                "value": round(tok_s, 1),
+                "unit": "tok/s/chip",
+                "vs_baseline": round(tok_s / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

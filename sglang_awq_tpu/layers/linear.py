@@ -49,10 +49,15 @@ class LinearSpec:
         N: int,
         quant: Optional[AWQConfig],
         shard_axis: Optional[str],
+        tp_size: int = 1,
     ) -> "LinearSpec":
         if quant is not None:
             g = quant.group_size if quant.group_size != -1 else K
-            return cls(name, K, N, True, g, choose_pack_block(K, g), shard_axis)
+            # row-parallel shards K: the pack block must tile the PER-SHARD K
+            # so NamedSharding splits land on superblock boundaries
+            k_local = K // tp_size if shard_axis == "row" else K
+            pb = choose_pack_block(k_local, g)
+            return cls(name, K, N, True, g, pb, shard_axis)
         return cls(name, K, N, False, shard_axis=shard_axis)
 
     def param_shapes(self, num_layers: int, tp_size: int = 1) -> Dict[str, tuple]:

@@ -71,8 +71,33 @@ def write_kv(
     slots: jax.Array,  # [T] int32 flat slot = page * ps + offset (may contain
     #                    PAD_SLOT entries for padded tokens)
     layer: jax.Array | int,
+    mode: str = "decode",  # "decode" | "prefill" (page-aligned chunk)
 ) -> Tuple[jax.Array, jax.Array]:
-    """Scatter new K/V rows into the pool at flat token slots."""
+    """Write new K/V rows into the pool at flat token slots.
+
+    On TPU this MUST be the Pallas in-place kernels (ops/kv_write.py): XLA
+    lowers the jnp scatter with a token-major preferred layout and inserts
+    full-pool layout-conversion copies (2x pool HBM -> instant OOM at
+    serving sizes).  The jnp scatter remains as the CPU/test path.
+    """
+    from sglang_awq_tpu.utils import is_tpu_backend
+
+    if is_tpu_backend():
+        from sglang_awq_tpu.ops.kv_write import kv_write_decode, kv_write_prefill
+
+        if mode == "prefill":
+            T = k_new.shape[0]
+            ps_ = k_cache.shape[3]
+            num_slots = k_cache.shape[2] * ps_
+            group_slots = slots.reshape(T // ps_, ps_)[:, 0]
+            pages = group_slots // ps_
+            n_pages = jnp.sum(
+                ((group_slots >= 0) & (group_slots < num_slots)).astype(jnp.int32)
+            )
+            return kv_write_prefill(
+                k_cache, v_cache, k_new, v_new, pages, n_pages, layer
+            )
+        return kv_write_decode(k_cache, v_cache, k_new, v_new, slots, layer)
     L, KVH, P, ps, D = k_cache.shape
     layer = jnp.asarray(layer, jnp.int32)
     pages = slots // ps

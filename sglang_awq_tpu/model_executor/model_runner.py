@@ -82,12 +82,24 @@ class ModelRunner:
                 quantization=server_args.quantization,
             )
         self.model_config = model_config
+        self.tp_size = server_args.tp_size
+        self.mesh = None
+        if self.tp_size > 1:
+            from sglang_awq_tpu.parallel.mesh import MODEL_AXIS, make_mesh
+
+            self.mesh = make_mesh(dp_size=1, tp_size=self.tp_size)
+            tp_axis = MODEL_AXIS
+        else:
+            tp_axis = None
         self.model, self.params = load_model(
             model_config,
             tp_size=server_args.tp_size,
+            tp_axis=tp_axis,
             tensors=tensors,
             random_weights=server_args.random_weights,
         )
+        if self.mesh is not None:
+            self._shard_state()
         self.rope_tab = jax.device_put(self.model.rope())
         self.page_size = server_args.page_size
 
@@ -111,40 +123,105 @@ class ModelRunner:
         self.decode_steps_counter = 0
 
     # ------------------------------------------------------------------
+    # sharding (tp > 1)
+    # ------------------------------------------------------------------
+
+    def _shard_state(self):
+        """Lay params out over the mesh per parallel/sharding.py specs."""
+        from jax.sharding import NamedSharding
+
+        from sglang_awq_tpu.parallel.sharding import param_pspecs
+
+        self._param_specs = param_pspecs(self.model, self.params)
+        self.params = jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s)),
+            self.params,
+            self._param_specs,
+        )
+
+    def _wrap_step(self, fn, n_replicated_in: int, n_replicated_out: int = 2):
+        """shard_map a step function: params/KV sharded, batch inputs and
+        outputs replicated (every shard computes identical logits/ids)."""
+        from jax.sharding import PartitionSpec as P
+
+        from sglang_awq_tpu.parallel.sharding import kv_pspec
+
+        if self.mesh is None:
+            return fn
+        kvp = kv_pspec()
+        in_specs = (
+            self._param_specs,
+            kvp,
+            kvp,
+            P(),  # rope
+        ) + (P(),) * n_replicated_in
+        out_specs = (P(),) * n_replicated_out + (kvp, kvp)
+        try:
+            return jax.shard_map(
+                fn, mesh=self.mesh, in_specs=in_specs, out_specs=out_specs,
+                check_vma=False,
+            )
+        except TypeError:  # older arg name
+            return jax.shard_map(
+                fn, mesh=self.mesh, in_specs=in_specs, out_specs=out_specs,
+                check_rep=False,
+            )
+
+    # ------------------------------------------------------------------
     # memory pool
     # ------------------------------------------------------------------
 
     def _init_memory_pool(self):
         sa, mc = self.server_args, self.model_config
-        kv_heads = max(mc.num_kv_heads // sa.tp_size, 1)
-        probe = KVPoolSpec(mc.num_layers, kv_heads, 1, self.page_size, mc.head_dim)
+        kv_heads_local = max(mc.num_kv_heads // sa.tp_size, 1)
+        # per-DEVICE bytes/token governs the budget; the page dim is global
+        probe = KVPoolSpec(mc.num_layers, kv_heads_local, 1, self.page_size, mc.head_dim)
         if sa.max_total_tokens is not None:
             tokens = sa.max_total_tokens
         else:
             hbm = self._device_hbm_bytes()
-            weight_bytes = sum(
-                x.nbytes for x in jax.tree.leaves(self.params)
-            ) + self.rope_tab.nbytes
+            weight_bytes = (
+                sum(x.nbytes for x in jax.tree.leaves(self.params)) // max(sa.tp_size, 1)
+            )
             budget = int((hbm - weight_bytes - RESERVE_BYTES) * sa.mem_fraction_static)
             if budget <= 0:
                 raise RuntimeError(
-                    f"no HBM left for KV cache (weights {weight_bytes>>20} MiB)"
+                    f"no HBM left for KV cache (weights {weight_bytes>>20} MiB/device)"
                 )
             tokens = budget // probe.bytes_per_token()
         num_pages = max(tokens // self.page_size, 8)
         self.kv_spec = KVPoolSpec(
-            mc.num_layers, kv_heads, num_pages, self.page_size, mc.head_dim,
+            mc.num_layers,
+            kv_heads_local * sa.tp_size if sa.tp_size > 1 else kv_heads_local,
+            num_pages,
+            self.page_size,
+            mc.head_dim,
             dtype="bfloat16" if sa.kv_cache_dtype in ("auto", "bfloat16") else sa.kv_cache_dtype,
         )
         self.max_total_tokens = num_pages * self.page_size
         self.pmax = cdiv(mc.context_length, self.page_size)
-        self.k_cache, self.v_cache = self.kv_spec.alloc()
+        self.k_cache, self.v_cache = self._alloc_kv()
         logger.info(
-            "KV pool: %d pages x %d tokens (%.2f GiB)",
+            "KV pool: %d pages x %d tokens (%.2f GiB global)",
             num_pages,
             self.page_size,
             2 * self.k_cache.nbytes / 1024**3,
         )
+
+    def _alloc_kv(self):
+        if self.mesh is None:
+            return self.kv_spec.alloc()
+        from jax.sharding import NamedSharding
+
+        from sglang_awq_tpu.parallel.sharding import kv_pspec
+
+        sh = NamedSharding(self.mesh, kv_pspec())
+        shape, dt = self.kv_spec.shape, self.kv_spec.jdtype
+        alloc = jax.jit(
+            lambda: (jnp.zeros(shape, dt), jnp.zeros(shape, dt)),
+            out_shardings=(sh, sh),
+        )
+        return alloc()
 
     def _device_hbm_bytes(self) -> int:
         try:
@@ -163,16 +240,16 @@ class ModelRunner:
         key = ("extend", t_pad, n_pages)
         if key in self._fns:
             return self._fns[key]
-        model, params, rope = self.model, self.params, self.rope_tab
+        model = self.model
 
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def fn(kc, vc, tokens, positions, slots, pages, prefix_len, q_len, info, step):
+        def raw(params, kc, vc, rope, tokens, positions, slots, pages, prefix_len, q_len, info, step):
             logits, kc, vc = model.extend_step(
                 params, kc, vc, rope, tokens, positions, slots, pages, prefix_len, q_len
             )
             ids = sample(logits, info, step)
             return ids, logits, kc, vc
 
+        fn = jax.jit(self._wrap_step(raw, 8), donate_argnums=(1, 2))
         self._fns[key] = fn
         return fn
 
@@ -180,16 +257,16 @@ class ModelRunner:
         key = ("decode", bs)
         if key in self._fns:
             return self._fns[key]
-        model, params, rope = self.model, self.params, self.rope_tab
+        model = self.model
 
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def fn(kc, vc, tokens, positions, slots, page_table, lengths, info, steps):
+        def raw(params, kc, vc, rope, tokens, positions, slots, page_table, lengths, info, steps):
             logits, kc, vc = model.decode_step(
                 params, kc, vc, rope, tokens, positions, slots, page_table, lengths
             )
             ids = sample(logits, info, steps)
             return ids, logits, kc, vc
 
+        fn = jax.jit(self._wrap_step(raw, 7), donate_argnums=(1, 2))
         self._fns[key] = fn
         return fn
 
@@ -197,11 +274,10 @@ class ModelRunner:
         key = ("decode_multi", bs, n_steps)
         if key in self._fns:
             return self._fns[key]
-        model, params, rope = self.model, self.params, self.rope_tab
+        model = self.model
         ps = self.page_size
 
-        @partial(jax.jit, donate_argnums=(0, 1))
-        def fn(kc, vc, tokens0, lengths0, page_table, info, steps0):
+        def raw(params, kc, vc, rope, tokens0, lengths0, page_table, info, steps0):
             def body(carry, s):
                 kc, vc, toks, lens = carry
                 live = lens > 0
@@ -220,6 +296,7 @@ class ModelRunner:
             )
             return all_ids, kc, vc
 
+        fn = jax.jit(self._wrap_step(raw, 5, n_replicated_out=1), donate_argnums=(1, 2))
         self._fns[key] = fn
         return fn
 
@@ -252,8 +329,10 @@ class ModelRunner:
         sb = SamplingBatch.from_rows([row] if row else [], pad_to=1)
         info = _sampling_info(sb)
         ids, logits, self.k_cache, self.v_cache = fn(
+            self.params,
             self.k_cache,
             self.v_cache,
+            self.rope_tab,
             jnp.asarray(tokens),
             jnp.asarray(positions),
             jnp.asarray(slots),
@@ -277,7 +356,8 @@ class ModelRunner:
             steps[:bs] = d.sample_steps
         self.decode_steps_counter += 1
         ids, logits, self.k_cache, self.v_cache = fn(
-            self.k_cache, self.v_cache, *arrays, info, jnp.asarray(steps)
+            self.params, self.k_cache, self.v_cache, self.rope_tab,
+            *arrays, info, jnp.asarray(steps)
         )
         return np.asarray(ids)
 
@@ -296,8 +376,8 @@ class ModelRunner:
             steps0[:bs] = d.sample_steps
         self.decode_steps_counter += n_steps
         all_ids, self.k_cache, self.v_cache = fn(
-            self.k_cache, self.v_cache, tokens, lengths, page_table, info,
-            jnp.asarray(steps0),
+            self.params, self.k_cache, self.v_cache, self.rope_tab,
+            tokens, lengths, page_table, info, jnp.asarray(steps0),
         )
         return np.asarray(all_ids)
 
@@ -329,4 +409,4 @@ class ModelRunner:
 
     def flush_cache(self):
         """Zero + reallocate the KV pool (reference /flush_cache)."""
-        self.k_cache, self.v_cache = self.kv_spec.alloc()
+        self.k_cache, self.v_cache = self._alloc_kv()

@@ -66,6 +66,27 @@ MERGES = {
 }
 
 
+def interleave_concat(arrs, tp: int, axis: int = 1) -> np.ndarray:
+    """TP-aware merge along the output dim.
+
+    Contiguous NamedSharding chunks of the merged array must equal each
+    shard's own [q_i | k_i | v_i] (or [gate_i | up_i]) slice — so the pieces
+    are interleaved per shard here, replacing the reference's per-rank
+    weight-loader shard arithmetic (linear.py packed-dim handling).
+    """
+    if tp == 1 or len(arrs) == 1 and tp == 1:
+        return np.concatenate(arrs, axis=axis)
+    parts = []
+    for i in range(tp):
+        for a in arrs:
+            n = a.shape[axis]
+            assert n % tp == 0, (n, tp)
+            sl = [slice(None)] * a.ndim
+            sl[axis] = slice(i * n // tp, (i + 1) * n // tp)
+            parts.append(a[tuple(sl)])
+    return np.concatenate(parts, axis=axis)
+
+
 def load_params_from_tensors(
     model,
     tensors: Dict[str, np.ndarray],
@@ -103,6 +124,7 @@ def load_params_from_tensors(
         jnp.float32,
     )
 
+    tp = model.tp_size
     for target, sources in MERGES.items():
         spec: LinearSpec = model.specs[target]
         quant_here = spec.quantized
@@ -111,22 +133,24 @@ def load_params_from_tensors(
         for l in range(L):
             names = [f"model.layers.{l}.{s}" for s in sources]
             if quant_here:
-                qw = np.concatenate([t(n + ".qweight") for n in names], axis=1)
+                qw = interleave_concat([t(n + ".qweight") for n in names], tp)
                 has_zeros = names[0] + ".qzeros" in tensors
                 qz = (
-                    np.concatenate([t(n + ".qzeros") for n in names], axis=1)
+                    interleave_concat([t(n + ".qzeros") for n in names], tp)
                     if has_zeros
                     else None
                 )
-                sc = np.concatenate([t(n + ".scales") for n in names], axis=1)
+                sc = interleave_concat([t(n + ".scales") for n in names], tp)
                 per_layer.append(convert_awq_weights_np(spec, qw, qz, sc))
             else:
                 # torch nn.Linear stores [out, in]; we want [in, out]
-                w = np.concatenate([t(n + ".weight").T for n in names], axis=1)
+                w = interleave_concat([t(n + ".weight").T for n in names], tp)
                 per_layer.append({"weight": w})
             bias_name = names[0] + ".bias"
             if bias_name in tensors:
-                biases.append(np.concatenate([t(n + ".bias") for n in names], axis=-1))
+                biases.append(
+                    interleave_concat([t(n + ".bias") for n in names], tp, axis=0)
+                )
         stacked = {
             key: jnp.asarray(
                 np.stack([pl[key] for pl in per_layer]),

@@ -57,12 +57,16 @@ class LlamaForCausalLM:
         qkv_n = (self.qh + 2 * self.kvh) * self.head_dim * self.tp_size
         self.specs: Dict[str, LinearSpec] = {
             # K/N are FULL sizes; shard axis tells the sharder which dim splits
-            "qkv": LinearSpec.make("qkv", H, qkv_n, q, "column"),
+            "qkv": LinearSpec.make("qkv", H, qkv_n, q, "column", self.tp_size),
             "o": LinearSpec.make(
-                "o", self.qh * self.head_dim * self.tp_size, H, q, "row"
+                "o", self.qh * self.head_dim * self.tp_size, H, q, "row", self.tp_size
             ),
-            "gate_up": LinearSpec.make("gate_up", H, 2 * c.intermediate_size, q, "column"),
-            "down": LinearSpec.make("down", c.intermediate_size, H, q, "row"),
+            "gate_up": LinearSpec.make(
+                "gate_up", H, 2 * c.intermediate_size, q, "column", self.tp_size
+            ),
+            "down": LinearSpec.make(
+                "down", c.intermediate_size, H, q, "row", self.tp_size
+            ),
         }
 
     # ------------------------------------------------------------------
@@ -82,29 +86,39 @@ class LlamaForCausalLM:
             "lm_head": {"weight": ((H, V), jnp.bfloat16)},
         }
         for name, spec in self.specs.items():
-            shapes["layers"][name] = spec.param_shapes(L, self.tp_size)
+            # GLOBAL shapes — NamedSharding performs the per-device split
+            shapes["layers"][name] = spec.param_shapes(L, tp_size=1)
         if self.qkv_bias:
             qn = (self.qh + 2 * self.kvh) * self.head_dim
             shapes["layers"]["qkv"]["bias"] = ((L, qn * self.tp_size), jnp.bfloat16)
         return shapes
 
     def random_params(self, seed: int = 0) -> Dict[str, Any]:
-        """Random weights for benchmarking (reference dummy-random loader role)."""
-        rng = np.random.default_rng(seed)
+        """Dummy weights for benchmarking / compile checks (reference
+        dummy-random loader role, model_loader/loader.py:1178).
 
-        def make(x):
-            shape, dtype = x
-            if dtype == jnp.uint8:
-                return jnp.asarray(rng.integers(0, 256, shape, dtype=np.uint8))
-            scale = 0.02 if len(shape) >= 2 else 1.0
-            arr = rng.standard_normal(shape).astype(np.float32) * scale
-            if "norm" not in str(shape):
-                pass
-            return jnp.asarray(arr, dtype)
-
+        Built ON DEVICE inside one jit: packed quantized tensors get random
+        bytes (layout-realistic), floats are zeros, norms are ones — values
+        never affect compile or throughput, and host->device transfer of GBs
+        is avoided entirely (pathologically slow on some device paths)."""
+        is_shape = (
+            lambda x: isinstance(x, tuple) and len(x) == 2 and isinstance(x[0], tuple)
+        )
         shapes = self.param_shapes()
-        params = jax.tree.map(make, shapes, is_leaf=lambda x: isinstance(x, tuple) and len(x) == 2 and isinstance(x[0], tuple))
-        # norms ~ 1
+        leaves, treedef = jax.tree.flatten(shapes, is_leaf=is_shape)
+
+        @jax.jit
+        def mk(key):
+            out = []
+            for shape, dtype in leaves:
+                if dtype == jnp.uint8:
+                    key, sub = jax.random.split(key)
+                    out.append(jax.random.bits(sub, shape, jnp.uint8))
+                else:
+                    out.append(jnp.zeros(shape, dtype))
+            return out
+
+        params = jax.tree.unflatten(treedef, mk(jax.random.PRNGKey(seed)))
         params["layers"]["input_norm"] = jnp.ones_like(params["layers"]["input_norm"])
         params["layers"]["post_norm"] = jnp.ones_like(params["layers"]["post_norm"])
         params["final_norm"] = jnp.ones_like(params["final_norm"])
@@ -201,7 +215,8 @@ class LlamaForCausalLM:
 
             def attn(q, k, v, l):
                 nonlocal_state["kc"], nonlocal_state["vc"] = write_kv(
-                    nonlocal_state["kc"], nonlocal_state["vc"], k, v, slots, l
+                    nonlocal_state["kc"], nonlocal_state["vc"], k, v, slots, l,
+                    mode="decode",
                 )
                 fn = paged_attention_xla if use_xla_attn else paged_attention
                 return fn(
@@ -248,7 +263,9 @@ class LlamaForCausalLM:
 
             def attn(q, k, v, l):
                 st = state
-                st["kc"], st["vc"] = write_kv(st["kc"], st["vc"], k, v, slots, l)
+                st["kc"], st["vc"] = write_kv(
+                    st["kc"], st["vc"], k, v, slots, l, mode="prefill"
+                )
                 kg, vg = gather_kv(st["kc"], st["vc"], pages, l)  # [KVH, S_pad, D]
                 qh = jnp.swapaxes(q, 0, 1)  # [QH, T, D]
                 fn = flash_prefill_xla if use_xla_attn else flash_prefill

@@ -1,0 +1,244 @@
+"""In-place KV pool writes (Pallas).
+
+Replaces the jnp scatter in mem_cache/kv_pool.py on the device hot path:
+XLA lowers that scatter with a token-major preferred layout and inserts
+FULL-POOL layout-conversion copies (observed: 2 x 5.8 GB temps on an
+11.5 GB pool — instant HBM OOM).  These kernels update the pool strictly in
+place via `input_output_aliases` and keep the default layout that the
+paged-attention reader requires.
+
+Mosaic DMA constraint: a copied slice must keep the last two (tiled) dims
+whole, so single [KVH, D] rows cannot be written directly into
+[L, KVH, P, ps, D].  Instead:
+
+* prefill (`kv_write_prefill`): chunks are PAGE-ALIGNED by scheduler
+  construction (prefix matches and chunk sizes are page multiples), so whole
+  [KVH, ps, D] pages are composed in VMEM and written blind — rows beyond
+  the live length carry padding garbage that attention masks out and decode
+  later overwrites.
+* decode (`kv_write_decode`): one token per sequence lands mid-page, so the
+  page is read-modify-written ([KVH, ps, D] round trip per token; ~64x write
+  amplification but ~2% of a decode step's HBM traffic).
+
+Semantics match reference `set_kv_buffer`
+(`python/sglang/srt/mem_cache/memory_pool.py` via `radix_attention.py:100-131`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sglang_awq_tpu.utils import cdiv, pallas_interpret_default
+
+
+# ---------------------------------------------------------------------------
+# prefill: whole-page writes
+# ---------------------------------------------------------------------------
+
+
+def _kv_write_prefill_kernel(
+    layer_ref,  # [1]
+    pages_ref,  # [n_pages] page id for each token group (slots[j*ps]//ps)
+    npages_ref,  # [1] live page count
+    k_new_ref,  # [T_pad, KVH, D] VMEM
+    v_new_ref,
+    k_in,
+    v_in,
+    k_hbm,  # aliased out [L, KVH, P, ps, D]
+    v_hbm,
+    kbuf,  # [KVH, ps, D] VMEM scratch
+    vbuf,
+    sem,
+):
+    layer = layer_ref[0]
+    ps = k_hbm.shape[3]
+    n = npages_ref[0]
+
+    def body(j, _):
+        @pl.when(j < n)
+        def _():
+            page = pages_ref[j]
+            kbuf[...] = jnp.swapaxes(k_new_ref[pl.ds(j * ps, ps)], 0, 1)
+            vbuf[...] = jnp.swapaxes(v_new_ref[pl.ds(j * ps, ps)], 0, 1)
+            ck = pltpu.make_async_copy(kbuf, k_hbm.at[layer, :, page], sem)
+            cv = pltpu.make_async_copy(vbuf, v_hbm.at[layer, :, page], sem)
+            ck.start()
+            cv.start()
+            ck.wait()
+            cv.wait()
+
+        return 0
+
+    lax.fori_loop(0, pages_ref.shape[0], body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def kv_write_prefill(
+    k_cache: jax.Array,  # [L, KVH, P, ps, D]
+    v_cache: jax.Array,
+    k_new: jax.Array,  # [T_pad, KVH, D]; tokens PAGE-ALIGNED from slot 0
+    v_new: jax.Array,
+    pages: jax.Array,  # [T_pad // ps] page id per ps-token group
+    n_pages: jax.Array,  # [] live page count (ceil(T / ps))
+    layer: jax.Array | int,
+    *,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    if interpret is None:
+        interpret = pallas_interpret_default()
+    L, KVH, P, ps, D = k_cache.shape
+    T = k_new.shape[0]
+    assert T % ps == 0, (T, ps)
+    layer = jnp.clip(jnp.asarray(layer, jnp.int32).reshape(1), 0, L - 1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((KVH, ps, D), k_cache.dtype),
+            pltpu.VMEM((KVH, ps, D), v_cache.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    return pl.pallas_call(
+        _kv_write_prefill_kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ),
+        input_output_aliases={5: 0, 6: 1},  # indices include scalar prefetch
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(
+        layer,
+        jnp.asarray(pages, jnp.int32),
+        jnp.asarray(n_pages, jnp.int32).reshape(1),
+        k_new.astype(k_cache.dtype),
+        v_new.astype(v_cache.dtype),
+        k_cache,
+        v_cache,
+    )
+
+
+# ---------------------------------------------------------------------------
+# decode: per-token page read-modify-write
+# ---------------------------------------------------------------------------
+
+
+def _kv_write_decode_kernel(
+    layer_ref,  # [1]
+    slots_ref,  # [B]
+    k_new_ref,  # [B, KVH, D] VMEM
+    v_new_ref,
+    k_in,
+    v_in,
+    k_hbm,  # aliased out [L, KVH, P, ps, D]
+    v_hbm,
+    kbuf,  # [KVH, ps, D]
+    vbuf,
+    sem,
+    *,
+    num_slots: int,
+):
+    layer = layer_ref[0]
+    ps = k_hbm.shape[3]
+    B = k_new_ref.shape[0]
+
+    def body(i, _):
+        slot = slots_ref[i]
+
+        @pl.when((slot >= 0) & (slot < num_slots))
+        def _():
+            page = slot // ps
+            off = slot % ps
+            ck = pltpu.make_async_copy(k_hbm.at[layer, :, page], kbuf, sem)
+            cv = pltpu.make_async_copy(v_hbm.at[layer, :, page], vbuf, sem)
+            ck.start()
+            cv.start()
+            ck.wait()
+            cv.wait()
+            row = lax.broadcasted_iota(jnp.int32, kbuf.shape, 1)
+            kbuf[...] = jnp.where(row == off, k_new_ref[i][:, None, :], kbuf[...])
+            vbuf[...] = jnp.where(row == off, v_new_ref[i][:, None, :], vbuf[...])
+            wk = pltpu.make_async_copy(kbuf, k_hbm.at[layer, :, page], sem)
+            wv = pltpu.make_async_copy(vbuf, v_hbm.at[layer, :, page], sem)
+            wk.start()
+            wv.start()
+            wk.wait()
+            wv.wait()
+
+        return 0
+
+    lax.fori_loop(0, B, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def kv_write_decode(
+    k_cache: jax.Array,  # [L, KVH, P, ps, D]
+    v_cache: jax.Array,
+    k_new: jax.Array,  # [B, KVH, D]
+    v_new: jax.Array,
+    slots: jax.Array,  # [B] int32 (PAD_SLOT / out-of-range -> skipped)
+    layer: jax.Array | int,
+    *,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    if interpret is None:
+        interpret = pallas_interpret_default()
+    L, KVH, P, ps, D = k_cache.shape
+    layer = jnp.clip(jnp.asarray(layer, jnp.int32).reshape(1), 0, L - 1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((KVH, ps, D), k_cache.dtype),
+            pltpu.VMEM((KVH, ps, D), v_cache.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    kernel = functools.partial(_kv_write_decode_kernel, num_slots=P * ps)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ),
+        input_output_aliases={4: 0, 5: 1},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(
+        layer,
+        jnp.asarray(slots, jnp.int32),
+        k_new.astype(k_cache.dtype),
+        v_new.astype(v_cache.dtype),
+        k_cache,
+        v_cache,
+    )

@@ -1,0 +1,73 @@
+"""Partition specs for the layer-stacked param pytree + KV pool.
+
+Role model: the reference's megatron-style TP layout
+(`python/sglang/srt/layers/linear.py` Column/Row parallel shard arithmetic,
+vocab-parallel lm_head `vocab_parallel_embedding.py:499`), declared here as
+PartitionSpecs instead of per-rank weight-loader slicing:
+
+  qkv / gate_up (column parallel): output dim N sharded over "model"
+  o / down (row parallel):         input dim K sharded over "model"
+                                   (for AWQ that shards packed rows AND the
+                                   per-k-tile scale strips — both lead with
+                                   the K-derived dim, so one spec fits)
+  lm_head: vocab-sharded columns; logits all-gathered in the model
+  embedding / norms: replicated
+  KV pool [L, KVH, pages, ps, D]: kv-head sharded over "model"
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+from jax.sharding import PartitionSpec as P
+
+from sglang_awq_tpu.parallel.mesh import MODEL_AXIS
+
+
+def _linear_pspecs(shard_axis: str, quantized: bool, has_bias: bool) -> Dict[str, P]:
+    m = MODEL_AXIS
+    if quantized:
+        if shard_axis == "column":
+            out = {
+                "qweight": P(None, None, m),
+                "scales": P(None, None, m),
+                "zbias": P(None, None, m),
+            }
+        else:  # row
+            out = {
+                "qweight": P(None, m, None),
+                "scales": P(None, m, None),
+                "zbias": P(None, m, None),
+            }
+    else:
+        if shard_axis == "column":
+            out = {"weight": P(None, None, m)}
+        else:
+            out = {"weight": P(None, m, None)}
+    if has_bias:
+        # bias adds along N: column-parallel shards it, row-parallel replicates
+        out["bias"] = P(None, m) if shard_axis == "column" else P(None, None)
+    return out
+
+
+def param_pspecs(model, params: Dict[str, Any]) -> Dict[str, Any]:
+    """PartitionSpec tree matching the model's param pytree."""
+    specs: Dict[str, Any] = {
+        "embed": {"weight": P(None, None)},
+        "layers": {
+            "input_norm": P(None, None),
+            "post_norm": P(None, None),
+        },
+        "final_norm": P(None),
+        "lm_head": {"weight": P(None, MODEL_AXIS)},
+    }
+    for name, spec in model.specs.items():
+        has_bias = "bias" in params["layers"][name]
+        specs["layers"][name] = _linear_pspecs(
+            spec.shard_axis, spec.quantized, has_bias
+        )
+    return specs
+
+
+def kv_pspec() -> P:
+    return P(None, MODEL_AXIS, None, None, None)
