@@ -13,6 +13,7 @@ Env knobs:
   SGLT_BENCH_MODEL = llama3-8b (default) | tiny
   SGLT_BENCH_BS    = decode batch size (default 64)
   SGLT_BENCH_CTX   = context tokens per sequence (default 512)
+  SGLT_BENCH_PS    = KV page size (default 16)
 """
 
 from __future__ import annotations
@@ -38,6 +39,7 @@ def main():
     model_kind = os.environ.get("SGLT_BENCH_MODEL", "llama3-8b")
     bs = int(os.environ.get("SGLT_BENCH_BS", "64"))
     ctx = int(os.environ.get("SGLT_BENCH_CTX", "512"))
+    ps = int(os.environ.get("SGLT_BENCH_PS", "16"))
 
     if model_kind == "tiny":
         cfg = dict(
@@ -62,7 +64,6 @@ def main():
         },
         **cfg,
     )
-    ps = 16
     mc = ModelConfig(model_path="", hf_config=hf_cfg, context_length=4096)
     sa = ServerArgs(
         model_path="bench",
@@ -130,7 +131,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"decode_throughput_{model_kind}_awq_bs{bs}_ctx{ctx}",
+                "metric": f"decode_throughput_{model_kind}_awq_bs{bs}_ctx{ctx}_ps{ps}",
                 "value": round(tok_s, 1),
                 "unit": "tok/s/chip",
                 "vs_baseline": round(tok_s / baseline, 3),

@@ -64,6 +64,9 @@ class ModelConfig:
 
     def __post_init__(self):
         c = self.hf_config
+        if self.quant_config is None and c.get("quantization_config"):
+            # direct construction path (tests/bench) — detect inline config
+            self.quant_config = detect_quant_config("", c)
         archs = c.get("architectures") or ["LlamaForCausalLM"]
         self.architecture = archs[0]
         self.vocab_size = int(c["vocab_size"])

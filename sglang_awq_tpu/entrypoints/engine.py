@@ -118,9 +118,22 @@ class Engine:
                     self._fail_all()
                     continue
                 for out in outputs:
-                    self.tokenizer_manager.on_output(out)
+                    try:
+                        self.tokenizer_manager.on_output(out)
+                    except Exception:
+                        logger.exception("output handling failed for %s", out.rid)
+                        self._fail_one(out.rid)
             elif not moved:
                 time.sleep(idle_sleep)  # IdleSleeper role (scheduler.py:2654)
+
+    def _fail_one(self, rid: str):
+        """Abort + resolve a single request whose output path failed."""
+        self.scheduler.abort_request(rid)
+        with self.tokenizer_manager.lock:
+            st = self.tokenizer_manager.states.get(rid)
+        if st is not None and not st.finished:
+            st.finished = True
+            st.out_queue.put(None)
 
     def _fail_all(self):
         from sglang_awq_tpu.managers.schedule_batch import FinishInfo, FinishReason

@@ -1,0 +1,348 @@
+"""HTTP server (aiohttp).
+
+Role model: reference `python/sglang/srt/entrypoints/http_server.py` (FastAPI
+app, SURVEY.md §2.1 endpoint list and §A.7 parity checklist).  Built on
+aiohttp (async-native; FastAPI/uvicorn are not in the image).
+
+Native endpoints: /generate, /health, /health_generate, /get_server_info,
+/flush_cache, /abort_request, /get_model_info
+OpenAI endpoints: /v1/completions, /v1/chat/completions, /v1/models
+(streaming via SSE with usage chunks).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import logging
+import uuid
+from typing import Any, Dict, Optional
+
+from aiohttp import web
+
+from sglang_awq_tpu.entrypoints.engine import Engine
+from sglang_awq_tpu.entrypoints.openai.protocol import (
+    ChatCompletionRequest,
+    CompletionRequest,
+    chat_response,
+    completion_response,
+    usage_dict,
+)
+from sglang_awq_tpu.managers.tokenizer_manager import GenerateReqInput
+from sglang_awq_tpu.server_args import ServerArgs
+
+logger = logging.getLogger(__name__)
+
+
+class HttpServer:
+    def __init__(self, engine: Engine):
+        self.engine = engine
+        self.app = web.Application(client_max_size=64 * 1024 * 1024)
+        self._add_routes()
+
+    def _add_routes(self):
+        r = self.app.router
+        r.add_get("/health", self.health)
+        r.add_get("/health_generate", self.health_generate)
+        r.add_get("/get_server_info", self.get_server_info)
+        r.add_get("/get_model_info", self.get_model_info)
+        r.add_post("/generate", self.generate)
+        r.add_post("/flush_cache", self.flush_cache)
+        r.add_post("/abort_request", self.abort_request)
+        r.add_post("/v1/completions", self.v1_completions)
+        r.add_post("/v1/chat/completions", self.v1_chat_completions)
+        r.add_get("/v1/models", self.v1_models)
+
+    # ------------------------------------------------------------------
+    # helpers
+    # ------------------------------------------------------------------
+
+    async def _collect(self, state) -> dict:
+        loop = asyncio.get_running_loop()
+        last = None
+        while True:
+            item = await loop.run_in_executor(None, state.out_queue.get)
+            if item is None:
+                break
+            last = item
+        self.engine.tokenizer_manager._drop(state)
+        if last is None:
+            raise web.HTTPInternalServerError(text="request produced no output")
+        return last
+
+    async def _iter_chunks(self, state):
+        loop = asyncio.get_running_loop()
+        while True:
+            item = await loop.run_in_executor(None, state.out_queue.get)
+            if item is None:
+                break
+            yield item
+        self.engine.tokenizer_manager._drop(state)
+
+    def _submit(self, gin: GenerateReqInput):
+        try:
+            return self.engine.tokenizer_manager.create_request(gin)
+        except ValueError as e:
+            raise web.HTTPBadRequest(
+                text=json.dumps({"error": {"message": str(e), "type": "invalid_request_error"}}),
+                content_type="application/json",
+            )
+
+    # ------------------------------------------------------------------
+    # native endpoints
+    # ------------------------------------------------------------------
+
+    async def health(self, request: web.Request) -> web.Response:
+        return web.Response(text="OK")
+
+    async def health_generate(self, request: web.Request) -> web.Response:
+        """Schedules a REAL 1-token generation (reference http_server.py:442)."""
+        gin = GenerateReqInput(
+            input_ids=[1],
+            sampling_params={"max_new_tokens": 1, "temperature": 0.0, "ignore_eos": True},
+        )
+        state = self._submit(gin)
+        try:
+            await asyncio.wait_for(self._collect(state), timeout=60)
+        except asyncio.TimeoutError:
+            return web.Response(status=503, text="generation timed out")
+        return web.Response(text="OK")
+
+    async def get_server_info(self, request: web.Request) -> web.Response:
+        return web.json_response(self.engine.get_server_info())
+
+    async def get_model_info(self, request: web.Request) -> web.Response:
+        mc = self.engine.runner.model_config
+        return web.json_response(
+            {
+                "model_path": mc.model_path,
+                "tokenizer_path": self.engine.server_args.tokenizer_path,
+                "is_generation": True,
+                "context_length": mc.context_length,
+            }
+        )
+
+    async def generate(self, request: web.Request) -> web.StreamResponse:
+        body = await request.json()
+        gin = GenerateReqInput(
+            text=body.get("text"),
+            input_ids=body.get("input_ids"),
+            sampling_params=body.get("sampling_params"),
+            rid=body.get("rid"),
+            stream=bool(body.get("stream", False)),
+            return_logprob=bool(body.get("return_logprob", False)),
+        )
+        state = self._submit(gin)
+        if not gin.stream:
+            out = await self._collect(state)
+            return web.json_response(self._native_payload(out))
+        resp = web.StreamResponse(
+            headers={"Content-Type": "text/event-stream", "Cache-Control": "no-cache"}
+        )
+        await resp.prepare(request)
+        async for chunk in self._iter_chunks(state):
+            payload = json.dumps(self._native_payload(chunk))
+            await resp.write(f"data: {payload}\n\n".encode())
+        await resp.write(b"data: [DONE]\n\n")
+        await resp.write_eof()
+        return resp
+
+    def _native_payload(self, out: dict) -> dict:
+        return {
+            "text": out["text"],
+            "output_ids": out["output_ids"],
+            "meta_info": {**out["meta_info"], "id": out["rid"]},
+        }
+
+    async def flush_cache(self, request: web.Request) -> web.Response:
+        ok = self.engine.flush_cache()
+        return web.Response(
+            status=200 if ok else 503,
+            text="Cache flushed.\n" if ok else "Cache not flushed (requests in flight).\n",
+        )
+
+    async def abort_request(self, request: web.Request) -> web.Response:
+        body = await request.json()
+        rid = body.get("rid")
+        if rid:
+            self.engine.abort_request(rid)
+        return web.Response(text="OK")
+
+    # ------------------------------------------------------------------
+    # OpenAI endpoints
+    # ------------------------------------------------------------------
+
+    async def v1_models(self, request: web.Request) -> web.Response:
+        sa = self.engine.server_args
+        return web.json_response(
+            {
+                "object": "list",
+                "data": [
+                    {
+                        "id": sa.served_model_name,
+                        "object": "model",
+                        "created": 0,
+                        "owned_by": "sglang_awq_tpu",
+                        "max_model_len": self.engine.runner.model_config.context_length,
+                    }
+                ],
+            }
+        )
+
+    async def v1_completions(self, request: web.Request) -> web.StreamResponse:
+        try:
+            req = CompletionRequest(**await request.json())
+        except Exception as e:
+            return self._openai_error(str(e))
+        prompt = req.prompt
+        gin_kwargs: Dict[str, Any] = {}
+        if isinstance(prompt, str):
+            gin_kwargs["text"] = prompt
+        elif isinstance(prompt, list) and prompt and isinstance(prompt[0], int):
+            gin_kwargs["input_ids"] = prompt
+        elif isinstance(prompt, list) and prompt and isinstance(prompt[0], str):
+            gin_kwargs["text"] = prompt[0]  # batch-of-1 supported for now
+        elif isinstance(prompt, list) and prompt and isinstance(prompt[0], list):
+            gin_kwargs["input_ids"] = prompt[0]
+        else:
+            return self._openai_error("empty prompt")
+        gin = GenerateReqInput(
+            sampling_params=req.to_sampling_params(), stream=req.stream, **gin_kwargs
+        )
+        state = self._submit(gin)
+        model = req.model or self.engine.server_args.served_model_name
+
+        if not req.stream:
+            out = await self._collect(state)
+            usage = usage_dict(
+                out["meta_info"]["prompt_tokens"], out["meta_info"]["completion_tokens"]
+            )
+            fr = (out["meta_info"]["finish_reason"] or {}).get("type", "stop")
+            echo = prompt if (req.echo and isinstance(prompt, str)) else ""
+            return web.json_response(
+                completion_response(out["rid"], model, out["text"], fr, usage, echo)
+            )
+
+        resp = web.StreamResponse(
+            headers={"Content-Type": "text/event-stream", "Cache-Control": "no-cache"}
+        )
+        await resp.prepare(request)
+        rid = uuid.uuid4().hex
+        async for chunk in self._iter_chunks(state):
+            fr = (chunk["meta_info"]["finish_reason"] or {}).get("type") if chunk[
+                "finished"
+            ] else None
+            data = {
+                "id": f"cmpl-{rid}",
+                "object": "text_completion",
+                "created": 0,
+                "model": model,
+                "choices": [
+                    {"index": 0, "text": chunk["delta"], "logprobs": None, "finish_reason": fr}
+                ],
+            }
+            if chunk["finished"]:
+                data["usage"] = usage_dict(
+                    chunk["meta_info"]["prompt_tokens"],
+                    chunk["meta_info"]["completion_tokens"],
+                )
+            await resp.write(f"data: {json.dumps(data)}\n\n".encode())
+        await resp.write(b"data: [DONE]\n\n")
+        await resp.write_eof()
+        return resp
+
+    async def v1_chat_completions(self, request: web.Request) -> web.StreamResponse:
+        try:
+            req = ChatCompletionRequest(**await request.json())
+        except Exception as e:
+            return self._openai_error(str(e))
+        gin = self._chat_to_gin(req)
+        state = self._submit(gin)
+        model = req.model or self.engine.server_args.served_model_name
+
+        if not req.stream:
+            out = await self._collect(state)
+            usage = usage_dict(
+                out["meta_info"]["prompt_tokens"], out["meta_info"]["completion_tokens"]
+            )
+            fr = (out["meta_info"]["finish_reason"] or {}).get("type", "stop")
+            return web.json_response(
+                chat_response(out["rid"], model, out["text"], fr, usage)
+            )
+
+        resp = web.StreamResponse(
+            headers={"Content-Type": "text/event-stream", "Cache-Control": "no-cache"}
+        )
+        await resp.prepare(request)
+        rid = uuid.uuid4().hex
+        first = True
+        async for chunk in self._iter_chunks(state):
+            delta: Dict[str, Any] = {"content": chunk["delta"]}
+            if first:
+                delta["role"] = "assistant"
+                first = False
+            fr = (chunk["meta_info"]["finish_reason"] or {}).get("type") if chunk[
+                "finished"
+            ] else None
+            data = {
+                "id": f"chatcmpl-{rid}",
+                "object": "chat.completion.chunk",
+                "created": 0,
+                "model": model,
+                "choices": [{"index": 0, "delta": delta, "finish_reason": fr}],
+            }
+            if chunk["finished"] and (req.stream_options or {}).get("include_usage"):
+                data["usage"] = usage_dict(
+                    chunk["meta_info"]["prompt_tokens"],
+                    chunk["meta_info"]["completion_tokens"],
+                )
+            await resp.write(f"data: {json.dumps(data)}\n\n".encode())
+        await resp.write(b"data: [DONE]\n\n")
+        await resp.write_eof()
+        return resp
+
+    def _chat_to_gin(self, req: ChatCompletionRequest) -> GenerateReqInput:
+        tok = self.engine.tokenizer_manager.tokenizer
+        messages = [{"role": m.role, "content": m.text()} for m in req.messages]
+        if tok is not None and getattr(tok, "chat_template", None):
+            ids = tok.apply_chat_template(
+                messages, tokenize=True, add_generation_prompt=True
+            )
+            return GenerateReqInput(
+                input_ids=list(ids),
+                sampling_params=req.to_sampling_params(),
+                stream=req.stream,
+            )
+        # no template: simple role-tagged concatenation
+        text = (
+            "".join(f"{m['role']}: {m['content']}\n" for m in messages) + "assistant:"
+        )
+        return GenerateReqInput(
+            text=text, sampling_params=req.to_sampling_params(), stream=req.stream
+        )
+
+    def _openai_error(self, message: str, status: int = 400) -> web.Response:
+        return web.json_response(
+            {"error": {"message": message, "type": "invalid_request_error"}},
+            status=status,
+        )
+
+
+def build_app(engine: Engine) -> web.Application:
+    return HttpServer(engine).app
+
+
+def launch_server(server_args: ServerArgs, engine: Optional[Engine] = None):
+    """Blocking server start (reference http_server.py:1677 launch_server)."""
+    if engine is None:
+        engine = Engine(server_args=server_args)
+    app = build_app(engine)
+    logger.info(
+        "serving %s on http://%s:%d",
+        server_args.served_model_name,
+        server_args.host,
+        server_args.port,
+    )
+    web.run_app(
+        app, host=server_args.host, port=server_args.port, print=None, access_log=None
+    )

@@ -1,0 +1,249 @@
+"""HTTP server integration tests (reference strategy: launch a real server,
+hit endpoints — test/srt/test_srt_endpoint.py, openai_server/basic).
+"""
+
+import asyncio
+import json
+import socket
+import threading
+import time
+
+import httpx
+import pytest
+
+from sglang_awq_tpu.configs.model_config import ModelConfig
+from sglang_awq_tpu.entrypoints.engine import Engine
+from sglang_awq_tpu.entrypoints.http_server import build_app
+from sglang_awq_tpu.server_args import ServerArgs
+
+from .utils import TINY_LLAMA_CFG, ByteTokenizer, tiny_hf_model_and_tensors
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.fixture(scope="module")
+def server_url():
+    from aiohttp import web
+
+    _, tensors = tiny_hf_model_and_tensors()
+    mc = ModelConfig(model_path="", hf_config=dict(TINY_LLAMA_CFG))
+    sa = ServerArgs(
+        model_path="tiny",
+        page_size=8,
+        max_total_tokens=2048,
+        chunked_prefill_size=32,
+        max_running_requests=8,
+    )
+    engine = Engine(
+        server_args=sa, model_config=mc, tensors=tensors, tokenizer=ByteTokenizer()
+    )
+    app = build_app(engine)
+    port = _free_port()
+    loop = asyncio.new_event_loop()
+    started = threading.Event()
+
+    def run():
+        asyncio.set_event_loop(loop)
+
+        async def main():
+            runner = web.AppRunner(app)
+            await runner.setup()
+            site = web.TCPSite(runner, "127.0.0.1", port)
+            await site.start()
+            started.set()
+            while True:
+                await asyncio.sleep(3600)
+
+        loop.run_until_complete(main())
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    assert started.wait(timeout=30)
+    yield f"http://127.0.0.1:{port}"
+    engine.shutdown()
+    loop.call_soon_threadsafe(loop.stop)
+
+
+def test_health(server_url):
+    r = httpx.get(f"{server_url}/health", timeout=30)
+    assert r.status_code == 200
+
+
+def test_health_generate(server_url):
+    r = httpx.get(f"{server_url}/health_generate", timeout=120)
+    assert r.status_code == 200
+
+
+def test_get_server_info(server_url):
+    r = httpx.get(f"{server_url}/get_server_info", timeout=30)
+    info = r.json()
+    assert info["architecture"] == "LlamaForCausalLM"
+    assert info["max_total_tokens"] == 2048
+
+
+def test_generate_native(server_url):
+    r = httpx.post(
+        f"{server_url}/generate",
+        json={
+            "text": "hello world",
+            "sampling_params": {
+                "max_new_tokens": 8,
+                "temperature": 0.0,
+                "ignore_eos": True,
+            },
+        },
+        timeout=120,
+    )
+    assert r.status_code == 200
+    out = r.json()
+    assert out["meta_info"]["completion_tokens"] == 8
+    assert len(out["output_ids"]) == 8
+    assert isinstance(out["text"], str)
+
+
+def test_generate_input_ids(server_url):
+    r = httpx.post(
+        f"{server_url}/generate",
+        json={
+            "input_ids": [5, 6, 7, 8, 9],
+            "sampling_params": {"max_new_tokens": 4, "temperature": 0.0, "ignore_eos": True},
+        },
+        timeout=120,
+    )
+    assert r.json()["meta_info"]["completion_tokens"] == 4
+
+
+def test_generate_stream(server_url):
+    with httpx.stream(
+        "POST",
+        f"{server_url}/generate",
+        json={
+            "text": "abc",
+            "stream": True,
+            "sampling_params": {"max_new_tokens": 5, "temperature": 0.0, "ignore_eos": True},
+        },
+        timeout=120,
+    ) as r:
+        events = []
+        saw_done = False
+        for line in r.iter_lines():
+            if line == "data: [DONE]":
+                saw_done = True
+            elif line.startswith("data: "):
+                events.append(json.loads(line[6:]))
+        assert saw_done
+    assert events[-1]["meta_info"]["completion_tokens"] == 5
+
+
+def test_v1_completions(server_url):
+    r = httpx.post(
+        f"{server_url}/v1/completions",
+        json={
+            "model": "tiny",
+            "prompt": "The quick brown",
+            "max_tokens": 6,
+            "temperature": 0.0,
+            "ignore_eos": True,
+        },
+        timeout=120,
+    )
+    out = r.json()
+    assert out["object"] == "text_completion"
+    assert out["choices"][0]["finish_reason"] == "length"
+    assert out["usage"]["completion_tokens"] == 6
+
+
+def test_v1_chat_completions(server_url):
+    r = httpx.post(
+        f"{server_url}/v1/chat/completions",
+        json={
+            "model": "tiny",
+            "messages": [
+                {"role": "system", "content": "You are helpful."},
+                {"role": "user", "content": "Hi"},
+            ],
+            "max_tokens": 5,
+            "temperature": 0.0,
+            "ignore_eos": True,
+        },
+        timeout=120,
+    )
+    out = r.json()
+    assert out["object"] == "chat.completion"
+    assert out["choices"][0]["message"]["role"] == "assistant"
+
+
+def test_v1_chat_stream(server_url):
+    with httpx.stream(
+        "POST",
+        f"{server_url}/v1/chat/completions",
+        json={
+            "model": "tiny",
+            "messages": [{"role": "user", "content": "count"}],
+            "max_tokens": 4,
+            "temperature": 0.0,
+            "stream": True,
+            "stream_options": {"include_usage": True},
+            "ignore_eos": True,
+        },
+        timeout=120,
+    ) as r:
+        chunks = []
+        for line in r.iter_lines():
+            if line.startswith("data: ") and line != "data: [DONE]":
+                chunks.append(json.loads(line[6:]))
+    assert chunks[0]["choices"][0]["delta"].get("role") == "assistant"
+    assert chunks[-1]["choices"][0]["finish_reason"] == "length"
+    assert chunks[-1]["usage"]["completion_tokens"] == 4
+
+
+def test_v1_models(server_url):
+    r = httpx.get(f"{server_url}/v1/models", timeout=30)
+    assert r.json()["data"][0]["id"] == "tiny"
+
+
+def test_openai_bad_request(server_url):
+    r = httpx.post(
+        f"{server_url}/v1/completions",
+        json={"model": "tiny", "prompt": "x", "temperature": -2},
+        timeout=30,
+    )
+    assert r.status_code == 400
+    assert "error" in r.json()
+
+
+def test_stop_string(server_url):
+    # byte tokenizer: generation is deterministic; use a stop string drawn
+    # from the actual greedy output
+    r1 = httpx.post(
+        f"{server_url}/generate",
+        json={
+            "text": "xyz",
+            "sampling_params": {"max_new_tokens": 10, "temperature": 0.0, "ignore_eos": True},
+        },
+        timeout=120,
+    ).json()
+    full = r1["text"]
+    if len(full) >= 3:
+        stop = full[1:3]
+        r2 = httpx.post(
+            f"{server_url}/generate",
+            json={
+                "text": "xyz",
+                "sampling_params": {
+                    "max_new_tokens": 10,
+                    "temperature": 0.0,
+                    "ignore_eos": True,
+                    "stop": [stop],
+                },
+            },
+            timeout=120,
+        ).json()
+        assert stop not in r2["text"]
+        assert r2["meta_info"]["finish_reason"]["type"] == "stop"
