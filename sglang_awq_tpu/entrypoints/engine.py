@@ -86,7 +86,20 @@ class Engine:
     def _loop(self):
         sched = self.scheduler
         idle_sleep = 0.0005
+        watchdog_timeout = self.server_args.watchdog_timeout
         while not self._shutdown.is_set():
+            # watchdog (reference scheduler_runtime_checker_mixin.py:330): a
+            # stuck batch must not wedge every client forever
+            if (
+                sched.has_work()
+                and time.monotonic() - sched.last_progress_time > watchdog_timeout
+            ):
+                logger.error(
+                    "watchdog: no progress for %.0fs with work pending; failing in-flight requests",
+                    watchdog_timeout,
+                )
+                self._fail_all()
+                sched.last_progress_time = time.monotonic()
             moved = False
             while True:
                 try:

@@ -52,6 +52,7 @@ class HttpServer:
         r.add_post("/v1/completions", self.v1_completions)
         r.add_post("/v1/chat/completions", self.v1_chat_completions)
         r.add_get("/v1/models", self.v1_models)
+        r.add_get("/metrics", self.metrics)
 
     # ------------------------------------------------------------------
     # helpers
@@ -94,6 +95,12 @@ class HttpServer:
 
     async def health(self, request: web.Request) -> web.Response:
         return web.Response(text="OK")
+
+    async def metrics(self, request: web.Request) -> web.Response:
+        return web.Response(
+            body=self.engine.scheduler.metrics.render(),
+            content_type="text/plain",
+        )
 
     async def health_generate(self, request: web.Request) -> web.Response:
         """Schedules a REAL 1-token generation (reference http_server.py:442)."""

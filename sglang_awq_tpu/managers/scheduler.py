@@ -81,6 +81,10 @@ class Scheduler:
         self.last_progress_time = time.monotonic()
         self.abort_rids: set = set()
 
+        from sglang_awq_tpu.metrics.collector import SchedulerMetrics
+
+        self.metrics = SchedulerMetrics(server_args.served_model_name or "model")
+
     # ------------------------------------------------------------------
     # intake
     # ------------------------------------------------------------------
@@ -125,6 +129,9 @@ class Scheduler:
         self.steps += 1
         if self.steps % 512 == 0:
             self.check_memory()
+        if self.steps % 16 == 0:
+            used = 1.0 - self.allocator.available_pages() / self.allocator.num_pages
+            self.metrics.set_queue_state(len(self.running), len(self.waiting), used)
         if outputs:
             self.last_progress_time = time.monotonic()
         return outputs
@@ -361,6 +368,8 @@ class Scheduler:
             self.tree.dec_lock_ref(victim.last_node)
         victim.reset_for_retract()
         self.waiting.appendleft(victim)
+        if self.metrics.enabled:
+            self.metrics.num_retractions.inc()
         # raise the reservation estimate (reference new_estimate_ratio)
         total_max = sum(r.max_new_tokens for r in self.running) or 1
         decoded = sum(len(r.output_ids) for r in self.running)
@@ -398,6 +407,7 @@ class Scheduler:
         req.pages = []
         req.prefix_pages = 0
         req.last_node = None
+        self.metrics.observe_finish(req)
 
     def _process_aborts(self):
         if not self.abort_rids:
