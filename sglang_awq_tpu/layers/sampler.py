@@ -61,17 +61,20 @@ def apply_penalties(
     return logits
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("all_greedy",))
 def sample(
     logits: jax.Array,  # [B, V] f32
     info: SamplingInfo,
     step: jax.Array,  # [B] or [] i32 — the request's sample position (for
     #                   seed folding; per-request, NOT a global counter, so
     #                   draws are reproducible regardless of batching)
+    all_greedy: bool = False,  # static fast path: skip top-k/softmax entirely
 ) -> jax.Array:
     """Returns sampled token ids [B] i32."""
     B, V = logits.shape
     greedy_ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if all_greedy:
+        return greedy_ids
     is_greedy = info.temperatures < 1e-5
 
     temps = jnp.maximum(info.temperatures, 1e-5)[:, None]
@@ -110,3 +113,15 @@ def compute_logprobs(logits: jax.Array, token_ids: jax.Array) -> jax.Array:
     """Log-softmax logprob of the chosen tokens (reference logprob capture)."""
     lp = jax.nn.log_softmax(logits, axis=-1)
     return jnp.take_along_axis(lp, token_ids[:, None], axis=-1)[:, 0]
+
+
+TOP_LOGPROBS_CAP = 20  # OpenAI API max top_logprobs
+
+
+@jax.jit
+def logprob_outputs(logits: jax.Array, token_ids: jax.Array):
+    """(chosen logprob [B], top ids [B, CAP], top logprobs [B, CAP])."""
+    lp = jax.nn.log_softmax(logits, axis=-1)
+    chosen = jnp.take_along_axis(lp, token_ids[:, None], axis=-1)[:, 0]
+    top_vals, top_ids = jax.lax.top_k(lp, TOP_LOGPROBS_CAP)
+    return chosen, top_ids.astype(jnp.int32), top_vals

@@ -48,6 +48,13 @@ class ReqOutput:
     def __init__(self, req: Req, new_tokens: List[int]):
         self.rid = req.rid
         self.new_tokens = new_tokens
+        n = len(new_tokens)
+        self.new_logprobs = (
+            req.output_token_logprobs[-n:] if n and req.output_token_logprobs else []
+        )
+        self.new_top_logprobs = (
+            req.output_top_logprobs[-n:] if n and req.output_top_logprobs else []
+        )
         self.finished = req.finished()
         self.finish_reason = (
             req.finish_info.to_finish_reason_str() if req.finished() else None
@@ -207,7 +214,8 @@ class Scheduler:
             prefix_len=req.fill_len,
             sampling=req.sampling_row(),
         )
-        next_id, _logits = self.runner.forward_extend(ext)
+        want_lp = req.sampling_params.return_logprob
+        next_id, lp = self.runner.forward_extend(ext, want_logprobs=want_lp)
         req.fill_len = target
         self._cache_unfinished(req)
 
@@ -223,6 +231,8 @@ class Scheduler:
             pass
         else:
             req.output_ids.append(next_id)
+            if want_lp and lp is not None:
+                self._record_logprobs(req, lp, 0)
             if req.first_token_time is None:
                 req.first_token_time = time.monotonic()
             req.check_finished(next_id)
@@ -232,6 +242,19 @@ class Scheduler:
         else:
             self.running.append(req)
         return outputs
+
+    def _record_logprobs(self, req: Req, lp: dict, row: int):
+        req.output_token_logprobs.append(float(lp["logprobs"][row]))
+        k = min(req.sampling_params.top_logprobs_num, lp["top_ids"].shape[1])
+        if k > 0:
+            req.output_top_logprobs.append(
+                {
+                    int(t): float(v)
+                    for t, v in zip(lp["top_ids"][row][:k], lp["top_logprobs"][row][:k])
+                }
+            )
+        else:
+            req.output_top_logprobs.append({})
 
     def _cache_unfinished(self, req: Req):
         """Publish this request's filled full pages into the radix tree so
@@ -312,7 +335,8 @@ class Scheduler:
             sample_steps=sample_steps,
             sampling=rows,
         )
-        ids = self.runner.forward_decode(d)
+        want_lp = any(r.sampling_params.return_logprob for r in self.running)
+        ids, lp = self.runner.forward_decode(d, want_logprobs=want_lp)
 
         outputs = []
         still_running = []
@@ -320,6 +344,8 @@ class Scheduler:
             r.fill_len += 1
             new_id = int(ids[i])
             r.output_ids.append(new_id)
+            if want_lp and r.sampling_params.return_logprob:
+                self._record_logprobs(r, lp, i)
             r.check_finished(new_id)
             outputs.append(ReqOutput(r, [new_id]))
             if r.finished():

@@ -55,6 +55,8 @@ class ReqState:
         self.finished = False
         self.text = ""
         self.held_text = ""  # possible partial stop-string suffix
+        self.token_logprobs = []  # accumulated (logprob, token_id, text)
+        self.top_logprobs = []
 
 
 class TokenizerManager:
@@ -106,6 +108,11 @@ class TokenizerManager:
             state = self.states.get(out.rid)
         if state is None or state.finished:
             return
+        if out.new_logprobs:
+            state.token_logprobs.extend(
+                (lp, tok, None) for lp, tok in zip(out.new_logprobs, out.new_tokens)
+            )
+            state.top_logprobs.extend(out.new_top_logprobs)
         new_text = state.detok.append(out.new_tokens)
         if out.finished:
             new_text += state.detok.flush()
@@ -148,6 +155,8 @@ class TokenizerManager:
                 "prompt_tokens": out.prompt_len,
                 "completion_tokens": out.output_len,
                 "cached_tokens": out.cached_tokens,
+                "output_token_logprobs": list(state.token_logprobs) or None,
+                "output_top_logprobs": list(state.top_logprobs) or None,
                 "finish_reason": (
                     {"type": finish_reason, "matched": matched_stop}
                     if emit_finish

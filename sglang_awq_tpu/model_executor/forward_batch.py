@@ -49,6 +49,9 @@ class DecodeInput:
     def sampling_padded(self, bs_pad: int) -> "SamplingBatch":
         return SamplingBatch.from_rows(self.sampling or [], pad_to=bs_pad)
 
+    def all_greedy(self) -> bool:
+        return all(r.temperature < 1e-5 for r in (self.sampling or []))
+
 
 @dataclasses.dataclass
 class SamplingRow:

@@ -31,7 +31,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from sglang_awq_tpu.configs.model_config import ModelConfig
-from sglang_awq_tpu.layers.sampler import SamplingInfo, apply_penalties, sample
+from sglang_awq_tpu.layers.sampler import (
+    SamplingInfo,
+    apply_penalties,
+    logprob_outputs,
+    sample,
+)
 from sglang_awq_tpu.mem_cache.kv_pool import KVPoolSpec, PAD_SLOT
 from sglang_awq_tpu.model_executor.forward_batch import (
     DecodeInput,
@@ -236,8 +241,8 @@ class ModelRunner:
     # jitted step builders
     # ------------------------------------------------------------------
 
-    def _extend_fn(self, t_pad: int, n_pages: int):
-        key = ("extend", t_pad, n_pages)
+    def _extend_fn(self, t_pad: int, n_pages: int, all_greedy: bool, want_lp: bool):
+        key = ("extend", t_pad, n_pages, all_greedy, want_lp)
         if key in self._fns:
             return self._fns[key]
         model = self.model
@@ -246,15 +251,21 @@ class ModelRunner:
             logits, kc, vc = model.extend_step(
                 params, kc, vc, rope, tokens, positions, slots, pages, prefix_len, q_len
             )
-            ids = sample(logits, info, step)
-            return ids, logits, kc, vc
+            ids = sample(logits, info, step, all_greedy=all_greedy)
+            if want_lp:
+                lp, top_ids, top_vals = logprob_outputs(logits, ids)
+                return ids, lp, top_ids, top_vals, kc, vc
+            return ids, kc, vc
 
-        fn = jax.jit(self._wrap_step(raw, 8), donate_argnums=(1, 2))
+        fn = jax.jit(
+            self._wrap_step(raw, 8, n_replicated_out=4 if want_lp else 1),
+            donate_argnums=(1, 2),
+        )
         self._fns[key] = fn
         return fn
 
-    def _decode_fn(self, bs: int):
-        key = ("decode", bs)
+    def _decode_fn(self, bs: int, all_greedy: bool, want_lp: bool):
+        key = ("decode", bs, all_greedy, want_lp)
         if key in self._fns:
             return self._fns[key]
         model = self.model
@@ -263,15 +274,21 @@ class ModelRunner:
             logits, kc, vc = model.decode_step(
                 params, kc, vc, rope, tokens, positions, slots, page_table, lengths
             )
-            ids = sample(logits, info, steps)
-            return ids, logits, kc, vc
+            ids = sample(logits, info, steps, all_greedy=all_greedy)
+            if want_lp:
+                lp, top_ids, top_vals = logprob_outputs(logits, ids)
+                return ids, lp, top_ids, top_vals, kc, vc
+            return ids, kc, vc
 
-        fn = jax.jit(self._wrap_step(raw, 7), donate_argnums=(1, 2))
+        fn = jax.jit(
+            self._wrap_step(raw, 7, n_replicated_out=4 if want_lp else 1),
+            donate_argnums=(1, 2),
+        )
         self._fns[key] = fn
         return fn
 
-    def _decode_multi_fn(self, bs: int, n_steps: int):
-        key = ("decode_multi", bs, n_steps)
+    def _decode_multi_fn(self, bs: int, n_steps: int, all_greedy: bool):
+        key = ("decode_multi", bs, n_steps, all_greedy)
         if key in self._fns:
             return self._fns[key]
         model = self.model
@@ -287,7 +304,7 @@ class ModelRunner:
                 logits, kc, vc = model.decode_step(
                     params, kc, vc, rope, toks, pos, slots, page_table, lens
                 )
-                ids = sample(logits, info, steps0 + s)
+                ids = sample(logits, info, steps0 + s, all_greedy=all_greedy)
                 lens = jnp.where(live, lens + 1, lens)
                 return (kc, vc, ids, lens), ids
 
@@ -304,8 +321,10 @@ class ModelRunner:
     # public forward API (numpy in, numpy out)
     # ------------------------------------------------------------------
 
-    def forward_extend(self, ext: ExtendInput) -> Tuple[int, Optional[np.ndarray]]:
-        """Run one chunk; returns (sampled next-token id, logits row).
+    def forward_extend(
+        self, ext: ExtendInput, want_logprobs: bool = False
+    ) -> Tuple[int, Optional[dict]]:
+        """Run one chunk; returns (sampled next-token id, logprob dict|None).
 
         The sampled id is only meaningful when this is the request's LAST
         chunk (prefix_len + T == full prompt length).
@@ -314,7 +333,9 @@ class ModelRunner:
         t_pad = pick_bucket(T, self.prefill_token_buckets)
         total_pages = len(ext.pages)
         pg_pad = pick_bucket(max(total_pages, 1), self.prefill_page_buckets)
-        fn = self._extend_fn(t_pad, pg_pad)
+        row = ext.sampling
+        all_greedy = row is None or row.temperature < 1e-5
+        fn = self._extend_fn(t_pad, pg_pad, all_greedy, want_logprobs)
 
         tokens = np.zeros(t_pad, np.int32)
         tokens[:T] = ext.tokens
@@ -325,10 +346,9 @@ class ModelRunner:
         pages = np.zeros(pg_pad, np.int32)
         pages[:total_pages] = ext.pages
 
-        row = ext.sampling
         sb = SamplingBatch.from_rows([row] if row else [], pad_to=1)
         info = _sampling_info(sb)
-        ids, logits, self.k_cache, self.v_cache = fn(
+        args = (
             self.params,
             self.k_cache,
             self.v_cache,
@@ -342,24 +362,42 @@ class ModelRunner:
             info,
             jnp.int32(0),
         )
-        return int(np.asarray(ids)[0]), np.asarray(logits)
+        if want_logprobs:
+            ids, lp, top_ids, top_vals, self.k_cache, self.v_cache = fn(*args)
+            return int(np.asarray(ids)[0]), {
+                "logprobs": np.asarray(lp),
+                "top_ids": np.asarray(top_ids),
+                "top_logprobs": np.asarray(top_vals),
+            }
+        ids, self.k_cache, self.v_cache = fn(*args)
+        return int(np.asarray(ids)[0]), None
 
-    def forward_decode(self, d: DecodeInput) -> np.ndarray:
-        """One decode step over a padded batch -> sampled ids [bs_pad]."""
+    def forward_decode(
+        self, d: DecodeInput, want_logprobs: bool = False
+    ) -> Tuple[np.ndarray, Optional[dict]]:
+        """One decode step over a padded batch -> (ids [bs_pad], logprobs)."""
         bs = len(d.tokens)
         bs_pad = pick_bucket(bs, self.decode_bs_buckets)
-        fn = self._decode_fn(bs_pad)
+        fn = self._decode_fn(bs_pad, d.all_greedy(), want_logprobs)
         arrays = self._pad_decode(d, bs_pad)
         info = _sampling_info(d.sampling_padded(bs_pad))
         steps = np.zeros(bs_pad, np.int32)
         if d.sample_steps is not None:
             steps[:bs] = d.sample_steps
         self.decode_steps_counter += 1
-        ids, logits, self.k_cache, self.v_cache = fn(
+        args = (
             self.params, self.k_cache, self.v_cache, self.rope_tab,
-            *arrays, info, jnp.asarray(steps)
+            *arrays, info, jnp.asarray(steps),
         )
-        return np.asarray(ids)
+        if want_logprobs:
+            ids, lp, top_ids, top_vals, self.k_cache, self.v_cache = fn(*args)
+            return np.asarray(ids), {
+                "logprobs": np.asarray(lp),
+                "top_ids": np.asarray(top_ids),
+                "top_logprobs": np.asarray(top_vals),
+            }
+        ids, self.k_cache, self.v_cache = fn(*args)
+        return np.asarray(ids), None
 
     def forward_decode_multi(self, d: DecodeInput, n_steps: int) -> np.ndarray:
         """n_steps decode steps in one dispatch -> ids [n_steps, bs_pad].
@@ -368,7 +406,7 @@ class ModelRunner:
         """
         bs = len(d.tokens)
         bs_pad = pick_bucket(bs, self.decode_bs_buckets)
-        fn = self._decode_multi_fn(bs_pad, n_steps)
+        fn = self._decode_multi_fn(bs_pad, n_steps, d.all_greedy())
         tokens, _, _, page_table, lengths = self._pad_decode(d, bs_pad)
         info = _sampling_info(d.sampling_padded(bs_pad))
         steps0 = np.zeros(bs_pad, np.int32)

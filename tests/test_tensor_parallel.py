@@ -81,12 +81,13 @@ def test_tp4_logits_match_tp1():
                 pages=pages,
                 prefix_len=0,
                 sampling=SamplingRow(),
-            )
+            ),
+            want_logprobs=True,
         )
-        prefill_logits[tp] = lg[0]
+        prefill_logits[tp] = (lg["logprobs"][0], lg["top_ids"][0], lg["top_logprobs"][0])
 
         # one decode step with the greedy token
-        nxt = int(lg[0].argmax())
+        nxt = int(tok)
         d = DecodeInput(
             tokens=np.asarray([nxt], np.int32),
             positions=np.asarray([T], np.int32),
@@ -96,11 +97,12 @@ def test_tp4_logits_match_tp1():
             sample_steps=np.asarray([1], np.int32),
             sampling=[SamplingRow()],
         )
-        # capture logits via the decode fn directly
-        ids = r.forward_decode(d)
+        ids, _ = r.forward_decode(d)
         decode_logits[tp] = int(ids[0])
 
-    np.testing.assert_allclose(
-        prefill_logits[1], prefill_logits[4], atol=5e-2, rtol=5e-2
-    )
+    lp1, top_ids1, top_vals1 = prefill_logits[1]
+    lp4, top_ids4, top_vals4 = prefill_logits[4]
+    assert abs(lp1 - lp4) < 5e-2
+    assert top_ids1[0] == top_ids4[0]  # same argmax token
+    np.testing.assert_allclose(top_vals1[:5], top_vals4[:5], atol=5e-2)
     assert decode_logits[1] == decode_logits[4]
