@@ -206,6 +206,20 @@ class Engine:
         done.wait(timeout=30)
         return result.get("ok", False)
 
+    def update_weights_from_disk(self, model_path: str):
+        """Pause scheduling, reload weights, resume (reference engine.py:530)."""
+        done = threading.Event()
+        result = {}
+
+        def _do():
+            ok, msg = self.runner.update_weights_from_disk(model_path)
+            result["ok"], result["msg"] = ok, msg
+            done.set()
+
+        self._in_queue.put(_FlushSentinel(_do))
+        done.wait(timeout=600)
+        return result.get("ok", False), result.get("msg", "timeout")
+
     def get_server_info(self) -> dict:
         mc = self.runner.model_config
         return {

@@ -49,6 +49,7 @@ class HttpServer:
         r.add_post("/generate", self.generate)
         r.add_post("/flush_cache", self.flush_cache)
         r.add_post("/abort_request", self.abort_request)
+        r.add_post("/update_weights_from_disk", self.update_weights_from_disk)
         r.add_post("/v1/completions", self.v1_completions)
         r.add_post("/v1/chat/completions", self.v1_chat_completions)
         r.add_get("/v1/models", self.v1_models)
@@ -166,6 +167,21 @@ class HttpServer:
         return web.Response(
             status=200 if ok else 503,
             text="Cache flushed.\n" if ok else "Cache not flushed (requests in flight).\n",
+        )
+
+    async def update_weights_from_disk(self, request: web.Request) -> web.Response:
+        body = await request.json()
+        path = body.get("model_path")
+        if not path:
+            return web.json_response(
+                {"success": False, "message": "model_path required"}, status=400
+            )
+        loop = asyncio.get_running_loop()
+        ok, msg = await loop.run_in_executor(
+            None, self.engine.update_weights_from_disk, path
+        )
+        return web.json_response(
+            {"success": ok, "message": msg}, status=200 if ok else 400
         )
 
     async def abort_request(self, request: web.Request) -> web.Response:

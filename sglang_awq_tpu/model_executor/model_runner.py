@@ -439,6 +439,57 @@ class ModelRunner:
             jnp.asarray(lengths),
         )
 
+    # ------------------------------------------------------------------
+    # weight updates (reference model_runner.py:969-1344 family)
+    # ------------------------------------------------------------------
+
+    def update_weights_from_disk(self, model_path: str) -> Tuple[bool, str]:
+        """In-place reload from a checkpoint dir (reference
+        update_weights_from_disk — RL rollout refresh / model hot-swap).
+        The architecture and shapes must match the loaded model."""
+        try:
+            from sglang_awq_tpu.model_loader.loader import (
+                iterate_safetensors,
+                load_params_from_tensors,
+            )
+
+            tensors = dict(iterate_safetensors(model_path))
+            new_params = load_params_from_tensors(self.model, tensors)
+            old_shapes = jax.tree.map(lambda x: (x.shape, x.dtype), self.params)
+            new_shapes = jax.tree.map(lambda x: (x.shape, x.dtype), new_params)
+            if old_shapes != new_shapes:
+                return False, "checkpoint shapes/dtypes do not match loaded model"
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding
+
+                new_params = jax.tree.map(
+                    lambda x, sp: jax.device_put(x, NamedSharding(self.mesh, sp)),
+                    new_params,
+                    self._param_specs,
+                )
+            else:
+                new_params = jax.device_put(new_params)
+            self.params = new_params
+            self._fns.clear()  # step closures bind nothing, but drop cache anyway
+            self.model_config.model_path = model_path
+            return True, "ok"
+        except Exception as e:  # noqa: BLE001
+            logger.exception("weight update failed")
+            return False, str(e)
+
+    def update_weights_from_tensors(self, tensors) -> Tuple[bool, str]:
+        """Update from an in-memory named-tensor dict (reference
+        update_weights_from_tensor IPC path)."""
+        try:
+            from sglang_awq_tpu.model_loader.loader import load_params_from_tensors
+
+            new_params = load_params_from_tensors(self.model, tensors)
+            self.params = jax.device_put(new_params)
+            return True, "ok"
+        except Exception as e:  # noqa: BLE001
+            logger.exception("weight update failed")
+            return False, str(e)
+
     # --- memory info for the scheduler ---
 
     @property

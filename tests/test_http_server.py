@@ -218,6 +218,43 @@ def test_openai_bad_request(server_url):
     assert "error" in r.json()
 
 
+def test_bench_serving_harness(server_url):
+    """Smoke the online bench harness against the live server."""
+    import asyncio
+
+    from sglang_awq_tpu.bench_serving import run_bench
+
+    class A:
+        base_url = server_url
+        num_prompts = 4
+        request_rate = 0.0
+        input_len = 16
+        output_len = 4
+        random_range = 0.0
+        seed = 0
+        timeout = 300
+
+    # token ids must stay under the tiny model's vocab
+    import sglang_awq_tpu.bench_serving as bs
+    import random as _random
+
+    orig = _random.Random.randrange
+    report = None
+
+    class SmallRandom(_random.Random):
+        def randrange(self, a, b=None, step=1):
+            return orig(self, 3, 500)
+
+    bs.random.Random = SmallRandom
+    try:
+        report = asyncio.run(run_bench(A))
+    finally:
+        bs.random.Random = _random.Random
+    assert report["completed"] == 4 and report["failed"] == 0
+    assert report["total_output_tokens"] == 16
+    assert report["ttft_ms"]["p50"] > 0
+
+
 def test_stop_string(server_url):
     # byte tokenizer: generation is deterministic; use a stop string drawn
     # from the actual greedy output
