@@ -71,9 +71,7 @@ class Scheduler:
         self.page_size = runner.page_size
 
         self.allocator = PagedAllocator(runner.num_pages, self.page_size)
-        self.tree = RadixCache(
-            self.allocator, self.page_size, disable=server_args.disable_radix_cache
-        )
+        self.tree = self._make_tree(server_args)
         self.policy = SchedulePolicy(server_args.schedule_policy, self.tree)
 
         self.waiting: Deque[Req] = deque()
@@ -91,6 +89,27 @@ class Scheduler:
         from sglang_awq_tpu.metrics.collector import SchedulerMetrics
 
         self.metrics = SchedulerMetrics(server_args.served_model_name or "model")
+
+    def _make_tree(self, server_args: ServerArgs):
+        impl = server_args.radix_cache_impl
+        if impl in ("auto", "cpp"):
+            try:
+                from sglang_awq_tpu.mem_cache.radix_cache_cpp import CppRadixCache
+
+                tree = CppRadixCache(
+                    self.allocator,
+                    self.page_size,
+                    disable=server_args.disable_radix_cache,
+                )
+                logger.info("using C++ radix tree")
+                return tree
+            except Exception as e:  # noqa: BLE001
+                if impl == "cpp":
+                    raise
+                logger.warning("C++ radix tree unavailable (%s); using Python", e)
+        return RadixCache(
+            self.allocator, self.page_size, disable=server_args.disable_radix_cache
+        )
 
     # ------------------------------------------------------------------
     # intake

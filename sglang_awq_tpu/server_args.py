@@ -39,6 +39,7 @@ class ServerArgs:
     schedule_policy: str = "lpm"  # lpm | fcfs | lof | random
     schedule_conservativeness: float = 1.0
     disable_radix_cache: bool = False
+    radix_cache_impl: str = "auto"  # auto | cpp | python
     enable_overlap_schedule: bool = True
     stream_interval: int = 1
     watchdog_timeout: float = 300.0

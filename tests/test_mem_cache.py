@@ -123,3 +123,77 @@ def test_radix_disabled():
     rc = RadixCache(a, page_size=4, disable=True)
     assert rc.insert(toks(8), a.alloc_pages(2)) == 0
     assert rc.match_prefix(toks(8)).matched_len == 0
+
+
+# ---------------------------------------------------------------------------
+# C++ tree parity (reference cpp_radix_tree role)
+# ---------------------------------------------------------------------------
+
+
+def _cpp_tree(num_pages, page_size, disable=False):
+    from sglang_awq_tpu.mem_cache.radix_cache_cpp import CppRadixCache, cpp_tree_available
+
+    if not cpp_tree_available():
+        pytest.skip("no C++ toolchain")
+    a = PagedAllocator(num_pages, page_size)
+    return a, CppRadixCache(a, page_size, disable=disable)
+
+
+def test_cpp_match_insert_roundtrip():
+    a, rc = _cpp_tree(64, 4)
+    ids = toks(20)
+    pages = a.alloc_pages(5)
+    assert rc.insert(ids, pages) == 0
+    m = rc.match_prefix(ids)
+    assert m.matched_len == 20 and m.pages == pages
+    m2 = rc.match_prefix(ids[:10])
+    assert m2.matched_len == 8 and m2.pages == pages[:2]
+    ids2 = ids[:8] + toks(12, seed=1)
+    assert rc.match_prefix(ids2).matched_len == 8
+
+
+def test_cpp_dedup_and_split():
+    a, rc = _cpp_tree(64, 4)
+    ids = toks(16)
+    pages = a.alloc_pages(4)
+    rc.insert(ids, pages)
+    ids2 = ids[:8] + toks(8, seed=2)
+    pages2 = a.alloc_pages(4)
+    dup = rc.insert(ids2, pages2)
+    assert dup == 2
+    a.free_pages(pages2[:2])
+    rc.check_invariant(request_held_pages=0)
+    assert rc.match_prefix(ids).matched_len == 16
+    assert rc.match_prefix(ids2).matched_len == 16
+
+
+def test_cpp_lock_and_evict():
+    a, rc = _cpp_tree(16, 4)
+    ids = toks(32)
+    pages = a.alloc_pages(8)
+    rc.insert(ids, pages)
+    assert rc.evictable_size() == 32
+    m = rc.match_prefix(ids[:16])
+    rc.inc_lock_ref(m.last_node)
+    assert rc.protected_size() == 16
+    assert rc.evictable_size() == 16
+    freed = rc.evict(100)
+    assert freed == 4
+    assert a.available_pages() == 12
+    assert rc.match_prefix(ids).matched_len == 16
+    rc.dec_lock_ref(m.last_node)
+    rc.evict(100)
+    assert a.available_pages() == 16
+    rc.check_invariant(request_held_pages=0)
+
+
+def test_cpp_lru_order():
+    a, rc = _cpp_tree(64, 2)
+    seqs = [toks(8, seed=i) for i in range(3)]
+    for s in seqs:
+        rc.insert(s, a.alloc_pages(4))
+    rc.match_prefix(seqs[0])
+    rc.evict(4)
+    assert rc.match_prefix(seqs[0]).matched_len == 8
+    assert rc.match_prefix(seqs[1]).matched_len == 0
+    assert rc.match_prefix(seqs[2]).matched_len == 8
