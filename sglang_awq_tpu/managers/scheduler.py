@@ -90,6 +90,22 @@ class Scheduler:
 
         self.metrics = SchedulerMetrics(server_args.served_model_name or "model")
 
+        # --- speculative decoding (ngram) ---
+        self.ngram = None
+        self.spec_width = 0
+        if server_args.speculative_algorithm == "ngram":
+            from sglang_awq_tpu.speculative.ngram import NgramCache
+
+            self.ngram = NgramCache(n=3)
+            # verify width: 1 real token + (width-1) draft positions
+            self.spec_width = max(2, server_args.speculative_num_draft_tokens)
+            assert self.spec_width <= self.page_size, (
+                "speculative width must be <= page_size (KV write kernel "
+                "touches at most two tail pages per sequence)"
+            )
+        self.spec_accept_sum = 0
+        self.spec_steps = 0
+
     def _make_tree(self, server_args: ServerArgs):
         impl = server_args.radix_cache_impl
         if impl in ("auto", "cpp"):
@@ -150,7 +166,12 @@ class Scheduler:
         if prefill_req is not None:
             outputs += self._run_prefill_chunk(prefill_req)
         elif self.running:
-            outputs += self._run_decode_step()
+            if self.ngram is not None and all(
+                r.sampling_params.is_greedy for r in self.running
+            ):
+                outputs += self._run_decode_step_spec()
+            else:
+                outputs += self._run_decode_step()
 
         self.steps += 1
         if self.steps % 512 == 0:
@@ -243,6 +264,8 @@ class Scheduler:
             return []
         self.chunked_req = None
 
+        if self.ngram is not None:
+            self.ngram.update(req.fill_ids)
         outputs = []
         if req.output_ids:
             # retracted request finishing its re-prefill: the next token was
@@ -378,28 +401,98 @@ class Scheduler:
         )
         return outputs
 
-    def _ensure_decode_memory(self):
-        """Grow each running req by one token; retract on OOM
+    def _ensure_decode_memory(self, grow: int = 1):
+        """Grow each running req by `grow` tokens; retract on OOM
         (reference check_decode_mem + retract_decode)."""
         ps = self.page_size
-        need_page = [
-            r for r in self.running if cdiv(r.fill_len + 1, ps) > len(r.pages)
-        ]
-        if not need_page:
+
+        def deficit(r):
+            return max(cdiv(r.fill_len + grow, ps) - len(r.pages), 0)
+
+        want = sum(deficit(r) for r in self.running)
+        if want == 0:
             return
-        want = len(need_page)
         if self.allocator.available_pages() < want:
             self.tree.evict(want - self.allocator.available_pages())
-        while self.allocator.available_pages() < want and len(self.running) > 1:
+        while (
+            sum(deficit(r) for r in self.running) > self.allocator.available_pages()
+            and len(self.running) > 1
+        ):
             self._retract_one()
-            need_page = [
-                r for r in self.running if cdiv(r.fill_len + 1, ps) > len(r.pages)
-            ]
-            want = len(need_page)
-        for r in need_page:
-            pages = self.allocator.alloc_pages(1)
-            assert pages is not None, "decode OOM after retraction"
-            r.pages.extend(pages)
+        for r in self.running:
+            d = deficit(r)
+            if d:
+                pages = self.allocator.alloc_pages(d)
+                assert pages is not None, "decode OOM after retraction"
+                r.pages.extend(pages)
+
+    def _run_decode_step_spec(self) -> List[ReqOutput]:
+        """Speculative decode step (ngram drafts + one verify forward).
+
+        Reference role: ngram_worker.py draft + TARGET_VERIFY; greedy
+        acceptance, KV rollback is free (rejected rows' KV is overwritten by
+        later steps and masked by length meanwhile)."""
+        QS = self.spec_width
+        self._ensure_decode_memory(grow=QS)
+        if not self.running:
+            return []
+        ps = self.page_size
+        B = len(self.running)
+        tokens = np.zeros((B, QS), np.int32)
+        positions = np.zeros((B, QS), np.int32)
+        slots = np.zeros((B, QS), np.int32)
+        lengths = np.zeros(B, np.int32)
+        pmax = max(len(r.pages) for r in self.running)
+        page_table = np.zeros((B, pmax), np.int32)
+        drafts_per_row: List[List[int]] = []
+        for i, r in enumerate(self.running):
+            ctx = r.input_ids + r.output_ids
+            drafts = self.ngram.draft(ctx, QS - 1)
+            drafts_per_row.append(drafts)
+            row = [r.output_ids[-1]] + drafts + [0] * (QS - 1 - len(drafts))
+            tokens[i] = row
+            pos = np.arange(r.fill_len, r.fill_len + QS)
+            positions[i] = pos
+            pages_np = np.asarray(r.pages, np.int32)
+            slots[i] = pages_np[pos // ps] * ps + pos % ps
+            lengths[i] = r.fill_len + QS
+            page_table[i, : len(r.pages)] = r.pages
+
+        ids = self.runner.forward_spec_verify(
+            tokens, positions, slots, page_table, lengths
+        )
+
+        outputs = []
+        still_running = []
+        for i, r in enumerate(self.running):
+            drafts = drafts_per_row[i]
+            accepted = 1
+            for j, d in enumerate(drafts):
+                if int(ids[i, j]) == d:
+                    accepted += 1
+                else:
+                    break
+            new_tokens = []
+            for t in range(accepted):
+                tok = int(ids[i, t])
+                r.output_ids.append(tok)
+                new_tokens.append(tok)
+                r.check_finished(tok)
+                if r.finished():
+                    break
+            r.fill_len += len(new_tokens)
+            self.ngram.update(
+                (r.input_ids + r.output_ids)[-(self.ngram.n + len(new_tokens) + 1):]
+            )
+            self.spec_accept_sum += len(new_tokens)
+            self.spec_steps += 1
+            outputs.append(ReqOutput(r, new_tokens))
+            if r.finished():
+                self._finish_req(r)
+            else:
+                still_running.append(r)
+        self.running = still_running
+        return outputs
 
     def _retract_one(self):
         """Retract the req with most output / shortest prompt

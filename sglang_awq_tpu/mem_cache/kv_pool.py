@@ -71,7 +71,8 @@ def write_kv(
     slots: jax.Array,  # [T] int32 flat slot = page * ps + offset (may contain
     #                    PAD_SLOT entries for padded tokens)
     layer: jax.Array | int,
-    mode: str = "decode",  # "decode" | "prefill" (page-aligned chunk)
+    mode: str = "decode",  # "decode" | "prefill" | "spec"
+    spec_span: int = 0,  # QS for mode="spec" (contiguous tokens per sequence)
 ) -> Tuple[jax.Array, jax.Array]:
     """Write new K/V rows into the pool at flat token slots.
 
@@ -85,6 +86,19 @@ def write_kv(
     if is_tpu_backend():
         from sglang_awq_tpu.ops.kv_write import kv_write_decode, kv_write_prefill
 
+        if mode == "spec":
+            from sglang_awq_tpu.ops.kv_write import kv_write_spec
+
+            B = k_new.shape[0] // spec_span
+            KVH, D = k_new.shape[1], k_new.shape[2]
+            return kv_write_spec(
+                k_cache,
+                v_cache,
+                k_new.reshape(B, spec_span, KVH, D),
+                v_new.reshape(B, spec_span, KVH, D),
+                slots.reshape(B, spec_span),
+                layer,
+            )
         if mode == "prefill":
             T = k_new.shape[0]
             ps_ = k_cache.shape[3]

@@ -439,6 +439,62 @@ class ModelRunner:
             jnp.asarray(lengths),
         )
 
+    def _spec_verify_fn(self, bs: int, q_span: int):
+        key = ("spec_verify", bs, q_span)
+        if key in self._fns:
+            return self._fns[key]
+        model = self.model
+
+        def raw(params, kc, vc, rope, tokens, positions, slots, page_table, lengths):
+            logits, kc, vc = model.spec_verify_step(
+                params, kc, vc, rope, tokens, positions, slots, page_table, lengths
+            )
+            # greedy verify ids for every position
+            ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, QS]
+            return ids, kc, vc
+
+        fn = jax.jit(
+            self._wrap_step(raw, 5, n_replicated_out=1), donate_argnums=(1, 2)
+        )
+        self._fns[key] = fn
+        return fn
+
+    def forward_spec_verify(
+        self,
+        tokens: np.ndarray,  # [B, QS]
+        positions: np.ndarray,  # [B, QS]
+        slots: np.ndarray,  # [B, QS]
+        page_table: np.ndarray,  # [B, *]
+        lengths: np.ndarray,  # [B] total incl. QS
+    ) -> np.ndarray:
+        """Speculative verify step -> greedy ids [bs_pad, QS]."""
+        bs, qs = tokens.shape
+        bs_pad = pick_bucket(bs, self.decode_bs_buckets)
+        fn = self._spec_verify_fn(bs_pad, qs)
+
+        def pad2(a, fill=0):
+            out = np.full((bs_pad, qs), fill, a.dtype)
+            out[:bs] = a
+            return out
+
+        pt = np.zeros((bs_pad, self.pmax), np.int32)
+        pt[:bs, : page_table.shape[1]] = page_table[:, : self.pmax]
+        lens = np.zeros(bs_pad, np.int32)
+        lens[:bs] = lengths
+        self.decode_steps_counter += 1
+        ids, self.k_cache, self.v_cache = fn(
+            self.params,
+            self.k_cache,
+            self.v_cache,
+            self.rope_tab,
+            jnp.asarray(pad2(tokens)),
+            jnp.asarray(pad2(positions)),
+            jnp.asarray(pad2(slots, PAD_SLOT)),
+            jnp.asarray(pt),
+            jnp.asarray(lens),
+        )
+        return np.asarray(ids)
+
     # ------------------------------------------------------------------
     # weight updates (reference model_runner.py:969-1344 family)
     # ------------------------------------------------------------------

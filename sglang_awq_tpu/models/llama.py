@@ -33,7 +33,12 @@ from sglang_awq_tpu.layers.norm import rms_norm
 from sglang_awq_tpu.layers.rotary import apply_rope, rope_table
 from sglang_awq_tpu.mem_cache.kv_pool import gather_kv, write_kv
 from sglang_awq_tpu.ops.flash_prefill import flash_prefill, flash_prefill_xla
-from sglang_awq_tpu.ops.paged_attention import paged_attention, paged_attention_xla
+from sglang_awq_tpu.ops.paged_attention import (
+    paged_attention,
+    paged_attention_spec,
+    paged_attention_spec_xla,
+    paged_attention_xla,
+)
 from sglang_awq_tpu.utils import is_tpu_backend
 
 
@@ -238,6 +243,59 @@ class LlamaForCausalLM:
         )
         logits = self._logits(params, x)
         return logits, k_cache, v_cache
+
+    def spec_verify_step(
+        self,
+        params: Dict[str, Any],
+        k_cache: jax.Array,
+        v_cache: jax.Array,
+        rope_tab: jax.Array,
+        tokens: jax.Array,  # [B, QS] int32: [last_sampled, draft_1..draft_{QS-1}]
+        positions: jax.Array,  # [B, QS]
+        slots: jax.Array,  # [B, QS] contiguous per row (PAD_SLOT rows skipped)
+        page_table: jax.Array,  # [B, PMAX]
+        lengths: jax.Array,  # [B] TOTAL length incl. all QS tokens (0 = pad)
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """Speculative-decode verify: one step scores QS tokens per sequence
+        -> (logits [B, QS, V], kc, vc).  Reference role: TARGET_VERIFY
+        forward mode (forward_batch_info.py:70) for draft verification."""
+        B, QS = tokens.shape
+        x = params["embed"]["weight"][tokens.reshape(-1)]  # [B*QS, H]
+        use_xla_attn = not is_tpu_backend()
+        flat_pos = positions.reshape(-1)
+        flat_slots = slots.reshape(-1)
+
+        def body(carry, l):
+            x, kc, vc = carry
+
+            def attn(q, k, v, l):
+                st = state
+                st["kc"], st["vc"] = write_kv(
+                    st["kc"], st["vc"], k, v, flat_slots, l, mode="spec",
+                    spec_span=QS,
+                )
+                qs = q.reshape(B, QS, self.qh, self.head_dim)
+                if use_xla_attn:
+                    out = paged_attention_spec_xla(
+                        qs, st["kc"], st["vc"], page_table, lengths, l,
+                        sm_scale=self.sm_scale,
+                    )
+                else:
+                    out = paged_attention_spec(
+                        qs, st["kc"], st["vc"], page_table, lengths, l,
+                        sm_scale=self.sm_scale,
+                    )
+                return out.reshape(B * QS, self.qh, self.head_dim)
+
+            state = {"kc": kc, "vc": vc}
+            x = self._layer(params, x, l, flat_pos, rope_tab, attn)
+            return (x, state["kc"], state["vc"]), None
+
+        (x, k_cache, v_cache), _ = jax.lax.scan(
+            body, (x, k_cache, v_cache), jnp.arange(self.config.num_layers)
+        )
+        logits = self._logits(params, x)  # [B*QS, V]
+        return logits.reshape(B, QS, -1), k_cache, v_cache
 
     def extend_step(
         self,

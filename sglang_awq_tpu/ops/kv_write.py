@@ -215,6 +215,164 @@ def _kv_write_decode_kernel(
     lax.fori_loop(0, B, wait_one, 0)
 
 
+def _kv_write_spec_kernel(
+    layer_ref,  # [1]
+    slots_ref,  # [B * QS] flat; row b's tokens at contiguous slots
+    k_new_ref,  # [B*QS, KVH, D] VMEM
+    v_new_ref,
+    k_in,
+    v_in,
+    k_hbm,  # aliased out [L, KVH, P, ps, D]
+    v_hbm,
+    kbuf,  # [B, 2, KVH, ps, D] — up to 2 pages touched per row (QS <= ps)
+    vbuf,
+    sem,
+    *,
+    q_span: int,
+    num_slots: int,
+):
+    """Verify-step writes: QS contiguous tokens per sequence land in at most
+    two tail pages; bulk page RMW like the decode kernel.  Distinct-pages
+    precondition applies ACROSS sequences (per-seq tail pages are unique)."""
+    layer = layer_ref[0]
+    ps = k_hbm.shape[3]
+    B = kbuf.shape[0]
+
+    def page_of(b, j):
+        # j in {0, 1}: first/last page the row's run touches
+        first = slots_ref[b * q_span]
+        last = slots_ref[b * q_span + (q_span - 1)]
+        return jnp.where(j == 0, first // ps, last // ps)
+
+    def row_live(b):
+        s = slots_ref[b * q_span]
+        return (s >= 0) & (s < num_slots)
+
+    def page_live(b, j):
+        return row_live(b) & ((j == 0) | (page_of(b, 1) != page_of(b, 0)))
+
+    def start_reads(b, _):
+        for j in range(2):
+            @pl.when(page_live(b, j))
+            def _():
+                pg = page_of(b, j)
+                pltpu.make_async_copy(
+                    k_hbm.at[layer, :, pg], kbuf.at[b, j], sem
+                ).start()
+                pltpu.make_async_copy(
+                    v_hbm.at[layer, :, pg], vbuf.at[b, j], sem
+                ).start()
+
+        return 0
+
+    def wait_all(b, _):
+        for j in range(2):
+            @pl.when(page_live(b, j))
+            def _():
+                pltpu.make_async_copy(k_hbm.at[0, :, 0], kbuf.at[0, 0], sem).wait()
+                pltpu.make_async_copy(v_hbm.at[0, :, 0], vbuf.at[0, 0], sem).wait()
+
+        return 0
+
+    def modify(b, _):
+        @pl.when(row_live(b))
+        def _():
+            for j in range(2):
+                pg = page_of(b, j)
+                row = lax.broadcasted_iota(jnp.int32, kbuf.shape[2:], 1)
+                for t in range(q_span):
+                    slot = slots_ref[b * q_span + t]
+                    match = (slot // ps == pg) & ((j == 0) | (pg != page_of(b, 0)))
+                    sel = (row == slot % ps) & match
+                    kbuf[b, j] = jnp.where(
+                        sel, k_new_ref[b * q_span + t][:, None, :], kbuf[b, j]
+                    )
+                    vbuf[b, j] = jnp.where(
+                        sel, v_new_ref[b * q_span + t][:, None, :], vbuf[b, j]
+                    )
+
+        return 0
+
+    def start_writes(b, _):
+        for j in range(2):
+            @pl.when(page_live(b, j))
+            def _():
+                pg = page_of(b, j)
+                pltpu.make_async_copy(
+                    kbuf.at[b, j], k_hbm.at[layer, :, pg], sem
+                ).start()
+                pltpu.make_async_copy(
+                    vbuf.at[b, j], v_hbm.at[layer, :, pg], sem
+                ).start()
+
+        return 0
+
+    lax.fori_loop(0, B, start_reads, 0)
+    lax.fori_loop(0, B, wait_all, 0)
+    lax.fori_loop(0, B, modify, 0)
+    lax.fori_loop(0, B, start_writes, 0)
+    lax.fori_loop(0, B, wait_all, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def kv_write_spec(
+    k_cache: jax.Array,  # [L, KVH, P, ps, D]
+    v_cache: jax.Array,
+    k_new: jax.Array,  # [B, QS, KVH, D]
+    v_new: jax.Array,
+    slots: jax.Array,  # [B, QS] contiguous per row (PAD_SLOT rows skipped)
+    layer: jax.Array | int,
+    *,
+    interpret: Optional[bool] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    if interpret is None:
+        interpret = pallas_interpret_default()
+    L, KVH, P, ps, D = k_cache.shape
+    B, QS = slots.shape
+    assert QS <= ps, (QS, ps)
+    layer = jnp.clip(jnp.asarray(layer, jnp.int32).reshape(1), 0, L - 1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B, 2, KVH, ps, D), k_cache.dtype),
+            pltpu.VMEM((B, 2, KVH, ps, D), v_cache.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    kernel = functools.partial(
+        _kv_write_spec_kernel, q_span=QS, num_slots=P * ps
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct(k_cache.shape, k_cache.dtype),
+            jax.ShapeDtypeStruct(v_cache.shape, v_cache.dtype),
+        ),
+        input_output_aliases={4: 0, 5: 1},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(
+        layer,
+        jnp.asarray(slots, jnp.int32).reshape(-1),
+        k_new.astype(k_cache.dtype).reshape(B * QS, KVH, D),
+        v_new.astype(v_cache.dtype).reshape(B * QS, KVH, D),
+        k_cache,
+        v_cache,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def kv_write_decode(
     k_cache: jax.Array,  # [L, KVH, P, ps, D]

@@ -47,15 +47,15 @@ def _paged_attn_kernel(
     buf_idx_ref,  # [1] mutable
     init_ref,  # [1] mutable
     # inputs
-    q_ref,  # [1, 1, Gp, D]
+    q_ref,  # [1, 1, QS*Gp, D]  (QS query tokens x padded head group)
     k_hbm_ref,  # [L, KVH, n_pages, ps, D] (ANY)
     v_hbm_ref,
     # output
-    o_ref,  # [1, 1, Gp, D] f32
+    o_ref,  # [1, 1, QS*Gp, D] f32
     # scratch
-    m_ref,  # [Gp, 128] f32
-    l_ref,  # [Gp, 128] f32
-    acc_ref,  # [Gp, D] f32
+    m_ref,  # [QS*Gp, 128] f32
+    l_ref,  # [QS*Gp, 128] f32
+    acc_ref,  # [QS*Gp, D] f32
     k_buf,  # [2, ppc, ps, D]
     v_buf,
     k_sem,  # [2]
@@ -65,6 +65,8 @@ def _paged_attn_kernel(
     pages_per_chunk: int,
     pmax: int,
     sm_scale: float,
+    q_span: int = 1,  # QS: query tokens per sequence (spec-decode verify)
+    gp: int = 8,
 ):
     b, h, c = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     num_kv_heads = pl.num_programs(1)
@@ -149,15 +151,22 @@ def _paged_attn_kernel(
             buf_idx_ref[0] = nslot
 
         wait_copy(slot)
-        q = q_ref[0, 0]  # [Gp, D] bf16
+        q = q_ref[0, 0]  # [QS*Gp, D] bf16
         d = q.shape[-1]
         k = k_buf[slot].reshape(ck, d)
         qk = lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # [Gp, ck]
+        )  # [QS*Gp, ck]
         qk = qk * sm_scale
         pos = c * ck + lax.broadcasted_iota(jnp.int32, qk.shape, 1)
-        qk = jnp.where(pos < length, qk, MASK_VALUE)
+        if q_span == 1:
+            limit = length
+        else:
+            # row r belongs to query token t = r // gp, whose causal limit is
+            # length - (q_span - 1 - t): the last token sees the full length
+            t = lax.broadcasted_iota(jnp.int32, qk.shape, 0) // gp
+            limit = length - (q_span - 1) + t
+        qk = jnp.where(pos < limit, qk, MASK_VALUE)
 
         m_prev = m_ref[:, :1]  # [Gp, 1]
         l_prev = l_ref[:, :1]
@@ -181,6 +190,45 @@ def _paged_attn_kernel(
         @pl.when((c + 1) * ck >= length)
         def _emit():
             o_ref[0, 0] = (acc_ref[...] / l_ref[:, :1]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sm_scale", "pages_per_chunk", "interpret"),
+)
+def paged_attention_spec(
+    q: jax.Array,  # [B, QS, QH, D] bf16 — QS draft/verify tokens per sequence
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    page_table: jax.Array,
+    lengths: jax.Array,  # [B] TOTAL length incl. all QS new tokens
+    layer: jax.Array | int,
+    *,
+    sm_scale: float,
+    pages_per_chunk: int = 8,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Multi-query-token paged attention for speculative-decode verify:
+    token t of each sequence attends causally up to position
+    length - QS + t (its own position).  Returns [B, QS, QH, D] f32."""
+    if interpret is None:
+        interpret = pallas_interpret_default()
+    B, QS, QH, D = q.shape
+    L, KVH, n_pages, ps, Dk = k_cache.shape
+    G = QH // KVH
+    Gp = max(G, 8)
+    # [B, QS, KVH, G, D] -> [B, KVH, QS, Gp, D] -> [B, KVH, QS*Gp, D]
+    qg = q.reshape(B, QS, KVH, G, D)
+    if Gp != G:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, 0), (0, Gp - G), (0, 0)))
+    qg = jnp.transpose(qg, (0, 2, 1, 3, 4)).reshape(B, KVH, QS * Gp, D)
+    out = _paged_attention_rows(
+        qg, k_cache, v_cache, page_table, lengths, layer,
+        sm_scale=sm_scale, pages_per_chunk=pages_per_chunk, q_span=QS, gp=Gp,
+        interpret=interpret,
+    )  # [B, KVH, QS*Gp, D]
+    out = out.reshape(B, KVH, QS, Gp, D)[:, :, :, :G, :]
+    return jnp.transpose(out, (0, 2, 1, 3, 4)).reshape(B, QS, QH, D)
 
 
 @functools.partial(
@@ -212,6 +260,39 @@ def paged_attention(
     assert QH % KVH == 0
     G = QH // KVH
     Gp = max(G, 8)  # sublane-pad the head-group dim
+    qg = q.reshape(B, KVH, G, D)
+    if Gp != G:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, Gp - G), (0, 0)))
+    out = _paged_attention_rows(
+        qg, k_cache, v_cache, page_table, lengths, layer,
+        sm_scale=sm_scale, pages_per_chunk=pages_per_chunk, q_span=1, gp=Gp,
+        interpret=interpret,
+    )
+    out = out[:, :, :G, :]
+    return out.reshape(B, QH, D)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sm_scale", "pages_per_chunk", "q_span", "gp", "interpret"),
+)
+def _paged_attention_rows(
+    qg: jax.Array,  # [B, KVH, R, D] with R = q_span * gp
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    page_table: jax.Array,
+    lengths: jax.Array,
+    layer: jax.Array | int,
+    *,
+    sm_scale: float,
+    pages_per_chunk: int,
+    q_span: int,
+    gp: int,
+    interpret: bool,
+) -> jax.Array:
+    B, KVH, R, D = qg.shape
+    L, _, n_pages, ps, _ = k_cache.shape
+    assert R == q_span * gp
     pmax = page_table.shape[1]
     ppc = min(pages_per_chunk, pmax)
     if pmax % ppc != 0:
@@ -219,10 +300,6 @@ def paged_attention(
         page_table = jnp.pad(page_table, ((0, 0), (0, pad)))
         pmax += pad
     n_chunks = pmax // ppc
-
-    qg = q.reshape(B, KVH, G, D)
-    if Gp != G:
-        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, Gp - G), (0, 0)))
 
     layer = jnp.clip(jnp.asarray(layer, jnp.int32).reshape(1), 0, L - 1)
     lengths = jnp.asarray(lengths, jnp.int32)
@@ -234,15 +311,15 @@ def paged_attention(
         num_scalar_prefetch=5,
         grid=(B, KVH, n_chunks),
         in_specs=[
-            pl.BlockSpec((1, 1, Gp, D), lambda b, h, c, *_: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, R, D), lambda b, h, c, *_: (b, h, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, 1, Gp, D), lambda b, h, c, *_: (b, h, 0, 0)),
+        out_specs=pl.BlockSpec((1, 1, R, D), lambda b, h, c, *_: (b, h, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((Gp, 128), jnp.float32),
-            pltpu.VMEM((Gp, 128), jnp.float32),
-            pltpu.VMEM((Gp, D), jnp.float32),
+            pltpu.VMEM((R, 128), jnp.float32),
+            pltpu.VMEM((R, 128), jnp.float32),
+            pltpu.VMEM((R, D), jnp.float32),
             pltpu.VMEM((2, ppc, ps, D), k_cache.dtype),
             pltpu.VMEM((2, ppc, ps, D), v_cache.dtype),
             pltpu.SemaphoreType.DMA((2,)),
@@ -256,20 +333,52 @@ def paged_attention(
         pages_per_chunk=ppc,
         pmax=pmax,
         sm_scale=sm_scale,
+        q_span=q_span,
+        gp=gp,
     )
 
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, KVH, Gp, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, KVH, R, D), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(layer, lengths, pt_flat, buf_idx0, init0, qg, k_cache, v_cache)
 
-    out = out[:, :, :G, :]
-    return out.reshape(B, QH, D)
+
+def paged_attention_spec_xla(
+    q: jax.Array,  # [B, QS, QH, D]
+    k_cache: jax.Array,
+    v_cache: jax.Array,
+    page_table: jax.Array,
+    lengths: jax.Array,  # [B] total incl. QS new tokens
+    layer: jax.Array | int,
+    *,
+    sm_scale: float,
+) -> jax.Array:
+    """Reference XLA implementation of the verify attention."""
+    B, QS, QH, D = q.shape
+    L, KVH, n_pages, ps, _ = k_cache.shape
+    G = QH // KVH
+    layer = jnp.asarray(layer, jnp.int32)
+    kl = jax.lax.dynamic_index_in_dim(k_cache, layer, 0, keepdims=False)
+    vl = jax.lax.dynamic_index_in_dim(v_cache, layer, 0, keepdims=False)
+    kg = jnp.swapaxes(kl[:, page_table], 0, 1).reshape(B, KVH, -1, D)
+    vg = jnp.swapaxes(vl[:, page_table], 0, 1).reshape(B, KVH, -1, D)
+    qg = q.reshape(B, QS, KVH, G, D)
+    s = jnp.einsum(
+        "btkgd,bksd->btkgs", qg.astype(jnp.float32), kg.astype(jnp.float32)
+    ) * sm_scale
+    S = s.shape[-1]
+    key_pos = jnp.arange(S)[None, None, :]
+    limit = (lengths[:, None] - (QS - 1) + jnp.arange(QS)[None, :])[:, :, None]
+    mask = key_pos < limit  # [B, QS, S]
+    s = jnp.where(mask[:, :, None, None, :], s, MASK_VALUE)
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("btkgs,bksd->btkgd", p, vg.astype(jnp.float32))
+    return o.reshape(B, QS, QH, D)
 
 
 def paged_attention_xla(
