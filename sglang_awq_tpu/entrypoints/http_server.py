@@ -50,6 +50,8 @@ class HttpServer:
         r.add_post("/flush_cache", self.flush_cache)
         r.add_post("/abort_request", self.abort_request)
         r.add_post("/update_weights_from_disk", self.update_weights_from_disk)
+        r.add_post("/open_session", self.open_session)
+        r.add_post("/close_session", self.close_session)
         r.add_post("/v1/completions", self.v1_completions)
         r.add_post("/v1/chat/completions", self.v1_chat_completions)
         r.add_get("/v1/models", self.v1_models)
@@ -139,6 +141,7 @@ class HttpServer:
             rid=body.get("rid"),
             stream=bool(body.get("stream", False)),
             return_logprob=bool(body.get("return_logprob", False)),
+            session_params=body.get("session_params"),
         )
         state = self._submit(gin)
         if not gin.stream:
@@ -168,6 +171,21 @@ class HttpServer:
             status=200 if ok else 503,
             text="Cache flushed.\n" if ok else "Cache not flushed (requests in flight).\n",
         )
+
+    async def open_session(self, request: web.Request) -> web.Response:
+        body = await request.json() if request.can_read_body else {}
+        try:
+            sid = self.engine.tokenizer_manager.sessions.open_session(
+                (body or {}).get("session_id")
+            )
+        except ValueError as e:
+            return web.json_response({"error": str(e)}, status=400)
+        return web.json_response(sid)
+
+    async def close_session(self, request: web.Request) -> web.Response:
+        body = await request.json()
+        self.engine.tokenizer_manager.sessions.close_session(body.get("session_id"))
+        return web.Response(text="OK")
 
     async def update_weights_from_disk(self, request: web.Request) -> web.Response:
         body = await request.json()

@@ -36,6 +36,7 @@ class GenerateReqInput:
     rid: Optional[str] = None
     stream: bool = False
     return_logprob: bool = False
+    session_params: Optional[Dict[str, Any]] = None  # {"id": session_id}
 
     def normalize(self):
         if self.rid is None:
@@ -61,6 +62,9 @@ class ReqState:
 
 class TokenizerManager:
     def __init__(self, tokenizer, eos_token_ids: set, scheduler_submit, scheduler_abort):
+        from sglang_awq_tpu.managers.session_controller import SessionController
+
+        self.sessions = SessionController()
         self.tokenizer = tokenizer
         self.eos_token_ids = set(eos_token_ids)
         if tokenizer is not None and tokenizer.eos_token_id is not None:
@@ -83,6 +87,12 @@ class TokenizerManager:
             ids = self.tokenizer.encode(gin.text)
         if len(ids) == 0:
             raise ValueError("empty prompt")
+        session_id = (gin.session_params or {}).get("id")
+        session_ctx_len = 0
+        if session_id:
+            ctx = self.sessions.get_context(session_id)
+            session_ctx_len = len(ctx)
+            ids = ctx + ids
         req = Req(
             rid=gin.rid,
             input_ids=ids,
@@ -94,6 +104,8 @@ class TokenizerManager:
             self.tokenizer, skip_special_tokens=sp.skip_special_tokens
         )
         state = ReqState(req, detok)
+        state.session_id = session_id
+        state.session_ctx_len = session_ctx_len
         with self.lock:
             self.states[gin.rid] = state
         self._submit(req)
@@ -167,6 +179,11 @@ class TokenizerManager:
         }
         state.out_queue.put(chunk)
         if emit_finish:
+            sid = getattr(state, "session_id", None)
+            if sid:
+                # session history gains this turn's new input + the output
+                new_in = state.req.input_ids[getattr(state, "session_ctx_len", 0):]
+                self.sessions.append(sid, list(new_in) + list(state.req.output_ids))
             state.finished = True
             state.out_queue.put(None)  # sentinel
 

@@ -210,7 +210,7 @@ def awq_matmul_raw(
     group_size: int,
     pack_block: int,
     block_m: int = 512,
-    block_n: int = 512,
+    block_n: int = 2048,
     out_dtype=jnp.float32,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
@@ -259,6 +259,7 @@ def awq_matmul_raw(
         out_shape=jax.ShapeDtypeStruct((m_pad, N), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * m_pad * K * N,
@@ -309,7 +310,7 @@ def awq_matmul(
     group_size: int,
     pack_block: int,
     block_m: int = 512,
-    block_n: int = 512,
+    block_n: int = 2048,
     out_dtype=jnp.bfloat16,
     interpret: Optional[bool] = None,
 ) -> jax.Array:

@@ -284,3 +284,38 @@ def test_stop_string(server_url):
         ).json()
         assert stop not in r2["text"]
         assert r2["meta_info"]["finish_reason"]["type"] == "stop"
+
+
+def test_sessions(server_url):
+    sid = httpx.post(f"{server_url}/open_session", json={}, timeout=30).json()
+    r1 = httpx.post(
+        f"{server_url}/generate",
+        json={
+            "input_ids": [10, 11, 12, 13],
+            "session_params": {"id": sid},
+            "sampling_params": {"max_new_tokens": 3, "temperature": 0.0, "ignore_eos": True},
+        },
+        timeout=120,
+    ).json()
+    # second turn continues the session; prompt_tokens includes the history
+    r2 = httpx.post(
+        f"{server_url}/generate",
+        json={
+            "input_ids": [20, 21],
+            "session_params": {"id": sid},
+            "sampling_params": {"max_new_tokens": 3, "temperature": 0.0, "ignore_eos": True},
+        },
+        timeout=120,
+    ).json()
+    assert r2["meta_info"]["prompt_tokens"] == 4 + 3 + 2
+    # prefix cache should cover the replayed history
+    assert r2["meta_info"]["cached_tokens"] >= 0
+    httpx.post(f"{server_url}/close_session", json={"session_id": sid}, timeout=30)
+    # unknown session -> 400
+    r3 = httpx.post(
+        f"{server_url}/generate",
+        json={"input_ids": [1, 2], "session_params": {"id": sid},
+              "sampling_params": {"max_new_tokens": 2}},
+        timeout=30,
+    )
+    assert r3.status_code == 400
