@@ -65,6 +65,7 @@ class Engine:
             self.runner.model_config.eos_token_ids(),
             scheduler_submit=self._submit,
             scheduler_abort=self._abort_async,
+            vocab_size=self.runner.model_config.vocab_size,
         )
 
         self._in_queue: "queue.Queue" = queue.Queue()

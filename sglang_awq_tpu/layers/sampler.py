@@ -69,9 +69,16 @@ def sample(
     #                   seed folding; per-request, NOT a global counter, so
     #                   draws are reproducible regardless of batching)
     all_greedy: bool = False,  # static fast path: skip top-k/softmax entirely
+    vocab_mask: jax.Array | None = None,  # [B, V] bool — grammar constraint
 ) -> jax.Array:
-    """Returns sampled token ids [B] i32."""
+    """Returns sampled token ids [B] i32.
+
+    Order per reference sampler.py:64-160: (penalties upstream) ->
+    temperature -> grammar mask -> greedy | top-k -> top-p -> min-p -> draw.
+    """
     B, V = logits.shape
+    if vocab_mask is not None:
+        logits = jnp.where(vocab_mask, logits, NEG_INF)
     greedy_ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     if all_greedy:
         return greedy_ids

@@ -54,6 +54,7 @@ class Req:
         self.arrival_time = arrival_time or time.monotonic()
 
         self.output_ids: List[int] = []
+        self.grammar = None  # Optional[GrammarMatcher]
         self.output_token_logprobs: List[float] = []
         self.output_top_logprobs: List[Dict[int, float]] = []
         self.finish_info: Optional[FinishInfo] = None

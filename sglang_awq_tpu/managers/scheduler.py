@@ -167,7 +167,8 @@ class Scheduler:
             outputs += self._run_prefill_chunk(prefill_req)
         elif self.running:
             if self.ngram is not None and all(
-                r.sampling_params.is_greedy for r in self.running
+                r.sampling_params.is_greedy and r.grammar is None
+                for r in self.running
             ):
                 outputs += self._run_decode_step_spec()
             else:
@@ -255,7 +256,12 @@ class Scheduler:
             sampling=req.sampling_row(),
         )
         want_lp = req.sampling_params.return_logprob
-        next_id, lp = self.runner.forward_extend(ext, want_logprobs=want_lp)
+        vm = None
+        if req.grammar is not None and req.extend_len <= chunk:
+            vm = req.grammar.vocab_mask()[None, :]
+        next_id, lp = self.runner.forward_extend(
+            ext, want_logprobs=want_lp, vocab_mask=vm
+        )
         req.fill_len = target
         self._cache_unfinished(req)
 
@@ -278,12 +284,25 @@ class Scheduler:
             if req.first_token_time is None:
                 req.first_token_time = time.monotonic()
             req.check_finished(next_id)
+            self._advance_grammar(req, next_id)
             outputs.append(ReqOutput(req, [next_id]))
         if req.finished():
             self._finish_req(req)
         else:
             self.running.append(req)
         return outputs
+
+    def _advance_grammar(self, req: Req, token: int):
+        """Advance the grammar DFA; force-finish when the grammar completes
+        (EOS under mask, or no continuation remains)."""
+        g = req.grammar
+        if g is None or req.finished():
+            if g is not None and req.finished():
+                pass
+            return
+        g.accept_token(token)
+        if g.finished or g.is_terminated():
+            req.finish_info = FinishInfo(FinishReason.STOP_STR)
 
     def _record_logprobs(self, req: Req, lp: dict, row: int):
         req.output_token_logprobs.append(float(lp["logprobs"][row]))
@@ -378,7 +397,16 @@ class Scheduler:
             sampling=rows,
         )
         want_lp = any(r.sampling_params.return_logprob for r in self.running)
-        ids, lp = self.runner.forward_decode(d, want_logprobs=want_lp)
+        vocab_mask = None
+        if any(r.grammar is not None for r in self.running):
+            V = self.runner.model_config.vocab_size
+            vocab_mask = np.ones((B, V), bool)
+            for i, r in enumerate(self.running):
+                if r.grammar is not None:
+                    vocab_mask[i] = r.grammar.vocab_mask()
+        ids, lp = self.runner.forward_decode(
+            d, want_logprobs=want_lp, vocab_mask=vocab_mask
+        )
 
         outputs = []
         still_running = []
@@ -389,6 +417,7 @@ class Scheduler:
             if want_lp and r.sampling_params.return_logprob:
                 self._record_logprobs(r, lp, i)
             r.check_finished(new_id)
+            self._advance_grammar(r, new_id)
             outputs.append(ReqOutput(r, [new_id]))
             if r.finished():
                 self._finish_req(r)

@@ -61,10 +61,18 @@ class ReqState:
 
 
 class TokenizerManager:
-    def __init__(self, tokenizer, eos_token_ids: set, scheduler_submit, scheduler_abort):
+    def __init__(
+        self,
+        tokenizer,
+        eos_token_ids: set,
+        scheduler_submit,
+        scheduler_abort,
+        vocab_size: int = 0,
+    ):
         from sglang_awq_tpu.managers.session_controller import SessionController
 
         self.sessions = SessionController()
+        self.vocab_size = vocab_size
         self.tokenizer = tokenizer
         self.eos_token_ids = set(eos_token_ids)
         if tokenizer is not None and tokenizer.eos_token_id is not None:
@@ -100,6 +108,20 @@ class TokenizerManager:
             stream=gin.stream,
             eos_token_ids=self.eos_token_ids,
         )
+        if sp.regex or sp.json_schema:
+            if self.tokenizer is None:
+                raise ValueError("structured output requires a tokenizer")
+            from sglang_awq_tpu.constrained import GrammarMatcher, compile_grammar
+
+            kind, spec_src = (
+                ("regex", sp.regex) if sp.regex else ("json_schema", sp.json_schema)
+            )
+            compiled = compile_grammar(
+                kind, spec_src, self.tokenizer, self.vocab_size, self.eos_token_ids
+            )
+            req.grammar = GrammarMatcher(compiled)
+        else:
+            req.grammar = None
         detok = IncrementalDetokenizer(
             self.tokenizer, skip_special_tokens=sp.skip_special_tokens
         )

@@ -241,47 +241,51 @@ class ModelRunner:
     # jitted step builders
     # ------------------------------------------------------------------
 
-    def _extend_fn(self, t_pad: int, n_pages: int, all_greedy: bool, want_lp: bool):
-        key = ("extend", t_pad, n_pages, all_greedy, want_lp)
+    def _extend_fn(self, t_pad: int, n_pages: int, all_greedy: bool, want_lp: bool, want_mask: bool = False):
+        key = ("extend", t_pad, n_pages, all_greedy, want_lp, want_mask)
         if key in self._fns:
             return self._fns[key]
         model = self.model
 
-        def raw(params, kc, vc, rope, tokens, positions, slots, pages, prefix_len, q_len, info, step):
+        def raw(params, kc, vc, rope, tokens, positions, slots, pages, prefix_len, q_len, info, step, *mask):
             logits, kc, vc = model.extend_step(
                 params, kc, vc, rope, tokens, positions, slots, pages, prefix_len, q_len
             )
-            ids = sample(logits, info, step, all_greedy=all_greedy)
+            vm = mask[0] if want_mask else None
+            ids = sample(logits, info, step, all_greedy=all_greedy, vocab_mask=vm)
             if want_lp:
                 lp, top_ids, top_vals = logprob_outputs(logits, ids)
                 return ids, lp, top_ids, top_vals, kc, vc
             return ids, kc, vc
 
         fn = jax.jit(
-            self._wrap_step(raw, 8, n_replicated_out=4 if want_lp else 1),
+            self._wrap_step(raw, 8 + (1 if want_mask else 0),
+                            n_replicated_out=4 if want_lp else 1),
             donate_argnums=(1, 2),
         )
         self._fns[key] = fn
         return fn
 
-    def _decode_fn(self, bs: int, all_greedy: bool, want_lp: bool):
-        key = ("decode", bs, all_greedy, want_lp)
+    def _decode_fn(self, bs: int, all_greedy: bool, want_lp: bool, want_mask: bool = False):
+        key = ("decode", bs, all_greedy, want_lp, want_mask)
         if key in self._fns:
             return self._fns[key]
         model = self.model
 
-        def raw(params, kc, vc, rope, tokens, positions, slots, page_table, lengths, info, steps):
+        def raw(params, kc, vc, rope, tokens, positions, slots, page_table, lengths, info, steps, *mask):
             logits, kc, vc = model.decode_step(
                 params, kc, vc, rope, tokens, positions, slots, page_table, lengths
             )
-            ids = sample(logits, info, steps, all_greedy=all_greedy)
+            vm = mask[0] if want_mask else None
+            ids = sample(logits, info, steps, all_greedy=all_greedy, vocab_mask=vm)
             if want_lp:
                 lp, top_ids, top_vals = logprob_outputs(logits, ids)
                 return ids, lp, top_ids, top_vals, kc, vc
             return ids, kc, vc
 
         fn = jax.jit(
-            self._wrap_step(raw, 7, n_replicated_out=4 if want_lp else 1),
+            self._wrap_step(raw, 7 + (1 if want_mask else 0),
+                            n_replicated_out=4 if want_lp else 1),
             donate_argnums=(1, 2),
         )
         self._fns[key] = fn
@@ -322,7 +326,10 @@ class ModelRunner:
     # ------------------------------------------------------------------
 
     def forward_extend(
-        self, ext: ExtendInput, want_logprobs: bool = False
+        self,
+        ext: ExtendInput,
+        want_logprobs: bool = False,
+        vocab_mask: Optional[np.ndarray] = None,
     ) -> Tuple[int, Optional[dict]]:
         """Run one chunk; returns (sampled next-token id, logprob dict|None).
 
@@ -335,7 +342,9 @@ class ModelRunner:
         pg_pad = pick_bucket(max(total_pages, 1), self.prefill_page_buckets)
         row = ext.sampling
         all_greedy = row is None or row.temperature < 1e-5
-        fn = self._extend_fn(t_pad, pg_pad, all_greedy, want_logprobs)
+        fn = self._extend_fn(
+            t_pad, pg_pad, all_greedy, want_logprobs, vocab_mask is not None
+        )
 
         tokens = np.zeros(t_pad, np.int32)
         tokens[:T] = ext.tokens
@@ -362,6 +371,8 @@ class ModelRunner:
             info,
             jnp.int32(0),
         )
+        if vocab_mask is not None:
+            args = args + (jnp.asarray(vocab_mask.reshape(1, -1)),)
         if want_logprobs:
             ids, lp, top_ids, top_vals, self.k_cache, self.v_cache = fn(*args)
             return int(np.asarray(ids)[0]), {
@@ -373,12 +384,17 @@ class ModelRunner:
         return int(np.asarray(ids)[0]), None
 
     def forward_decode(
-        self, d: DecodeInput, want_logprobs: bool = False
+        self,
+        d: DecodeInput,
+        want_logprobs: bool = False,
+        vocab_mask: Optional[np.ndarray] = None,
     ) -> Tuple[np.ndarray, Optional[dict]]:
         """One decode step over a padded batch -> (ids [bs_pad], logprobs)."""
         bs = len(d.tokens)
         bs_pad = pick_bucket(bs, self.decode_bs_buckets)
-        fn = self._decode_fn(bs_pad, d.all_greedy(), want_logprobs)
+        fn = self._decode_fn(
+            bs_pad, d.all_greedy(), want_logprobs, vocab_mask is not None
+        )
         arrays = self._pad_decode(d, bs_pad)
         info = _sampling_info(d.sampling_padded(bs_pad))
         steps = np.zeros(bs_pad, np.int32)
@@ -389,6 +405,10 @@ class ModelRunner:
             self.params, self.k_cache, self.v_cache, self.rope_tab,
             *arrays, info, jnp.asarray(steps),
         )
+        if vocab_mask is not None:
+            vm = np.ones((bs_pad, vocab_mask.shape[1]), bool)
+            vm[:bs] = vocab_mask
+            args = args + (jnp.asarray(vm),)
         if want_logprobs:
             ids, lp, top_ids, top_vals, self.k_cache, self.v_cache = fn(*args)
             return np.asarray(ids), {

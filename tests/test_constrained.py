@@ -1,0 +1,130 @@
+"""Constrained decoding: regex + JSON-schema outputs must satisfy the
+grammar (reference constrained/ backends, vocab-bitmask approach).
+"""
+
+import json
+import re as _re
+
+import numpy as np
+import pytest
+
+from sglang_awq_tpu.configs.model_config import ModelConfig
+from sglang_awq_tpu.constrained.grammar_backend import GrammarMatcher, compile_grammar
+from sglang_awq_tpu.constrained.json_schema import schema_to_regex
+from sglang_awq_tpu.constrained.regex_engine import compile_regex
+from sglang_awq_tpu.entrypoints.engine import Engine
+from sglang_awq_tpu.server_args import ServerArgs
+
+from .utils import TINY_LLAMA_CFG, ByteTokenizer, tiny_hf_model_and_tensors
+
+
+@pytest.mark.parametrize(
+    "pattern,good,bad",
+    [
+        (r"abc", ["abc"], ["ab", "abcd"]),
+        (r"a+b*", ["a", "aab", "abbb"], ["", "ba"]),
+        (r"[0-9]{2,4}", ["12", "1234"], ["1", "12345"]),
+        (r"(foo|bar)+", ["foo", "barfoo"], ["fo"]),
+        (r"-?\d+(\.\d+)?", ["-3", "3.14"], ["3.", "-"]),
+        (r"yes|no", ["yes", "no"], ["maybe"]),
+    ],
+)
+def test_regex_engine(pattern, good, bad):
+    dfa = compile_regex(pattern)
+    for s in good:
+        assert dfa.matches(s.encode()), (pattern, s)
+    for s in bad:
+        assert not dfa.matches(s.encode()), (pattern, s)
+
+
+def test_schema_regex():
+    schema = {
+        "type": "object",
+        "properties": {
+            "name": {"type": "string"},
+            "age": {"type": "integer"},
+            "tags": {"type": "array", "items": {"type": "string"}},
+        },
+        "required": ["name", "age", "tags"],
+    }
+    dfa = compile_regex(schema_to_regex(schema))
+    assert dfa.matches(json.dumps({"name": "b", "age": 4, "tags": ["x", "y"]}).encode())
+    assert not dfa.matches(b'{"name": "b"}')
+
+
+def test_grammar_matcher_masks():
+    tok = ByteTokenizer()
+    compiled = compile_grammar("regex", r"ab+", tok, 512, {2})
+    m = GrammarMatcher(compiled)
+    mask = m.vocab_mask()
+    a_id, b_id = ord("a") + 3, ord("b") + 3
+    assert mask[a_id] and not mask[b_id]
+    assert not mask[2]  # EOS not allowed before accept state
+    assert m.accept_token(a_id)
+    mask = m.vocab_mask()
+    assert mask[b_id] and not mask[a_id]
+    assert m.accept_token(b_id)
+    assert m.vocab_mask()[2]  # accepting: EOS allowed
+
+
+@pytest.fixture(scope="module")
+def eng():
+    _, tensors = tiny_hf_model_and_tensors()
+    mc = ModelConfig(model_path="", hf_config=dict(TINY_LLAMA_CFG))
+    sa = ServerArgs(model_path="tiny", page_size=8, max_total_tokens=1024,
+                    chunked_prefill_size=32)
+    e = Engine(server_args=sa, model_config=mc, tensors=tensors,
+               tokenizer=ByteTokenizer())
+    yield e
+    e.shutdown()
+
+
+def test_engine_regex_constrained(eng):
+    out = eng.generate(
+        prompt="The answer is",
+        sampling_params={
+            "max_new_tokens": 12,
+            "temperature": 0.0,
+            "regex": r"(yes|no)!",
+        },
+    )
+    assert out["text"] in ("yes!", "no!"), out["text"]
+    assert out["meta_info"]["finish_reason"]["type"] == "stop"
+
+
+def test_engine_json_constrained(eng):
+    # finite value spaces: a random test model picks argmax tokens with no
+    # preference for closing an unbounded integer before the budget runs out
+    schema = json.dumps(
+        {
+            "type": "object",
+            "properties": {
+                "ok": {"type": "boolean"},
+                "kind": {"enum": ["a", "b"]},
+            },
+            "required": ["ok", "kind"],
+        }
+    )
+    out = eng.generate(
+        prompt="give json",
+        sampling_params={
+            "max_new_tokens": 48,
+            "temperature": 0.0,
+            "json_schema": schema,
+        },
+    )
+    doc = json.loads(out["text"])
+    assert isinstance(doc["ok"], bool) and doc["kind"] in ("a", "b")
+
+
+def test_engine_regex_with_sampling(eng):
+    out = eng.generate(
+        prompt="pick",
+        sampling_params={
+            "max_new_tokens": 8,
+            "temperature": 1.0,
+            "seed": 7,
+            "regex": r"[abc]{3}",
+        },
+    )
+    assert _re.fullmatch(r"[abc]{3}", out["text"]), out["text"]
