@@ -397,15 +397,23 @@ class Scheduler:
             sampling=rows,
         )
         want_lp = any(r.sampling_params.return_logprob for r in self.running)
+        V = self.runner.model_config.vocab_size
         vocab_mask = None
         if any(r.grammar is not None for r in self.running):
-            V = self.runner.model_config.vocab_size
             vocab_mask = np.ones((B, V), bool)
             for i, r in enumerate(self.running):
                 if r.grammar is not None:
                     vocab_mask[i] = r.grammar.vocab_mask()
+        output_counts = None
+        if any(r.sampling_params.has_penalties for r in self.running):
+            output_counts = np.zeros((B, V), np.int32)
+            for i, r in enumerate(self.running):
+                if r.sampling_params.has_penalties and r.output_ids:
+                    ids_np = np.asarray(r.output_ids)
+                    np.add.at(output_counts[i], ids_np[ids_np < V], 1)
         ids, lp = self.runner.forward_decode(
-            d, want_logprobs=want_lp, vocab_mask=vocab_mask
+            d, want_logprobs=want_lp, vocab_mask=vocab_mask,
+            output_counts=output_counts,
         )
 
         outputs = []

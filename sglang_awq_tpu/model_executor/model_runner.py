@@ -126,6 +126,15 @@ class ModelRunner:
         )
         self._fns: Dict[Any, Any] = {}
         self.decode_steps_counter = 0
+        # page-table width buckets: the decode attention grid iterates
+        # pmax/ppc chunks per (seq, head) — sizing to the live batch's max
+        # pages (not the context limit) kills dead grid steps
+        self.pmax_buckets = []
+        w = 8
+        while w < self.pmax:
+            self.pmax_buckets.append(w)
+            w *= 2
+        self.pmax_buckets.append(self.pmax)
 
     # ------------------------------------------------------------------
     # sharding (tp > 1)
@@ -266,17 +275,25 @@ class ModelRunner:
         self._fns[key] = fn
         return fn
 
-    def _decode_fn(self, bs: int, all_greedy: bool, want_lp: bool, want_mask: bool = False):
-        key = ("decode", bs, all_greedy, want_lp, want_mask)
+    def _decode_fn(
+        self, bs: int, pt_w: int, all_greedy: bool, want_lp: bool,
+        want_mask: bool = False, want_pen: bool = False,
+    ):
+        key = ("decode", bs, pt_w, all_greedy, want_lp, want_mask, want_pen)
         if key in self._fns:
             return self._fns[key]
         model = self.model
+        vocab = self.model_config.vocab_size
 
-        def raw(params, kc, vc, rope, tokens, positions, slots, page_table, lengths, info, steps, *mask):
+        def raw(params, kc, vc, rope, tokens, positions, slots, page_table, lengths, info, steps, *extra):
             logits, kc, vc = model.decode_step(
                 params, kc, vc, rope, tokens, positions, slots, page_table, lengths
             )
-            vm = mask[0] if want_mask else None
+            extra = list(extra)
+            if want_pen:
+                counts = extra.pop(0)
+                logits = apply_penalties(logits, counts, info, vocab)
+            vm = extra.pop(0) if want_mask else None
             ids = sample(logits, info, steps, all_greedy=all_greedy, vocab_mask=vm)
             if want_lp:
                 lp, top_ids, top_vals = logprob_outputs(logits, ids)
@@ -284,15 +301,18 @@ class ModelRunner:
             return ids, kc, vc
 
         fn = jax.jit(
-            self._wrap_step(raw, 7 + (1 if want_mask else 0),
-                            n_replicated_out=4 if want_lp else 1),
+            self._wrap_step(
+                raw,
+                7 + (1 if want_mask else 0) + (1 if want_pen else 0),
+                n_replicated_out=4 if want_lp else 1,
+            ),
             donate_argnums=(1, 2),
         )
         self._fns[key] = fn
         return fn
 
-    def _decode_multi_fn(self, bs: int, n_steps: int, all_greedy: bool):
-        key = ("decode_multi", bs, n_steps, all_greedy)
+    def _decode_multi_fn(self, bs: int, pt_w: int, n_steps: int, all_greedy: bool):
+        key = ("decode_multi", bs, pt_w, n_steps, all_greedy)
         if key in self._fns:
             return self._fns[key]
         model = self.model
@@ -388,14 +408,17 @@ class ModelRunner:
         d: DecodeInput,
         want_logprobs: bool = False,
         vocab_mask: Optional[np.ndarray] = None,
+        output_counts: Optional[np.ndarray] = None,  # [B, V] i32 (penalties)
     ) -> Tuple[np.ndarray, Optional[dict]]:
         """One decode step over a padded batch -> (ids [bs_pad], logprobs)."""
         bs = len(d.tokens)
         bs_pad = pick_bucket(bs, self.decode_bs_buckets)
+        pt_w = pick_bucket(d.page_table.shape[1], self.pmax_buckets)
         fn = self._decode_fn(
-            bs_pad, d.all_greedy(), want_logprobs, vocab_mask is not None
+            bs_pad, pt_w, d.all_greedy(), want_logprobs,
+            vocab_mask is not None, output_counts is not None,
         )
-        arrays = self._pad_decode(d, bs_pad)
+        arrays = self._pad_decode(d, bs_pad, pt_w)
         info = _sampling_info(d.sampling_padded(bs_pad))
         steps = np.zeros(bs_pad, np.int32)
         if d.sample_steps is not None:
@@ -405,6 +428,10 @@ class ModelRunner:
             self.params, self.k_cache, self.v_cache, self.rope_tab,
             *arrays, info, jnp.asarray(steps),
         )
+        if output_counts is not None:
+            oc = np.zeros((bs_pad, output_counts.shape[1]), np.int32)
+            oc[:bs] = output_counts
+            args = args + (jnp.asarray(oc),)
         if vocab_mask is not None:
             vm = np.ones((bs_pad, vocab_mask.shape[1]), bool)
             vm[:bs] = vocab_mask
@@ -426,8 +453,9 @@ class ModelRunner:
         """
         bs = len(d.tokens)
         bs_pad = pick_bucket(bs, self.decode_bs_buckets)
-        fn = self._decode_multi_fn(bs_pad, n_steps, d.all_greedy())
-        tokens, _, _, page_table, lengths = self._pad_decode(d, bs_pad)
+        pt_w = pick_bucket(d.page_table.shape[1], self.pmax_buckets)
+        fn = self._decode_multi_fn(bs_pad, pt_w, n_steps, d.all_greedy())
+        tokens, _, _, page_table, lengths = self._pad_decode(d, bs_pad, pt_w)
         info = _sampling_info(d.sampling_padded(bs_pad))
         steps0 = np.zeros(bs_pad, np.int32)
         if d.sample_steps is not None:
@@ -439,7 +467,7 @@ class ModelRunner:
         )
         return np.asarray(all_ids)
 
-    def _pad_decode(self, d: DecodeInput, bs_pad: int):
+    def _pad_decode(self, d: DecodeInput, bs_pad: int, pt_w: int):
         bs = len(d.tokens)
         tokens = np.zeros(bs_pad, np.int32)
         tokens[:bs] = d.tokens
@@ -447,8 +475,9 @@ class ModelRunner:
         positions[:bs] = d.positions
         slots = np.full(bs_pad, PAD_SLOT, np.int32)
         slots[:bs] = d.slots
-        pt = np.zeros((bs_pad, self.pmax), np.int32)
-        pt[:bs, : d.page_table.shape[1]] = d.page_table[:, : self.pmax]
+        pt = np.zeros((bs_pad, pt_w), np.int32)
+        w = min(d.page_table.shape[1], pt_w)
+        pt[:bs, :w] = d.page_table[:, :w]
         lengths = np.zeros(bs_pad, np.int32)
         lengths[:bs] = d.lengths
         return (
@@ -459,8 +488,8 @@ class ModelRunner:
             jnp.asarray(lengths),
         )
 
-    def _spec_verify_fn(self, bs: int, q_span: int):
-        key = ("spec_verify", bs, q_span)
+    def _spec_verify_fn(self, bs: int, q_span: int, pt_w: int):
+        key = ("spec_verify", bs, q_span, pt_w)
         if key in self._fns:
             return self._fns[key]
         model = self.model
@@ -490,15 +519,17 @@ class ModelRunner:
         """Speculative verify step -> greedy ids [bs_pad, QS]."""
         bs, qs = tokens.shape
         bs_pad = pick_bucket(bs, self.decode_bs_buckets)
-        fn = self._spec_verify_fn(bs_pad, qs)
+        pt_w = pick_bucket(page_table.shape[1], self.pmax_buckets)
+        fn = self._spec_verify_fn(bs_pad, qs, pt_w)
 
         def pad2(a, fill=0):
             out = np.full((bs_pad, qs), fill, a.dtype)
             out[:bs] = a
             return out
 
-        pt = np.zeros((bs_pad, self.pmax), np.int32)
-        pt[:bs, : page_table.shape[1]] = page_table[:, : self.pmax]
+        pt = np.zeros((bs_pad, pt_w), np.int32)
+        w = min(page_table.shape[1], pt_w)
+        pt[:bs, :w] = page_table[:, :w]
         lens = np.zeros(bs_pad, np.int32)
         lens[:bs] = lengths
         self.decode_steps_counter += 1

@@ -69,6 +69,14 @@ class SamplingParams:
     def is_greedy(self) -> bool:
         return self.temperature < 1e-5
 
+    @property
+    def has_penalties(self) -> bool:
+        return (
+            self.frequency_penalty != 0.0
+            or self.presence_penalty != 0.0
+            or self.repetition_penalty != 1.0
+        )
+
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "SamplingParams":
         fields = {f.name for f in dataclasses.fields(cls)}

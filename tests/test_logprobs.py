@@ -51,3 +51,25 @@ def test_no_logprobs_by_default(eng):
         sampling_params={"max_new_tokens": 2, "temperature": 0.0, "ignore_eos": True},
     )
     assert out["meta_info"]["output_token_logprobs"] is None
+
+
+def test_penalties_applied(eng):
+    """Frequency penalty must break greedy repetition loops."""
+    prompt = [7, 8, 9, 7, 8, 9]
+    plain = eng.generate(
+        input_ids=prompt,
+        sampling_params={"max_new_tokens": 12, "temperature": 0.0, "ignore_eos": True},
+    )["output_ids"]
+    pen = eng.generate(
+        input_ids=prompt,
+        sampling_params={
+            "max_new_tokens": 12,
+            "temperature": 0.0,
+            "ignore_eos": True,
+            "frequency_penalty": 2.0,
+        },
+    )["output_ids"]
+    # the unpenalized run repeats tokens; the penalized one must diverge
+    assert plain != pen
+    # and produce strictly more distinct tokens
+    assert len(set(pen)) >= len(set(plain))
