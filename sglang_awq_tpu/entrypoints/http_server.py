@@ -55,6 +55,8 @@ class HttpServer:
         r.add_post("/v1/completions", self.v1_completions)
         r.add_post("/v1/chat/completions", self.v1_chat_completions)
         r.add_get("/v1/models", self.v1_models)
+        r.add_post("/v1/embeddings", self.v1_embeddings)
+        r.add_post("/encode", self.encode)
         r.add_get("/metrics", self.metrics)
 
     # ------------------------------------------------------------------
@@ -212,6 +214,53 @@ class HttpServer:
     # ------------------------------------------------------------------
     # OpenAI endpoints
     # ------------------------------------------------------------------
+
+    async def encode(self, request: web.Request) -> web.Response:
+        """Native embedding endpoint (reference http_server.py /encode)."""
+        body = await request.json()
+        gin = GenerateReqInput(
+            text=body.get("text"),
+            input_ids=body.get("input_ids"),
+            sampling_params={"max_new_tokens": 0},
+            is_embedding=True,
+        )
+        state = self._submit(gin)
+        out = await self._collect(state)
+        return web.json_response(
+            {"embedding": out["embedding"], "meta_info": out["meta_info"]}
+        )
+
+    async def v1_embeddings(self, request: web.Request) -> web.Response:
+        body = await request.json()
+        inputs = body.get("input")
+        if isinstance(inputs, str):
+            inputs = [inputs]
+        elif inputs and isinstance(inputs[0], int):
+            inputs = [inputs]
+        model = body.get("model") or self.engine.server_args.served_model_name
+        data = []
+        total_tokens = 0
+        for i, item in enumerate(inputs or []):
+            gin = GenerateReqInput(
+                text=item if isinstance(item, str) else None,
+                input_ids=item if isinstance(item, list) else None,
+                sampling_params={"max_new_tokens": 0},
+                is_embedding=True,
+            )
+            state = self._submit(gin)
+            out = await self._collect(state)
+            total_tokens += out["meta_info"]["prompt_tokens"]
+            data.append(
+                {"object": "embedding", "index": i, "embedding": out["embedding"]}
+            )
+        return web.json_response(
+            {
+                "object": "list",
+                "data": data,
+                "model": model,
+                "usage": {"prompt_tokens": total_tokens, "total_tokens": total_tokens},
+            }
+        )
 
     async def v1_models(self, request: web.Request) -> web.Response:
         sa = self.engine.server_args

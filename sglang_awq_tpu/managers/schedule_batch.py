@@ -55,6 +55,8 @@ class Req:
 
         self.output_ids: List[int] = []
         self.grammar = None  # Optional[GrammarMatcher]
+        self.is_embedding = False
+        self.embedding = None  # List[float] result for embedding reqs
         self.output_token_logprobs: List[float] = []
         self.output_top_logprobs: List[Dict[int, float]] = []
         self.finish_info: Optional[FinishInfo] = None

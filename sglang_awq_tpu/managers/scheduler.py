@@ -62,6 +62,7 @@ class ReqOutput:
         self.output_len = len(req.output_ids)
         self.prompt_len = len(req.input_ids)
         self.cached_tokens = req.prefix_len
+        self.embedding = req.embedding
 
 
 class Scheduler:
@@ -255,6 +256,15 @@ class Scheduler:
             prefix_len=req.fill_len,
             sampling=req.sampling_row(),
         )
+        if req.is_embedding and target == len(req.fill_ids):
+            req.embedding = self.runner.forward_embed(ext).tolist()
+            req.fill_len = target
+            self._cache_unfinished(req)
+            self.chunked_req = None
+            req.finish_info = FinishInfo(FinishReason.LENGTH)
+            out = ReqOutput(req, [])
+            self._finish_req(req)
+            return [out]
         want_lp = req.sampling_params.return_logprob
         vm = None
         if req.grammar is not None and req.extend_len <= chunk:

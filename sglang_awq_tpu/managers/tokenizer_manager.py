@@ -37,6 +37,7 @@ class GenerateReqInput:
     stream: bool = False
     return_logprob: bool = False
     session_params: Optional[Dict[str, Any]] = None  # {"id": session_id}
+    is_embedding: bool = False
 
     def normalize(self):
         if self.rid is None:
@@ -125,6 +126,7 @@ class TokenizerManager:
         detok = IncrementalDetokenizer(
             self.tokenizer, skip_special_tokens=sp.skip_special_tokens
         )
+        req.is_embedding = gin.is_embedding
         state = ReqState(req, detok)
         state.session_id = session_id
         state.session_ctx_len = session_ctx_len
@@ -182,6 +184,7 @@ class TokenizerManager:
         state.text += new_text
         chunk = {
             "rid": out.rid,
+            "embedding": getattr(out, "embedding", None),
             "text": state.text,
             "delta": new_text,
             "output_ids": list(state.detok.ids),

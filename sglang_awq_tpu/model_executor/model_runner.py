@@ -488,6 +488,44 @@ class ModelRunner:
             jnp.asarray(lengths),
         )
 
+    def _embed_fn(self, t_pad: int, n_pages: int):
+        key = ("embed", t_pad, n_pages)
+        if key in self._fns:
+            return self._fns[key]
+        model = self.model
+
+        def raw(params, kc, vc, rope, tokens, positions, slots, pages, prefix_len, q_len):
+            hidden, kc, vc = model.extend_step(
+                params, kc, vc, rope, tokens, positions, slots, pages,
+                prefix_len, q_len, return_hidden=True,
+            )
+            return hidden, kc, vc
+
+        fn = jax.jit(self._wrap_step(raw, 6, n_replicated_out=1), donate_argnums=(1, 2))
+        self._fns[key] = fn
+        return fn
+
+    def forward_embed(self, ext: ExtendInput) -> np.ndarray:
+        """Last-token pooled hidden state [H] (reference /encode /v1/embeddings)."""
+        T = len(ext.tokens)
+        t_pad = pick_bucket(T, self.prefill_token_buckets)
+        pg_pad = pick_bucket(max(len(ext.pages), 1), self.prefill_page_buckets)
+        fn = self._embed_fn(t_pad, pg_pad)
+        tokens = np.zeros(t_pad, np.int32)
+        tokens[:T] = ext.tokens
+        positions = np.zeros(t_pad, np.int32)
+        positions[:T] = ext.positions
+        slots = np.full(t_pad, PAD_SLOT, np.int32)
+        slots[:T] = ext.slots
+        pages = np.zeros(pg_pad, np.int32)
+        pages[: len(ext.pages)] = ext.pages
+        hidden, self.k_cache, self.v_cache = fn(
+            self.params, self.k_cache, self.v_cache, self.rope_tab,
+            jnp.asarray(tokens), jnp.asarray(positions), jnp.asarray(slots),
+            jnp.asarray(pages), jnp.int32(ext.prefix_len), jnp.int32(T),
+        )
+        return np.asarray(hidden)[0]
+
     def _spec_verify_fn(self, bs: int, q_span: int, pt_w: int):
         key = ("spec_verify", bs, q_span, pt_w)
         if key in self._fns:

@@ -309,8 +309,10 @@ class LlamaForCausalLM:
         pages: jax.Array,  # [S_pad // page_size] int32 page ids of this request
         prefix_len: jax.Array,  # [] int32
         q_len: jax.Array,  # [] int32 live new tokens
+        return_hidden: bool = False,  # embeddings: pooled hidden, skip lm_head
     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-        """One chunked-prefill step for ONE request -> (last-token logits [1, V], kc, vc)."""
+        """One chunked-prefill step for ONE request -> (last-token logits [1, V]
+        — or normed hidden [1, H] when return_hidden — plus kc, vc)."""
         T = tokens.shape[0]
         x = params["embed"]["weight"][tokens]
         kv_len = prefix_len + q_len
@@ -341,5 +343,9 @@ class LlamaForCausalLM:
         )
         last = jnp.clip(q_len - 1, 0, T - 1)
         h_last = jax.lax.dynamic_slice_in_dim(x, last, 1, axis=0)  # [1, H]
+        if return_hidden:
+            c = self.config
+            h_norm = rms_norm(h_last, params["final_norm"], c.rms_norm_eps)
+            return h_norm.astype(jnp.float32), k_cache, v_cache
         logits = self._logits(params, h_last)
         return logits, k_cache, v_cache

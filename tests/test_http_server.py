@@ -319,3 +319,23 @@ def test_sessions(server_url):
         timeout=30,
     )
     assert r3.status_code == 400
+
+
+def test_v1_embeddings(server_url):
+    r = httpx.post(
+        f"{server_url}/v1/embeddings",
+        json={"model": "tiny", "input": ["hello world", "goodbye"]},
+        timeout=120,
+    )
+    out = r.json()
+    assert out["object"] == "list" and len(out["data"]) == 2
+    emb = out["data"][0]["embedding"]
+    assert len(emb) == 256  # hidden size
+    # same input -> same embedding (deterministic); different input differs
+    r2 = httpx.post(
+        f"{server_url}/v1/embeddings",
+        json={"model": "tiny", "input": "hello world"},
+        timeout=120,
+    ).json()
+    assert r2["data"][0]["embedding"] == emb
+    assert out["data"][1]["embedding"] != emb
