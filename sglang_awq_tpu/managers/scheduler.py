@@ -172,6 +172,17 @@ class Scheduler:
                 for r in self.running
             ):
                 outputs += self._run_decode_step_spec()
+            elif (
+                self.server_args.num_continuous_decode_steps > 1
+                and not self.waiting
+                and all(
+                    r.grammar is None
+                    and not r.sampling_params.return_logprob
+                    and not r.sampling_params.has_penalties
+                    for r in self.running
+                )
+            ):
+                outputs += self._run_decode_multi()
             else:
                 outputs += self._run_decode_step()
 
@@ -472,6 +483,65 @@ class Scheduler:
                 pages = self.allocator.alloc_pages(d)
                 assert pages is not None, "decode OOM after retraction"
                 r.pages.extend(pages)
+
+    def _run_decode_multi(self) -> List[ReqOutput]:
+        """k decode steps in one dispatch (reference
+        --num-continuous-decode-steps): sampled ids feed the next step on
+        device; host processes the k-token strips afterwards.  Tokens past a
+        stop condition are discarded (their KV is length-masked garbage that
+        later steps overwrite)."""
+        k = min(
+            self.server_args.num_continuous_decode_steps,
+            min(r.remaining_new_tokens for r in self.running),
+        )
+        if k <= 1:
+            return self._run_decode_step()
+        self._ensure_decode_memory(grow=k)
+        if not self.running:
+            return []
+        ps = self.page_size
+        B = len(self.running)
+        tokens = np.zeros(B, np.int32)
+        lengths = np.zeros(B, np.int32)
+        steps = np.zeros(B, np.int32)
+        pmax = max(len(r.pages) for r in self.running)
+        page_table = np.zeros((B, pmax), np.int32)
+        rows = []
+        for i, r in enumerate(self.running):
+            tokens[i] = r.output_ids[-1]
+            lengths[i] = r.fill_len + 1
+            steps[i] = len(r.output_ids)
+            page_table[i, : len(r.pages)] = r.pages
+            rows.append(r.sampling_row())
+        d = DecodeInput(
+            tokens=tokens,
+            positions=lengths - 1,
+            slots=np.zeros(B, np.int32),  # derived in-jit
+            page_table=page_table,
+            lengths=lengths,
+            sample_steps=steps,
+            sampling=rows,
+        )
+        ids = self.runner.forward_decode_multi(d, k)  # [k, bs_pad]
+        outputs = []
+        still_running = []
+        for i, r in enumerate(self.running):
+            new_tokens = []
+            for s_ in range(k):
+                tok = int(ids[s_, i])
+                r.output_ids.append(tok)
+                new_tokens.append(tok)
+                r.fill_len += 1
+                r.check_finished(tok)
+                if r.finished():
+                    break
+            outputs.append(ReqOutput(r, new_tokens))
+            if r.finished():
+                self._finish_req(r)
+            else:
+                still_running.append(r)
+        self.running = still_running
+        return outputs
 
     def _run_decode_step_spec(self) -> List[ReqOutput]:
         """Speculative decode step (ngram drafts + one verify forward).

@@ -41,6 +41,9 @@ class ServerArgs:
     disable_radix_cache: bool = False
     radix_cache_impl: str = "auto"  # auto | cpp | python
     enable_overlap_schedule: bool = True
+    # run N decode steps per dispatch when the batch is stable (reference
+    # --num-continuous-decode-steps; hides host/dispatch latency)
+    num_continuous_decode_steps: int = 1
     stream_interval: int = 1
     watchdog_timeout: float = 300.0
 

@@ -179,3 +179,34 @@ def test_memory_invariant_after_load(engine_and_hf):
             break
         time.sleep(0.05)
     eng.scheduler.check_memory()
+
+
+def test_multi_step_decode_matches_single():
+    """num_continuous_decode_steps > 1 must not change greedy outputs."""
+    import torch
+
+    from .utils import TINY_LLAMA_CFG as CFG2, tiny_hf_model_and_tensors
+
+    _, tensors = tiny_hf_model_and_tensors()
+    mc = ModelConfig(model_path="", hf_config=dict(CFG2))
+    prompt = list(range(7, 30))
+    outs = {}
+    for k in (1, 4):
+        sa = ServerArgs(
+            model_path="tiny",
+            page_size=8,
+            max_total_tokens=1024,
+            chunked_prefill_size=32,
+            num_continuous_decode_steps=k,
+        )
+        e = Engine(server_args=sa, model_config=mc, tensors=tensors, tokenizer=None)
+        try:
+            outs[k] = e.generate(
+                input_ids=prompt,
+                sampling_params={"max_new_tokens": 11, "temperature": 0.0,
+                                 "ignore_eos": True},
+            )["output_ids"]
+        finally:
+            e.shutdown()
+    assert outs[1] == outs[4]
+    assert len(outs[4]) == 11  # exact stop at max_new_tokens despite k=4 strips
