@@ -96,6 +96,11 @@ class TokenizerManager:
             ids = self.tokenizer.encode(gin.text)
         if len(ids) == 0:
             raise ValueError("empty prompt")
+        if self.vocab_size and (min(ids) < 0 or max(ids) >= self.vocab_size):
+            raise ValueError(
+                f"input_ids out of range [0, {self.vocab_size}): "
+                f"min={min(ids)} max={max(ids)}"
+            )
         session_id = (gin.session_params or {}).get("id")
         session_ctx_len = 0
         if session_id:
