@@ -39,7 +39,7 @@ def main():
     model_kind = os.environ.get("SGLT_BENCH_MODEL", "llama3-8b")
     bs = int(os.environ.get("SGLT_BENCH_BS", "64"))
     ctx = int(os.environ.get("SGLT_BENCH_CTX", "512"))
-    ps = int(os.environ.get("SGLT_BENCH_PS", "16"))
+    ps = int(os.environ.get("SGLT_BENCH_PS", "64"))
 
     if model_kind == "tiny":
         cfg = dict(

@@ -157,9 +157,11 @@ def _kv_write_decode_kernel(
     *,
     num_slots: int,
 ):
-    """Three bulk phases (all reads in flight together, vectorized modify,
-    all writes in flight) — a serial per-token RMW loop pays a full DMA
-    round-trip latency per token (observed ~0.6 ms/layer at bs=64).
+    """Bulk phases per CHUNK of sequences (all of a chunk's reads in flight
+    together, vectorized modify, writes in flight) — a serial per-token RMW
+    loop pays a full DMA round-trip latency per token (observed ~0.6 ms/layer
+    at bs=64), while fully-batched buffers blow the VMEM scope at large
+    batch x page_size (buffers scale with B*KVH*ps*D).
 
     PRECONDITION: live slots must lie in DISTINCT pages (two tokens sharing
     a page would last-write-win).  Decode batches satisfy this by
@@ -167,52 +169,65 @@ def _kv_write_decode_kernel(
     layer = layer_ref[0]
     ps = k_hbm.shape[3]
     B = k_new_ref.shape[0]
+    BC = kbuf.shape[0]  # chunk rows buffered at once
 
     def live(i):
         slot = slots_ref[i]
         return (slot >= 0) & (slot < num_slots)
 
-    def start_reads(i, _):
-        @pl.when(live(i))
-        def _():
-            page = slots_ref[i] // ps
-            pltpu.make_async_copy(k_hbm.at[layer, :, page], kbuf.at[i], sem).start()
-            pltpu.make_async_copy(v_hbm.at[layer, :, page], vbuf.at[i], sem).start()
+    def chunk(c0, _):
+        def start_reads(j, _):
+            i = c0 + j
 
+            @pl.when((i < B) & live(i))
+            def _():
+                page = slots_ref[i] // ps
+                pltpu.make_async_copy(k_hbm.at[layer, :, page], kbuf.at[j], sem).start()
+                pltpu.make_async_copy(v_hbm.at[layer, :, page], vbuf.at[j], sem).start()
+
+            return 0
+
+        def wait_one(j, _):
+            i = c0 + j
+
+            @pl.when((i < B) & live(i))
+            def _():
+                pltpu.make_async_copy(k_hbm.at[0, :, 0], kbuf.at[0], sem).wait()
+                pltpu.make_async_copy(v_hbm.at[0, :, 0], vbuf.at[0], sem).wait()
+
+            return 0
+
+        def modify(j, _):
+            i = c0 + j
+
+            @pl.when((i < B) & live(i))
+            def _():
+                off = slots_ref[i] % ps
+                row = lax.broadcasted_iota(jnp.int32, kbuf.shape[1:], 1)
+                kbuf[j] = jnp.where(row == off, k_new_ref[i][:, None, :], kbuf[j])
+                vbuf[j] = jnp.where(row == off, v_new_ref[i][:, None, :], vbuf[j])
+
+            return 0
+
+        def start_writes(j, _):
+            i = c0 + j
+
+            @pl.when((i < B) & live(i))
+            def _():
+                page = slots_ref[i] // ps
+                pltpu.make_async_copy(kbuf.at[j], k_hbm.at[layer, :, page], sem).start()
+                pltpu.make_async_copy(vbuf.at[j], v_hbm.at[layer, :, page], sem).start()
+
+            return 0
+
+        lax.fori_loop(0, BC, start_reads, 0)
+        lax.fori_loop(0, BC, wait_one, 0)
+        lax.fori_loop(0, BC, modify, 0)
+        lax.fori_loop(0, BC, start_writes, 0)
+        lax.fori_loop(0, BC, wait_one, 0)
         return 0
 
-    def wait_one(i, _):
-        @pl.when(live(i))
-        def _():
-            pltpu.make_async_copy(k_hbm.at[0, :, 0], kbuf.at[0], sem).wait()
-            pltpu.make_async_copy(v_hbm.at[0, :, 0], vbuf.at[0], sem).wait()
-
-        return 0
-
-    def modify(i, _):
-        @pl.when(live(i))
-        def _():
-            off = slots_ref[i] % ps
-            row = lax.broadcasted_iota(jnp.int32, kbuf.shape[1:], 1)
-            kbuf[i] = jnp.where(row == off, k_new_ref[i][:, None, :], kbuf[i])
-            vbuf[i] = jnp.where(row == off, v_new_ref[i][:, None, :], vbuf[i])
-
-        return 0
-
-    def start_writes(i, _):
-        @pl.when(live(i))
-        def _():
-            page = slots_ref[i] // ps
-            pltpu.make_async_copy(kbuf.at[i], k_hbm.at[layer, :, page], sem).start()
-            pltpu.make_async_copy(vbuf.at[i], v_hbm.at[layer, :, page], sem).start()
-
-        return 0
-
-    lax.fori_loop(0, B, start_reads, 0)
-    lax.fori_loop(0, B, wait_one, 0)
-    lax.fori_loop(0, B, modify, 0)
-    lax.fori_loop(0, B, start_writes, 0)
-    lax.fori_loop(0, B, wait_one, 0)
+    lax.fori_loop(0, (B + BC - 1) // BC, lambda c, x: chunk(c * BC, x), 0)
 
 
 def _kv_write_spec_kernel(
@@ -373,6 +388,12 @@ def kv_write_spec(
     )
 
 
+def _decode_chunk_rows(KVH: int, ps: int, D: int, B: int) -> int:
+    """Rows buffered per phase: cap k+v buffers at ~6 MB of the VMEM scope."""
+    per_row = 2 * KVH * ps * D * 2  # k+v, bf16
+    return max(1, min(B, (6 * 1024 * 1024) // per_row))
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def kv_write_decode(
     k_cache: jax.Array,  # [L, KVH, P, ps, D]
@@ -403,8 +424,8 @@ def kv_write_decode(
             pl.BlockSpec(memory_space=pl.ANY),
         ),
         scratch_shapes=[
-            pltpu.VMEM((B, KVH, ps, D), k_cache.dtype),
-            pltpu.VMEM((B, KVH, ps, D), v_cache.dtype),
+            pltpu.VMEM((_decode_chunk_rows(KVH, ps, D, B), KVH, ps, D), k_cache.dtype),
+            pltpu.VMEM((_decode_chunk_rows(KVH, ps, D, B), KVH, ps, D), v_cache.dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )
