@@ -51,21 +51,29 @@ from sglang_awq_tpu.utils import cdiv, pallas_interpret_default, round_up
 
 
 def choose_pack_block(K: int, group_size: int) -> int:
-    """Largest pack block that keeps groups tile-aligned.
+    """Pack block that keeps groups tile-aligned with a healthy k-grid.
 
-    Either G | PB (tile spans whole groups) or PB | G (tile inside one group).
-    Prefers 8 whole groups per tile so the per-tile scale strip is 8-sublane
-    aligned without padding (TPU f32 tiling is (8, 128)).
+    Either G | PB (tile spans whole groups) or PB | G (tile inside one
+    group).  Measured sweet spot is ~4-8 k-tiles: too many tiles pay
+    per-step unpack overhead (K=14336, PB=1024 -> 14 tiles: 333 GB/s vs
+    PB=2048 -> 7 tiles: 590 GB/s), too few starve the accumulate pipeline
+    (K=4096, PB=2048 -> 2 tiles: 332 GB/s vs PB=1024 -> 4 tiles: 478 GB/s).
     """
-    preferred = 8 * group_size
-    for pb in (preferred, 1024, 512, 256, 128):
+    candidates = []
+    for pb in (4096, 2048, 1024, 512, 256, 128):
         if (
             pb >= 128
             and K % pb == 0
             and (pb % group_size == 0 or group_size % pb == 0)
         ):
+            candidates.append(pb)
+    if not candidates:
+        raise ValueError(f"cannot choose pack block for K={K}, G={group_size}")
+    # largest pack block that still leaves >= 4 k-tiles; else the smallest
+    for pb in candidates:
+        if K // pb >= 4:
             return pb
-    raise ValueError(f"cannot choose pack block for K={K}, G={group_size}")
+    return candidates[-1]
 
 
 def scale_rows_per_tile(pack_block: int, group_size: int) -> Tuple[int, int]:

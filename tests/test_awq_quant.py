@@ -129,7 +129,9 @@ def test_stacked_layer_indexing():
 
 
 def test_choose_pack_block():
+    # largest block keeping >= 4 k-tiles (see kernel sweet-spot note)
     assert choose_pack_block(4096, 128) == 1024
+    assert choose_pack_block(14336, 128) == 2048
     assert choose_pack_block(5632, 128) == 512
-    assert choose_pack_block(256, 256) == 256
+    assert choose_pack_block(256, 256) == 128  # only G-divisor available
     assert choose_pack_block(2048, 64) == 512
