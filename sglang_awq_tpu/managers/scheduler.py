@@ -95,9 +95,15 @@ class Scheduler:
         self.ngram = None
         self.spec_width = 0
         if server_args.speculative_algorithm == "ngram":
-            from sglang_awq_tpu.speculative.ngram import NgramCache
+            try:
+                from sglang_awq_tpu.speculative.ngram_cpp import CppNgramCache
 
-            self.ngram = NgramCache(n=3)
+                self.ngram = CppNgramCache(n=3)
+                logger.info("using C++ ngram cache")
+            except Exception:
+                from sglang_awq_tpu.speculative.ngram import NgramCache
+
+                self.ngram = NgramCache(n=3)
             # verify width: 1 real token + (width-1) draft positions
             self.spec_width = max(2, server_args.speculative_num_draft_tokens)
             assert self.spec_width <= self.page_size, (

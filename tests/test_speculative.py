@@ -75,3 +75,17 @@ def test_spec_with_sampled_request_falls_back():
         assert len(out["output_ids"]) == 6
     finally:
         eng.shutdown()
+
+
+def test_cpp_ngram_parity():
+    from sglang_awq_tpu.speculative.ngram_cpp import CppNgramCache, cpp_ngram_available
+
+    if not cpp_ngram_available():
+        pytest.skip("no C++ toolchain")
+    py = NgramCache(n=2)
+    cc = CppNgramCache(n=2)
+    seq = [1, 2, 3, 1, 2, 3, 1, 2, 4, 1, 2, 3]
+    py.update(seq)
+    cc.update(seq)
+    for ctx in ([9, 1, 2], [2, 3], [7, 8], [3, 1]):
+        assert cc.draft(ctx, 4) == py.draft(ctx, 4), ctx
