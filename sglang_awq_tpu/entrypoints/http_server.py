@@ -64,6 +64,11 @@ class HttpServer:
     # ------------------------------------------------------------------
 
     async def _collect(self, state) -> dict:
+        from sglang_awq_tpu.managers.tokenizer_manager import ReqStateGroup
+
+        if isinstance(state, ReqStateGroup):
+            outs = [await self._collect(c) for c in state.children]
+            return {"__multi__": outs}
         loop = asyncio.get_running_loop()
         last = None
         while True:
@@ -296,6 +301,8 @@ class HttpServer:
             gin_kwargs["input_ids"] = prompt[0]
         else:
             return self._openai_error("empty prompt")
+        if req.stream and req.n > 1:
+            return self._openai_error("streaming with n > 1 is not supported yet")
         gin = GenerateReqInput(
             sampling_params=req.to_sampling_params(), stream=req.stream, **gin_kwargs
         )
@@ -304,14 +311,27 @@ class HttpServer:
 
         if not req.stream:
             out = await self._collect(state)
+            outs = out["__multi__"] if "__multi__" in out else [out]
             usage = usage_dict(
-                out["meta_info"]["prompt_tokens"], out["meta_info"]["completion_tokens"]
+                outs[0]["meta_info"]["prompt_tokens"],
+                sum(o["meta_info"]["completion_tokens"] for o in outs),
             )
-            fr = (out["meta_info"]["finish_reason"] or {}).get("type", "stop")
             echo = prompt if (req.echo and isinstance(prompt, str)) else ""
-            return web.json_response(
-                completion_response(out["rid"], model, out["text"], fr, usage, echo)
+            resp = completion_response(
+                outs[0]["rid"], model, outs[0]["text"],
+                (outs[0]["meta_info"]["finish_reason"] or {}).get("type", "stop"),
+                usage, echo,
             )
+            resp["choices"] = [
+                {
+                    "index": i,
+                    "text": echo + o["text"],
+                    "logprobs": None,
+                    "finish_reason": (o["meta_info"]["finish_reason"] or {}).get("type", "stop"),
+                }
+                for i, o in enumerate(outs)
+            ]
+            return web.json_response(resp)
 
         resp = web.StreamResponse(
             headers={"Content-Type": "text/event-stream", "Cache-Control": "no-cache"}
@@ -352,13 +372,26 @@ class HttpServer:
 
         if not req.stream:
             out = await self._collect(state)
+            outs = out["__multi__"] if "__multi__" in out else [out]
             usage = usage_dict(
-                out["meta_info"]["prompt_tokens"], out["meta_info"]["completion_tokens"]
+                outs[0]["meta_info"]["prompt_tokens"],
+                sum(o["meta_info"]["completion_tokens"] for o in outs),
             )
-            fr = (out["meta_info"]["finish_reason"] or {}).get("type", "stop")
-            return web.json_response(
-                chat_response(out["rid"], model, out["text"], fr, usage)
+            resp = chat_response(
+                outs[0]["rid"], model, outs[0]["text"],
+                (outs[0]["meta_info"]["finish_reason"] or {}).get("type", "stop"),
+                usage,
             )
+            resp["choices"] = [
+                {
+                    "index": i,
+                    "message": {"role": "assistant", "content": o["text"]},
+                    "logprobs": None,
+                    "finish_reason": (o["meta_info"]["finish_reason"] or {}).get("type", "stop"),
+                }
+                for i, o in enumerate(outs)
+            ]
+            return web.json_response(resp)
 
         resp = web.StreamResponse(
             headers={"Content-Type": "text/event-stream", "Cache-Control": "no-cache"}

@@ -61,6 +61,14 @@ class ReqState:
         self.top_logprobs = []
 
 
+class ReqStateGroup:
+    """n > 1 parallel samples: one group of independent child requests (the
+    prefix cache dedups their prompt KV).  Reference n>1 handling role."""
+
+    def __init__(self, children):
+        self.children = children
+
+
 class TokenizerManager:
     def __init__(
         self,
@@ -85,8 +93,28 @@ class TokenizerManager:
 
     # ------------------------------------------------------------------
 
-    def create_request(self, gin: GenerateReqInput) -> ReqState:
+    def create_request(self, gin: GenerateReqInput):
         gin.normalize()
+        n = int((gin.sampling_params or {}).get("n", 1) or 1)
+        if n > 1:
+            children = []
+            for i in range(n):
+                child_sp = dict(gin.sampling_params)
+                child_sp["n"] = 1
+                if child_sp.get("seed") is not None:
+                    child_sp["seed"] = int(child_sp["seed"]) + i
+                child = GenerateReqInput(
+                    text=gin.text,
+                    input_ids=gin.input_ids,
+                    sampling_params=child_sp,
+                    rid=f"{gin.rid}-{i}",
+                    stream=gin.stream,
+                    return_logprob=gin.return_logprob,
+                    session_params=gin.session_params if i == 0 else None,
+                    is_embedding=gin.is_embedding,
+                )
+                children.append(self.create_request(child))
+            return ReqStateGroup(children)
         sp = SamplingParams.from_dict(gin.sampling_params)
         if gin.input_ids is not None:
             ids = list(gin.input_ids)
@@ -219,8 +247,10 @@ class TokenizerManager:
 
     # ------------------------------------------------------------------
 
-    def wait_response(self, state: ReqState, timeout: float = 3600.0) -> dict:
+    def wait_response(self, state, timeout: float = 3600.0) -> dict:
         """Blocking collect (non-stream path)."""
+        if isinstance(state, ReqStateGroup):
+            return {"__multi__": [self.wait_response(c, timeout) for c in state.children]}
         last = None
         while True:
             item = state.out_queue.get(timeout=timeout)

@@ -339,3 +339,26 @@ def test_v1_embeddings(server_url):
     ).json()
     assert r2["data"][0]["embedding"] == emb
     assert out["data"][1]["embedding"] != emb
+
+
+def test_n_greater_than_one(server_url):
+    r = httpx.post(
+        f"{server_url}/v1/completions",
+        json={
+            "model": "tiny",
+            "prompt": "pick one",
+            "max_tokens": 5,
+            "n": 3,
+            "temperature": 0.9,
+            "seed": 5,
+            "ignore_eos": True,
+        },
+        timeout=180,
+    )
+    out = r.json()
+    assert len(out["choices"]) == 3
+    assert {c["index"] for c in out["choices"]} == {0, 1, 2}
+    # distinct seeds -> (almost surely) not all identical
+    texts = [c["text"] for c in out["choices"]]
+    assert len(set(texts)) >= 2, texts
+    assert out["usage"]["completion_tokens"] == 15
