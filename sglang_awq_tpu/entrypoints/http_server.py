@@ -37,7 +37,27 @@ logger = logging.getLogger(__name__)
 class HttpServer:
     def __init__(self, engine: Engine):
         self.engine = engine
-        self.app = web.Application(client_max_size=64 * 1024 * 1024)
+        middlewares = []
+        api_key = engine.server_args.api_key
+        if api_key:
+
+            @web.middleware
+            async def auth(request, handler):
+                if request.path in ("/health", "/metrics"):
+                    return await handler(request)
+                tok = request.headers.get("Authorization", "")
+                if tok != f"Bearer {api_key}":
+                    return web.json_response(
+                        {"error": {"message": "invalid api key",
+                                   "type": "authentication_error"}},
+                        status=401,
+                    )
+                return await handler(request)
+
+            middlewares.append(auth)
+        self.app = web.Application(
+            client_max_size=64 * 1024 * 1024, middlewares=middlewares
+        )
         self._add_routes()
 
     def _add_routes(self):
@@ -455,10 +475,25 @@ def build_app(engine: Engine) -> web.Application:
     return HttpServer(engine).app
 
 
+def _warmup(engine: Engine):
+    """Pre-compile the first-touch buckets so request #1 is not a multi-minute
+    compile (reference entrypoints/warmup.py role)."""
+    try:
+        engine.generate(
+            input_ids=[1, 2, 3],
+            sampling_params={"max_new_tokens": 2, "temperature": 0.0, "ignore_eos": True},
+        )
+        logger.info("warmup complete")
+    except Exception:
+        logger.exception("warmup failed (continuing)")
+
+
 def launch_server(server_args: ServerArgs, engine: Optional[Engine] = None):
     """Blocking server start (reference http_server.py:1677 launch_server)."""
     if engine is None:
         engine = Engine(server_args=server_args)
+    if not server_args.skip_server_warmup:
+        _warmup(engine)
     app = build_app(engine)
     logger.info(
         "serving %s on http://%s:%d",

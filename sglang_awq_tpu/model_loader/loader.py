@@ -123,6 +123,14 @@ def load_params_from_tensors(
         ),
         jnp.float32,
     )
+    if getattr(model, "qk_norm", False):
+        for which in ("q_norm", "k_norm"):
+            params["layers"][which] = jnp.asarray(
+                np.stack(
+                    [t(f"model.layers.{l}.self_attn.{which}.weight") for l in range(L)]
+                ),
+                jnp.float32,
+            )
 
     tp = model.tp_size
     for target, sources in MERGES.items():

@@ -48,6 +48,7 @@ class LlamaForCausalLM:
     tp_size: int = 1
     tp_axis: Optional[str] = None  # mesh axis name when running under shard_map
     qkv_bias: bool = False  # Qwen2 sets True
+    qk_norm: bool = False  # Qwen3: per-head RMSNorm on q and k before RoPE
 
     def __post_init__(self):
         c = self.config
@@ -96,6 +97,9 @@ class LlamaForCausalLM:
         if self.qkv_bias:
             qn = (self.qh + 2 * self.kvh) * self.head_dim
             shapes["layers"]["qkv"]["bias"] = ((L, qn * self.tp_size), jnp.bfloat16)
+        if self.qk_norm:
+            shapes["layers"]["q_norm"] = ((L, self.head_dim), jnp.float32)
+            shapes["layers"]["k_norm"] = ((L, self.head_dim), jnp.float32)
         return shapes
 
     def random_params(self, seed: int = 0) -> Dict[str, Any]:
@@ -166,6 +170,9 @@ class LlamaForCausalLM:
         q = q.reshape(T, self.qh, D)
         k = k.reshape(T, self.kvh, D)
         v = v.reshape(T, self.kvh, D)
+        if self.qk_norm:
+            q = rms_norm(q, lp["q_norm"][l], c.rms_norm_eps)
+            k = rms_norm(k, lp["k_norm"][l], c.rms_norm_eps)
         q, k = apply_rope(q, k, positions, rope_tab)
 
         attn = attn_fn(q, k, v, l)  # [T, QH, D] f32

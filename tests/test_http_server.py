@@ -362,3 +362,51 @@ def test_n_greater_than_one(server_url):
     texts = [c["text"] for c in out["choices"]]
     assert len(set(texts)) >= 2, texts
     assert out["usage"]["completion_tokens"] == 15
+
+
+def test_api_key_auth():
+    """A server with --api-key must 401 unauthenticated requests."""
+    from aiohttp import web as _web
+
+    from .utils import TINY_LLAMA_CFG as C2, ByteTokenizer as BT2, tiny_hf_model_and_tensors as mk2
+
+    _, tensors = mk2()
+    mc = ModelConfig(model_path="", hf_config=dict(C2))
+    sa = ServerArgs(model_path="tiny", page_size=8, max_total_tokens=512,
+                    chunked_prefill_size=32, api_key="sekrit")
+    engine = Engine(server_args=sa, model_config=mc, tensors=tensors, tokenizer=BT2())
+    app = build_app(engine)
+    port = _free_port()
+    loop = asyncio.new_event_loop()
+    started = threading.Event()
+
+    def run():
+        asyncio.set_event_loop(loop)
+
+        async def main():
+            runner = _web.AppRunner(app)
+            await runner.setup()
+            await _web.TCPSite(runner, "127.0.0.1", port).start()
+            started.set()
+            while True:
+                await asyncio.sleep(3600)
+
+        loop.run_until_complete(main())
+
+    threading.Thread(target=run, daemon=True).start()
+    assert started.wait(30)
+    base = f"http://127.0.0.1:{port}"
+    try:
+        assert httpx.get(f"{base}/health", timeout=30).status_code == 200  # open
+        r = httpx.post(f"{base}/generate", json={"text": "x"}, timeout=30)
+        assert r.status_code == 401
+        r2 = httpx.post(
+            f"{base}/generate",
+            json={"text": "hi", "sampling_params": {"max_new_tokens": 2, "ignore_eos": True, "temperature": 0.0}},
+            headers={"Authorization": "Bearer sekrit"},
+            timeout=120,
+        )
+        assert r2.status_code == 200
+    finally:
+        engine.shutdown()
+        loop.call_soon_threadsafe(loop.stop)
