@@ -40,6 +40,7 @@ class LinearSpec:
     group_size: int = 128
     pack_block: int = 0
     shard_axis: Optional[str] = None  # "column" (shard N) | "row" (shard K) | None
+    unpack: str = "cast"  # "cast" | "magic" (fp32-exponent trick, wide-N wins)
 
     @classmethod
     def make(
@@ -57,7 +58,18 @@ class LinearSpec:
             # so NamedSharding splits land on superblock boundaries
             k_local = K // tp_size if shard_axis == "row" else K
             pb = choose_pack_block(k_local, g)
-            return cls(name, K, N, True, g, pb, shard_axis)
+            # magic unpack (fp32-exponent trick) measured 770 GB/s vs 390 on
+            # wide-N projections but regresses narrow-N ones; per-shard N.
+            # SGLT_AWQ_UNPACK=cast|magic overrides the heuristic (perf A/B).
+            import os
+
+            mode = os.environ.get("SGLT_AWQ_UNPACK", "auto")
+            n_local = N // tp_size if shard_axis == "column" else N
+            if mode in ("cast", "magic"):
+                unpack = mode if pb % 8 == 0 or mode == "cast" else "cast"
+            else:
+                unpack = "magic" if n_local >= 16384 and pb % 8 == 0 else "cast"
+            return cls(name, K, N, True, g, pb, shard_axis, unpack)
         return cls(name, K, N, False, shard_axis=shard_axis)
 
     def param_shapes(self, num_layers: int, tp_size: int = 1) -> Dict[str, tuple]:
@@ -100,6 +112,7 @@ def linear_apply(
             group_size=spec.group_size,
             pack_block=spec.pack_block,
             out_dtype=jnp.bfloat16,
+            unpack=spec.unpack,
         )
     w = jax.lax.dynamic_index_in_dim(params["weight"], jnp.asarray(layer, jnp.int32), 0, keepdims=False)
     return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(jnp.bfloat16)
@@ -113,7 +126,8 @@ def convert_awq_weights_np(
 ) -> Dict[str, np.ndarray]:
     """Checkpoint tensors -> device layout arrays for ONE layer (numpy)."""
     qw, st, zb, pb = convert_awq_tensor(
-        qweight_i32, qzeros_i32, scales, spec.group_size, pack_block=spec.pack_block
+        qweight_i32, qzeros_i32, scales, spec.group_size,
+        pack_block=spec.pack_block, unpack=spec.unpack,
     )
     assert pb == spec.pack_block
     return {"qweight": qw, "scales": st, "zbias": zb}

@@ -116,6 +116,10 @@ class TokenizerManager:
                 children.append(self.create_request(child))
             return ReqStateGroup(children)
         sp = SamplingParams.from_dict(gin.sampling_params)
+        # the top-level flag mirrors the reference API; the scheduler reads
+        # it from sampling_params, so fold it in here
+        if gin.return_logprob:
+            sp.return_logprob = True
         if gin.input_ids is not None:
             ids = list(gin.input_ids)
         else:

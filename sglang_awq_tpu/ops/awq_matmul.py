@@ -97,6 +97,40 @@ def pack_rows_tpu(w_nibbles: np.ndarray, pack_block: int) -> np.ndarray:
     return packed.reshape(K // 2, N)
 
 
+def pack_rows_tpu_magic(w_nibbles: np.ndarray, pack_block: int) -> np.ndarray:
+    """Magic-unpack layout: rows assigned so the kernel's per-byte-class
+    extraction yields CONTIGUOUS row blocks.
+
+    The TPU bitcast uint8->int32 packs 4 consecutive SUBLANES per int32
+    (byte j of i32 row r' = u8 row 4r'+j, probed empirically).  Within each
+    K-superblock of `pack_block` rows, byte-class b = 2j+nib must cover rows
+    [b*PB/8, (b+1)*PB/8), so:
+        u8[4r'+j, c] = w[(2j)*PB/8 + r', c] | (w[(2j+1)*PB/8 + r', c] << 4)
+    """
+    K, N = w_nibbles.shape
+    pb = pack_block
+    assert K % pb == 0 and pb % 8 == 0, (K, pb)
+    rpc = pb // 8  # rows per class
+    w = w_nibbles.reshape(K // pb, 8, rpc, N).astype(np.uint8)  # [t, class, r', n]
+    out = np.zeros((K // pb, rpc, 4, N), np.uint8)  # [t, r', j, n]
+    for j in range(4):
+        out[:, :, j, :] = (w[:, 2 * j] & 0xF) | (w[:, 2 * j + 1] << 4)
+    return out.reshape(K // 2, N)
+
+
+def unpack_rows_tpu_magic(packed: np.ndarray, pack_block: int) -> np.ndarray:
+    """Inverse of pack_rows_tpu_magic -> int32 [K, N] (tests)."""
+    K2, N = packed.shape
+    pb = pack_block
+    rpc = pb // 8
+    p = packed.reshape(K2 // (pb // 2), rpc, 4, N)
+    out = np.zeros((K2 // (pb // 2), 8, rpc, N), np.int32)
+    for j in range(4):
+        out[:, 2 * j] = (p[:, :, j] & 0xF).astype(np.int32)
+        out[:, 2 * j + 1] = (p[:, :, j] >> 4).astype(np.int32)
+    return out.reshape(K2 * 2, N)
+
+
 def unpack_rows_tpu(packed: np.ndarray, pack_block: int) -> np.ndarray:
     """Inverse of pack_rows_tpu -> int32 [K, N] (for tests)."""
     K2, N = packed.shape
@@ -135,13 +169,16 @@ def convert_awq_tensor(
     scales: np.ndarray,  # fp16/fp32 [K/G, N]
     group_size: int,
     pack_block: Optional[int] = None,
+    unpack: str = "cast",  # "cast" | "magic" (must match the kernel's flag)
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
     """AWQ checkpoint tensors -> (qweight_u8, scales_t, bias, pack_block).
 
     De-interleaves the AWQ nibble order; scales go to the per-k-tile strip
     layout consumed by the kernel, the folded zero-point term
     bias = zero * scale stays in per-group layout [K/G, N] (consumed by the
-    XLA-side `awq_zero_correction`).
+    XLA-side `awq_zero_correction`).  With unpack="magic" the kernel
+    reconstructs 128 + nibble via an fp32 exponent trick, so the constant
+    128 is folded into the bias here: bias = (zero + 128) * scale.
     """
     K = qweight_i32.shape[0]
     if group_size == -1:
@@ -151,11 +188,15 @@ def convert_awq_tensor(
     w_nib = unpack_awq_int32(qweight_i32)  # [K, N] logical order
     scales_f32 = scales.astype(np.float32)
     if qzeros_i32 is not None:
-        z_nib = unpack_awq_int32(qzeros_i32)  # [K/G, N]
-        bias_f32 = z_nib.astype(np.float32) * scales_f32
+        z_nib = unpack_awq_int32(qzeros_i32).astype(np.float32)  # [K/G, N]
     else:
-        bias_f32 = np.zeros_like(scales_f32)
-    qweight_u8 = pack_rows_tpu(w_nib, pack_block)
+        z_nib = np.zeros_like(scales_f32)
+    if unpack == "magic":
+        bias_f32 = (z_nib + 128.0) * scales_f32
+        qweight_u8 = pack_rows_tpu_magic(w_nib, pack_block)
+    else:
+        bias_f32 = z_nib * scales_f32
+        qweight_u8 = pack_rows_tpu(w_nib, pack_block)
     scales_t = tile_scale_layout(scales_f32, K, group_size, pack_block)
     return qweight_u8, scales_t, bias_f32, pack_block
 
@@ -166,7 +207,7 @@ def convert_awq_tensor(
 
 
 def _awq_matmul_kernel(
-    layer_ref, x_ref, qw_ref, s_ref, o_ref, *, pack_block, group_size
+    layer_ref, x_ref, qw_ref, s_ref, o_ref, *, pack_block, group_size, unpack
 ):
     k = pl.program_id(2)
 
@@ -174,13 +215,51 @@ def _awq_matmul_kernel(
     def _init():
         o_ref[:] = jnp.zeros_like(o_ref)
 
+    x = x_ref[:]
+    sr, _ = scale_rows_per_tile(pack_block, group_size)
+
+    if unpack == "magic":
+        # fp32 exponent trick: 0x4300|nib in the top f32 halfword = 128+nib
+        # exactly; the +128 is folded into the zero bias at conversion.
+        # bitcast u8 [PB/2, BN] -> i32 [PB/8, BN]: byte j = packed row 4r'+j,
+        # each byte-class a contiguous PB/8-row block (converter layout).
+        x32 = pltpu.bitcast(qw_ref[0], jnp.int32)
+        rpc = pack_block // 8  # rows per class
+        acc = o_ref[:]
+        for b in range(8):
+            j, nib = b // 2, b % 2
+            bit = 8 * j + 4 * nib
+            if bit <= 16:
+                y = (x32 << (16 - bit)) & 0x000F0000
+            else:
+                y = (x32 >> (bit - 16)) & 0x000F0000
+            wb = pltpu.bitcast(y | 0x43000000, jnp.float32).astype(jnp.bfloat16)
+            gpc = rpc // group_size if rpc >= group_size else 0
+            if gpc > 1:
+                # class spans several groups: scale each group's dot
+                for g in range(gpc):
+                    row0 = b * rpc + g * group_size
+                    pg = jnp.dot(
+                        x[:, row0 : row0 + group_size],
+                        wb[g * group_size : (g + 1) * group_size, :],
+                        preferred_element_type=jnp.float32,
+                    )
+                    acc = acc + pg * s_ref[0, b * gpc + g : b * gpc + g + 1, :]
+            else:
+                part = jnp.dot(
+                    x[:, b * rpc : (b + 1) * rpc], wb,
+                    preferred_element_type=jnp.float32,
+                )
+                srow = b if gpc == 1 else (b * rpc) // group_size
+                acc = acc + part * s_ref[0, srow : srow + 1, :]
+        o_ref[:] = acc
+        return
+
     # Unpack: [1, PB/2, BN] uint8 -> [PB, BN] bf16 in original row order.
     w8 = qw_ref[0].astype(jnp.int32)
     w = jnp.concatenate([w8 & 0xF, w8 >> 4], axis=0)
     wb = w.astype(jnp.bfloat16)  # nibble values 0..15, exact in bf16
 
-    x = x_ref[:]
-    sr, _ = scale_rows_per_tile(pack_block, group_size)
     if pack_block >= group_size:
         g = group_size
         acc = o_ref[:]
@@ -207,6 +286,7 @@ def _awq_matmul_kernel(
         "block_n",
         "out_dtype",
         "interpret",
+        "unpack",
     ),
 )
 def awq_matmul_raw(
@@ -221,8 +301,10 @@ def awq_matmul_raw(
     block_n: int = 2048,
     out_dtype=jnp.float32,
     interpret: Optional[bool] = None,
+    unpack: str = "cast",
 ) -> jax.Array:
-    """Y[M, N] = X @ unpack(qweight[layer]) * scales  (no zero-point term).
+    """Y[M, N] = X @ unpack(qweight[layer]) * scales  (no zero-point term;
+    for unpack="magic" the caller's bias must carry the folded +128 term).
 
     Callers normally use `awq_matmul` which adds the zero correction.
     """
@@ -261,7 +343,10 @@ def awq_matmul_raw(
     )
     out = pl.pallas_call(
         functools.partial(
-            _awq_matmul_kernel, pack_block=pack_block, group_size=group_size
+            _awq_matmul_kernel,
+            pack_block=pack_block,
+            group_size=group_size,
+            unpack=unpack,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((m_pad, N), jnp.float32),
@@ -291,10 +376,18 @@ def awq_group_sums(x: jax.Array, group_size: int) -> jax.Array:
 def awq_zero_correction(
     x: jax.Array, bias: jax.Array, layer: jax.Array, group_size: int
 ) -> jax.Array:
-    """groupsum(X) @ bias[layer] — the zero-point term of the AWQ matmul."""
+    """groupsum(X) @ bias[layer] — the zero-point term of the AWQ matmul.
+
+    Precision HIGHEST: XLA otherwise lowers the f32 dot to bf16 passes, and
+    with the magic-unpack +128 folded into the bias the absolute rounding
+    error (one bf16 ULP at 128*scale magnitude) dominates the result.
+    """
     xg = awq_group_sums(x, group_size)
     b = jax.lax.dynamic_index_in_dim(bias, layer, axis=0, keepdims=False)
-    return jnp.dot(xg, b, preferred_element_type=jnp.float32)
+    return jnp.dot(
+        xg, b, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 @functools.partial(
@@ -306,6 +399,7 @@ def awq_zero_correction(
         "block_n",
         "out_dtype",
         "interpret",
+        "unpack",
     ),
 )
 def awq_matmul(
@@ -321,8 +415,16 @@ def awq_matmul(
     block_n: int = 2048,
     out_dtype=jnp.bfloat16,
     interpret: Optional[bool] = None,
+    unpack: str = "cast",
 ) -> jax.Array:
     """Full AWQ linear: Y = X @ ((W_int4 - zero) * scale) for one layer."""
+    # The zero correction MUST see bit-identical x to what the kernel reads:
+    # without the barrier XLA fuses x's producer (e.g. rms_norm) into the
+    # groupsum branch and recomputes it in f32, so the correction's sum(x)
+    # differs from the kernel's implicit sum(x) by ~2^-9 relative — an error
+    # amplified by |bias| (catastrophic for unpack="magic", whose bias
+    # carries the folded +128*scale term).
+    x = jax.lax.optimization_barrier(x)
     layer = jnp.asarray(layer, jnp.int32)
     y = awq_matmul_raw(
         x,
@@ -335,6 +437,7 @@ def awq_matmul(
         block_n=block_n,
         out_dtype=jnp.float32,
         interpret=interpret,
+        unpack=unpack,
     )
     y = y - awq_zero_correction(x, bias, layer, group_size)
     return y.astype(out_dtype)
@@ -345,7 +448,9 @@ def awq_matmul(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("group_size", "pack_block", "out_dtype"))
+@functools.partial(
+    jax.jit, static_argnames=("group_size", "pack_block", "out_dtype", "unpack")
+)
 def dequantize_xla(
     qweight: jax.Array,  # [K/2, N] uint8 TPU layout (single layer)
     scales: jax.Array,  # [k_tiles * sr_pad, N] f32 (tile_scale_layout)
@@ -354,14 +459,26 @@ def dequantize_xla(
     group_size: int,
     pack_block: int,
     out_dtype=jnp.bfloat16,
+    unpack: str = "cast",
 ) -> jax.Array:
     K2, N = qweight.shape
     K = K2 * 2
     hb = pack_block // 2
     k_tiles = K // pack_block
     sr, sr_pad = scale_rows_per_tile(pack_block, group_size)
-    p = qweight.reshape(k_tiles, hb, N).astype(jnp.int32)
-    w = jnp.concatenate([p & 0xF, p >> 4], axis=1).astype(jnp.float32)  # [kt, PB, N]
+    if unpack == "magic":
+        rpc = pack_block // 8
+        p = qweight.reshape(k_tiles, rpc, 4, N).astype(jnp.int32)
+        classes = []
+        for j in range(4):
+            classes.append(p[:, :, j] & 0xF)
+            classes.append(p[:, :, j] >> 4)
+        # class b covers rows [b*rpc, (b+1)*rpc)
+        w = jnp.stack(classes, axis=1).reshape(k_tiles, pack_block, N)
+        w = w.astype(jnp.float32) + 128.0  # kernel reconstructs 128 + nibble
+    else:
+        p = qweight.reshape(k_tiles, hb, N).astype(jnp.int32)
+        w = jnp.concatenate([p & 0xF, p >> 4], axis=1).astype(jnp.float32)
     rep = min(group_size, pack_block)
     s = scales.reshape(k_tiles, sr_pad, N)[:, :sr, :]
     s = jnp.repeat(s, rep, axis=1)  # [kt, PB, N]
@@ -370,7 +487,9 @@ def dequantize_xla(
     return ((w * s).reshape(K, N) - b.reshape(K, N)).astype(out_dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("group_size", "pack_block", "out_dtype"))
+@functools.partial(
+    jax.jit, static_argnames=("group_size", "pack_block", "out_dtype", "unpack")
+)
 def awq_matmul_xla(
     x: jax.Array,
     qweight: jax.Array,  # [L, K/2, N]
@@ -381,10 +500,13 @@ def awq_matmul_xla(
     group_size: int,
     pack_block: int,
     out_dtype=jnp.bfloat16,
+    unpack: str = "cast",
 ) -> jax.Array:
     li = jnp.asarray(layer, jnp.int32)
     qw = jax.lax.dynamic_index_in_dim(qweight, li, axis=0, keepdims=False)
     s = jax.lax.dynamic_index_in_dim(scales, li, axis=0, keepdims=False)
     b = jax.lax.dynamic_index_in_dim(bias, li, axis=0, keepdims=False)
-    w = dequantize_xla(qw, s, b, group_size=group_size, pack_block=pack_block)
+    w = dequantize_xla(
+        qw, s, b, group_size=group_size, pack_block=pack_block, unpack=unpack
+    )
     return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(out_dtype)
