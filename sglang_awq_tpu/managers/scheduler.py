@@ -25,13 +25,18 @@ import numpy as np
 from sglang_awq_tpu.environ import envs
 from sglang_awq_tpu.managers.schedule_batch import FinishInfo, FinishReason, Req
 from sglang_awq_tpu.managers.schedule_policy import (
+    CLIP_MAX_NEW_TOKENS,
     AddReqResult,
     PrefillBudget,
     SchedulePolicy,
 )
+from sglang_awq_tpu.mem_cache.kv_pool import PAD_SLOT
 from sglang_awq_tpu.mem_cache.allocator import PagedAllocator
 from sglang_awq_tpu.mem_cache.radix_cache import RadixCache
-from sglang_awq_tpu.model_executor.forward_batch import DecodeInput, ExtendInput
+from sglang_awq_tpu.model_executor.forward_batch import (
+    DecodeInput,
+    ExtendBatchInput,
+)
 from sglang_awq_tpu.model_executor.model_runner import ModelRunner
 from sglang_awq_tpu.server_args import ServerArgs
 from sglang_awq_tpu.utils import cdiv
@@ -169,9 +174,9 @@ class Scheduler:
         self._process_aborts()
         outputs: List[ReqOutput] = []
 
-        prefill_req = self._get_prefill_req()
-        if prefill_req is not None:
-            outputs += self._run_prefill_chunk(prefill_req)
+        prefill_reqs = self._get_prefill_batch()
+        if prefill_reqs:
+            outputs += self._run_prefill_batch(prefill_reqs)
         elif self.running:
             if self.ngram is not None and all(
                 r.sampling_params.is_greedy and r.grammar is None
@@ -206,14 +211,50 @@ class Scheduler:
     # prefill
     # ------------------------------------------------------------------
 
-    def _get_prefill_req(self) -> Optional[Req]:
+    MAX_PREFILL_REQS = 16  # rows per extend batch (EXTEND_BS_BUCKETS cap)
+
+    def _match_fresh(self, req: Req):
+        """Radix-match a fresh request's prompt and lock the prefix."""
+        ps = self.page_size
+        m = self.tree.match_prefix(req.fill_ids)
+        # never reuse the whole fill (at least one token must compute
+        # so logits exist — reference match trim)
+        max_match = (len(req.fill_ids) - 1) // ps * ps
+        matched = min(m.matched_len, max_match)
+        n_prefix_pages = matched // ps
+        req.pages = list(m.pages[:n_prefix_pages])
+        req.prefix_pages = n_prefix_pages
+        req.prefix_len = matched
+        req.fill_len = matched
+        req.last_node = m.last_node
+        self.tree.inc_lock_ref(m.last_node)
+
+    def _get_prefill_batch(self) -> List[Req]:
+        """Assemble this round's prefill batch (reference
+        `get_new_batch_prefill`, scheduler.py:1783 + PrefillAdder loop
+        schedule_policy.py:572): the in-flight chunked request first, then
+        waiting requests by policy priority until the token budget, row cap
+        or memory budget runs out.  Only the LAST admitted request may be
+        chunked."""
+        reqs: List[Req] = []
+        BQ = self.runner.block_q
+        # room is tracked in PADDED tokens (each req's chunk rounds up to a
+        # BQ multiple in the token-major layout) so the padded batch always
+        # fits the largest prefill token bucket
+        room = cdiv(self.server_args.chunked_prefill_size, BQ) * BQ
         if self.chunked_req is not None:
             req = self.chunked_req
-            return req
-        if not self.waiting:
-            return None
-        if len(self.running) >= self.server_args.max_running_requests:
-            return None
+            req._chunk = min(req.extend_len, room)
+            room -= cdiv(req._chunk, BQ) * BQ
+            reqs.append(req)
+            if req.is_embedding:
+                return reqs
+        if (
+            room <= 0
+            or not self.waiting
+            or len(self.running) + len(reqs) >= self.server_args.max_running_requests
+        ):
+            return reqs
         self.policy.calc_priority(self.waiting)
         budget = PrefillBudget(
             self.allocator.available_size(),
@@ -223,100 +264,162 @@ class Scheduler:
             self.server_args.max_prefill_tokens,
             self.server_args.chunked_prefill_size,
         )
-        for i, req in enumerate(list(self.waiting)):
-            verdict = budget.can_add(req)
-            if verdict == AddReqResult.CONTINUE:
+        for req in list(self.waiting):
+            if (
+                room <= 0
+                or len(reqs) >= self.MAX_PREFILL_REQS
+                or len(self.running) + len(reqs)
+                >= self.server_args.max_running_requests
+            ):
+                break
+            if req.is_embedding:
+                if reqs:
+                    break  # embedding requests run solo (different step fn)
                 self.waiting.remove(req)
-                return req
+                if req.fill_len == 0 and req.prefix_len == 0:
+                    self._match_fresh(req)
+                req._chunk = min(req.extend_len, room)
+                return [req]
+            verdict = budget.can_add(req)
             if verdict == AddReqResult.NO_TOKEN:
                 break
-        return None
+            if verdict == AddReqResult.OTHER:
+                break
+            self.waiting.remove(req)
+            if req.fill_len == 0 and req.prefix_len == 0:
+                self._match_fresh(req)
+            chunk = min(req.extend_len, room)
+            req._chunk = chunk
+            budget.commit(chunk, min(req.remaining_new_tokens, CLIP_MAX_NEW_TOKENS))
+            room -= cdiv(chunk, BQ) * BQ
+            reqs.append(req)
+            if chunk < req.extend_len:
+                break  # this req becomes the chunked req; batch is full
+        return reqs
 
-    def _run_prefill_chunk(self, req: Req) -> List[ReqOutput]:
+    def _run_prefill_batch(self, reqs: List[Req]) -> List[ReqOutput]:
         ps = self.page_size
-        fresh = req.fill_len == 0 and req.prefix_len == 0
-        if fresh:
-            m = self.tree.match_prefix(req.fill_ids)
-            # never reuse the whole fill (at least one token must compute
-            # so logits exist — reference match trim)
-            max_match = (len(req.fill_ids) - 1) // ps * ps
-            matched = min(m.matched_len, max_match)
-            n_prefix_pages = matched // ps
-            req.pages = list(m.pages[:n_prefix_pages])
-            req.prefix_pages = n_prefix_pages
-            req.prefix_len = matched
-            req.fill_len = matched
-            req.last_node = m.last_node
-            self.tree.inc_lock_ref(m.last_node)
+        BQ = self.runner.block_q
+        self.chunked_req = None
 
-        chunk = min(req.extend_len, self.server_args.chunked_prefill_size)
-        target = req.fill_len + chunk
-        new_pages = self._alloc_with_evict(req.fill_len, target, req.pages)
-        if new_pages is None:
-            # could not make room (running batch holds it) — requeue
-            self._release_prefill_state(req)
-            self.waiting.appendleft(req)
-            self.chunked_req = None
+        # --- allocate pages + build the ragged token-major arrays ---
+        admitted: List[Req] = []
+        for req in reqs:
+            target = req.fill_len + req._chunk
+            new_pages = self._alloc_with_evict(req.fill_len, target, req.pages)
+            if new_pages is None:
+                # could not make room — requeue this and all later reqs
+                idx = reqs.index(req)
+                for r in reqs[idx:]:
+                    self._release_prefill_state(r)
+                    self.waiting.appendleft(r)
+                break
+            req.pages.extend(new_pages)
+            admitted.append(req)
+        if not admitted:
             return []
-        req.pages.extend(new_pages)
+        reqs = admitted
 
-        positions = np.arange(req.fill_len, target, dtype=np.int32)
-        pages_np = np.asarray(req.pages, np.int32)
-        slots = pages_np[positions // ps] * ps + positions % ps
-        tokens = np.asarray(req.fill_ids[req.fill_len : target], np.int32)
+        B = len(reqs)
+        tq = sum((req._chunk + BQ - 1) // BQ * BQ for req in reqs)
+        tokens = np.zeros(tq, np.int32)
+        positions = np.zeros(tq, np.int32)
+        slots = np.full(tq, PAD_SLOT, np.int32)
+        kv_lens = np.zeros(B, np.int32)
+        q_lens = np.zeros(B, np.int32)
+        qb_base = np.zeros(B, np.int32)
+        pmax = max(len(r.pages) for r in reqs)
+        page_table = np.zeros((B, pmax), np.int32)
+        rows = []
+        offset = 0
+        for i, req in enumerate(reqs):
+            chunk = req._chunk
+            target = req.fill_len + chunk
+            pos = np.arange(req.fill_len, target, dtype=np.int32)
+            pages_np = np.asarray(req.pages, np.int32)
+            tokens[offset : offset + chunk] = req.fill_ids[req.fill_len : target]
+            positions[offset : offset + chunk] = pos
+            slots[offset : offset + chunk] = pages_np[pos // ps] * ps + pos % ps
+            kv_lens[i] = target
+            q_lens[i] = chunk
+            qb_base[i] = offset // BQ
+            page_table[i, : len(req.pages)] = req.pages
+            rows.append(req.sampling_row())
+            offset += (chunk + BQ - 1) // BQ * BQ
 
-        ext = ExtendInput(
+        ext = ExtendBatchInput(
             tokens=tokens,
             positions=positions,
             slots=slots,
-            pages=pages_np,
-            prefix_len=req.fill_len,
-            sampling=req.sampling_row(),
+            page_table=page_table,
+            kv_lens=kv_lens,
+            q_lens=q_lens,
+            qb_base=qb_base,
+            sampling=rows,
         )
-        if req.is_embedding and target == len(req.fill_ids):
-            req.embedding = self.runner.forward_embed(ext).tolist()
+
+        # --- embedding requests run solo through the hidden-state fn ---
+        if reqs[0].is_embedding:
+            req = reqs[0]
+            target = req.fill_len + req._chunk
+            if target == len(req.fill_ids):
+                req.embedding = self.runner.forward_embed(ext)[0].tolist()
+                req.fill_len = target
+                self._cache_unfinished(req)
+                req.finish_info = FinishInfo(FinishReason.LENGTH)
+                out = ReqOutput(req, [])
+                self._finish_req(req)
+                return [out]
+            # intermediate chunk: still must write KV — run the embed fn
+            self.runner.forward_embed(ext)
             req.fill_len = target
             self._cache_unfinished(req)
-            self.chunked_req = None
-            req.finish_info = FinishInfo(FinishReason.LENGTH)
-            out = ReqOutput(req, [])
-            self._finish_req(req)
-            return [out]
-        want_lp = req.sampling_params.return_logprob
-        vm = None
-        if req.grammar is not None and req.extend_len <= chunk:
-            vm = req.grammar.vocab_mask()[None, :]
-        next_id, lp = self.runner.forward_extend(
-            ext, want_logprobs=want_lp, vocab_mask=vm
-        )
-        req.fill_len = target
-        self._cache_unfinished(req)
-
-        if req.extend_len > 0:
-            self.chunked_req = req  # more chunks to go
+            self.chunked_req = req
             return []
-        self.chunked_req = None
 
-        if self.ngram is not None:
-            self.ngram.update(req.fill_ids)
-        outputs = []
-        if req.output_ids:
-            # retracted request finishing its re-prefill: the next token was
-            # already sampled before retraction — discard the bonus sample
-            pass
-        else:
-            req.output_ids.append(next_id)
-            if want_lp and lp is not None:
-                self._record_logprobs(req, lp, 0)
-            if req.first_token_time is None:
-                req.first_token_time = time.monotonic()
-            req.check_finished(next_id)
-            self._advance_grammar(req, next_id)
-            outputs.append(ReqOutput(req, [next_id]))
-        if req.finished():
-            self._finish_req(req)
-        else:
-            self.running.append(req)
+        completing = [r for r in reqs if r.extend_len <= r._chunk]
+        want_lp = any(
+            r.sampling_params.return_logprob for r in completing
+        )
+        vocab_mask = None
+        if any(r.grammar is not None for r in completing):
+            V = self.runner.model_config.vocab_size
+            vocab_mask = np.ones((B, V), bool)
+            for i, r in enumerate(reqs):
+                if r.grammar is not None and r.extend_len <= r._chunk:
+                    vocab_mask[i] = r.grammar.vocab_mask()
+
+        ids, lp = self.runner.forward_extend_batch(
+            ext, want_logprobs=want_lp, vocab_mask=vocab_mask
+        )
+
+        outputs: List[ReqOutput] = []
+        for i, req in enumerate(reqs):
+            req.fill_len += req._chunk
+            self._cache_unfinished(req)
+            if req.extend_len > 0:
+                self.chunked_req = req  # only the last req can be chunked
+                continue
+            if self.ngram is not None:
+                self.ngram.update(req.fill_ids)
+            if req.output_ids:
+                # retracted request finishing its re-prefill: the next token
+                # was already sampled before retraction — discard the bonus
+                pass
+            else:
+                next_id = int(ids[i])
+                req.output_ids.append(next_id)
+                if want_lp and lp is not None and req.sampling_params.return_logprob:
+                    self._record_logprobs(req, lp, i)
+                if req.first_token_time is None:
+                    req.first_token_time = time.monotonic()
+                req.check_finished(next_id)
+                self._advance_grammar(req, next_id)
+                outputs.append(ReqOutput(req, [next_id]))
+            if req.finished():
+                self._finish_req(req)
+            else:
+                self.running.append(req)
         return outputs
 
     def _advance_grammar(self, req: Req, token: int):

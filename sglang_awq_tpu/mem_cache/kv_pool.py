@@ -1,15 +1,25 @@
-"""Device-resident paged KV pool.
+"""Device-resident paged KV pool — combined token-major layout (round 2).
 
 Role model: reference `MHATokenToKVPool`
 (`python/sglang/srt/mem_cache/memory_pool.py:605` — per-layer K/V buffers +
-`set_kv_buffer`).  TPU shape (SURVEY.md §7 decision 4, head-major for
-contiguous page DMA — see ops/paged_attention.py):
+`set_kv_buffer`).  TPU layout (v2):
 
-    k_cache, v_cache : [num_layers, kv_heads, num_pages, page_size, head_dim]
+    kv_cache : [num_layers, num_pages, page_size, 2 * kv_heads, head_dim]
 
-All mutation is functional: `write_kv` returns updated arrays and is called
-inside the jitted model step with donated buffers, so XLA performs the
-scatter in place.
+K lives at combined-head index [0, kv_heads), V at [kv_heads, 2*kv_heads).
+Why token-major combined (vs the round-1 head-major split pools):
+
+* one page slice [page_size, 2*KVH, D] is contiguous — the attention kernel
+  fetches K+V for ALL heads of a page in ONE ~256 KB DMA instead of
+  2*KVH separate 16 KB DMAs (the round-1 kernel's 283 GB/s ceiling);
+* a single token row [1, 2*KVH, D] keeps the last two (tiled) dims whole, so
+  decode writes are direct 4 KB row DMAs — no read-modify-write round trip;
+* the last two dims (2*KVH=16, D=128 typical) match the bf16 min tile
+  (16, 128) exactly — zero tile-padding waste.
+
+All mutation is functional: `write_kv` returns the updated array and is
+called inside the jitted model step with a donated buffer, so XLA updates in
+place (via the Pallas kernels in ops/kv_write.py on TPU).
 """
 
 from __future__ import annotations
@@ -48,9 +58,9 @@ class KVPoolSpec:
     def shape(self):
         return (
             self.num_layers,
-            self.kv_heads,
             self.num_pages,
             self.page_size,
+            2 * self.kv_heads,
             self.head_dim,
         )
 
@@ -58,14 +68,12 @@ class KVPoolSpec:
         itemsize = jnp.dtype(self.jdtype).itemsize
         return 2 * self.num_layers * self.kv_heads * self.head_dim * itemsize
 
-    def alloc(self) -> Tuple[jax.Array, jax.Array]:
-        z = jnp.zeros(self.shape, self.jdtype)
-        return z, jnp.zeros_like(z)
+    def alloc(self) -> jax.Array:
+        return jnp.zeros(self.shape, self.jdtype)
 
 
 def write_kv(
-    k_cache: jax.Array,  # [L, KVH, P, ps, D]
-    v_cache: jax.Array,
+    kv_cache: jax.Array,  # [L, P, ps, 2*KVH, D]
     k_new: jax.Array,  # [T, KVH, D]
     v_new: jax.Array,
     slots: jax.Array,  # [T] int32 flat slot = page * ps + offset (may contain
@@ -73,72 +81,37 @@ def write_kv(
     layer: jax.Array | int,
     mode: str = "decode",  # "decode" | "prefill" | "spec"
     spec_span: int = 0,  # QS for mode="spec" (contiguous tokens per sequence)
-) -> Tuple[jax.Array, jax.Array]:
+) -> jax.Array:
     """Write new K/V rows into the pool at flat token slots.
 
     On TPU this MUST be the Pallas in-place kernels (ops/kv_write.py): XLA
-    lowers the jnp scatter with a token-major preferred layout and inserts
-    full-pool layout-conversion copies (2x pool HBM -> instant OOM at
-    serving sizes).  The jnp scatter remains as the CPU/test path.
+    lowers the jnp scatter with layout-conversion copies of the full pool.
+    The jnp scatter remains as the CPU/test path.
     """
     from sglang_awq_tpu.utils import is_tpu_backend
 
+    kv_new = jnp.concatenate(
+        [k_new.astype(kv_cache.dtype), v_new.astype(kv_cache.dtype)], axis=1
+    )  # [T, 2*KVH, D]
+
     if is_tpu_backend():
-        from sglang_awq_tpu.ops.kv_write import kv_write_decode, kv_write_prefill
+        from sglang_awq_tpu.ops.kv_write import kv_write_prefill, kv_write_tokens
 
-        if mode == "spec":
-            from sglang_awq_tpu.ops.kv_write import kv_write_spec
-
-            B = k_new.shape[0] // spec_span
-            KVH, D = k_new.shape[1], k_new.shape[2]
-            return kv_write_spec(
-                k_cache,
-                v_cache,
-                k_new.reshape(B, spec_span, KVH, D),
-                v_new.reshape(B, spec_span, KVH, D),
-                slots.reshape(B, spec_span),
-                layer,
-            )
         if mode == "prefill":
-            T = k_new.shape[0]
-            ps_ = k_cache.shape[3]
-            num_slots = k_cache.shape[2] * ps_
+            T = kv_new.shape[0]
+            ps_ = kv_cache.shape[2]
+            num_slots = kv_cache.shape[1] * ps_
             group_slots = slots.reshape(T // ps_, ps_)[:, 0]
-            pages = group_slots // ps_
-            n_pages = jnp.sum(
-                ((group_slots >= 0) & (group_slots < num_slots)).astype(jnp.int32)
-            )
-            return kv_write_prefill(
-                k_cache, v_cache, k_new, v_new, pages, n_pages, layer
-            )
-        return kv_write_decode(k_cache, v_cache, k_new, v_new, slots, layer)
-    L, KVH, P, ps, D = k_cache.shape
+            valid = (group_slots >= 0) & (group_slots < num_slots)
+            pages = jnp.where(valid, group_slots // ps_, -1)
+            return kv_write_prefill(kv_cache, kv_new, pages, layer)
+        # decode and spec are both "scatter distinct token rows": every live
+        # slot is unique, so one row-DMA kernel serves both.
+        return kv_write_tokens(kv_cache, kv_new, slots, layer)
+
+    L, P, ps, KVH2, D = kv_cache.shape
     layer = jnp.asarray(layer, jnp.int32)
     pages = slots // ps
     offs = slots % ps
-    # Index layout: layer (traced scalar) + pages/offs are ADVANCED indices
-    # separated by the kv-head slice, so the broadcast [T] dims move to the
-    # front: the update value has shape [T, KVH, D].
-    k_cache = k_cache.at[layer, :, pages, offs, :].set(
-        k_new.astype(k_cache.dtype), mode="drop"
-    )
-    v_cache = v_cache.at[layer, :, pages, offs, :].set(
-        v_new.astype(v_cache.dtype), mode="drop"
-    )
-    return k_cache, v_cache
-
-
-def gather_kv(
-    k_cache: jax.Array,  # [L, KVH, P, ps, D]
-    v_cache: jax.Array,
-    pages: jax.Array,  # [n] int32 page ids (padded entries arbitrary)
-    layer: jax.Array | int,
-) -> Tuple[jax.Array, jax.Array]:
-    """Gather whole pages -> contiguous [KVH, n*ps, D] (prefill attention)."""
-    L, KVH, P, ps, D = k_cache.shape
-    layer = jnp.asarray(layer, jnp.int32)
-    kl = jax.lax.dynamic_index_in_dim(k_cache, layer, 0, keepdims=False)
-    vl = jax.lax.dynamic_index_in_dim(v_cache, layer, 0, keepdims=False)
-    kg = kl[:, pages].reshape(KVH, -1, D)
-    vg = vl[:, pages].reshape(KVH, -1, D)
-    return kg, vg
+    kv_cache = kv_cache.at[layer, pages, offs, :, :].set(kv_new, mode="drop")
+    return kv_cache

@@ -22,16 +22,36 @@ class ForwardMode(enum.Enum):
 
 
 @dataclasses.dataclass
-class ExtendInput:
-    """One request's (chunked) prefill step — bs=1 (SURVEY.md §7 phase 1)."""
+class ExtendBatchInput:
+    """Batched multi-request (chunked) prefill step (round 2).
 
-    tokens: np.ndarray  # [T] int32 new tokens of this chunk
-    positions: np.ndarray  # [T] absolute positions
-    slots: np.ndarray  # [T] flat KV slots
-    pages: np.ndarray  # [n_pages] page ids covering prefix + chunk
-    prefix_len: int
-    # sampling for the bonus token produced by this chunk (if last chunk)
-    sampling: Optional["SamplingRow"] = None
+    Token-major ragged layout: sequence b's q tokens occupy rows
+    [qb_base[b]*BQ, qb_base[b]*BQ + q_lens[b]) of the flat arrays, with each
+    region padded to a BQ (runner.block_q) multiple.  Reference role:
+    the extend ModelWorkerBatch assembled by `get_new_batch_prefill`
+    (`scheduler.py:1783`).
+    """
+
+    tokens: np.ndarray  # [TQ] int32 new tokens (token-major, padded regions)
+    positions: np.ndarray  # [TQ] absolute positions
+    slots: np.ndarray  # [TQ] flat KV slots (PAD_SLOT for padding rows)
+    page_table: np.ndarray  # [B, pmax] page ids covering prefix + chunk
+    kv_lens: np.ndarray  # [B] total kv length incl. this chunk
+    q_lens: np.ndarray  # [B] live new tokens per sequence
+    qb_base: np.ndarray  # [B] first q block per sequence
+    # per-seq sampling for the bonus token (rows not finishing their prompt
+    # may pass None)
+    sampling: list = None  # List[Optional[SamplingRow]]
+    sample_steps: np.ndarray = None  # [B]
+
+    def sampling_padded(self, bs_pad: int) -> "SamplingBatch":
+        rows = [r or SamplingRow() for r in (self.sampling or [])]
+        return SamplingBatch.from_rows(rows, pad_to=bs_pad)
+
+    def all_greedy(self) -> bool:
+        return all(
+            r is None or r.temperature < 1e-5 for r in (self.sampling or [])
+        )
 
 
 @dataclasses.dataclass

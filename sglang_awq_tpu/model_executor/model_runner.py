@@ -8,15 +8,18 @@ graph capture `init_device_graphs:2498`, forward dispatch `forward:2721`).
 TPU re-design (SURVEY.md §7 decisions 2-4):
 * CUDA graphs -> BUCKETED JIT: one compiled executable per
   (mode, padded size) key; decode buckets on batch size, prefill buckets on
-  chunk tokens (reference bucket table role, §A.5).
+  (total tokens, batch rows) (reference bucket table role, §A.5).
 * Each step fuses model forward + sampling into ONE dispatch (host-device
   round trips are the enemy; sampled ids return as a small array).
+* Prefill is a BATCHED multi-request ragged extend (round 2) — reference
+  `get_new_batch_prefill` extend batches.
 * `decode_multi` runs N decode steps inside one jit via `lax.scan`, feeding
   sampled tokens straight back into the next step on device — the TPU
   analogue of the reference's overlap scheduling + multi-step decode
   (`--num-continuous-decode-steps`), with KV paging advanced in-jit over a
   pre-allocated page table.
-* KV caches are donated through every step (functional in-place update).
+* The combined KV cache is donated through every step (functional in-place
+  update; layout in mem_cache/kv_pool.py).
 """
 
 from __future__ import annotations
@@ -24,7 +27,7 @@ from __future__ import annotations
 import logging
 import math
 from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -40,7 +43,7 @@ from sglang_awq_tpu.layers.sampler import (
 from sglang_awq_tpu.mem_cache.kv_pool import KVPoolSpec, PAD_SLOT
 from sglang_awq_tpu.model_executor.forward_batch import (
     DecodeInput,
-    ExtendInput,
+    ExtendBatchInput,
     SamplingBatch,
 )
 from sglang_awq_tpu.model_loader.loader import load_model
@@ -57,6 +60,8 @@ logger = logging.getLogger(__name__)
 
 HBM_BYTES_DEFAULT = 16 * 1024**3  # v5e
 RESERVE_BYTES = 1536 * 1024**2  # workspace + fragmentation headroom
+
+EXTEND_BS_BUCKETS = [1, 2, 4, 8, 16, 32]
 
 
 def _sampling_info(sb: SamplingBatch) -> SamplingInfo:
@@ -107,28 +112,28 @@ class ModelRunner:
             self._shard_state()
         self.rope_tab = jax.device_put(self.model.rope())
         self.page_size = server_args.page_size
+        # extend q-block: per-seq q regions are padded to this; must be a
+        # page multiple so prefill KV write groups never straddle sequences
+        self.block_q = max(128, self.page_size)
+        assert self.block_q % self.page_size == 0
 
         self._init_memory_pool()
 
         self.decode_bs_buckets = server_args.decode_bs_buckets or default_decode_bs_buckets(
             server_args.max_running_requests
         )
-        self.prefill_token_buckets = (
-            server_args.prefill_token_buckets
-            or default_prefill_token_buckets(server_args.chunked_prefill_size)
-        )
-        # prefill KV-length buckets in PAGES (gathered KV is page-granular)
-        self.prefill_page_buckets = sorted(
-            {
-                cdiv(t, self.page_size)
-                for t in default_prefill_token_buckets(model_config.context_length)
-            }
-        )
+        self.prefill_token_buckets = [
+            round_up(t, self.block_q)
+            for t in (
+                server_args.prefill_token_buckets
+                or default_prefill_token_buckets(server_args.chunked_prefill_size)
+            )
+        ]
         self._fns: Dict[Any, Any] = {}
         self.decode_steps_counter = 0
-        # page-table width buckets: the decode attention grid iterates
-        # pmax/ppc chunks per (seq, head) — sizing to the live batch's max
-        # pages (not the context limit) kills dead grid steps
+        # page-table width buckets: the attention grid iterates pmax/ppc
+        # chunks per sequence — sizing to the live batch's max pages (not
+        # the context limit) kills dead grid steps
         self.pmax_buckets = []
         w = 8
         while w < self.pmax:
@@ -153,7 +158,7 @@ class ModelRunner:
             self._param_specs,
         )
 
-    def _wrap_step(self, fn, n_replicated_in: int, n_replicated_out: int = 2):
+    def _wrap_step(self, fn, n_replicated_in: int, n_replicated_out: int = 1):
         """shard_map a step function: params/KV sharded, batch inputs and
         outputs replicated (every shard computes identical logits/ids)."""
         from jax.sharding import PartitionSpec as P
@@ -166,10 +171,9 @@ class ModelRunner:
         in_specs = (
             self._param_specs,
             kvp,
-            kvp,
             P(),  # rope
         ) + (P(),) * n_replicated_in
-        out_specs = (P(),) * n_replicated_out + (kvp, kvp)
+        out_specs = (P(),) * n_replicated_out + (kvp,)
         try:
             return jax.shard_map(
                 fn, mesh=self.mesh, in_specs=in_specs, out_specs=out_specs,
@@ -214,12 +218,12 @@ class ModelRunner:
         )
         self.max_total_tokens = num_pages * self.page_size
         self.pmax = cdiv(mc.context_length, self.page_size)
-        self.k_cache, self.v_cache = self._alloc_kv()
+        self.kv_cache = self._alloc_kv()
         logger.info(
             "KV pool: %d pages x %d tokens (%.2f GiB global)",
             num_pages,
             self.page_size,
-            2 * self.k_cache.nbytes / 1024**3,
+            self.kv_cache.nbytes / 1024**3,
         )
 
     def _alloc_kv(self):
@@ -231,10 +235,7 @@ class ModelRunner:
 
         sh = NamedSharding(self.mesh, kv_pspec())
         shape, dt = self.kv_spec.shape, self.kv_spec.jdtype
-        alloc = jax.jit(
-            lambda: (jnp.zeros(shape, dt), jnp.zeros(shape, dt)),
-            out_shardings=(sh, sh),
-        )
+        alloc = jax.jit(lambda: jnp.zeros(shape, dt), out_shardings=sh)
         return alloc()
 
     def _device_hbm_bytes(self) -> int:
@@ -250,27 +251,31 @@ class ModelRunner:
     # jitted step builders
     # ------------------------------------------------------------------
 
-    def _extend_fn(self, t_pad: int, n_pages: int, all_greedy: bool, want_lp: bool, want_mask: bool = False):
-        key = ("extend", t_pad, n_pages, all_greedy, want_lp, want_mask)
+    def _extend_fn(self, tq: int, bs: int, pt_w: int, all_greedy: bool,
+                   want_lp: bool, want_mask: bool = False):
+        key = ("extend", tq, bs, pt_w, all_greedy, want_lp, want_mask)
         if key in self._fns:
             return self._fns[key]
         model = self.model
+        block_q = self.block_q
 
-        def raw(params, kc, vc, rope, tokens, positions, slots, pages, prefix_len, q_len, info, step, *mask):
-            logits, kc, vc = model.extend_step(
-                params, kc, vc, rope, tokens, positions, slots, pages, prefix_len, q_len
+        def raw(params, kv, rope, tokens, positions, slots, page_table,
+                kv_lens, q_lens, qb_base, info, steps, *mask):
+            logits, kv = model.extend_step(
+                params, kv, rope, tokens, positions, slots, page_table,
+                kv_lens, q_lens, qb_base, block_q=block_q,
             )
             vm = mask[0] if want_mask else None
-            ids = sample(logits, info, step, all_greedy=all_greedy, vocab_mask=vm)
+            ids = sample(logits, info, steps, all_greedy=all_greedy, vocab_mask=vm)
             if want_lp:
                 lp, top_ids, top_vals = logprob_outputs(logits, ids)
-                return ids, lp, top_ids, top_vals, kc, vc
-            return ids, kc, vc
+                return ids, lp, top_ids, top_vals, kv
+            return ids, kv
 
         fn = jax.jit(
-            self._wrap_step(raw, 8 + (1 if want_mask else 0),
+            self._wrap_step(raw, 9 + (1 if want_mask else 0),
                             n_replicated_out=4 if want_lp else 1),
-            donate_argnums=(1, 2),
+            donate_argnums=(1,),
         )
         self._fns[key] = fn
         return fn
@@ -285,9 +290,9 @@ class ModelRunner:
         model = self.model
         vocab = self.model_config.vocab_size
 
-        def raw(params, kc, vc, rope, tokens, positions, slots, page_table, lengths, info, steps, *extra):
-            logits, kc, vc = model.decode_step(
-                params, kc, vc, rope, tokens, positions, slots, page_table, lengths
+        def raw(params, kv, rope, tokens, positions, slots, page_table, lengths, info, steps, *extra):
+            logits, kv = model.decode_step(
+                params, kv, rope, tokens, positions, slots, page_table, lengths
             )
             extra = list(extra)
             if want_pen:
@@ -297,8 +302,8 @@ class ModelRunner:
             ids = sample(logits, info, steps, all_greedy=all_greedy, vocab_mask=vm)
             if want_lp:
                 lp, top_ids, top_vals = logprob_outputs(logits, ids)
-                return ids, lp, top_ids, top_vals, kc, vc
-            return ids, kc, vc
+                return ids, lp, top_ids, top_vals, kv
+            return ids, kv
 
         fn = jax.jit(
             self._wrap_step(
@@ -306,7 +311,7 @@ class ModelRunner:
                 7 + (1 if want_mask else 0) + (1 if want_pen else 0),
                 n_replicated_out=4 if want_lp else 1,
             ),
-            donate_argnums=(1, 2),
+            donate_argnums=(1,),
         )
         self._fns[key] = fn
         return fn
@@ -318,26 +323,26 @@ class ModelRunner:
         model = self.model
         ps = self.page_size
 
-        def raw(params, kc, vc, rope, tokens0, lengths0, page_table, info, steps0):
+        def raw(params, kv, rope, tokens0, lengths0, page_table, info, steps0):
             def body(carry, s):
-                kc, vc, toks, lens = carry
+                kv, toks, lens = carry
                 live = lens > 0
                 pos = jnp.maximum(lens - 1, 0)
                 page = page_table[jnp.arange(bs), pos // ps]
                 slots = jnp.where(live, page * ps + pos % ps, PAD_SLOT)
-                logits, kc, vc = model.decode_step(
-                    params, kc, vc, rope, toks, pos, slots, page_table, lens
+                logits, kv = model.decode_step(
+                    params, kv, rope, toks, pos, slots, page_table, lens
                 )
                 ids = sample(logits, info, steps0 + s, all_greedy=all_greedy)
                 lens = jnp.where(live, lens + 1, lens)
-                return (kc, vc, ids, lens), ids
+                return (kv, ids, lens), ids
 
-            (kc, vc, _, _), all_ids = jax.lax.scan(
-                body, (kc, vc, tokens0, lengths0), jnp.arange(n_steps)
+            (kv, _, _), all_ids = jax.lax.scan(
+                body, (kv, tokens0, lengths0), jnp.arange(n_steps)
             )
-            return all_ids, kc, vc
+            return all_ids, kv
 
-        fn = jax.jit(self._wrap_step(raw, 5, n_replicated_out=1), donate_argnums=(1, 2))
+        fn = jax.jit(self._wrap_step(raw, 5, n_replicated_out=1), donate_argnums=(1,))
         self._fns[key] = fn
         return fn
 
@@ -345,63 +350,74 @@ class ModelRunner:
     # public forward API (numpy in, numpy out)
     # ------------------------------------------------------------------
 
-    def forward_extend(
-        self,
-        ext: ExtendInput,
-        want_logprobs: bool = False,
-        vocab_mask: Optional[np.ndarray] = None,
-    ) -> Tuple[int, Optional[dict]]:
-        """Run one chunk; returns (sampled next-token id, logprob dict|None).
+    def _pad_extend(self, ext: ExtendBatchInput):
+        """Pad an extend batch to (tq, bs, pt_w) buckets -> jnp arrays."""
+        TQ = len(ext.tokens)
+        B = len(ext.kv_lens)
+        tq_pad = pick_bucket(max(TQ, self.block_q), self.prefill_token_buckets)
+        bs_pad = pick_bucket(B, EXTEND_BS_BUCKETS)
+        pt_w = pick_bucket(max(ext.page_table.shape[1], 1), self.pmax_buckets)
 
-        The sampled id is only meaningful when this is the request's LAST
-        chunk (prefix_len + T == full prompt length).
-        """
-        T = len(ext.tokens)
-        t_pad = pick_bucket(T, self.prefill_token_buckets)
-        total_pages = len(ext.pages)
-        pg_pad = pick_bucket(max(total_pages, 1), self.prefill_page_buckets)
-        row = ext.sampling
-        all_greedy = row is None or row.temperature < 1e-5
-        fn = self._extend_fn(
-            t_pad, pg_pad, all_greedy, want_logprobs, vocab_mask is not None
+        tokens = np.zeros(tq_pad, np.int32)
+        tokens[:TQ] = ext.tokens
+        positions = np.zeros(tq_pad, np.int32)
+        positions[:TQ] = ext.positions
+        slots = np.full(tq_pad, PAD_SLOT, np.int32)
+        slots[:TQ] = ext.slots
+        pt = np.zeros((bs_pad, pt_w), np.int32)
+        w = min(ext.page_table.shape[1], pt_w)
+        pt[:B, :w] = ext.page_table[:, :w]
+        kv_lens = np.zeros(bs_pad, np.int32)
+        kv_lens[:B] = ext.kv_lens
+        q_lens = np.zeros(bs_pad, np.int32)
+        q_lens[:B] = ext.q_lens
+        qb_base = np.zeros(bs_pad, np.int32)
+        qb_base[:B] = ext.qb_base
+        steps = np.zeros(bs_pad, np.int32)
+        if ext.sample_steps is not None:
+            steps[:B] = ext.sample_steps
+        return (
+            tq_pad, bs_pad, pt_w,
+            jnp.asarray(tokens), jnp.asarray(positions), jnp.asarray(slots),
+            jnp.asarray(pt), jnp.asarray(kv_lens), jnp.asarray(q_lens),
+            jnp.asarray(qb_base), jnp.asarray(steps),
         )
 
-        tokens = np.zeros(t_pad, np.int32)
-        tokens[:T] = ext.tokens
-        positions = np.zeros(t_pad, np.int32)
-        positions[:T] = ext.positions
-        slots = np.full(t_pad, PAD_SLOT, np.int32)
-        slots[:T] = ext.slots
-        pages = np.zeros(pg_pad, np.int32)
-        pages[:total_pages] = ext.pages
+    def forward_extend_batch(
+        self,
+        ext: ExtendBatchInput,
+        want_logprobs: bool = False,
+        vocab_mask: Optional[np.ndarray] = None,  # [B, V] bool
+    ) -> Tuple[np.ndarray, Optional[dict]]:
+        """Run one batched prefill step -> (ids [bs_pad], logprobs|None).
 
-        sb = SamplingBatch.from_rows([row] if row else [], pad_to=1)
-        info = _sampling_info(sb)
+        ids[b] is only meaningful for rows finishing their prompt this step.
+        """
+        (tq_pad, bs_pad, pt_w, tokens, positions, slots, pt,
+         kv_lens, q_lens, qb_base, steps) = self._pad_extend(ext)
+        fn = self._extend_fn(
+            tq_pad, bs_pad, pt_w, ext.all_greedy(), want_logprobs,
+            vocab_mask is not None,
+        )
+        info = _sampling_info(ext.sampling_padded(bs_pad))
         args = (
-            self.params,
-            self.k_cache,
-            self.v_cache,
-            self.rope_tab,
-            jnp.asarray(tokens),
-            jnp.asarray(positions),
-            jnp.asarray(slots),
-            jnp.asarray(pages),
-            jnp.int32(ext.prefix_len),
-            jnp.int32(T),
-            info,
-            jnp.int32(0),
+            self.params, self.kv_cache, self.rope_tab,
+            tokens, positions, slots, pt, kv_lens, q_lens, qb_base,
+            info, steps,
         )
         if vocab_mask is not None:
-            args = args + (jnp.asarray(vocab_mask.reshape(1, -1)),)
+            vm = np.ones((bs_pad, vocab_mask.shape[1]), bool)
+            vm[: vocab_mask.shape[0]] = vocab_mask
+            args = args + (jnp.asarray(vm),)
         if want_logprobs:
-            ids, lp, top_ids, top_vals, self.k_cache, self.v_cache = fn(*args)
-            return int(np.asarray(ids)[0]), {
+            ids, lp, top_ids, top_vals, self.kv_cache = fn(*args)
+            return np.asarray(ids), {
                 "logprobs": np.asarray(lp),
                 "top_ids": np.asarray(top_ids),
                 "top_logprobs": np.asarray(top_vals),
             }
-        ids, self.k_cache, self.v_cache = fn(*args)
-        return int(np.asarray(ids)[0]), None
+        ids, self.kv_cache = fn(*args)
+        return np.asarray(ids), None
 
     def forward_decode(
         self,
@@ -425,7 +441,7 @@ class ModelRunner:
             steps[:bs] = d.sample_steps
         self.decode_steps_counter += 1
         args = (
-            self.params, self.k_cache, self.v_cache, self.rope_tab,
+            self.params, self.kv_cache, self.rope_tab,
             *arrays, info, jnp.asarray(steps),
         )
         if output_counts is not None:
@@ -437,13 +453,13 @@ class ModelRunner:
             vm[:bs] = vocab_mask
             args = args + (jnp.asarray(vm),)
         if want_logprobs:
-            ids, lp, top_ids, top_vals, self.k_cache, self.v_cache = fn(*args)
+            ids, lp, top_ids, top_vals, self.kv_cache = fn(*args)
             return np.asarray(ids), {
                 "logprobs": np.asarray(lp),
                 "top_ids": np.asarray(top_ids),
                 "top_logprobs": np.asarray(top_vals),
             }
-        ids, self.k_cache, self.v_cache = fn(*args)
+        ids, self.kv_cache = fn(*args)
         return np.asarray(ids), None
 
     def forward_decode_multi(self, d: DecodeInput, n_steps: int) -> np.ndarray:
@@ -461,8 +477,8 @@ class ModelRunner:
         if d.sample_steps is not None:
             steps0[:bs] = d.sample_steps
         self.decode_steps_counter += n_steps
-        all_ids, self.k_cache, self.v_cache = fn(
-            self.params, self.k_cache, self.v_cache, self.rope_tab,
+        all_ids, self.kv_cache = fn(
+            self.params, self.kv_cache, self.rope_tab,
             tokens, lengths, page_table, info, jnp.asarray(steps0),
         )
         return np.asarray(all_ids)
@@ -488,43 +504,36 @@ class ModelRunner:
             jnp.asarray(lengths),
         )
 
-    def _embed_fn(self, t_pad: int, n_pages: int):
-        key = ("embed", t_pad, n_pages)
+    def _embed_fn(self, tq: int, bs: int, pt_w: int):
+        key = ("embed", tq, bs, pt_w)
         if key in self._fns:
             return self._fns[key]
         model = self.model
+        block_q = self.block_q
 
-        def raw(params, kc, vc, rope, tokens, positions, slots, pages, prefix_len, q_len):
-            hidden, kc, vc = model.extend_step(
-                params, kc, vc, rope, tokens, positions, slots, pages,
-                prefix_len, q_len, return_hidden=True,
+        def raw(params, kv, rope, tokens, positions, slots, page_table,
+                kv_lens, q_lens, qb_base):
+            hidden, kv = model.extend_step(
+                params, kv, rope, tokens, positions, slots, page_table,
+                kv_lens, q_lens, qb_base, return_hidden=True, block_q=block_q,
             )
-            return hidden, kc, vc
+            return hidden, kv
 
-        fn = jax.jit(self._wrap_step(raw, 6, n_replicated_out=1), donate_argnums=(1, 2))
+        fn = jax.jit(self._wrap_step(raw, 7, n_replicated_out=1), donate_argnums=(1,))
         self._fns[key] = fn
         return fn
 
-    def forward_embed(self, ext: ExtendInput) -> np.ndarray:
-        """Last-token pooled hidden state [H] (reference /encode /v1/embeddings)."""
-        T = len(ext.tokens)
-        t_pad = pick_bucket(T, self.prefill_token_buckets)
-        pg_pad = pick_bucket(max(len(ext.pages), 1), self.prefill_page_buckets)
-        fn = self._embed_fn(t_pad, pg_pad)
-        tokens = np.zeros(t_pad, np.int32)
-        tokens[:T] = ext.tokens
-        positions = np.zeros(t_pad, np.int32)
-        positions[:T] = ext.positions
-        slots = np.full(t_pad, PAD_SLOT, np.int32)
-        slots[:T] = ext.slots
-        pages = np.zeros(pg_pad, np.int32)
-        pages[: len(ext.pages)] = ext.pages
-        hidden, self.k_cache, self.v_cache = fn(
-            self.params, self.k_cache, self.v_cache, self.rope_tab,
-            jnp.asarray(tokens), jnp.asarray(positions), jnp.asarray(slots),
-            jnp.asarray(pages), jnp.int32(ext.prefix_len), jnp.int32(T),
+    def forward_embed(self, ext: ExtendBatchInput) -> np.ndarray:
+        """Per-seq last-token pooled hidden states [B, H]
+        (reference /encode /v1/embeddings)."""
+        (tq_pad, bs_pad, pt_w, tokens, positions, slots, pt,
+         kv_lens, q_lens, qb_base, _) = self._pad_extend(ext)
+        fn = self._embed_fn(tq_pad, bs_pad, pt_w)
+        hidden, self.kv_cache = fn(
+            self.params, self.kv_cache, self.rope_tab,
+            tokens, positions, slots, pt, kv_lens, q_lens, qb_base,
         )
-        return np.asarray(hidden)[0]
+        return np.asarray(hidden)[: len(ext.kv_lens)]
 
     def _spec_verify_fn(self, bs: int, q_span: int, pt_w: int):
         key = ("spec_verify", bs, q_span, pt_w)
@@ -532,16 +541,16 @@ class ModelRunner:
             return self._fns[key]
         model = self.model
 
-        def raw(params, kc, vc, rope, tokens, positions, slots, page_table, lengths):
-            logits, kc, vc = model.spec_verify_step(
-                params, kc, vc, rope, tokens, positions, slots, page_table, lengths
+        def raw(params, kv, rope, tokens, positions, slots, page_table, lengths):
+            logits, kv = model.spec_verify_step(
+                params, kv, rope, tokens, positions, slots, page_table, lengths
             )
             # greedy verify ids for every position
             ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, QS]
-            return ids, kc, vc
+            return ids, kv
 
         fn = jax.jit(
-            self._wrap_step(raw, 5, n_replicated_out=1), donate_argnums=(1, 2)
+            self._wrap_step(raw, 5, n_replicated_out=1), donate_argnums=(1,)
         )
         self._fns[key] = fn
         return fn
@@ -571,10 +580,9 @@ class ModelRunner:
         lens = np.zeros(bs_pad, np.int32)
         lens[:bs] = lengths
         self.decode_steps_counter += 1
-        ids, self.k_cache, self.v_cache = fn(
+        ids, self.kv_cache = fn(
             self.params,
-            self.k_cache,
-            self.v_cache,
+            self.kv_cache,
             self.rope_tab,
             jnp.asarray(pad2(tokens)),
             jnp.asarray(pad2(positions)),
@@ -643,4 +651,4 @@ class ModelRunner:
 
     def flush_cache(self):
         """Zero + reallocate the KV pool (reference /flush_cache)."""
-        self.k_cache, self.v_cache = self._alloc_kv()
+        self.kv_cache = self._alloc_kv()

@@ -31,13 +31,12 @@ from sglang_awq_tpu.layers.activation import silu_and_mul
 from sglang_awq_tpu.layers.linear import LinearSpec, linear_apply
 from sglang_awq_tpu.layers.norm import rms_norm
 from sglang_awq_tpu.layers.rotary import apply_rope, rope_table
-from sglang_awq_tpu.mem_cache.kv_pool import gather_kv, write_kv
-from sglang_awq_tpu.ops.flash_prefill import flash_prefill, flash_prefill_xla
-from sglang_awq_tpu.ops.paged_attention import (
-    paged_attention,
-    paged_attention_spec,
-    paged_attention_spec_xla,
-    paged_attention_xla,
+from sglang_awq_tpu.mem_cache.kv_pool import write_kv
+from sglang_awq_tpu.ops.ragged_attention import (
+    ragged_decode,
+    ragged_decode_xla,
+    ragged_extend,
+    ragged_extend_xla,
 )
 from sglang_awq_tpu.utils import is_tpu_backend
 
@@ -207,65 +206,55 @@ class LlamaForCausalLM:
     def decode_step(
         self,
         params: Dict[str, Any],
-        k_cache: jax.Array,
-        v_cache: jax.Array,
+        kv_cache: jax.Array,  # [L, P, ps, 2*KVH, D]
         rope_tab: jax.Array,
         tokens: jax.Array,  # [B] int32
         positions: jax.Array,  # [B] int32 (= lengths - 1; 0 for pads)
-        slots: jax.Array,  # [B] int32 flat KV slot for the new token (-1 pad)
+        slots: jax.Array,  # [B] int32 flat KV slot for the new token (pad = PAD_SLOT)
         page_table: jax.Array,  # [B, PMAX] int32
         lengths: jax.Array,  # [B] int32 incl. the new token (0 for pads)
-    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-        """One decode step for a padded batch -> (logits [B, V], kc, vc)."""
+    ) -> Tuple[jax.Array, jax.Array]:
+        """One decode step for a padded batch -> (logits [B, V], kv)."""
         B = tokens.shape[0]
         x = params["embed"]["weight"][tokens]
-
         use_xla_attn = not is_tpu_backend()
 
         def body(carry, l):
-            x, kc, vc = carry
+            x, kv = carry
 
             def attn(q, k, v, l):
-                nonlocal_state["kc"], nonlocal_state["vc"] = write_kv(
-                    nonlocal_state["kc"], nonlocal_state["vc"], k, v, slots, l,
-                    mode="decode",
-                )
-                fn = paged_attention_xla if use_xla_attn else paged_attention
-                return fn(
-                    q,
-                    nonlocal_state["kc"],
-                    nonlocal_state["vc"],
-                    page_table,
-                    lengths,
-                    l,
+                state["kv"] = write_kv(state["kv"], k, v, slots, l, mode="decode")
+                fn = ragged_decode_xla if use_xla_attn else ragged_decode
+                out = fn(
+                    q[:, None], state["kv"], page_table, lengths, l,
                     sm_scale=self.sm_scale,
-                )
+                )  # [B, 1, QH, D]
+                return out[:, 0]
 
-            nonlocal_state = {"kc": kc, "vc": vc}
+            state = {"kv": kv}
             x = self._layer(params, x, l, positions, rope_tab, attn)
-            return (x, nonlocal_state["kc"], nonlocal_state["vc"]), None
+            return (x, state["kv"]), None
 
-        (x, k_cache, v_cache), _ = jax.lax.scan(
-            body, (x, k_cache, v_cache), jnp.arange(self.config.num_layers)
+        (x, kv_cache), _ = jax.lax.scan(
+            body, (x, kv_cache), jnp.arange(self.config.num_layers)
         )
         logits = self._logits(params, x)
-        return logits, k_cache, v_cache
+        return logits, kv_cache
 
     def spec_verify_step(
         self,
         params: Dict[str, Any],
-        k_cache: jax.Array,
-        v_cache: jax.Array,
+        kv_cache: jax.Array,
         rope_tab: jax.Array,
         tokens: jax.Array,  # [B, QS] int32: [last_sampled, draft_1..draft_{QS-1}]
         positions: jax.Array,  # [B, QS]
         slots: jax.Array,  # [B, QS] contiguous per row (PAD_SLOT rows skipped)
         page_table: jax.Array,  # [B, PMAX]
         lengths: jax.Array,  # [B] TOTAL length incl. all QS tokens (0 = pad)
-    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    ) -> Tuple[jax.Array, jax.Array]:
         """Speculative-decode verify: one step scores QS tokens per sequence
-        -> (logits [B, QS, V], kc, vc).  Reference role: TARGET_VERIFY
-        forward mode (forward_batch_info.py:70) for draft verification."""
+        -> (logits [B, QS, V], kv).  Reference role: TARGET_VERIFY forward
+        mode (forward_batch_info.py:70) for draft verification."""
         B, QS = tokens.shape
         x = params["embed"]["weight"][tokens.reshape(-1)]  # [B*QS, H]
         use_xla_attn = not is_tpu_backend()
@@ -273,86 +262,77 @@ class LlamaForCausalLM:
         flat_slots = slots.reshape(-1)
 
         def body(carry, l):
-            x, kc, vc = carry
+            x, kv = carry
 
             def attn(q, k, v, l):
-                st = state
-                st["kc"], st["vc"] = write_kv(
-                    st["kc"], st["vc"], k, v, flat_slots, l, mode="spec",
-                    spec_span=QS,
-                )
+                state["kv"] = write_kv(state["kv"], k, v, flat_slots, l, mode="spec")
                 qs = q.reshape(B, QS, self.qh, self.head_dim)
-                if use_xla_attn:
-                    out = paged_attention_spec_xla(
-                        qs, st["kc"], st["vc"], page_table, lengths, l,
-                        sm_scale=self.sm_scale,
-                    )
-                else:
-                    out = paged_attention_spec(
-                        qs, st["kc"], st["vc"], page_table, lengths, l,
-                        sm_scale=self.sm_scale,
-                    )
+                fn = ragged_decode_xla if use_xla_attn else ragged_decode
+                out = fn(
+                    qs, state["kv"], page_table, lengths, l, sm_scale=self.sm_scale
+                )
                 return out.reshape(B * QS, self.qh, self.head_dim)
 
-            state = {"kc": kc, "vc": vc}
+            state = {"kv": kv}
             x = self._layer(params, x, l, flat_pos, rope_tab, attn)
-            return (x, state["kc"], state["vc"]), None
+            return (x, state["kv"]), None
 
-        (x, k_cache, v_cache), _ = jax.lax.scan(
-            body, (x, k_cache, v_cache), jnp.arange(self.config.num_layers)
+        (x, kv_cache), _ = jax.lax.scan(
+            body, (x, kv_cache), jnp.arange(self.config.num_layers)
         )
         logits = self._logits(params, x)  # [B*QS, V]
-        return logits.reshape(B, QS, -1), k_cache, v_cache
+        return logits.reshape(B, QS, -1), kv_cache
 
     def extend_step(
         self,
         params: Dict[str, Any],
-        k_cache: jax.Array,
-        v_cache: jax.Array,
+        kv_cache: jax.Array,
         rope_tab: jax.Array,
-        tokens: jax.Array,  # [T_pad] int32
-        positions: jax.Array,  # [T_pad] int32 absolute positions
-        slots: jax.Array,  # [T_pad] int32 (-1 for pads)
-        pages: jax.Array,  # [S_pad // page_size] int32 page ids of this request
-        prefix_len: jax.Array,  # [] int32
-        q_len: jax.Array,  # [] int32 live new tokens
+        tokens: jax.Array,  # [TQ] int32 token-major, per-seq regions BQ-aligned
+        positions: jax.Array,  # [TQ] int32 absolute positions
+        slots: jax.Array,  # [TQ] int32 (PAD_SLOT for pads); page-aligned groups
+        page_table: jax.Array,  # [B, PMAX] int32 (prefix + new pages per seq)
+        kv_lens: jax.Array,  # [B] int32 total kv incl. this chunk (0 = pad row)
+        q_lens: jax.Array,  # [B] int32 live new tokens per seq
+        qb_base: jax.Array,  # [B] int32 first q block per seq (TQ offset / BQ)
         return_hidden: bool = False,  # embeddings: pooled hidden, skip lm_head
-    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-        """One chunked-prefill step for ONE request -> (last-token logits [1, V]
-        — or normed hidden [1, H] when return_hidden — plus kc, vc)."""
-        T = tokens.shape[0]
+        block_q: int = 128,
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Batched (multi-request) chunked-prefill step -> (per-seq last-token
+        logits [B, V] — or normed hidden [B, H] when return_hidden — plus kv).
+
+        Reference role: `get_new_batch_prefill` extend batch
+        (`scheduler.py:1783`) + `extend_attention.py` ragged qo_indptr batch.
+        """
+        TQ = tokens.shape[0]
+        B = page_table.shape[0]
         x = params["embed"]["weight"][tokens]
-        kv_len = prefix_len + q_len
         use_xla_attn = not is_tpu_backend()
 
         def body(carry, l):
-            x, kc, vc = carry
+            x, kv = carry
 
             def attn(q, k, v, l):
-                st = state
-                st["kc"], st["vc"] = write_kv(
-                    st["kc"], st["vc"], k, v, slots, l, mode="prefill"
+                state["kv"] = write_kv(state["kv"], k, v, slots, l, mode="prefill")
+                fn = ragged_extend_xla if use_xla_attn else ragged_extend
+                return fn(
+                    q, state["kv"], page_table, kv_lens, q_lens, qb_base, l,
+                    sm_scale=self.sm_scale, block_q=block_q,
                 )
-                kg, vg = gather_kv(st["kc"], st["vc"], pages, l)  # [KVH, S_pad, D]
-                qh = jnp.swapaxes(q, 0, 1)  # [QH, T, D]
-                fn = flash_prefill_xla if use_xla_attn else flash_prefill
-                out = fn(
-                    qh, kg, vg, prefix_len, q_len, kv_len, sm_scale=self.sm_scale
-                )
-                return jnp.swapaxes(out, 0, 1)  # [T, QH, D]
 
-            state = {"kc": kc, "vc": vc}
+            state = {"kv": kv}
             x = self._layer(params, x, l, positions, rope_tab, attn)
-            return (x, state["kc"], state["vc"]), None
+            return (x, state["kv"]), None
 
-        (x, k_cache, v_cache), _ = jax.lax.scan(
-            body, (x, k_cache, v_cache), jnp.arange(self.config.num_layers)
+        (x, kv_cache), _ = jax.lax.scan(
+            body, (x, kv_cache), jnp.arange(self.config.num_layers)
         )
-        last = jnp.clip(q_len - 1, 0, T - 1)
-        h_last = jax.lax.dynamic_slice_in_dim(x, last, 1, axis=0)  # [1, H]
+        # gather each sequence's last live row
+        last = jnp.clip(qb_base * block_q + jnp.maximum(q_lens, 1) - 1, 0, TQ - 1)
+        h_last = x[last]  # [B, H]
         if return_hidden:
             c = self.config
             h_norm = rms_norm(h_last, params["final_norm"], c.rms_norm_eps)
-            return h_norm.astype(jnp.float32), k_cache, v_cache
+            return h_norm.astype(jnp.float32), kv_cache
         logits = self._logits(params, h_last)
-        return logits, k_cache, v_cache
+        return logits, kv_cache

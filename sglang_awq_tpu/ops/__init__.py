@@ -2,10 +2,11 @@
 
 Inventory (TPU-native re-design of the reference's CUDA kernel set,
 SURVEY.md §2.7):
-  awq_matmul.py       fused INT4 dequant + bf16 matmul (replaces marlin GEMM,
-                      sgl-kernel/csrc/gemm/marlin/ + awq_kernel.cu)
-  paged_attention.py  decode-time paged flash attention over the KV pool
-                      (replaces triton_ops/decode_attention.py semantics)
-  flash_prefill.py    causal flash attention with prefix offset for extend
-                      (replaces triton_ops/extend_attention.py semantics)
+  awq_matmul.py        fused INT4 dequant + bf16 matmul (replaces marlin GEMM,
+                       sgl-kernel/csrc/gemm/marlin/ + awq_kernel.cu)
+  ragged_attention.py  paged attention over the combined token-major KV pool:
+                       ragged_decode (decode + spec verify) and ragged_extend
+                       (batched multi-request prefill) — replaces
+                       triton_ops/decode_attention.py + extend_attention.py
+  kv_write.py          in-place KV pool row/page writes
 """

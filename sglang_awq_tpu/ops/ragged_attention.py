@@ -1,0 +1,648 @@
+"""Paged attention over the combined token-major KV pool (round 2).
+
+TPU-native re-design of the reference's decode + extend attention kernels
+(`python/sglang/srt/layers/attention/triton_ops/decode_attention.py:45,516`,
+`extend_attention.py:542` — SURVEY.md §A.3).  Key difference vs round 1:
+
+* Pool layout [L, num_pages, ps, 2*KVH, D] (kv_pool.py): ONE ~256 KB DMA per
+  page brings K+V for ALL kv heads, vs 2*KVH separate 16 KB (page, head)
+  DMAs in the round-1 head-major kernel, whose measured ceiling was
+  283 GB/s of the ~820 GB/s HBM.  The grid drops the kv-head dimension; a
+  static in-kernel loop computes every head from the shared VMEM chunk.
+* `ragged_decode` serves decode (QS=1) and speculative verify (QS>1): each
+  sequence scores QS query tokens with per-token causal limits.
+* `ragged_extend` serves BATCHED multi-request prefill (and mixed
+  extend+decode batches): token-major queries, per-sequence q_len/kv_len,
+  per-sequence page streams, causal within the new chunk, full attention to
+  the prefix — all KV (prefix and new) is read from the pool, so the
+  round-1 per-request XLA page-gather pass is gone.
+
+Both kernels stream KV pages HBM->VMEM with double-buffered async copies and
+a next-live-block lookahead so dead grid steps (padded rows, short
+sequences, causally-skippable chunks) cost only grid iteration overhead.
+The double-buffer/lookahead structure follows the publicly documented JAX
+paged-attention kernel pattern; the combined-layout head loop, ragged
+q-block mapping and masking are ours.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sglang_awq_tpu.utils import cdiv, pallas_interpret_default, round_up
+
+MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
+
+
+# ---------------------------------------------------------------------------
+# uniform-span kernel: decode (QS=1) and speculative verify (QS>1)
+# ---------------------------------------------------------------------------
+
+
+def _decode_kernel(
+    # scalar prefetch
+    layer_ref,  # [1]
+    lengths_ref,  # [B]
+    pt_ref,  # [B * pmax]
+    buf_idx_ref,  # [1] mutable
+    init_ref,  # [1] mutable
+    # inputs
+    q_ref,  # [1, KVH, R, D] with R = QS * gp
+    kv_hbm_ref,  # [L, P, ps, 2*KVH, D] (ANY)
+    # output
+    o_ref,  # [1, KVH, R, D] f32
+    # scratch
+    m_ref,  # [KVH, R, 128] f32
+    l_ref,  # [KVH, R, 128] f32
+    acc_ref,  # [KVH, R, D] f32
+    kv_buf,  # [2, ppc, ps, 2*KVH, D]
+    sem,  # [2]
+    *,
+    batch_size: int,
+    pages_per_chunk: int,
+    pmax: int,
+    sm_scale: float,
+    q_span: int,
+    gp: int,
+    kvh: int,
+):
+    b, c = pl.program_id(0), pl.program_id(1)
+    ps = kv_buf.shape[2]
+    ck = pages_per_chunk * ps
+    length = lengths_ref[b]
+
+    def next_block(b, c):
+        """First (b', c') at or after (b, c) whose chunk is live."""
+
+        def advance_b():
+            nb = b + 1
+            nb = lax.fori_loop(
+                0,
+                batch_size,
+                lambda _, x: jnp.where(
+                    jnp.logical_and(
+                        x < batch_size,
+                        lengths_ref[lax.clamp(0, x, batch_size - 1)] == 0,
+                    ),
+                    x + 1,
+                    x,
+                ),
+                nb,
+            )
+            return (nb, 0)
+
+        return lax.cond(c * ck < length, lambda: (b, c), advance_b)
+
+    def start_copy(bb, cc, slot):
+        layer = layer_ref[0]
+        for i in range(pages_per_chunk):
+            page = pt_ref[bb * pmax + cc * pages_per_chunk + i]
+            pltpu.make_async_copy(
+                kv_hbm_ref.at[layer, page], kv_buf.at[slot, i], sem.at[slot]
+            ).start()
+
+    def wait_copy(slot):
+        for i in range(pages_per_chunk):
+            pltpu.make_async_copy(
+                kv_hbm_ref.at[0, 0], kv_buf.at[slot, i], sem.at[slot]
+            ).wait()
+
+    @pl.when(c * ck < length)
+    def _live():
+        slot = buf_idx_ref[0]
+
+        @pl.when(init_ref[0] == 1)
+        def _first():
+            start_copy(b, c, slot)
+
+        init_ref[0] = 0
+
+        @pl.when(c == 0)
+        def _init_state():
+            m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+            l_ref[...] = jnp.zeros_like(l_ref)
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        nb, nc = next_block(b, c + 1)
+
+        @pl.when(nb < batch_size)
+        def _prefetch():
+            nslot = 1 - slot
+            start_copy(nb, nc, nslot)
+            buf_idx_ref[0] = nslot
+
+        wait_copy(slot)
+        d = q_ref.shape[-1]
+        pos = None
+        for h in range(kvh):
+            qh = q_ref[0, h]  # [R, D] bf16
+            k = kv_buf[slot, :, :, h, :].reshape(ck, d)
+            qk = lax.dot_general(
+                qh, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )  # [R, ck]
+            qk = qk * sm_scale
+            if pos is None:
+                pos = c * ck + lax.broadcasted_iota(jnp.int32, qk.shape, 1)
+                if q_span == 1:
+                    limit = length
+                else:
+                    # row r scores query token t = r // gp whose causal
+                    # limit is length - (q_span - 1 - t)
+                    t = lax.broadcasted_iota(jnp.int32, qk.shape, 0) // gp
+                    limit = length - (q_span - 1) + t
+            qk = jnp.where(pos < limit, qk, MASK_VALUE)
+
+            m_prev = m_ref[h, :, :1]  # [R, 1]
+            l_prev = l_ref[h, :, :1]
+            m_cur = jnp.max(qk, axis=-1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_cur)
+            p = jnp.exp(qk - m_next)
+            l_cur = jnp.sum(p, axis=-1, keepdims=True)
+            alpha = jnp.exp(m_prev - m_next)
+            m_ref[h] = jnp.broadcast_to(m_next, m_ref.shape[1:])
+            l_ref[h] = jnp.broadcast_to(alpha * l_prev + l_cur, l_ref.shape[1:])
+
+            v = kv_buf[slot, :, :, kvh + h, :].reshape(ck, d)
+            pv = lax.dot_general(
+                p.astype(jnp.bfloat16),
+                v,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_ref[h] = acc_ref[h] * alpha + pv
+
+            @pl.when((c + 1) * ck >= length)
+            def _emit():
+                lh = l_ref[h, :, :1]
+                lh = jnp.where(lh == 0.0, 1.0, lh)
+                o_ref[0, h] = (acc_ref[h] / lh).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sm_scale", "pages_per_chunk", "interpret")
+)
+def ragged_decode(
+    q: jax.Array,  # [B, QS, QH, D] bf16
+    kv_cache: jax.Array,  # [L, P, ps, 2*KVH, D]
+    page_table: jax.Array,  # [B, pmax] int32
+    lengths: jax.Array,  # [B] int32 TOTAL length incl. all QS new tokens
+    layer: jax.Array | int,
+    *,
+    sm_scale: float,
+    pages_per_chunk: int = 8,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Decode / spec-verify attention -> [B, QS, QH, D] f32.
+
+    Token t of each sequence attends causally up to position
+    lengths[b] - QS + t (its own position); lengths[b] = 0 marks a padded
+    row (skipped).  New tokens' K/V must already be in the pool.
+    """
+    if interpret is None:
+        interpret = pallas_interpret_default()
+    B, QS, QH, D = q.shape
+    L, P, ps, KVH2, Dk = kv_cache.shape
+    KVH = KVH2 // 2
+    assert D == Dk and QH % KVH == 0
+    G = QH // KVH
+    gp = G if QS * G >= 8 else 8 // QS  # sublane-fill the row dim
+    # [B, QS, KVH, G, D] -> [B, KVH, QS*gp, D]
+    qg = q.reshape(B, QS, KVH, G, D)
+    if gp != G:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, 0), (0, gp - G), (0, 0)))
+    qg = jnp.transpose(qg, (0, 2, 1, 3, 4)).reshape(B, KVH, QS * gp, D)
+
+    pmax = page_table.shape[1]
+    ppc = min(pages_per_chunk, pmax)
+    if pmax % ppc != 0:
+        pad = round_up(pmax, ppc) - pmax
+        page_table = jnp.pad(page_table, ((0, 0), (0, pad)))
+        pmax += pad
+    n_chunks = pmax // ppc
+    R = QS * gp
+
+    layer = jnp.clip(jnp.asarray(layer, jnp.int32).reshape(1), 0, L - 1)
+    lengths = jnp.asarray(lengths, jnp.int32)
+    pt_flat = page_table.reshape(-1).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(B, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, KVH, R, D), lambda b, c, *_: (b, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, KVH, R, D), lambda b, c, *_: (b, 0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((KVH, R, 128), jnp.float32),
+            pltpu.VMEM((KVH, R, 128), jnp.float32),
+            pltpu.VMEM((KVH, R, D), jnp.float32),
+            pltpu.VMEM((2, ppc, ps, KVH2, D), kv_cache.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(
+        _decode_kernel,
+        batch_size=B,
+        pages_per_chunk=ppc,
+        pmax=pmax,
+        sm_scale=sm_scale,
+        q_span=QS,
+        gp=gp,
+        kvh=KVH,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, KVH, R, D), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        layer,
+        lengths,
+        pt_flat,
+        jnp.zeros((1,), jnp.int32),
+        jnp.ones((1,), jnp.int32),
+        qg,
+        kv_cache,
+    )
+    out = out.reshape(B, KVH, QS, gp, D)[:, :, :, :G, :]
+    return jnp.transpose(out, (0, 2, 1, 3, 4)).reshape(B, QS, QH, D)
+
+
+# ---------------------------------------------------------------------------
+# ragged extend kernel: batched multi-request prefill / mixed batches
+# ---------------------------------------------------------------------------
+
+
+def _extend_kernel(
+    # scalar prefetch
+    layer_ref,  # [1]
+    kvlens_ref,  # [B] total kv length (prefix + new)
+    qlens_ref,  # [B] live new tokens (0 = padded row)
+    qbbase_ref,  # [B] first q block of each sequence (cu_qpad // BQ)
+    pt_ref,  # [B * pmax]
+    buf_idx_ref,  # [1] mutable
+    init_ref,  # [1] mutable
+    # inputs
+    q_ref,  # [BQ, QH, D]
+    kv_hbm_ref,  # [L, P, ps, 2*KVH, D] (ANY)
+    # output
+    o_ref,  # [BQ, QH, D] f32
+    # scratch
+    m_ref,  # [KVH, BQ*G, 128] f32
+    l_ref,
+    acc_ref,  # [KVH, BQ*G, D] f32
+    kv_buf,  # [2, ppc, ps, 2*KVH, D]
+    sem,
+    *,
+    batch_size: int,
+    bq: int,
+    pages_per_chunk: int,
+    pmax: int,
+    sm_scale: float,
+    kvh: int,
+    g: int,
+):
+    b, qb, c = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    ps = kv_buf.shape[2]
+    ck = pages_per_chunk * ps
+
+    def limit_of(bb, qbb):
+        q_len = qlens_ref[bb]
+        kv_len = kvlens_ref[bb]
+        # kv positions this q block may attend to (causal): prefix of the
+        # block's LAST row + 1, clamped to the sequence's total kv length
+        return jnp.minimum(kv_len, kv_len - q_len + (qbb + 1) * bq)
+
+    q_len = qlens_ref[b]
+    limit = limit_of(b, qb)
+    live = jnp.logical_and(qb * bq < q_len, c * ck < limit)
+
+    def next_block(b, qb, c):
+        """First live (b', qb', c') at or after (b, qb, c), c-major order.
+        Assumes (b, qb) was live; c may point past the block's last chunk."""
+
+        def advance_qb():
+            nqb = qb + 1
+
+            def advance_b():
+                nb = b + 1
+                nb = lax.fori_loop(
+                    0,
+                    batch_size,
+                    lambda _, x: jnp.where(
+                        jnp.logical_and(
+                            x < batch_size,
+                            qlens_ref[lax.clamp(0, x, batch_size - 1)] == 0,
+                        ),
+                        x + 1,
+                        x,
+                    ),
+                    nb,
+                )
+                return (nb, 0, 0)
+
+            return lax.cond(
+                nqb * bq < qlens_ref[b], lambda: (b, nqb, 0), advance_b
+            )
+
+        return lax.cond(c * ck < limit_of(b, qb), lambda: (b, qb, c), advance_qb)
+
+    def start_copy(bb, cc, slot):
+        layer = layer_ref[0]
+        for i in range(pages_per_chunk):
+            page = pt_ref[bb * pmax + cc * pages_per_chunk + i]
+            pltpu.make_async_copy(
+                kv_hbm_ref.at[layer, page], kv_buf.at[slot, i], sem.at[slot]
+            ).start()
+
+    def wait_copy(slot):
+        for i in range(pages_per_chunk):
+            pltpu.make_async_copy(
+                kv_hbm_ref.at[0, 0], kv_buf.at[slot, i], sem.at[slot]
+            ).wait()
+
+    @pl.when(live)
+    def _live():
+        slot = buf_idx_ref[0]
+
+        @pl.when(init_ref[0] == 1)
+        def _first():
+            start_copy(b, c, slot)
+
+        init_ref[0] = 0
+
+        @pl.when(c == 0)
+        def _init_state():
+            m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+            l_ref[...] = jnp.zeros_like(l_ref)
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        nb, nqb, nc = next_block(b, qb, c + 1)
+
+        @pl.when(nb < batch_size)
+        def _prefetch():
+            nslot = 1 - slot
+            start_copy(nb, nc, nslot)
+            buf_idx_ref[0] = nslot
+
+        wait_copy(slot)
+        d = q_ref.shape[-1]
+        prefix = kvlens_ref[b] - q_len
+        pos = None
+        for h in range(kvh):
+            qh = q_ref[:, h * g : (h + 1) * g, :].reshape(bq * g, d)
+            k = kv_buf[slot, :, :, h, :].reshape(ck, d)
+            qk = lax.dot_general(
+                qh, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )  # [BQ*G, ck]
+            qk = qk * sm_scale
+            if pos is None:
+                pos = c * ck + lax.broadcasted_iota(jnp.int32, qk.shape, 1)
+                t = lax.broadcasted_iota(jnp.int32, qk.shape, 0) // g
+                q_pos = prefix + qb * bq + t  # absolute position of the row
+                row_mask = pos <= q_pos
+            qk = jnp.where(row_mask, qk, MASK_VALUE)
+
+            m_prev = m_ref[h, :, :1]
+            l_prev = l_ref[h, :, :1]
+            m_cur = jnp.max(qk, axis=-1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_cur)
+            p = jnp.exp(qk - m_next)
+            l_cur = jnp.sum(p, axis=-1, keepdims=True)
+            alpha = jnp.exp(m_prev - m_next)
+            m_ref[h] = jnp.broadcast_to(m_next, m_ref.shape[1:])
+            l_ref[h] = jnp.broadcast_to(alpha * l_prev + l_cur, l_ref.shape[1:])
+
+            v = kv_buf[slot, :, :, kvh + h, :].reshape(ck, d)
+            pv = lax.dot_general(
+                p.astype(jnp.bfloat16),
+                v,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_ref[h] = acc_ref[h] * alpha + pv
+
+            @pl.when((c + 1) * ck >= limit)
+            def _emit():
+                lh = l_ref[h, :, :1]
+                lh = jnp.where(lh == 0.0, 1.0, lh)
+                o_ref[:, h * g : (h + 1) * g, :] = (
+                    (acc_ref[h] / lh).reshape(bq, g, d).astype(o_ref.dtype)
+                )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sm_scale", "block_q", "pages_per_chunk", "interpret"),
+)
+def ragged_extend(
+    q: jax.Array,  # [TQ, QH, D] bf16 token-major; each sequence's q rows
+    #                occupy [qb_base[b]*BQ, qb_base[b]*BQ + q_lens[b])
+    kv_cache: jax.Array,  # [L, P, ps, 2*KVH, D]
+    page_table: jax.Array,  # [B, pmax] int32
+    kv_lens: jax.Array,  # [B] int32 total kv length (prefix + new); 0 = pad
+    q_lens: jax.Array,  # [B] int32 new tokens this step (0 = padded row)
+    qb_base: jax.Array,  # [B] int32 first q block per sequence
+    layer: jax.Array | int,
+    *,
+    sm_scale: float,
+    block_q: int = 128,
+    pages_per_chunk: int = 8,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Batched ragged extend attention -> [TQ, QH, D] f32.
+
+    ALL K/V — the prefix and this step's new tokens — is read from the pool
+    (the new tokens' K/V must be written before calling).  Causal within the
+    new chunk, full attention to the prefix.  Reference role:
+    `extend_attention.py:542` qo_indptr ragged batch.
+    """
+    if interpret is None:
+        interpret = pallas_interpret_default()
+    TQ, QH, D = q.shape
+    L, P, ps, KVH2, Dk = kv_cache.shape
+    KVH = KVH2 // 2
+    assert D == Dk and QH % KVH == 0
+    G = QH // KVH
+    BQ = block_q
+    assert TQ % BQ == 0, (TQ, BQ)
+    n_qblocks = TQ // BQ
+    B = page_table.shape[0]
+
+    pmax = page_table.shape[1]
+    ppc = min(pages_per_chunk, pmax)
+    if pmax % ppc != 0:
+        pad = round_up(pmax, ppc) - pmax
+        page_table = jnp.pad(page_table, ((0, 0), (0, pad)))
+        pmax += pad
+    n_chunks = pmax // ppc
+
+    layer = jnp.clip(jnp.asarray(layer, jnp.int32).reshape(1), 0, L - 1)
+
+    # One extra TRASH block past the real rows: dead grid steps (padded
+    # rows, qb past a sequence's live blocks) map their q/o block there.
+    # Mosaic flushes the output VMEM buffer whenever the mapped block index
+    # changes (and at grid end) — if a dead step mapped to a real block,
+    # that flush would overwrite real results with stale buffer content
+    # (observed on hardware: padded rows with qb_base=0 re-flushed block 0).
+    q = jnp.pad(q, ((0, BQ), (0, 0), (0, 0)))
+
+    def q_index(b, qb, c, layer_r, kvlens_r, qlens_r, qbbase_r, *_):
+        live = qb * BQ < qlens_r[b]
+        idx = jnp.where(live, qbbase_r[b] + qb, n_qblocks)
+        return (jnp.minimum(idx, n_qblocks), 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=(B, n_qblocks, n_chunks),
+        in_specs=[
+            pl.BlockSpec((BQ, QH, D), q_index),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((BQ, QH, D), q_index),
+        scratch_shapes=[
+            pltpu.VMEM((KVH, BQ * G, 128), jnp.float32),
+            pltpu.VMEM((KVH, BQ * G, 128), jnp.float32),
+            pltpu.VMEM((KVH, BQ * G, D), jnp.float32),
+            pltpu.VMEM((2, ppc, ps, KVH2, D), kv_cache.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(
+        _extend_kernel,
+        batch_size=B,
+        bq=BQ,
+        pages_per_chunk=ppc,
+        pmax=pmax,
+        sm_scale=sm_scale,
+        kvh=KVH,
+        g=G,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((TQ + BQ, QH, D), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        layer,
+        jnp.asarray(kv_lens, jnp.int32),
+        jnp.asarray(q_lens, jnp.int32),
+        jnp.asarray(qb_base, jnp.int32),
+        page_table.reshape(-1).astype(jnp.int32),
+        jnp.zeros((1,), jnp.int32),
+        jnp.ones((1,), jnp.int32),
+        q,
+        kv_cache,
+    )
+    return out[:TQ]
+
+
+# ---------------------------------------------------------------------------
+# XLA reference implementations (CPU tests / non-TPU fallback)
+# ---------------------------------------------------------------------------
+
+
+def _gather_seq(kv_cache, page_table, layer):
+    """[B, S, KVH, D] x2 from the combined pool (S = pmax * ps)."""
+    L, P, ps, KVH2, D = kv_cache.shape
+    KVH = KVH2 // 2
+    layer = jnp.asarray(layer, jnp.int32)
+    kvl = jax.lax.dynamic_index_in_dim(kv_cache, layer, 0, keepdims=False)
+    g = kvl[page_table]  # [B, pmax, ps, 2*KVH, D]
+    B = page_table.shape[0]
+    g = g.reshape(B, -1, KVH2, D)
+    return g[:, :, :KVH, :], g[:, :, KVH:, :]
+
+
+def ragged_decode_xla(
+    q: jax.Array,  # [B, QS, QH, D]
+    kv_cache: jax.Array,
+    page_table: jax.Array,
+    lengths: jax.Array,
+    layer: jax.Array | int,
+    *,
+    sm_scale: float,
+) -> jax.Array:
+    B, QS, QH, D = q.shape
+    KVH = kv_cache.shape[3] // 2
+    G = QH // KVH
+    kg, vg = _gather_seq(kv_cache, page_table, layer)  # [B, S, KVH, D]
+    qg = q.reshape(B, QS, KVH, G, D)
+    s = (
+        jnp.einsum("btkgd,bskd->btkgs", qg.astype(jnp.float32), kg.astype(jnp.float32))
+        * sm_scale
+    )
+    S = s.shape[-1]
+    key_pos = jnp.arange(S)[None, None, :]
+    limit = (lengths[:, None] - (QS - 1) + jnp.arange(QS)[None, :])[:, :, None]
+    mask = key_pos < limit  # [B, QS, S]
+    s = jnp.where(mask[:, :, None, None, :], s, MASK_VALUE)
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("btkgs,bskd->btkgd", p, vg.astype(jnp.float32))
+    return o.reshape(B, QS, QH, D)
+
+
+def ragged_extend_xla(
+    q: jax.Array,  # [TQ, QH, D]
+    kv_cache: jax.Array,
+    page_table: jax.Array,
+    kv_lens: jax.Array,
+    q_lens: jax.Array,
+    qb_base: jax.Array,
+    layer: jax.Array | int,
+    *,
+    sm_scale: float,
+    block_q: int = 128,
+) -> jax.Array:
+    """Per-sequence gather + masked softmax (test oracle; also the CPU
+    serving path — jit-compatible, no python data-dependent control flow)."""
+    TQ, QH, D = q.shape
+    KVH = kv_cache.shape[3] // 2
+    G = QH // KVH
+    B = page_table.shape[0]
+    kg, vg = _gather_seq(kv_cache, page_table, layer)  # [B, S, KVH, D]
+    S = kg.shape[1]
+
+    # map each q row to its sequence and in-sequence index
+    starts = qb_base * block_q  # [B]
+    row = jnp.arange(TQ)
+    # seq of row r: the unique b with starts[b] <= r < starts[b] + q_lens[b]
+    in_seq = (row[None, :] >= starts[:, None]) & (
+        row[None, :] < (starts + jnp.maximum(q_lens, 0))[:, None]
+    )  # [B, TQ]
+    seq_of = jnp.argmax(in_seq, axis=0)  # [TQ] (0 when no seq: masked later)
+    live_row = jnp.any(in_seq, axis=0)  # [TQ]
+    idx_in_seq = row - starts[seq_of]
+    q_pos = kv_lens[seq_of] - q_lens[seq_of] + idx_in_seq  # absolute position
+
+    qg = q.reshape(TQ, KVH, G, D)
+    kr = kg[seq_of]  # [TQ, S, KVH, D]
+    vr = vg[seq_of]
+    s = (
+        jnp.einsum("tkgd,tskd->tkgs", qg.astype(jnp.float32), kr.astype(jnp.float32))
+        * sm_scale
+    )
+    key_pos = jnp.arange(S)[None, None, None, :]
+    mask = key_pos <= q_pos[:, None, None, None]
+    s = jnp.where(mask, s, MASK_VALUE)
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("tkgs,tskd->tkgd", p, vr.astype(jnp.float32))
+    o = jnp.where(live_row[:, None, None, None], o, 0.0)
+    return o.reshape(TQ, QH, D)

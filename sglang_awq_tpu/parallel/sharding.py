@@ -12,7 +12,9 @@ PartitionSpecs instead of per-rank weight-loader slicing:
                                    the K-derived dim, so one spec fits)
   lm_head: vocab-sharded columns; logits all-gathered in the model
   embedding / norms: replicated
-  KV pool [L, KVH, pages, ps, D]: kv-head sharded over "model"
+  KV pool [L, pages, ps, 2*KVH, D]: combined kv-head dim sharded over
+  "model" (K heads and V heads split identically since both halves have
+  KVH heads)
 """
 
 from __future__ import annotations
@@ -70,4 +72,4 @@ def param_pspecs(model, params: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def kv_pspec() -> P:
-    return P(None, MODEL_AXIS, None, None, None)
+    return P(None, None, None, MODEL_AXIS, None)

@@ -54,6 +54,24 @@ def run_hf(hf, token_ids):
     return out.float().numpy()  # [T, V]
 
 
+def _extend(model, params, kv, rope, tokens, positions, slots, pages,
+            prefix_len, q_len, bq=16):
+    """Single-sequence extend through the batched ragged API."""
+    pt = jnp.asarray(np.asarray(pages, np.int32)[None, :])
+    logits, kv = model.extend_step(
+        params, kv, rope,
+        jnp.asarray(tokens, jnp.int32),
+        jnp.asarray(positions, jnp.int32),
+        jnp.asarray(slots, jnp.int32),
+        pt,
+        jnp.asarray([prefix_len + q_len], jnp.int32),
+        jnp.asarray([q_len], jnp.int32),
+        jnp.asarray([0], jnp.int32),
+        block_q=bq,
+    )
+    return logits, kv
+
+
 def test_extend_matches_hf(hf_and_ours):
     hf, model, params = hf_and_ours
     rng = np.random.default_rng(0)
@@ -62,7 +80,7 @@ def test_extend_matches_hf(hf_and_ours):
 
     ps = 8
     spec = KVPoolSpec(2, model.kvh, num_pages=16, page_size=ps, head_dim=model.head_dim)
-    kc, vc = spec.alloc()
+    kv = spec.alloc()
     rope = model.rope()
 
     T_pad, n_pages = 16, 4
@@ -73,9 +91,8 @@ def test_extend_matches_hf(hf_and_ours):
     slots = np.full(T_pad, PAD_SLOT, np.int32)
     for i in range(T):
         slots[i] = int(pages[i // ps]) * ps + i % ps
-    logits, kc, vc = model.extend_step(
-        params, kc, vc, rope, tokens, positions, jnp.asarray(slots), pages,
-        jnp.int32(0), jnp.int32(T),
+    logits, kv = _extend(
+        model, params, kv, rope, tokens, positions, slots, pages, 0, T
     )
     ours = np.asarray(logits[0])
     ref = hf_logits[T - 1]
@@ -95,8 +112,8 @@ def test_extend_matches_hf(hf_and_ours):
         slot = page_list[pos // ps] * ps + pos % ps
         pt = np.zeros((1, pmax), np.int32)
         pt[0, : len(page_list)] = page_list
-        logits, kc, vc = model.decode_step(
-            params, kc, vc, rope,
+        logits, kv = model.decode_step(
+            params, kv, rope,
             jnp.asarray([nxt], jnp.int32),
             jnp.asarray([pos], jnp.int32),
             jnp.asarray([slot], jnp.int32),
@@ -126,25 +143,25 @@ def test_chunked_prefill_matches_full(hf_and_ours):
         return jnp.asarray(s[: len(r) if len(r) % 8 == 0 else 16][:8] if False else s[:8])
 
     # one-shot
-    kc, vc = spec.alloc()
+    kv = spec.alloc()
     tokens = jnp.asarray(prompt, jnp.int32)
     positions = jnp.arange(16, dtype=jnp.int32)
     slots = jnp.asarray(
         [int(pages[i // ps]) * ps + i % ps for i in range(16)], jnp.int32
     )
-    full_logits, _, _ = model.extend_step(
-        params, kc, vc, rope, tokens, positions, slots, pages, jnp.int32(0), jnp.int32(16)
+    full_logits, _ = _extend(
+        model, params, kv, rope, tokens, positions, slots, pages, 0, 16
     )
 
     # chunked: 8 + 8
-    kc, vc = spec.alloc()
-    l1, kc, vc = model.extend_step(
-        params, kc, vc, rope, tokens[:8], positions[:8], slots[:8], pages,
-        jnp.int32(0), jnp.int32(8),
+    kv = spec.alloc()
+    l1, kv = _extend(
+        model, params, kv, rope, tokens[:8], positions[:8], slots[:8], pages,
+        0, 8, bq=8,
     )
-    l2, kc, vc = model.extend_step(
-        params, kc, vc, rope, tokens[8:], positions[8:], slots[8:], pages,
-        jnp.int32(8), jnp.int32(8),
+    l2, kv = _extend(
+        model, params, kv, rope, tokens[8:], positions[8:], slots[8:], pages,
+        8, 8, bq=8,
     )
     np.testing.assert_allclose(
         np.asarray(l2[0]), np.asarray(full_logits[0]), atol=5e-2, rtol=5e-2

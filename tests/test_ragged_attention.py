@@ -1,0 +1,221 @@
+"""Parity tests: combined-pool KV writes + ragged attention kernels vs
+pure-XLA references (interpret mode on CPU — reference test strategy
+SURVEY.md §4 kernel-unit tier)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sglang_awq_tpu.mem_cache.kv_pool import KVPoolSpec, PAD_SLOT, write_kv
+from sglang_awq_tpu.ops.kv_write import kv_write_prefill, kv_write_tokens
+from sglang_awq_tpu.ops.ragged_attention import (
+    ragged_decode,
+    ragged_decode_xla,
+    ragged_extend,
+    ragged_extend_xla,
+)
+
+L, PAGES, PS, KVH, D = 2, 16, 8, 2, 64
+QH = 4  # G = 2
+
+
+def _pool(seed=0):
+    k = jax.random.PRNGKey(seed)
+    return jax.random.normal(k, (L, PAGES, PS, 2 * KVH, D), jnp.float32).astype(
+        jnp.bfloat16
+    )
+
+
+def test_kv_write_tokens_matches_scatter():
+    kv = _pool()
+    rng = np.random.default_rng(0)
+    T = 5
+    slots = np.array([3, 17, 42, PAD_SLOT, 99], np.int32)
+    kv_new = rng.normal(size=(T, 2 * KVH, D)).astype(np.float32)
+    layer = 1
+
+    got = kv_write_tokens(kv, jnp.asarray(kv_new), jnp.asarray(slots), layer,
+                          interpret=True)
+    want = kv.at[layer, slots // PS, slots % PS, :, :].set(
+        jnp.asarray(kv_new, jnp.bfloat16), mode="drop"
+    )
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_kv_write_prefill_matches_scatter_with_dead_groups():
+    kv = _pool(1)
+    rng = np.random.default_rng(1)
+    n_groups = 6
+    T = n_groups * PS
+    # groups 0,1 live (seq A), group 2 dead padding, groups 3,4 live (seq B),
+    # group 5 dead
+    pages = np.array([4, 9, -1, 2, 7, -1], np.int32)
+    kv_new = rng.normal(size=(T, 2 * KVH, D)).astype(np.float32)
+    layer = 0
+
+    got = kv_write_prefill(kv, jnp.asarray(kv_new), jnp.asarray(pages), layer,
+                           interpret=True)
+    want = np.array(kv)
+    for j, p in enumerate(pages):
+        if p >= 0:
+            want[layer, p] = np.asarray(
+                jnp.asarray(kv_new[j * PS : (j + 1) * PS], jnp.bfloat16)
+            )
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_write_kv_prefill_mode_routes_dead_groups():
+    """write_kv CPU path vs kernel path agree on a multi-seq layout."""
+    kv = _pool(2)
+    rng = np.random.default_rng(2)
+    T = 4 * PS
+    slots = np.full(T, PAD_SLOT, np.int32)
+    slots[:PS] = np.arange(PS) + 5 * PS  # seq A -> page 5
+    slots[2 * PS : 3 * PS] = np.arange(PS) + 11 * PS  # seq B -> page 11
+    k_new = rng.normal(size=(T, KVH, D)).astype(np.float32)
+    v_new = rng.normal(size=(T, KVH, D)).astype(np.float32)
+    got = write_kv(kv, jnp.asarray(k_new), jnp.asarray(v_new),
+                   jnp.asarray(slots), 1, mode="prefill")
+    kv_new = jnp.concatenate(
+        [jnp.asarray(k_new, jnp.bfloat16), jnp.asarray(v_new, jnp.bfloat16)], axis=1
+    )
+    want = kv.at[1, slots // PS, slots % PS, :, :].set(kv_new, mode="drop")
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("qs", [1, 3])
+def test_ragged_decode_matches_xla(qs):
+    kv = _pool(3)
+    rng = np.random.default_rng(3)
+    B = 4
+    pmax = 4
+    lengths = np.array([11, 1, 0, 32], np.int32)  # includes padded row
+    if qs > 1:
+        lengths = np.maximum(lengths, np.where(lengths > 0, qs, 0))
+    page_table = rng.integers(0, PAGES, size=(B, pmax)).astype(np.int32)
+    q = rng.normal(size=(B, qs, QH, D)).astype(np.float32)
+    q = jnp.asarray(q, jnp.bfloat16)
+
+    out = ragged_decode(
+        q, kv, jnp.asarray(page_table), jnp.asarray(lengths), 1,
+        sm_scale=0.125, pages_per_chunk=2, interpret=True,
+    )
+    ref = ragged_decode_xla(
+        q, kv, jnp.asarray(page_table), jnp.asarray(lengths), 1, sm_scale=0.125
+    )
+    live = lengths > 0
+    np.testing.assert_allclose(
+        np.asarray(out)[live], np.asarray(ref)[live], rtol=2e-2, atol=2e-2
+    )
+
+
+def test_ragged_extend_matches_xla():
+    kv = _pool(4)
+    rng = np.random.default_rng(4)
+    BQ = 16
+    # three seqs: (prefix 8, new 5), (prefix 0, new 16), (prefix 16, new 3);
+    # one padded row
+    q_lens = np.array([5, 16, 3, 0], np.int32)
+    prefixes = np.array([8, 0, 16, 0], np.int32)
+    kv_lens = q_lens + prefixes
+    B = 4
+    pmax = 8
+    page_table = rng.integers(0, PAGES, size=(B, pmax)).astype(np.int32)
+    qb_base = np.zeros(B, np.int32)
+    off = 0
+    for i in range(B):
+        qb_base[i] = off // BQ
+        off += (int(q_lens[i]) + BQ - 1) // BQ * BQ
+    TQ = max(off, BQ)
+    q = jnp.asarray(rng.normal(size=(TQ, QH, D)), jnp.bfloat16)
+
+    out = ragged_extend(
+        q, kv, jnp.asarray(page_table), jnp.asarray(kv_lens),
+        jnp.asarray(q_lens), jnp.asarray(qb_base), 0,
+        sm_scale=0.125, block_q=BQ, pages_per_chunk=2, interpret=True,
+    )
+    ref = ragged_extend_xla(
+        q, kv, jnp.asarray(page_table), jnp.asarray(kv_lens),
+        jnp.asarray(q_lens), jnp.asarray(qb_base), 0,
+        sm_scale=0.125, block_q=BQ,
+    )
+    # compare only live rows
+    live = np.zeros(TQ, bool)
+    for i in range(B):
+        s = int(qb_base[i]) * BQ
+        live[s : s + int(q_lens[i])] = True
+    np.testing.assert_allclose(
+        np.asarray(out)[live], np.asarray(ref)[live], rtol=2e-2, atol=2e-2
+    )
+
+
+def test_ragged_extend_multi_qblock_and_long_kv():
+    """A sequence spanning multiple q blocks AND multiple kv chunks, plus
+    trailing padded rows (regression: on hardware, dead grid steps used to
+    flush stale output VMEM over block 0 — the trash-block mapping fix)."""
+    kv = _pool(6)
+    rng = np.random.default_rng(6)
+    BQ = 16
+    # seq0: 35 new tokens -> 3 q blocks; kv 43 -> 6 pages (3 chunks at ppc=2)
+    q_lens = np.array([35, 7, 0, 0], np.int32)
+    prefixes = np.array([8, 24, 0, 0], np.int32)
+    kv_lens = q_lens + prefixes
+    B = 4
+    pmax = 8
+    page_table = rng.integers(0, PAGES, size=(B, pmax)).astype(np.int32)
+    qb_base = np.zeros(B, np.int32)
+    off = 0
+    for i in range(B):
+        qb_base[i] = off // BQ
+        off += (int(q_lens[i]) + BQ - 1) // BQ * BQ
+    TQ = max(off, BQ)
+    q = jnp.asarray(rng.normal(size=(TQ, QH, D)), jnp.bfloat16)
+
+    args = (
+        jnp.asarray(page_table), jnp.asarray(kv_lens),
+        jnp.asarray(q_lens), jnp.asarray(qb_base), 1,
+    )
+    out = ragged_extend(q, kv, *args, sm_scale=0.125, block_q=BQ,
+                        pages_per_chunk=2, interpret=True)
+    ref = ragged_extend_xla(q, kv, *args, sm_scale=0.125, block_q=BQ)
+    live = np.zeros(TQ, bool)
+    for i in range(B):
+        s = int(qb_base[i]) * BQ
+        live[s : s + int(q_lens[i])] = True
+    np.testing.assert_allclose(
+        np.asarray(out)[live], np.asarray(ref)[live], rtol=2e-2, atol=2e-2
+    )
+
+
+def test_ragged_extend_then_decode_consistency():
+    """Extend writes + reads the pool; a following decode step must see the
+    same context (end-to-end pool round trip through write_kv)."""
+    spec = KVPoolSpec(L, KVH, PAGES, PS, D)
+    kv = spec.alloc()
+    rng = np.random.default_rng(5)
+    T = 12
+    pages = np.array([3, 7], np.int32)
+    pos = np.arange(T)
+    slots = pages[pos // PS] * PS + pos % PS
+    k_new = jnp.asarray(rng.normal(size=(16, KVH, D)), jnp.bfloat16)
+    v_new = jnp.asarray(rng.normal(size=(16, KVH, D)), jnp.bfloat16)
+    sl = np.full(16, PAD_SLOT, np.int32)
+    sl[:T] = slots
+    kv = write_kv(kv, k_new, v_new, jnp.asarray(sl), 0, mode="prefill")
+
+    # decode one more token at position T
+    slot_T = pages[T // PS] * PS + T % PS
+    kd = jnp.asarray(rng.normal(size=(1, KVH, D)), jnp.bfloat16)
+    vd = jnp.asarray(rng.normal(size=(1, KVH, D)), jnp.bfloat16)
+    kv = write_kv(kv, kd, vd, jnp.asarray([slot_T], np.int32), 0, mode="decode")
+
+    q = jnp.asarray(rng.normal(size=(1, 1, QH, D)), jnp.bfloat16)
+    pt = jnp.asarray(pages[None, :], jnp.int32)
+    lengths = jnp.asarray([T + 1], jnp.int32)
+    out = ragged_decode(q, kv, pt, lengths, 0, sm_scale=0.125,
+                        pages_per_chunk=2, interpret=True)
+    ref = ragged_decode_xla(q, kv, pt, lengths, 0, sm_scale=0.125)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-2, atol=2e-2
+    )

@@ -15,7 +15,7 @@ import jax
 from sglang_awq_tpu.configs.model_config import ModelConfig
 from sglang_awq_tpu.model_executor.forward_batch import (
     DecodeInput,
-    ExtendInput,
+    ExtendBatchInput,
     SamplingRow,
 )
 from sglang_awq_tpu.model_executor.model_runner import ModelRunner
@@ -73,17 +73,20 @@ def test_tp4_logits_match_tp1():
         pages = np.arange(8, dtype=np.int32)
         pos = np.arange(T, dtype=np.int32)
         slots = pages[pos // ps] * ps + pos % ps
-        tok, lg = r.forward_extend(
-            ExtendInput(
+        ids0, lg = r.forward_extend_batch(
+            ExtendBatchInput(
                 tokens=np.asarray(prompt, np.int32),
                 positions=pos,
                 slots=slots,
-                pages=pages,
-                prefix_len=0,
-                sampling=SamplingRow(),
+                page_table=pages[None, :],
+                kv_lens=np.asarray([T], np.int32),
+                q_lens=np.asarray([T], np.int32),
+                qb_base=np.asarray([0], np.int32),
+                sampling=[SamplingRow()],
             ),
             want_logprobs=True,
         )
+        tok = ids0[0]
         prefill_logits[tp] = (lg["logprobs"][0], lg["top_ids"][0], lg["top_logprobs"][0])
 
         # one decode step with the greedy token
