@@ -154,6 +154,7 @@ class Engine:
         from sglang_awq_tpu.managers.scheduler import ReqOutput
 
         sched = self.scheduler
+        sched.drop_inflight()
         sched.running.clear()
         sched.waiting.clear()
         sched.chunked_req = None

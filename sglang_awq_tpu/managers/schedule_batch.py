@@ -68,6 +68,11 @@ class Req:
         self.fill_len = 0  # tokens whose KV is materialized
         self.last_node = None  # radix tree lock handle
 
+        # device sampling-state row (overlap scheduling): owned from
+        # admission until finish/retract; the device-side last-token and
+        # penalty-count tables index by it
+        self.row: Optional[int] = None
+
         # --- scheduling metadata ---
         self.queued_time: Optional[float] = None
         self.first_token_time: Optional[float] = None

@@ -7,10 +7,26 @@ batch + radix cache; `get_next_batch_to_run:1704`, `get_new_batch_prefill:1783`,
 `schedule_batch.py:1711`, budget formulas SURVEY.md §A.4).
 
 TPU adaptation: a single host thread drives the chip through the
-ModelRunner's bucketed-jit steps; prefill runs one request chunk per step
-(bs=1 extend — SURVEY.md §7 phase 1), decode runs the whole running batch.
-The reference's per-rank scheduler processes + ZMQ broadcast collapse into
-this one loop (SPMD; §2.6).
+ModelRunner's bucketed-jit steps; prefill packs many requests into one
+ragged extend batch, decode runs the whole running batch.  The reference's
+per-rank scheduler processes + ZMQ broadcast collapse into this one loop
+(SPMD; §2.6).
+
+Overlap scheduling (round 2 — reference `event_loop_overlap`
+`python/sglang/srt/managers/scheduler.py:1036` + FutureMap
+`managers/overlap_utils.py:32`): batch N+1 is DISPATCHED before batch N's
+sampled ids are fetched.  Decode input tokens resolve on device from the
+per-request `DeviceSamplingState` rows (model_executor/sampling_state.py),
+so the host never blocks on a step to build the next one; `self.pending`
+holds the in-flight batch whose results are processed one step later.
+Correctness notes:
+* a request that finished at step N wastes one slot in already-dispatched
+  step N+1; its extra token is discarded and its stale KV write lands in
+  pages that device-ordering guarantees are overwritten before any read;
+* retraction and the sync-only paths (grammar masks, ngram spec, multi-step
+  decode) first DRAIN pending results — they need complete output_ids;
+* after a sync path ran, device rows are stale -> reseeded on the next
+  overlap dispatch (`_sync_device_rows`).
 """
 
 from __future__ import annotations
@@ -83,6 +99,11 @@ class Scheduler:
         self.waiting: Deque[Req] = deque()
         self.running: List[Req] = []
         self.chunked_req: Optional[Req] = None
+        # in-flight dispatched batches (overlap): entries
+        # ("decode"|"prefill", items, ids_dev, lp_dev|None, want_lp)
+        self.pending: Deque = deque()
+        self._out_buffer: List[ReqOutput] = []
+        self._rows_dirty = False  # device rows stale after a sync-path step
 
         self.base_new_token_ratio = min(1.0, 0.3 * server_args.schedule_conservativeness)
         self.new_token_ratio = self.base_new_token_ratio
@@ -163,26 +184,33 @@ class Scheduler:
         self.abort_rids.add(rid)
 
     def has_work(self) -> bool:
-        return bool(self.waiting or self.running or self.chunked_req)
+        return bool(self.waiting or self.running or self.chunked_req or self.pending)
 
     # ------------------------------------------------------------------
     # main iteration
     # ------------------------------------------------------------------
 
     def step(self) -> List[ReqOutput]:
-        """One scheduler iteration -> incremental outputs."""
-        self._process_aborts()
-        outputs: List[ReqOutput] = []
+        """One scheduler iteration -> incremental outputs.
 
+        Overlap pattern (reference event_loop_overlap, scheduler.py:1036):
+        dispatch this step's batch FIRST, then process the previous step's
+        results — the device computes batch N+1 while the host fetches and
+        post-processes batch N."""
+        self._process_aborts()
+
+        dispatched = False
         prefill_reqs = self._get_prefill_batch()
         if prefill_reqs:
-            outputs += self._run_prefill_batch(prefill_reqs)
+            dispatched = self._dispatch_prefill(prefill_reqs)
         elif self.running:
             if self.ngram is not None and all(
                 r.sampling_params.is_greedy and r.grammar is None
                 for r in self.running
             ):
-                outputs += self._run_decode_step_spec()
+                self._drain_pending()
+                self._out_buffer += self._run_decode_step_spec()
+                self._rows_dirty = True
             elif (
                 self.server_args.num_continuous_decode_steps > 1
                 and not self.waiting
@@ -193,17 +221,29 @@ class Scheduler:
                     for r in self.running
                 )
             ):
-                outputs += self._run_decode_multi()
+                self._drain_pending()
+                self._out_buffer += self._run_decode_multi()
+                self._rows_dirty = True
+            elif any(r.grammar is not None for r in self.running):
+                # grammar masks need last step's token before the next
+                # dispatch — stay synchronous
+                self._drain_pending()
+                self._out_buffer += self._run_decode_step()
+                self._rows_dirty = True
             else:
-                outputs += self._run_decode_step()
+                dispatched = self._dispatch_decode()
+
+        if self.pending and (not dispatched or len(self.pending) > 1):
+            self._process_one_pending()
 
         self.steps += 1
-        if self.steps % 512 == 0:
+        if self.steps % 512 == 0 and not self.pending:
             self.check_memory()
         if self.steps % 16 == 0:
             used = 1.0 - self.allocator.available_pages() / self.allocator.num_pages
             self.metrics.set_queue_state(len(self.running), len(self.waiting), used)
-        if outputs:
+        outputs, self._out_buffer = self._out_buffer, []
+        if outputs or dispatched:
             self.last_progress_time = time.monotonic()
         return outputs
 
@@ -297,7 +337,13 @@ class Scheduler:
                 break  # this req becomes the chunked req; batch is full
         return reqs
 
-    def _run_prefill_batch(self, reqs: List[Req]) -> List[ReqOutput]:
+    def _dispatch_prefill(self, reqs: List[Req]) -> bool:
+        """Dispatch one batched ragged extend (async).  Completing requests
+        join `running` immediately — their first sampled token lives in the
+        device row table so the next decode can consume it before the host
+        ever fetches it.  Host-side result processing (token append, finish
+        checks, stream output) happens in `_process_one_pending`.  Returns
+        True if a batch entered the pipeline."""
         ps = self.page_size
         BQ = self.runner.block_q
         self.chunked_req = None
@@ -317,8 +363,19 @@ class Scheduler:
             req.pages.extend(new_pages)
             admitted.append(req)
         if not admitted:
-            return []
+            return False
         reqs = admitted
+
+        # --- acquire device sampling-state rows at admission ---
+        st = self.runner.sampling_state
+        for req in reqs:
+            if req.is_embedding or req.row is not None:
+                continue
+            req.row = st.acquire_row()
+            st.reset_counts(np.asarray([req.row], np.int32))
+            if req.sampling_params.has_penalties and req.output_ids:
+                # retraction resume: rebuild output counts from host history
+                st.upload_counts(req.row, req.output_ids)
 
         B = len(reqs)
         tq = sum((req._chunk + BQ - 1) // BQ * BQ for req in reqs)
@@ -347,6 +404,15 @@ class Scheduler:
             rows.append(req.sampling_row())
             offset += (chunk + BQ - 1) // BQ * BQ
 
+        # completing rows: the prompt is fully filled this step, so the
+        # sampled id is this request's first output token
+        comp = [r.extend_len <= r._chunk for r in reqs]
+        fresh = [not r.output_ids for r in reqs]
+        row_ids = np.full(B, self.runner.sampling_state.trash_row, np.int32)
+        for i, r in enumerate(reqs):
+            if comp[i] and fresh[i] and not r.is_embedding:
+                row_ids[i] = r.row  # device publishes the sampled id here
+
         ext = ExtendBatchInput(
             tokens=tokens,
             positions=positions,
@@ -356,6 +422,7 @@ class Scheduler:
             q_lens=q_lens,
             qb_base=qb_base,
             sampling=rows,
+            row_ids=row_ids,
         )
 
         # --- embedding requests run solo through the hidden-state fn ---
@@ -367,60 +434,66 @@ class Scheduler:
                 req.fill_len = target
                 self._cache_unfinished(req)
                 req.finish_info = FinishInfo(FinishReason.LENGTH)
-                out = ReqOutput(req, [])
+                self._out_buffer.append(ReqOutput(req, []))
                 self._finish_req(req)
-                return [out]
+                return False
             # intermediate chunk: still must write KV — run the embed fn
             self.runner.forward_embed(ext)
             req.fill_len = target
             self._cache_unfinished(req)
             self.chunked_req = req
-            return []
+            return False
 
-        completing = [r for r in reqs if r.extend_len <= r._chunk]
         want_lp = any(
-            r.sampling_params.return_logprob for r in completing
+            r.sampling_params.return_logprob
+            for i, r in enumerate(reqs) if comp[i]
+        )
+        update_counts = any(
+            r.sampling_params.has_penalties
+            for i, r in enumerate(reqs) if comp[i] and fresh[i]
         )
         vocab_mask = None
-        if any(r.grammar is not None for r in completing):
+        if any(r.grammar is not None and comp[i] for i, r in enumerate(reqs)):
             V = self.runner.model_config.vocab_size
             vocab_mask = np.ones((B, V), bool)
             for i, r in enumerate(reqs):
-                if r.grammar is not None and r.extend_len <= r._chunk:
+                if r.grammar is not None and comp[i]:
                     vocab_mask[i] = r.grammar.vocab_mask()
 
         ids, lp = self.runner.forward_extend_batch(
-            ext, want_logprobs=want_lp, vocab_mask=vocab_mask
+            ext, want_logprobs=want_lp, vocab_mask=vocab_mask,
+            update_counts=update_counts, async_result=True,
         )
 
-        outputs: List[ReqOutput] = []
+        # retracted completing reqs: the re-sample is a duplicate of the
+        # already-known last token — seed their rows from host history
+        seed_rows, seed_toks = [], []
+        for i, req in enumerate(reqs):
+            if comp[i] and not fresh[i] and not req.is_embedding:
+                seed_rows.append(req.row)
+                seed_toks.append(req.output_ids[-1])
+        if seed_rows:
+            st.seed_rows(
+                np.asarray(seed_rows, np.int32), np.asarray(seed_toks, np.int32)
+            )
+
+        # host bookkeeping that needs no device results
         for i, req in enumerate(reqs):
             req.fill_len += req._chunk
             self._cache_unfinished(req)
-            if req.extend_len > 0:
+            if not comp[i]:
                 self.chunked_req = req  # only the last req can be chunked
                 continue
             if self.ngram is not None:
                 self.ngram.update(req.fill_ids)
-            if req.output_ids:
-                # retracted request finishing its re-prefill: the next token
-                # was already sampled before retraction — discard the bonus
-                pass
-            else:
-                next_id = int(ids[i])
-                req.output_ids.append(next_id)
-                if want_lp and lp is not None and req.sampling_params.return_logprob:
-                    self._record_logprobs(req, lp, i)
-                if req.first_token_time is None:
-                    req.first_token_time = time.monotonic()
-                req.check_finished(next_id)
-                self._advance_grammar(req, next_id)
-                outputs.append(ReqOutput(req, [next_id]))
-            if req.finished():
-                self._finish_req(req)
-            else:
-                self.running.append(req)
-        return outputs
+            self.running.append(req)
+
+        self.pending.append(
+            ("prefill", [
+                (req, i, comp[i], fresh[i]) for i, req in enumerate(reqs)
+            ], ids, lp, want_lp)
+        )
+        return True
 
     def _advance_grammar(self, req: Req, token: int):
         """Advance the grammar DFA; force-finish when the grammar completes
@@ -483,11 +556,151 @@ class Scheduler:
         return new
 
     def _release_prefill_state(self, req: Req):
-        """Undo partial prefill state (pages + lock) before requeueing."""
+        """Undo partial prefill state (pages + lock + row) before requeueing."""
         self.allocator.free_pages(req.owned_pages())
         if req.last_node is not None:
             self.tree.dec_lock_ref(req.last_node)
+        if req.row is not None:
+            self.runner.sampling_state.release_row(req.row)
+            req.row = None
         req.reset_for_retract()
+
+    # ------------------------------------------------------------------
+    # overlap pipeline
+    # ------------------------------------------------------------------
+
+    def _dispatch_decode(self) -> bool:
+        """Dispatch one decode step whose input tokens resolve on device
+        from the sampling-state rows (no host sync).  fill_len is bumped at
+        dispatch; output tokens are appended when the result is processed."""
+        self._ensure_decode_memory()
+        if not self.running:
+            return False
+        if self._rows_dirty:
+            self._sync_device_rows()
+        ps = self.page_size
+        B = len(self.running)
+        positions = np.zeros(B, np.int32)
+        slots = np.zeros(B, np.int32)
+        lengths = np.zeros(B, np.int32)
+        steps = np.zeros(B, np.int32)
+        row_ids = np.zeros(B, np.int32)
+        pmax = max(len(r.pages) for r in self.running)
+        page_table = np.zeros((B, pmax), np.int32)
+        rows = []
+        for i, r in enumerate(self.running):
+            pos = r.fill_len
+            positions[i] = pos
+            slots[i] = r.pages[pos // ps] * ps + pos % ps
+            lengths[i] = pos + 1
+            # tokens sampled so far == fill_len - prompt + 1 (fill_ids
+            # excludes the newest output; holds across in-flight bumps)
+            steps[i] = pos - len(r.input_ids) + 1
+            row_ids[i] = r.row
+            page_table[i, : len(r.pages)] = r.pages
+            rows.append(r.sampling_row())
+        want_lp = any(r.sampling_params.return_logprob for r in self.running)
+        want_pen = any(r.sampling_params.has_penalties for r in self.running)
+        d = DecodeInput(
+            tokens=np.zeros(B, np.int32),  # unused: device rows feed inputs
+            positions=positions,
+            slots=slots,
+            page_table=page_table,
+            lengths=lengths,
+            sample_steps=steps,
+            sampling=rows,
+            row_ids=row_ids,
+        )
+        ids, lp = self.runner.forward_decode_overlap(
+            d, want_logprobs=want_lp, update_counts=want_pen
+        )
+        for r in self.running:
+            r.fill_len += 1
+        self.pending.append(("decode", list(self.running), ids, lp, want_lp))
+        return True
+
+    def _process_one_pending(self):
+        """Fetch + post-process the oldest in-flight batch (the only sync
+        point of the pipeline)."""
+        kind, items, ids, lp, want_lp = self.pending.popleft()
+        ids = np.asarray(ids)
+        if lp is not None:
+            lp = {k: np.asarray(v) for k, v in lp.items()}
+        now = time.monotonic()
+        if kind == "decode":
+            for i, r in enumerate(items):
+                if r.finished():  # finished/aborted while this was in flight
+                    continue
+                new_id = int(ids[i])
+                r.output_ids.append(new_id)
+                if want_lp and r.sampling_params.return_logprob:
+                    self._record_logprobs(r, lp, i)
+                r.check_finished(new_id)
+                self._out_buffer.append(ReqOutput(r, [new_id]))
+                if r.finished():
+                    if r in self.running:
+                        self.running.remove(r)
+                    self._finish_req(r)
+            self.new_token_ratio = max(
+                self.new_token_ratio - self.new_token_ratio_decay,
+                self.base_new_token_ratio,
+            )
+        else:  # prefill
+            for r, i, completing, fresh_ in items:
+                if not completing or r.finished():
+                    continue
+                if not fresh_:
+                    # retracted re-prefill: the sampled id duplicates the
+                    # already-known last token — discard
+                    continue
+                next_id = int(ids[i])
+                r.output_ids.append(next_id)
+                if want_lp and lp is not None and r.sampling_params.return_logprob:
+                    self._record_logprobs(r, lp, i)
+                if r.first_token_time is None:
+                    r.first_token_time = now
+                r.check_finished(next_id)
+                self._advance_grammar(r, next_id)
+                self._out_buffer.append(ReqOutput(r, [next_id]))
+                if r.finished():
+                    if r in self.running:
+                        self.running.remove(r)
+                    self._finish_req(r)
+        self.last_progress_time = time.monotonic()
+
+    def _drain_pending(self):
+        """Process every in-flight batch (sync point — used before paths
+        that need complete host-side output_ids)."""
+        while self.pending:
+            self._process_one_pending()
+
+    def _sync_device_rows(self):
+        """Reseed device rows + penalty counts from host history after a
+        sync-path step left them stale."""
+        st = self.runner.sampling_state
+        rows, toks = [], []
+        for r in self.running:
+            if r.output_ids and r.row is not None:
+                rows.append(r.row)
+                toks.append(r.output_ids[-1])
+        if rows:
+            st.seed_rows(np.asarray(rows, np.int32), np.asarray(toks, np.int32))
+        for r in self.running:
+            if r.sampling_params.has_penalties and r.row is not None:
+                st.reset_counts(np.asarray([r.row], np.int32))
+                st.upload_counts(r.row, r.output_ids)
+        self._rows_dirty = False
+
+    def drop_inflight(self):
+        """Failure recovery: forget dispatched batches, reclaim all rows."""
+        self.pending.clear()
+        self._out_buffer.clear()
+        for r in list(self.running) + list(self.waiting):
+            r.row = None
+        if self.chunked_req is not None:
+            self.chunked_req.row = None
+        self.runner.sampling_state.reset_rows()
+        self._rows_dirty = True
 
     # ------------------------------------------------------------------
     # decode
@@ -585,6 +798,10 @@ class Scheduler:
             sum(deficit(r) for r in self.running) > self.allocator.available_pages()
             and len(self.running) > 1
         ):
+            if self.pending:
+                # retraction decisions + requeue need complete output_ids
+                self._drain_pending()
+                continue
             self._retract_one()
         for r in self.running:
             d = deficit(r)
@@ -727,6 +944,9 @@ class Scheduler:
             self.running, key=lambda r: (len(r.output_ids), -len(r.input_ids))
         )
         self.running.remove(victim)
+        if victim.row is not None:
+            self.runner.sampling_state.release_row(victim.row)
+            victim.row = None
         self.allocator.free_pages(victim.owned_pages())
         if victim.last_node is not None:
             self.tree.dec_lock_ref(victim.last_node)
@@ -753,10 +973,15 @@ class Scheduler:
 
     def _finish_req(self, req: Req):
         ps = self.page_size
+        if req.row is not None:
+            self.runner.sampling_state.release_row(req.row)
+            req.row = None
         if self.server_args.disable_radix_cache:
             self.allocator.free_pages(req.owned_pages())
         else:
-            fill_tokens = req.fill_len
+            # overlap: a step dispatched after this req finished may have
+            # bumped fill_len past the host-known tokens — clamp
+            fill_tokens = min(req.fill_len, len(req.fill_ids))
             full_pages = fill_tokens // ps
             dup = self.tree.insert(
                 req.fill_ids[: full_pages * ps], req.pages[:full_pages]
@@ -795,7 +1020,7 @@ class Scheduler:
 
     def flush_cache(self) -> bool:
         """Drop the prefix cache (reference scheduler.py:2326): only when idle."""
-        if self.running or self.waiting or self.chunked_req:
+        if self.running or self.waiting or self.chunked_req or self.pending:
             return False
         self.tree.reset()
         self.allocator.clear()

@@ -1,21 +1,32 @@
-"""Device-resident paged KV pool — combined token-major layout (round 2).
+"""Device-resident paged KV pool — combined token-major layout (round 2, v4).
 
 Role model: reference `MHATokenToKVPool`
 (`python/sglang/srt/mem_cache/memory_pool.py:605` — per-layer K/V buffers +
-`set_kv_buffer`).  TPU layout (v2):
+`set_kv_buffer`).  TPU layout (v4, KV-interleaved token faces):
 
-    kv_cache : [num_layers, num_pages, page_size, 2 * kv_heads, head_dim]
+    kv_cache : [num_layers, num_pages, page_size, 2, kv_heads * head_dim]
 
-K lives at combined-head index [0, kv_heads), V at [kv_heads, 2*kv_heads).
-Why token-major combined (vs the round-1 head-major split pools):
+Each token owns one (2, KVH*D) face: sublane row 0 holds its K for all
+heads (head h at lanes [h*D, (h+1)*D)), row 1 its V.  Why this layout
+(v1 head-major -> v2 [ps, 2*KVH, D] -> v3 [ps, 2*KVH*D] history):
 
-* one page slice [page_size, 2*KVH, D] is contiguous — the attention kernel
+* one page slice [ps, 2, KVH*D] is contiguous — the attention kernel
   fetches K+V for ALL heads of a page in ONE ~256 KB DMA instead of
-  2*KVH separate 16 KB DMAs (the round-1 kernel's 283 GB/s ceiling);
-* a single token row [1, 2*KVH, D] keeps the last two (tiled) dims whole, so
-  decode writes are direct 4 KB row DMAs — no read-modify-write round trip;
-* the last two dims (2*KVH=16, D=128 typical) match the bf16 min tile
-  (16, 128) exactly — zero tile-padding waste.
+  2*KVH separate 16 KB (page, head) DMAs (the round-1 283 GB/s ceiling);
+* per-head access in-kernel is a LANE slice at a 128-multiple offset
+  (free), never a second-minor index — the v2 layout's per-head
+  sublane-strided gather relayout-copied every chunk (189 GB/s measured);
+* a token's K/V is a whole (2, KVH*D) last-two-dims face, so decode
+  writes slice only the page_size dim — Mosaic requires second-minor
+  slices to be even-aligned for bf16 (tiling (2, 128)), which killed the
+  v3 flat layout's [1, 2*KVH*D] row writes on real hardware
+  ("Slice shape along dimension 0 must be aligned to tiling (2)").
+
+The attention kernels view a chunk as [2*ck, KVH*D] (sublane-merge, layout
+preserving), score Q against K AND V rows in one dot (2x FLOPs, free —
+decode attention is bandwidth-bound), mask odd (V) columns out of the
+softmax, then lane-roll the probabilities by one so they line up with the
+V rows for the PV dot (validated on v5e hardware, see ops/ragged_attention).
 
 All mutation is functional: `write_kv` returns the updated array and is
 called inside the jitted model step with a donated buffer, so XLA updates in
@@ -60,8 +71,8 @@ class KVPoolSpec:
             self.num_layers,
             self.num_pages,
             self.page_size,
-            2 * self.kv_heads,
-            self.head_dim,
+            2,
+            self.kv_heads * self.head_dim,
         )
 
     def bytes_per_token(self) -> int:
@@ -73,7 +84,7 @@ class KVPoolSpec:
 
 
 def write_kv(
-    kv_cache: jax.Array,  # [L, P, ps, 2*KVH, D]
+    kv_cache: jax.Array,  # [L, P, ps, 2, KVH*D]
     k_new: jax.Array,  # [T, KVH, D]
     v_new: jax.Array,
     slots: jax.Array,  # [T] int32 flat slot = page * ps + offset (may contain
@@ -90,15 +101,19 @@ def write_kv(
     """
     from sglang_awq_tpu.utils import is_tpu_backend
 
-    kv_new = jnp.concatenate(
-        [k_new.astype(kv_cache.dtype), v_new.astype(kv_cache.dtype)], axis=1
-    )  # [T, 2*KVH, D]
+    T = k_new.shape[0]
+    kv_new = jnp.stack(
+        [
+            k_new.astype(kv_cache.dtype).reshape(T, -1),
+            v_new.astype(kv_cache.dtype).reshape(T, -1),
+        ],
+        axis=1,
+    )  # [T, 2, KVH*D]
 
     if is_tpu_backend():
         from sglang_awq_tpu.ops.kv_write import kv_write_prefill, kv_write_tokens
 
         if mode == "prefill":
-            T = kv_new.shape[0]
             ps_ = kv_cache.shape[2]
             num_slots = kv_cache.shape[1] * ps_
             group_slots = slots.reshape(T // ps_, ps_)[:, 0]
@@ -106,12 +121,12 @@ def write_kv(
             pages = jnp.where(valid, group_slots // ps_, -1)
             return kv_write_prefill(kv_cache, kv_new, pages, layer)
         # decode and spec are both "scatter distinct token rows": every live
-        # slot is unique, so one row-DMA kernel serves both.
+        # slot is unique, so one face-DMA kernel serves both.
         return kv_write_tokens(kv_cache, kv_new, slots, layer)
 
-    L, P, ps, KVH2, D = kv_cache.shape
+    L, P, ps, _, X = kv_cache.shape
     layer = jnp.asarray(layer, jnp.int32)
     pages = slots // ps
     offs = slots % ps
-    kv_cache = kv_cache.at[layer, pages, offs, :, :].set(kv_new, mode="drop")
+    kv_cache = kv_cache.at[layer, pages, offs].set(kv_new, mode="drop")
     return kv_cache

@@ -43,6 +43,9 @@ class ExtendBatchInput:
     # may pass None)
     sampling: list = None  # List[Optional[SamplingRow]]
     sample_steps: np.ndarray = None  # [B]
+    # device sampling-state row per sequence (overlap scheduling); None /
+    # trash rows for sequences whose sampled id should not be published
+    row_ids: np.ndarray = None  # [B] int32
 
     def sampling_padded(self, bs_pad: int) -> "SamplingBatch":
         rows = [r or SamplingRow() for r in (self.sampling or [])]
@@ -65,6 +68,8 @@ class DecodeInput:
     lengths: np.ndarray  # [B] (0 = padded row)
     sample_steps: np.ndarray = None  # [B] per-req sample position (seed folding)
     sampling: list = None  # List[SamplingRow], len B
+    # device sampling-state rows (overlap path: tokens come from last_ids)
+    row_ids: np.ndarray = None  # [B] int32
 
     def sampling_padded(self, bs_pad: int) -> "SamplingBatch":
         return SamplingBatch.from_rows(self.sampling or [], pad_to=bs_pad)

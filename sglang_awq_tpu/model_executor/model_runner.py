@@ -131,6 +131,17 @@ class ModelRunner:
         ]
         self._fns: Dict[Any, Any] = {}
         self.decode_steps_counter = 0
+        # device-resident per-request sampling state (overlap scheduling):
+        # last sampled ids + penalty counts stay on device between steps
+        from sglang_awq_tpu.model_executor.sampling_state import (
+            DeviceSamplingState,
+        )
+
+        # capacity: running cap + prefill-batch headroom (rows are acquired
+        # at admission, before the running-count cap is re-checked)
+        self.sampling_state = DeviceSamplingState(
+            server_args.max_running_requests + 24, model_config.vocab_size
+        )
         # page-table width buckets: the attention grid iterates pmax/ppc
         # chunks per sequence — sizing to the live batch's max pages (not
         # the context limit) kills dead grid steps
@@ -158,9 +169,17 @@ class ModelRunner:
             self._param_specs,
         )
 
-    def _wrap_step(self, fn, n_replicated_in: int, n_replicated_out: int = 1):
+    def _wrap_step(
+        self,
+        fn,
+        n_replicated_in: int,
+        n_replicated_out: int = 1,
+        n_state_out: int = 0,
+    ):
         """shard_map a step function: params/KV sharded, batch inputs and
-        outputs replicated (every shard computes identical logits/ids)."""
+        outputs replicated (every shard computes identical logits/ids).
+        `n_state_out` replicated device-state outputs follow the kv output
+        (sampling state arrays updated in-step)."""
         from jax.sharding import PartitionSpec as P
 
         from sglang_awq_tpu.parallel.sharding import kv_pspec
@@ -173,7 +192,7 @@ class ModelRunner:
             kvp,
             P(),  # rope
         ) + (P(),) * n_replicated_in
-        out_specs = (P(),) * n_replicated_out + (kvp,)
+        out_specs = (P(),) * n_replicated_out + (kvp,) + (P(),) * n_state_out
         try:
             return jax.shard_map(
                 fn, mesh=self.mesh, in_specs=in_specs, out_specs=out_specs,
@@ -252,30 +271,94 @@ class ModelRunner:
     # ------------------------------------------------------------------
 
     def _extend_fn(self, tq: int, bs: int, pt_w: int, all_greedy: bool,
-                   want_lp: bool, want_mask: bool = False):
-        key = ("extend", tq, bs, pt_w, all_greedy, want_lp, want_mask)
+                   want_lp: bool, want_mask: bool = False,
+                   want_pen: bool = False):
+        key = ("extend", tq, bs, pt_w, all_greedy, want_lp, want_mask, want_pen)
         if key in self._fns:
             return self._fns[key]
         model = self.model
         block_q = self.block_q
 
-        def raw(params, kv, rope, tokens, positions, slots, page_table,
-                kv_lens, q_lens, qb_base, info, steps, *mask):
+        def raw(params, kv, rope, last_ids, *rest):
+            rest = list(rest)
+            counts = rest.pop(0) if want_pen else None
+            (tokens, positions, slots, page_table, kv_lens, q_lens,
+             qb_base, row_ids, info, steps) = rest[:10]
+            mask = rest[10:]
             logits, kv = model.extend_step(
                 params, kv, rope, tokens, positions, slots, page_table,
                 kv_lens, q_lens, qb_base, block_q=block_q,
             )
             vm = mask[0] if want_mask else None
             ids = sample(logits, info, steps, all_greedy=all_greedy, vocab_mask=vm)
+            # publish sampled ids (and first penalty count) into the
+            # device sampling state so the NEXT decode step can be
+            # dispatched before the host ever fetches these ids
+            last_ids = last_ids.at[row_ids].set(ids, mode="drop")
+            outs = (ids,)
             if want_lp:
                 lp, top_ids, top_vals = logprob_outputs(logits, ids)
-                return ids, lp, top_ids, top_vals, kv
-            return ids, kv
+                outs = (ids, lp, top_ids, top_vals)
+            outs = outs + (kv, last_ids)
+            if want_pen:
+                counts = counts.at[row_ids, ids].add(1, mode="drop")
+                outs = outs + (counts,)
+            return outs
 
         fn = jax.jit(
-            self._wrap_step(raw, 9 + (1 if want_mask else 0),
-                            n_replicated_out=4 if want_lp else 1),
-            donate_argnums=(1,),
+            self._wrap_step(
+                raw,
+                11 + (1 if want_mask else 0) + (1 if want_pen else 0),
+                n_replicated_out=4 if want_lp else 1,
+                n_state_out=2 if want_pen else 1,
+            ),
+            donate_argnums=(1, 3, 4) if want_pen else (1, 3),
+        )
+        self._fns[key] = fn
+        return fn
+
+    def _decode_overlap_fn(self, bs: int, pt_w: int, all_greedy: bool,
+                           want_lp: bool, want_pen: bool):
+        """Decode step whose input tokens come from the device sampling
+        state — the TPU analogue of the reference's overlap-mode FutureMap
+        (`managers/overlap_utils.py:32`): the host dispatches step N+1
+        before fetching step N's sampled ids."""
+        key = ("decode_ov", bs, pt_w, all_greedy, want_lp, want_pen)
+        if key in self._fns:
+            return self._fns[key]
+        model = self.model
+        vocab = self.model_config.vocab_size
+
+        def raw(params, kv, rope, last_ids, *rest):
+            rest = list(rest)
+            counts = rest.pop(0) if want_pen else None
+            row_ids, positions, slots, page_table, lengths, info, steps = rest
+            tokens = last_ids[row_ids]
+            logits, kv = model.decode_step(
+                params, kv, rope, tokens, positions, slots, page_table, lengths
+            )
+            if want_pen:
+                logits = apply_penalties(logits, counts[row_ids], info, vocab)
+            ids = sample(logits, info, steps, all_greedy=all_greedy)
+            last_ids = last_ids.at[row_ids].set(ids, mode="drop")
+            outs = (ids,)
+            if want_lp:
+                lp, top_ids, top_vals = logprob_outputs(logits, ids)
+                outs = (ids, lp, top_ids, top_vals)
+            outs = outs + (kv, last_ids)
+            if want_pen:
+                counts = counts.at[row_ids, ids].add(1, mode="drop")
+                outs = outs + (counts,)
+            return outs
+
+        fn = jax.jit(
+            self._wrap_step(
+                raw,
+                8 + (1 if want_pen else 0),
+                n_replicated_out=4 if want_lp else 1,
+                n_state_out=2 if want_pen else 1,
+            ),
+            donate_argnums=(1, 3, 4) if want_pen else (1, 3),
         )
         self._fns[key] = fn
         return fn
@@ -383,41 +466,113 @@ class ModelRunner:
             jnp.asarray(qb_base), jnp.asarray(steps),
         )
 
+    def _pad_rows(self, row_ids: Optional[np.ndarray], bs: int, bs_pad: int):
+        st = self.sampling_state
+        rows = np.full(bs_pad, st.trash_row, np.int32)
+        if row_ids is not None:
+            rows[:bs] = row_ids
+        return jnp.asarray(rows)
+
     def forward_extend_batch(
         self,
         ext: ExtendBatchInput,
         want_logprobs: bool = False,
         vocab_mask: Optional[np.ndarray] = None,  # [B, V] bool
-    ) -> Tuple[np.ndarray, Optional[dict]]:
+        update_counts: bool = False,
+        async_result: bool = False,
+    ):
         """Run one batched prefill step -> (ids [bs_pad], logprobs|None).
 
         ids[b] is only meaningful for rows finishing their prompt this step.
+        Sampled ids are also published to the device sampling state at
+        ext.row_ids, so a decode step can consume them before the host
+        fetches.  With async_result the returned arrays stay on device.
         """
         (tq_pad, bs_pad, pt_w, tokens, positions, slots, pt,
          kv_lens, q_lens, qb_base, steps) = self._pad_extend(ext)
+        st = self.sampling_state
         fn = self._extend_fn(
             tq_pad, bs_pad, pt_w, ext.all_greedy(), want_logprobs,
-            vocab_mask is not None,
+            vocab_mask is not None, update_counts,
         )
         info = _sampling_info(ext.sampling_padded(bs_pad))
+        rows = self._pad_rows(ext.row_ids, len(ext.kv_lens), bs_pad)
+        state_args = (st.last_ids,) + (
+            (st.ensure_counts(),) if update_counts else ()
+        )
         args = (
-            self.params, self.kv_cache, self.rope_tab,
+            self.params, self.kv_cache, self.rope_tab, *state_args,
             tokens, positions, slots, pt, kv_lens, q_lens, qb_base,
-            info, steps,
+            rows, info, steps,
         )
         if vocab_mask is not None:
             vm = np.ones((bs_pad, vocab_mask.shape[1]), bool)
             vm[: vocab_mask.shape[0]] = vocab_mask
             args = args + (jnp.asarray(vm),)
+        outs = list(fn(*args))
+        if update_counts:
+            st.out_counts = outs.pop()
+        st.last_ids = outs.pop()
+        self.kv_cache = outs.pop()
+        ids = outs[0]
+        lp = None
         if want_logprobs:
-            ids, lp, top_ids, top_vals, self.kv_cache = fn(*args)
-            return np.asarray(ids), {
-                "logprobs": np.asarray(lp),
-                "top_ids": np.asarray(top_ids),
-                "top_logprobs": np.asarray(top_vals),
+            lp = {
+                "logprobs": outs[1],
+                "top_ids": outs[2],
+                "top_logprobs": outs[3],
             }
-        ids, self.kv_cache = fn(*args)
-        return np.asarray(ids), None
+        if async_result:
+            return ids, lp
+        ids = np.asarray(ids)
+        if lp is not None:
+            lp = {k: np.asarray(v) for k, v in lp.items()}
+        return ids, lp
+
+    def forward_decode_overlap(
+        self,
+        d: DecodeInput,
+        want_logprobs: bool = False,
+        update_counts: bool = False,
+    ):
+        """One decode step reading input tokens from the device sampling
+        state (d.row_ids) — returns DEVICE arrays (ids, logprobs|None) so the
+        scheduler can dispatch the next step before fetching these.  The
+        sampled ids are re-published to the rows in-step; penalty counts
+        live on device (update_counts applies + accumulates them)."""
+        bs = len(d.lengths)
+        bs_pad = pick_bucket(bs, self.decode_bs_buckets)
+        pt_w = pick_bucket(d.page_table.shape[1], self.pmax_buckets)
+        st = self.sampling_state
+        fn = self._decode_overlap_fn(
+            bs_pad, pt_w, d.all_greedy(), want_logprobs, update_counts
+        )
+        _, positions, slots, pt, lengths = self._pad_decode(d, bs_pad, pt_w)
+        info = _sampling_info(d.sampling_padded(bs_pad))
+        steps = np.zeros(bs_pad, np.int32)
+        if d.sample_steps is not None:
+            steps[:bs] = d.sample_steps
+        rows = self._pad_rows(d.row_ids, bs, bs_pad)
+        self.decode_steps_counter += 1
+        state_args = (st.last_ids,) + (
+            (st.ensure_counts(),) if update_counts else ()
+        )
+        outs = list(fn(
+            self.params, self.kv_cache, self.rope_tab, *state_args,
+            rows, positions, slots, pt, lengths, info, jnp.asarray(steps),
+        ))
+        if update_counts:
+            st.out_counts = outs.pop()
+        st.last_ids = outs.pop()
+        self.kv_cache = outs.pop()
+        lp = None
+        if want_logprobs:
+            lp = {
+                "logprobs": outs[1],
+                "top_ids": outs[2],
+                "top_logprobs": outs[3],
+            }
+        return outs[0], lp
 
     def forward_decode(
         self,

@@ -1,18 +1,19 @@
-"""In-place KV pool writes (Pallas) — combined token-major layout (v2).
+"""In-place KV pool writes (Pallas) — KV-interleaved token faces (v4).
 
-Pool layout (mem_cache/kv_pool.py): [L, num_pages, page_size, 2*KVH, D].
-A single token row [1, 2*KVH, D] keeps the last two (tiled) dims whole, so
-Mosaic can DMA it directly — the round-1 head-major layout forced a whole
-page read-modify-write per decode token (~64x write amplification); here a
-decode step is B independent ~4 KB row DMAs, all in flight together.
+Pool layout (mem_cache/kv_pool.py): [L, num_pages, page_size, 2, KVH*D].
+A token's K/V is one whole (2, KVH*D) last-two-dims face, so every DMA here
+slices only the page_size dim (or whole pages) — legal under Mosaic's
+even-alignment rule for bf16 second-minor slices (validated on v5e; the
+prior flat layout's [1, 2*KVH*D] row DMAs were rejected:
+"Slice shape along dimension 0 must be aligned to tiling (2)").
 
 Kernels (both alias the pool via `input_output_aliases`, in-place update):
 
-* `kv_write_tokens`: scatter T token rows at arbitrary distinct slots
-  (decode: one row per sequence; speculative verify: QS contiguous rows per
-  sequence — contiguity is irrelevant here, every live slot is unique).
+* `kv_write_tokens`: scatter T token faces at arbitrary distinct slots
+  (decode: one face per sequence; speculative verify: QS contiguous faces
+  per sequence — contiguity is irrelevant here, every live slot is unique).
 * `kv_write_prefill`: chunks are PAGE-ALIGNED by scheduler construction, so
-  whole [ps, 2*KVH, D] pages are written blind from the input buffer — rows
+  whole [ps, 2, KVH*D] pages are written blind from the input buffer — rows
   beyond the live length carry padding garbage that attention masks out and
   decode later overwrites.
 
@@ -37,9 +38,9 @@ from sglang_awq_tpu.utils import pallas_interpret_default
 def _kv_write_tokens_kernel(
     layer_ref,  # [1]
     slots_ref,  # [T]
-    kv_new_ref,  # [T, 2*KVH, D] VMEM
+    kv_new_ref,  # [T, 2, KVH*D] VMEM
     kv_in,  # aliased
-    kv_hbm,  # aliased out [L, P, ps, 2*KVH, D]
+    kv_hbm,  # aliased out [L, P, ps, 2, KVH*D]
     sem,
     *,
     num_slots: int,
@@ -79,8 +80,8 @@ def _kv_write_tokens_kernel(
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def kv_write_tokens(
-    kv_cache: jax.Array,  # [L, P, ps, 2*KVH, D]
-    kv_new: jax.Array,  # [T, 2*KVH, D]
+    kv_cache: jax.Array,  # [L, P, ps, 2, KVH*D]
+    kv_new: jax.Array,  # [T, 2, KVH*D]
     slots: jax.Array,  # [T] int32 (PAD_SLOT / out-of-range -> skipped)
     layer: jax.Array | int,
     *,
@@ -88,7 +89,7 @@ def kv_write_tokens(
 ) -> jax.Array:
     if interpret is None:
         interpret = pallas_interpret_default()
-    L, P, ps, KVH2, D = kv_cache.shape
+    L, P, ps, _, X = kv_cache.shape
     layer = jnp.clip(jnp.asarray(layer, jnp.int32).reshape(1), 0, L - 1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -119,7 +120,7 @@ def kv_write_tokens(
 def _kv_write_prefill_kernel(
     layer_ref,  # [1]
     pages_ref,  # [n_groups] page id per ps-token group; < 0 = dead group
-    kv_new_ref,  # [T, 2*KVH, D] VMEM, page-aligned groups
+    kv_new_ref,  # [T, 2, KVH*D] VMEM, page-aligned groups
     kv_in,
     kv_hbm,  # aliased out
     sem,
@@ -159,8 +160,8 @@ def _kv_write_prefill_kernel(
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def kv_write_prefill(
-    kv_cache: jax.Array,  # [L, P, ps, 2*KVH, D]
-    kv_new: jax.Array,  # [T, 2*KVH, D]; every ps-token group page-aligned
+    kv_cache: jax.Array,  # [L, P, ps, 2, KVH*D]
+    kv_new: jax.Array,  # [T, 2, KVH*D]; every ps-token group page-aligned
     pages: jax.Array,  # [T // ps] page id per group (< 0 skips the group —
     #                    multi-request batches interleave padding groups)
     layer: jax.Array | int,
@@ -169,7 +170,7 @@ def kv_write_prefill(
 ) -> jax.Array:
     if interpret is None:
         interpret = pallas_interpret_default()
-    L, P, ps, KVH2, D = kv_cache.shape
+    L, P, ps, _, X = kv_cache.shape
     T = kv_new.shape[0]
     assert T % ps == 0, (T, ps)
     layer = jnp.clip(jnp.asarray(layer, jnp.int32).reshape(1), 0, L - 1)

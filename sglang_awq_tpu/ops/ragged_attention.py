@@ -1,14 +1,26 @@
-"""Paged attention over the combined token-major KV pool (round 2).
+"""Paged attention over the combined token-major KV pool (round 2, v4).
 
 TPU-native re-design of the reference's decode + extend attention kernels
 (`python/sglang/srt/layers/attention/triton_ops/decode_attention.py:45,516`,
 `extend_attention.py:542` — SURVEY.md §A.3).  Key difference vs round 1:
 
-* Pool layout [L, num_pages, ps, 2*KVH, D] (kv_pool.py): ONE ~256 KB DMA per
-  page brings K+V for ALL kv heads, vs 2*KVH separate 16 KB (page, head)
-  DMAs in the round-1 head-major kernel, whose measured ceiling was
-  283 GB/s of the ~820 GB/s HBM.  The grid drops the kv-head dimension; a
-  static in-kernel loop computes every head from the shared VMEM chunk.
+* Pool layout [L, num_pages, ps, 2, KVH*D] (kv_pool.py): ONE ~256 KB DMA
+  per page brings K+V for ALL kv heads, vs 2*KVH separate 16 KB
+  (page, head) DMAs in the round-1 head-major kernel, whose measured
+  ceiling was 283 GB/s of the ~820 GB/s HBM.  The grid drops the kv-head
+  dimension; a static in-kernel loop computes every head from the shared
+  VMEM chunk.  Per-head K/V are LANE slices at 128-multiple offsets (free)
+  of the sublane-merged [2*ck, KVH*D] chunk view — K rows at even
+  sublanes, V rows at odd ones.
+* The QK dot contracts against K AND V rows at once ([R, 2*ck] scores) —
+  2x dot FLOPs, irrelevant for this bandwidth-bound kernel; V columns are
+  masked out of the softmax by lane parity, and the probabilities are
+  lane-rolled by +1 so they line up with the V rows for the PV dot.
+  (This dance exists because Mosaic forbids odd-aligned second-minor
+  slices for bf16 — a [ps, 2*KVH, D] layout relayout-copies per head
+  (189 GB/s measured), and a flat [ps, 2*KVH*D] layout cannot take
+  single-token writes.  Both dots and the roll were validated for exact
+  semantics on v5e hardware.)
 * `ragged_decode` serves decode (QS=1) and speculative verify (QS>1): each
   sequence scores QS query tokens with per-token causal limits.
 * `ragged_extend` serves BATCHED multi-request prefill (and mixed
@@ -21,8 +33,8 @@ Both kernels stream KV pages HBM->VMEM with double-buffered async copies and
 a next-live-block lookahead so dead grid steps (padded rows, short
 sequences, causally-skippable chunks) cost only grid iteration overhead.
 The double-buffer/lookahead structure follows the publicly documented JAX
-paged-attention kernel pattern; the combined-layout head loop, ragged
-q-block mapping and masking are ours.
+paged-attention kernel pattern; the combined-layout head loop, the
+parity-masked K+V dot, ragged q-block mapping and masking are ours.
 """
 
 from __future__ import annotations
@@ -42,6 +54,14 @@ from sglang_awq_tpu.utils import cdiv, pallas_interpret_default, round_up
 MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
 
 
+def _roll1(x: jax.Array, interpret: bool) -> jax.Array:
+    """Lane-roll by +1 (col j -> j+1, wrap).  Must run on a 32-bit dtype:
+    Mosaic's tpu.dynamic_rotate rejects bf16."""
+    if interpret:
+        return jnp.roll(x, 1, axis=1)
+    return pltpu.roll(x, 1, 1)
+
+
 # ---------------------------------------------------------------------------
 # uniform-span kernel: decode (QS=1) and speculative verify (QS>1)
 # ---------------------------------------------------------------------------
@@ -56,14 +76,14 @@ def _decode_kernel(
     init_ref,  # [1] mutable
     # inputs
     q_ref,  # [1, KVH, R, D] with R = QS * gp
-    kv_hbm_ref,  # [L, P, ps, 2*KVH, D] (ANY)
+    kv_hbm_ref,  # [L, P, ps, 2, KVH*D] (ANY)
     # output
     o_ref,  # [1, KVH, R, D] f32
     # scratch
     m_ref,  # [KVH, R, 128] f32
     l_ref,  # [KVH, R, 128] f32
     acc_ref,  # [KVH, R, D] f32
-    kv_buf,  # [2, ppc, ps, 2*KVH, D]
+    kv_buf,  # [2, ppc, ps, 2, KVH*D]
     sem,  # [2]
     *,
     batch_size: int,
@@ -73,6 +93,7 @@ def _decode_kernel(
     q_span: int,
     gp: int,
     kvh: int,
+    interpret: bool,
 ):
     b, c = pl.program_id(0), pl.program_id(1)
     ps = kv_buf.shape[2]
@@ -141,16 +162,21 @@ def _decode_kernel(
 
         wait_copy(slot)
         d = q_ref.shape[-1]
-        pos = None
+        # [ppc, ps, 2, X] -> [2*ck, X]: sublane-merge, layout preserving.
+        # K rows at even sublanes, V rows at odd.
+        kvc = kv_buf[slot].reshape(2 * ck, kv_buf.shape[-1])
+        mask = None
         for h in range(kvh):
             qh = q_ref[0, h]  # [R, D] bf16
-            k = kv_buf[slot, :, :, h, :].reshape(ck, d)
+            kh = kvc[:, h * d : (h + 1) * d]  # [2*ck, D] lane slice
             qk = lax.dot_general(
-                qh, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            )  # [R, ck]
+                qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )  # [R, 2*ck]: col 2t = K of token t, col 2t+1 = its V
             qk = qk * sm_scale
-            if pos is None:
-                pos = c * ck + lax.broadcasted_iota(jnp.int32, qk.shape, 1)
+            if mask is None:
+                j = lax.broadcasted_iota(jnp.int32, qk.shape, 1)
+                pos = c * ck + j // 2
+                is_k = (j % 2) == 0
                 if q_span == 1:
                     limit = length
                 else:
@@ -158,22 +184,25 @@ def _decode_kernel(
                     # limit is length - (q_span - 1 - t)
                     t = lax.broadcasted_iota(jnp.int32, qk.shape, 0) // gp
                     limit = length - (q_span - 1) + t
-            qk = jnp.where(pos < limit, qk, MASK_VALUE)
+                mask = jnp.logical_and(pos < limit, is_k)
+            qk = jnp.where(mask, qk, MASK_VALUE)
 
             m_prev = m_ref[h, :, :1]  # [R, 1]
             l_prev = l_ref[h, :, :1]
             m_cur = jnp.max(qk, axis=-1, keepdims=True)
             m_next = jnp.maximum(m_prev, m_cur)
             p = jnp.exp(qk - m_next)
+            p = jnp.where(mask, p, 0.0)  # V columns contribute nothing
             l_cur = jnp.sum(p, axis=-1, keepdims=True)
             alpha = jnp.exp(m_prev - m_next)
             m_ref[h] = jnp.broadcast_to(m_next, m_ref.shape[1:])
             l_ref[h] = jnp.broadcast_to(alpha * l_prev + l_cur, l_ref.shape[1:])
 
-            v = kv_buf[slot, :, :, kvh + h, :].reshape(ck, d)
+            # roll probs K->V columns (2t -> 2t+1), then contract with the
+            # same [2*ck, D] slice: K rows multiply 0, V rows multiply p_t
             pv = lax.dot_general(
-                p.astype(jnp.bfloat16),
-                v,
+                _roll1(p, interpret).astype(jnp.bfloat16),
+                kh,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
@@ -191,7 +220,7 @@ def _decode_kernel(
 )
 def ragged_decode(
     q: jax.Array,  # [B, QS, QH, D] bf16
-    kv_cache: jax.Array,  # [L, P, ps, 2*KVH, D]
+    kv_cache: jax.Array,  # [L, P, ps, 2, KVH*D]
     page_table: jax.Array,  # [B, pmax] int32
     lengths: jax.Array,  # [B] int32 TOTAL length incl. all QS new tokens
     layer: jax.Array | int,
@@ -209,9 +238,9 @@ def ragged_decode(
     if interpret is None:
         interpret = pallas_interpret_default()
     B, QS, QH, D = q.shape
-    L, P, ps, KVH2, Dk = kv_cache.shape
-    KVH = KVH2 // 2
-    assert D == Dk and QH % KVH == 0
+    L, P, ps, two, X = kv_cache.shape
+    KVH = X // D
+    assert two == 2 and X == KVH * D and QH % KVH == 0
     G = QH // KVH
     gp = G if QS * G >= 8 else 8 // QS  # sublane-fill the row dim
     # [B, QS, KVH, G, D] -> [B, KVH, QS*gp, D]
@@ -245,7 +274,7 @@ def ragged_decode(
             pltpu.VMEM((KVH, R, 128), jnp.float32),
             pltpu.VMEM((KVH, R, 128), jnp.float32),
             pltpu.VMEM((KVH, R, D), jnp.float32),
-            pltpu.VMEM((2, ppc, ps, KVH2, D), kv_cache.dtype),
+            pltpu.VMEM((2, ppc, ps, 2, X), kv_cache.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -258,6 +287,7 @@ def ragged_decode(
         q_span=QS,
         gp=gp,
         kvh=KVH,
+        interpret=bool(interpret),
     )
     out = pl.pallas_call(
         kernel,
@@ -297,14 +327,14 @@ def _extend_kernel(
     init_ref,  # [1] mutable
     # inputs
     q_ref,  # [BQ, QH, D]
-    kv_hbm_ref,  # [L, P, ps, 2*KVH, D] (ANY)
+    kv_hbm_ref,  # [L, P, ps, 2, KVH*D] (ANY)
     # output
     o_ref,  # [BQ, QH, D] f32
     # scratch
     m_ref,  # [KVH, BQ*G, 128] f32
     l_ref,
     acc_ref,  # [KVH, BQ*G, D] f32
-    kv_buf,  # [2, ppc, ps, 2*KVH, D]
+    kv_buf,  # [2, ppc, ps, 2, KVH*D]
     sem,
     *,
     batch_size: int,
@@ -314,6 +344,7 @@ def _extend_kernel(
     sm_scale: float,
     kvh: int,
     g: int,
+    interpret: bool,
 ):
     b, qb, c = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     ps = kv_buf.shape[2]
@@ -400,36 +431,39 @@ def _extend_kernel(
 
         wait_copy(slot)
         d = q_ref.shape[-1]
+        kvc = kv_buf[slot].reshape(2 * ck, kv_buf.shape[-1])  # [2*ck, X]
         prefix = kvlens_ref[b] - q_len
-        pos = None
+        mask = None
         for h in range(kvh):
             qh = q_ref[:, h * g : (h + 1) * g, :].reshape(bq * g, d)
-            k = kv_buf[slot, :, :, h, :].reshape(ck, d)
+            kh = kvc[:, h * d : (h + 1) * d]  # [2*ck, D] lane slice
             qk = lax.dot_general(
-                qh, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            )  # [BQ*G, ck]
+                qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )  # [BQ*G, 2*ck]
             qk = qk * sm_scale
-            if pos is None:
-                pos = c * ck + lax.broadcasted_iota(jnp.int32, qk.shape, 1)
+            if mask is None:
+                j = lax.broadcasted_iota(jnp.int32, qk.shape, 1)
+                pos = c * ck + j // 2
+                is_k = (j % 2) == 0
                 t = lax.broadcasted_iota(jnp.int32, qk.shape, 0) // g
                 q_pos = prefix + qb * bq + t  # absolute position of the row
-                row_mask = pos <= q_pos
-            qk = jnp.where(row_mask, qk, MASK_VALUE)
+                mask = jnp.logical_and(pos <= q_pos, is_k)
+            qk = jnp.where(mask, qk, MASK_VALUE)
 
             m_prev = m_ref[h, :, :1]
             l_prev = l_ref[h, :, :1]
             m_cur = jnp.max(qk, axis=-1, keepdims=True)
             m_next = jnp.maximum(m_prev, m_cur)
             p = jnp.exp(qk - m_next)
+            p = jnp.where(mask, p, 0.0)
             l_cur = jnp.sum(p, axis=-1, keepdims=True)
             alpha = jnp.exp(m_prev - m_next)
             m_ref[h] = jnp.broadcast_to(m_next, m_ref.shape[1:])
             l_ref[h] = jnp.broadcast_to(alpha * l_prev + l_cur, l_ref.shape[1:])
 
-            v = kv_buf[slot, :, :, kvh + h, :].reshape(ck, d)
             pv = lax.dot_general(
-                p.astype(jnp.bfloat16),
-                v,
+                _roll1(p, interpret).astype(jnp.bfloat16),
+                kh,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
@@ -451,7 +485,7 @@ def _extend_kernel(
 def ragged_extend(
     q: jax.Array,  # [TQ, QH, D] bf16 token-major; each sequence's q rows
     #                occupy [qb_base[b]*BQ, qb_base[b]*BQ + q_lens[b])
-    kv_cache: jax.Array,  # [L, P, ps, 2*KVH, D]
+    kv_cache: jax.Array,  # [L, P, ps, 2, KVH*D]
     page_table: jax.Array,  # [B, pmax] int32
     kv_lens: jax.Array,  # [B] int32 total kv length (prefix + new); 0 = pad
     q_lens: jax.Array,  # [B] int32 new tokens this step (0 = padded row)
@@ -473,9 +507,9 @@ def ragged_extend(
     if interpret is None:
         interpret = pallas_interpret_default()
     TQ, QH, D = q.shape
-    L, P, ps, KVH2, Dk = kv_cache.shape
-    KVH = KVH2 // 2
-    assert D == Dk and QH % KVH == 0
+    L, P, ps, two, X = kv_cache.shape
+    KVH = X // D
+    assert two == 2 and X == KVH * D and QH % KVH == 0
     G = QH // KVH
     BQ = block_q
     assert TQ % BQ == 0, (TQ, BQ)
@@ -517,7 +551,7 @@ def ragged_extend(
             pltpu.VMEM((KVH, BQ * G, 128), jnp.float32),
             pltpu.VMEM((KVH, BQ * G, 128), jnp.float32),
             pltpu.VMEM((KVH, BQ * G, D), jnp.float32),
-            pltpu.VMEM((2, ppc, ps, KVH2, D), kv_cache.dtype),
+            pltpu.VMEM((2, ppc, ps, 2, X), kv_cache.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -530,6 +564,7 @@ def ragged_extend(
         sm_scale=sm_scale,
         kvh=KVH,
         g=G,
+        interpret=bool(interpret),
     )
     out = pl.pallas_call(
         kernel,
@@ -559,16 +594,16 @@ def ragged_extend(
 # ---------------------------------------------------------------------------
 
 
-def _gather_seq(kv_cache, page_table, layer):
-    """[B, S, KVH, D] x2 from the combined pool (S = pmax * ps)."""
-    L, P, ps, KVH2, D = kv_cache.shape
-    KVH = KVH2 // 2
+def _gather_seq(kv_cache, page_table, layer, head_dim):
+    """[B, S, KVH, D] x2 from the v4 pool (S = pmax * ps)."""
+    L, P, ps, _, X = kv_cache.shape
+    KVH = X // head_dim
     layer = jnp.asarray(layer, jnp.int32)
     kvl = jax.lax.dynamic_index_in_dim(kv_cache, layer, 0, keepdims=False)
-    g = kvl[page_table]  # [B, pmax, ps, 2*KVH, D]
+    g = kvl[page_table]  # [B, pmax, ps, 2, X]
     B = page_table.shape[0]
-    g = g.reshape(B, -1, KVH2, D)
-    return g[:, :, :KVH, :], g[:, :, KVH:, :]
+    g = g.reshape(B, -1, 2, KVH, head_dim)
+    return g[:, :, 0], g[:, :, 1]
 
 
 def ragged_decode_xla(
@@ -581,9 +616,9 @@ def ragged_decode_xla(
     sm_scale: float,
 ) -> jax.Array:
     B, QS, QH, D = q.shape
-    KVH = kv_cache.shape[3] // 2
+    KVH = kv_cache.shape[-1] // D
     G = QH // KVH
-    kg, vg = _gather_seq(kv_cache, page_table, layer)  # [B, S, KVH, D]
+    kg, vg = _gather_seq(kv_cache, page_table, layer, D)  # [B, S, KVH, D]
     qg = q.reshape(B, QS, KVH, G, D)
     s = (
         jnp.einsum("btkgd,bskd->btkgs", qg.astype(jnp.float32), kg.astype(jnp.float32))
@@ -614,10 +649,10 @@ def ragged_extend_xla(
     """Per-sequence gather + masked softmax (test oracle; also the CPU
     serving path — jit-compatible, no python data-dependent control flow)."""
     TQ, QH, D = q.shape
-    KVH = kv_cache.shape[3] // 2
+    KVH = kv_cache.shape[-1] // D
     G = QH // KVH
     B = page_table.shape[0]
-    kg, vg = _gather_seq(kv_cache, page_table, layer)  # [B, S, KVH, D]
+    kg, vg = _gather_seq(kv_cache, page_table, layer, D)  # [B, S, KVH, D]
     S = kg.shape[1]
 
     # map each q row to its sequence and in-sequence index

@@ -72,4 +72,9 @@ def param_pspecs(model, params: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def kv_pspec() -> P:
-    return P(None, None, None, MODEL_AXIS, None)
+    # v4 pool [L, pages, ps, 2, KVH*D]: shard the trailing lane dim (the
+    # per-head lanes).  Each shard's local [.., 2, KVH*D/s] block is a
+    # self-consistent v4 pool over its own KVH/s heads: writes come from
+    # the same shard's column-sharded qkv projection, reads stay local to
+    # the shard inside shard_map.
+    return P(None, None, None, None, MODEL_AXIS)

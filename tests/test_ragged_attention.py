@@ -22,7 +22,7 @@ QH = 4  # G = 2
 
 def _pool(seed=0):
     k = jax.random.PRNGKey(seed)
-    return jax.random.normal(k, (L, PAGES, PS, 2 * KVH, D), jnp.float32).astype(
+    return jax.random.normal(k, (L, PAGES, PS, 2, KVH * D), jnp.float32).astype(
         jnp.bfloat16
     )
 
@@ -32,12 +32,12 @@ def test_kv_write_tokens_matches_scatter():
     rng = np.random.default_rng(0)
     T = 5
     slots = np.array([3, 17, 42, PAD_SLOT, 99], np.int32)
-    kv_new = rng.normal(size=(T, 2 * KVH, D)).astype(np.float32)
+    kv_new = rng.normal(size=(T, 2, KVH * D)).astype(np.float32)
     layer = 1
 
     got = kv_write_tokens(kv, jnp.asarray(kv_new), jnp.asarray(slots), layer,
                           interpret=True)
-    want = kv.at[layer, slots // PS, slots % PS, :, :].set(
+    want = kv.at[layer, slots // PS, slots % PS].set(
         jnp.asarray(kv_new, jnp.bfloat16), mode="drop"
     )
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
@@ -51,7 +51,7 @@ def test_kv_write_prefill_matches_scatter_with_dead_groups():
     # groups 0,1 live (seq A), group 2 dead padding, groups 3,4 live (seq B),
     # group 5 dead
     pages = np.array([4, 9, -1, 2, 7, -1], np.int32)
-    kv_new = rng.normal(size=(T, 2 * KVH, D)).astype(np.float32)
+    kv_new = rng.normal(size=(T, 2, KVH * D)).astype(np.float32)
     layer = 0
 
     got = kv_write_prefill(kv, jnp.asarray(kv_new), jnp.asarray(pages), layer,
@@ -77,10 +77,11 @@ def test_write_kv_prefill_mode_routes_dead_groups():
     v_new = rng.normal(size=(T, KVH, D)).astype(np.float32)
     got = write_kv(kv, jnp.asarray(k_new), jnp.asarray(v_new),
                    jnp.asarray(slots), 1, mode="prefill")
-    kv_new = jnp.concatenate(
-        [jnp.asarray(k_new, jnp.bfloat16), jnp.asarray(v_new, jnp.bfloat16)], axis=1
+    kv_new = jnp.stack(
+        [jnp.asarray(k_new, jnp.bfloat16).reshape(T, -1),
+         jnp.asarray(v_new, jnp.bfloat16).reshape(T, -1)], axis=1
     )
-    want = kv.at[1, slots // PS, slots % PS, :, :].set(kv_new, mode="drop")
+    want = kv.at[1, slots // PS, slots % PS].set(kv_new, mode="drop")
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
