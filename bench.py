@@ -14,6 +14,7 @@ Env knobs:
   SGLT_BENCH_BS    = decode batch size (default 64)
   SGLT_BENCH_CTX   = context tokens per sequence (default 512)
   SGLT_BENCH_PS    = KV page size (default 16)
+  SGLT_BENCH_LAYERS= layer count override (default 32; for base/per-layer splits)
 """
 
 from __future__ import annotations
@@ -48,7 +49,8 @@ def main():
         )
     else:
         cfg = dict(
-            vocab_size=128256, hidden_size=4096, num_hidden_layers=32,
+            vocab_size=128256, hidden_size=4096,
+            num_hidden_layers=int(os.environ.get("SGLT_BENCH_LAYERS", "32")),
             num_attention_heads=32, num_key_value_heads=8, intermediate_size=14336,
         )
     hf_cfg = dict(

@@ -19,6 +19,8 @@ measured vs ~820 GB/s spec):
 from __future__ import annotations
 
 import functools
+import os
+import struct
 import time
 from typing import Callable, Tuple
 
@@ -44,12 +46,16 @@ def bench_loop_fn(
     dependence chained through the carry and return a SMALL array.
     """
     lo, hi = iters_pair
+    # process-unique jitter: repeated runs of the same bench script would
+    # otherwise re-issue byte-identical dispatches, which the relay serves
+    # from a cache (observed: "1637 GB/s" decode attention)
+    salt = struct.unpack("<I", os.urandom(4))[0] * 1e-12
     mins = {}
     for it in (lo, hi):
-        fetch_sync(make_loop(x0, *consts, iters=it))  # warm / compile
+        fetch_sync(make_loop(x0 + jnp.asarray(salt, x0.dtype), *consts, iters=it))
         ts = []
         for t in range(trials):
-            xv = x0 + jnp.asarray(1e-3 * (t + 1), x0.dtype)
+            xv = x0 + jnp.asarray(salt + 1e-3 * (t + 1), x0.dtype)
             t0 = time.perf_counter()
             fetch_sync(make_loop(xv, *consts, iters=it))
             ts.append(time.perf_counter() - t0)

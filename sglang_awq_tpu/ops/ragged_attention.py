@@ -55,11 +55,13 @@ MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
 
 
 def _roll1(x: jax.Array, interpret: bool) -> jax.Array:
-    """Lane-roll by +1 (col j -> j+1, wrap).  Must run on a 32-bit dtype:
-    Mosaic's tpu.dynamic_rotate rejects bf16."""
-    if interpret:
-        return jnp.roll(x, 1, axis=1)
-    return pltpu.roll(x, 1, 1)
+    """Lane-shift by +1: col j -> j+1, col 0 <- 0.  Equivalent to a roll
+    here because the caller's col 2ck-1 is an odd (V) column, always masked
+    to zero.  Static slice+concat measured ~0.05 ms/call cheaper than
+    Mosaic's tpu.dynamic_rotate at [64, 1024] f32 (which also rejects bf16)
+    — with it the full decode kernel sits at the pure-DMA floor."""
+    del interpret
+    return jnp.concatenate([jnp.zeros_like(x[:, :1]), x[:, :-1]], axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -71,6 +73,7 @@ def _decode_kernel(
     # scalar prefetch
     layer_ref,  # [1]
     lengths_ref,  # [B]
+    nlive_ref,  # [B + 1] first live row index >= b (B if none)
     pt_ref,  # [B * pmax]
     buf_idx_ref,  # [1] mutable
     init_ref,  # [1] mutable
@@ -80,9 +83,10 @@ def _decode_kernel(
     # output
     o_ref,  # [1, KVH, R, D] f32
     # scratch
-    m_ref,  # [KVH, R, 128] f32
-    l_ref,  # [KVH, R, 128] f32
-    acc_ref,  # [KVH, R, D] f32
+    qbd_ref,  # [KVH*R, KVH*D] bf16 block-diagonal q
+    m_ref,  # [KVH*R, 128] f32
+    l_ref,  # [KVH*R, 128] f32
+    acc_ref,  # [KVH*R, KVH*D] f32
     kv_buf,  # [2, ppc, ps, 2, KVH*D]
     sem,  # [2]
     *,
@@ -102,25 +106,11 @@ def _decode_kernel(
 
     def next_block(b, c):
         """First (b', c') at or after (b, c) whose chunk is live."""
-
-        def advance_b():
-            nb = b + 1
-            nb = lax.fori_loop(
-                0,
-                batch_size,
-                lambda _, x: jnp.where(
-                    jnp.logical_and(
-                        x < batch_size,
-                        lengths_ref[lax.clamp(0, x, batch_size - 1)] == 0,
-                    ),
-                    x + 1,
-                    x,
-                ),
-                nb,
-            )
-            return (nb, 0)
-
-        return lax.cond(c * ck < length, lambda: (b, c), advance_b)
+        return lax.cond(
+            c * ck < length,
+            lambda: (b, c),
+            lambda: (nlive_ref[b + 1], 0),
+        )
 
     def start_copy(bb, cc, slot):
         layer = layer_ref[0]
@@ -146,11 +136,24 @@ def _decode_kernel(
 
         init_ref[0] = 0
 
+        d = q_ref.shape[-1]
+        r = q_ref.shape[2]
+
         @pl.when(c == 0)
         def _init_state():
             m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
             l_ref[...] = jnp.zeros_like(l_ref)
             acc_ref[...] = jnp.zeros_like(acc_ref)
+            # Build the block-diagonal q: row h*R + r holds q[h, r] at lanes
+            # [h*D, (h+1)*D), zeros elsewhere, so ONE [KVH*R, X] x [2ck, X]
+            # dot yields every head's scores exactly (zero lanes kill the
+            # cross-head terms).  8 static [R, D] stores per sequence.
+            # sm_scale is folded in here: once per sequence, not per chunk.
+            qbd_ref[...] = jnp.zeros_like(qbd_ref)
+            for h in range(kvh):
+                qbd_ref[h * r : (h + 1) * r, h * d : (h + 1) * d] = (
+                    q_ref[0, h] * jnp.asarray(sm_scale, q_ref.dtype)
+                )
 
         nb, nc = next_block(b, c + 1)
 
@@ -161,62 +164,67 @@ def _decode_kernel(
             buf_idx_ref[0] = nslot
 
         wait_copy(slot)
-        d = q_ref.shape[-1]
         # [ppc, ps, 2, X] -> [2*ck, X]: sublane-merge, layout preserving.
         # K rows at even sublanes, V rows at odd.
         kvc = kv_buf[slot].reshape(2 * ck, kv_buf.shape[-1])
-        mask = None
-        for h in range(kvh):
-            qh = q_ref[0, h]  # [R, D] bf16
-            kh = kvc[:, h * d : (h + 1) * d]  # [2*ck, D] lane slice
-            qk = lax.dot_general(
-                qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            )  # [R, 2*ck]: col 2t = K of token t, col 2t+1 = its V
-            qk = qk * sm_scale
-            if mask is None:
-                j = lax.broadcasted_iota(jnp.int32, qk.shape, 1)
-                pos = c * ck + j // 2
-                is_k = (j % 2) == 0
-                if q_span == 1:
-                    limit = length
-                else:
-                    # row r scores query token t = r // gp whose causal
-                    # limit is length - (q_span - 1 - t)
-                    t = lax.broadcasted_iota(jnp.int32, qk.shape, 0) // gp
-                    limit = length - (q_span - 1) + t
-                mask = jnp.logical_and(pos < limit, is_k)
-            qk = jnp.where(mask, qk, MASK_VALUE)
 
-            m_prev = m_ref[h, :, :1]  # [R, 1]
-            l_prev = l_ref[h, :, :1]
-            m_cur = jnp.max(qk, axis=-1, keepdims=True)
-            m_next = jnp.maximum(m_prev, m_cur)
-            p = jnp.exp(qk - m_next)
-            p = jnp.where(mask, p, 0.0)  # V columns contribute nothing
-            l_cur = jnp.sum(p, axis=-1, keepdims=True)
-            alpha = jnp.exp(m_prev - m_next)
-            m_ref[h] = jnp.broadcast_to(m_next, m_ref.shape[1:])
-            l_ref[h] = jnp.broadcast_to(alpha * l_prev + l_cur, l_ref.shape[1:])
+        # All heads in one dot: [KVH*R, 2*ck] scores, row h*R+r = head h.
+        # sm_scale is pre-folded into qbd.
+        qk = lax.dot_general(
+            qbd_ref[...], kvc, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        j = lax.broadcasted_iota(jnp.int32, qk.shape, 1)
+        pos = c * ck + j // 2
+        is_k = (j % 2) == 0
+        if q_span == 1:
+            limit = length
+        else:
+            # row h*R + r scores query token t = r // gp whose causal
+            # limit is length - (q_span - 1 - t); same for every head
+            t = (lax.broadcasted_iota(jnp.int32, qk.shape, 0) % r) // gp
+            limit = length - (q_span - 1) + t
+        mask = jnp.logical_and(pos < limit, is_k)
+        qk = jnp.where(mask, qk, MASK_VALUE)
 
-            # roll probs K->V columns (2t -> 2t+1), then contract with the
-            # same [2*ck, D] slice: K rows multiply 0, V rows multiply p_t
-            pv = lax.dot_general(
-                _roll1(p, interpret).astype(jnp.bfloat16),
-                kh,
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            acc_ref[h] = acc_ref[h] * alpha + pv
+        m_prev = m_ref[:, :1]  # [KVH*R, 1]
+        l_prev = l_ref[:, :1]
+        m_cur = jnp.max(qk, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_cur)
+        # masked cols hold MASK_VALUE (~-2.4e38): exp underflows to exact
+        # +0.0, so no re-zeroing `where` is needed before the sum / PV dot.
+        p = jnp.exp(qk - m_next)
+        l_cur = jnp.sum(p, axis=-1, keepdims=True)
+        alpha = jnp.exp(m_prev - m_next)
+        m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
+        l_ref[...] = jnp.broadcast_to(alpha * l_prev + l_cur, l_ref.shape)
 
-            @pl.when((c + 1) * ck >= length)
-            def _emit():
-                lh = l_ref[h, :, :1]
-                lh = jnp.where(lh == 0.0, 1.0, lh)
-                o_ref[0, h] = (acc_ref[h] / lh).astype(o_ref.dtype)
+        # roll probs K->V columns (2t -> 2t+1), then one full [KVH*R, X]
+        # PV dot: K rows multiply 0, V rows multiply p_t.  Off-diagonal
+        # head blocks of the output are garbage (head h probs x head h'
+        # values) — never read, the emit below slices diagonal blocks only.
+        pv = lax.dot_general(
+            _roll1(p, interpret).astype(jnp.bfloat16),
+            kvc,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[...] = acc_ref[...] * alpha + pv
+
+        @pl.when((c + 1) * ck >= length)
+        def _emit():
+            lh = l_ref[:, :1]
+            lh = jnp.where(lh == 0.0, 1.0, lh)
+            on = acc_ref[...] / lh
+            for h in range(kvh):
+                o_ref[0, h] = on[h * r : (h + 1) * r, h * d : (h + 1) * d].astype(
+                    o_ref.dtype
+                )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("sm_scale", "pages_per_chunk", "interpret")
+    jax.jit,
+    static_argnames=("sm_scale", "pages_per_chunk", "interpret", "raw_layout"),
 )
 def ragged_decode(
     q: jax.Array,  # [B, QS, QH, D] bf16
@@ -228,6 +236,7 @@ def ragged_decode(
     sm_scale: float,
     pages_per_chunk: int = 8,
     interpret: Optional[bool] = None,
+    raw_layout: bool = False,  # q/out already [B, KVH, R, D] grouped
 ) -> jax.Array:
     """Decode / spec-verify attention -> [B, QS, QH, D] f32.
 
@@ -237,17 +246,25 @@ def ragged_decode(
     """
     if interpret is None:
         interpret = pallas_interpret_default()
-    B, QS, QH, D = q.shape
     L, P, ps, two, X = kv_cache.shape
+    if raw_layout:
+        B, KVH_, R_, D = q.shape
+        QS, QH = 1, KVH_ * R_
+    else:
+        B, QS, QH, D = q.shape
     KVH = X // D
     assert two == 2 and X == KVH * D and QH % KVH == 0
     G = QH // KVH
     gp = G if QS * G >= 8 else 8 // QS  # sublane-fill the row dim
-    # [B, QS, KVH, G, D] -> [B, KVH, QS*gp, D]
-    qg = q.reshape(B, QS, KVH, G, D)
-    if gp != G:
-        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, 0), (0, gp - G), (0, 0)))
-    qg = jnp.transpose(qg, (0, 2, 1, 3, 4)).reshape(B, KVH, QS * gp, D)
+    if raw_layout:
+        gp = q.shape[2]
+        qg = q
+    else:
+        # [B, QS, KVH, G, D] -> [B, KVH, QS*gp, D]
+        qg = q.reshape(B, QS, KVH, G, D)
+        if gp != G:
+            qg = jnp.pad(qg, ((0, 0), (0, 0), (0, 0), (0, gp - G), (0, 0)))
+        qg = jnp.transpose(qg, (0, 2, 1, 3, 4)).reshape(B, KVH, QS * gp, D)
 
     pmax = page_table.shape[1]
     ppc = min(pages_per_chunk, pmax)
@@ -261,9 +278,15 @@ def ragged_decode(
     layer = jnp.clip(jnp.asarray(layer, jnp.int32).reshape(1), 0, L - 1)
     lengths = jnp.asarray(lengths, jnp.int32)
     pt_flat = page_table.reshape(-1).astype(jnp.int32)
+    # nlive[i] = first live row >= i (B if none): lets the kernel's
+    # next-block lookahead be one scalar load instead of an O(B) scan.
+    vals = jnp.where(lengths > 0, jnp.arange(B, dtype=jnp.int32), B)
+    nlive = jnp.concatenate(
+        [lax.cummin(vals[::-1])[::-1], jnp.full((1,), B, jnp.int32)]
+    )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(B, n_chunks),
         in_specs=[
             pl.BlockSpec((1, KVH, R, D), lambda b, c, *_: (b, 0, 0, 0)),
@@ -271,9 +294,10 @@ def ragged_decode(
         ],
         out_specs=pl.BlockSpec((1, KVH, R, D), lambda b, c, *_: (b, 0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((KVH, R, 128), jnp.float32),
-            pltpu.VMEM((KVH, R, 128), jnp.float32),
-            pltpu.VMEM((KVH, R, D), jnp.float32),
+            pltpu.VMEM((KVH * R, X), jnp.bfloat16),
+            pltpu.VMEM((KVH * R, 128), jnp.float32),
+            pltpu.VMEM((KVH * R, 128), jnp.float32),
+            pltpu.VMEM((KVH * R, X), jnp.float32),
             pltpu.VMEM((2, ppc, ps, 2, X), kv_cache.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -301,12 +325,15 @@ def ragged_decode(
     )(
         layer,
         lengths,
+        nlive,
         pt_flat,
         jnp.zeros((1,), jnp.int32),
         jnp.ones((1,), jnp.int32),
         qg,
         kv_cache,
     )
+    if raw_layout:
+        return out
     out = out.reshape(B, KVH, QS, gp, D)[:, :, :, :G, :]
     return jnp.transpose(out, (0, 2, 1, 3, 4)).reshape(B, QS, QH, D)
 
