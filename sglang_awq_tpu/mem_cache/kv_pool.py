@@ -66,13 +66,30 @@ class KVPoolSpec:
         }[self.dtype]
 
     @property
+    def face_rows(self) -> int:
+        """Sublane rows per token face.  Mosaic tiles 1-byte dtypes at
+        (4, 128) sublanes x lanes, so an fp8/int8 face must be 4 rows:
+        (K heads 0..KVH/2-1, K heads KVH/2.., V lo-heads, V hi-heads),
+        each row 2*KVH*D/4 lanes.  A head never straddles rows, so the
+        attention kernels keep their one-dot-per-chunk structure (the
+        column-class mask generalizes the 2-row K/V parity mask)."""
+        return 4 if jnp.dtype(self.jdtype).itemsize == 1 else 2
+
+    @property
     def shape(self):
+        fr = self.face_rows
+        if fr == 4 and self.kv_heads % 2 != 0:
+            raise ValueError(
+                f"fp8/int8 KV needs an even per-shard kv-head count "
+                f"(got {self.kv_heads}): a head must not straddle the "
+                f"two K sublane rows of the 4-row token face"
+            )
         return (
             self.num_layers,
             self.num_pages,
             self.page_size,
-            2,
-            self.kv_heads * self.head_dim,
+            fr,
+            2 * self.kv_heads * self.head_dim // fr,
         )
 
     def bytes_per_token(self) -> int:
@@ -102,13 +119,16 @@ def write_kv(
     from sglang_awq_tpu.utils import is_tpu_backend
 
     T = k_new.shape[0]
-    kv_new = jnp.stack(
-        [
-            k_new.astype(kv_cache.dtype).reshape(T, -1),
-            v_new.astype(kv_cache.dtype).reshape(T, -1),
-        ],
-        axis=1,
-    )  # [T, 2, KVH*D]
+    fr = kv_cache.shape[-2]
+    kf = k_new.astype(kv_cache.dtype).reshape(T, -1)
+    vf = v_new.astype(kv_cache.dtype).reshape(T, -1)
+    if fr == 2:
+        kv_new = jnp.stack([kf, vf], axis=1)  # [T, 2, KVH*D]
+    else:  # 4-row face for 1-byte dtypes: (K_lo, K_hi, V_lo, V_hi)
+        half = kf.shape[1] // 2
+        kv_new = jnp.stack(
+            [kf[:, :half], kf[:, half:], vf[:, :half], vf[:, half:]], axis=1
+        )  # [T, 4, KVH*D/2]
 
     if is_tpu_backend():
         from sglang_awq_tpu.ops.kv_write import kv_write_prefill, kv_write_tokens

@@ -212,7 +212,29 @@ class ModelRunner:
         sa, mc = self.server_args, self.model_config
         kv_heads_local = max(mc.num_kv_heads // sa.tp_size, 1)
         # per-DEVICE bytes/token governs the budget; the page dim is global
-        probe = KVPoolSpec(mc.num_layers, kv_heads_local, 1, self.page_size, mc.head_dim)
+        kv_dtype = (
+            "bfloat16" if sa.kv_cache_dtype in ("auto", "bfloat16") else sa.kv_cache_dtype
+        )
+        if kv_dtype == "int8":
+            raise NotImplementedError(
+                "int8 KV cache needs per-head scales (not yet built); "
+                "use --kv-cache-dtype fp8_e4m3"
+            )
+        if kv_dtype == "fp8_e4m3":
+            from sglang_awq_tpu.utils import is_tpu_backend
+
+            xr = kv_heads_local * mc.head_dim // 2  # lanes per face row
+            if is_tpu_backend() and xr % 128 != 0:
+                raise ValueError(
+                    f"fp8 KV faces have {xr} lanes (kv_heads/shard="
+                    f"{kv_heads_local} x head_dim={mc.head_dim} / 2); Mosaic "
+                    f"requires a multiple of 128 — lower --tp-size or use "
+                    f"bf16 KV for this geometry"
+                )
+        probe = KVPoolSpec(
+            mc.num_layers, kv_heads_local, 1, self.page_size, mc.head_dim,
+            dtype=kv_dtype,
+        )
         if sa.max_total_tokens is not None:
             tokens = sa.max_total_tokens
         else:
@@ -233,7 +255,7 @@ class ModelRunner:
             num_pages,
             self.page_size,
             mc.head_dim,
-            dtype="bfloat16" if sa.kv_cache_dtype in ("auto", "bfloat16") else sa.kv_cache_dtype,
+            dtype=kv_dtype,
         )
         self.max_total_tokens = num_pages * self.page_size
         self.pmax = cdiv(mc.context_length, self.page_size)

@@ -54,14 +54,15 @@ from sglang_awq_tpu.utils import cdiv, pallas_interpret_default, round_up
 MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
 
 
-def _roll1(x: jax.Array, interpret: bool) -> jax.Array:
-    """Lane-shift by +1: col j -> j+1, col 0 <- 0.  Equivalent to a roll
-    here because the caller's col 2ck-1 is an odd (V) column, always masked
-    to zero.  Static slice+concat measured ~0.05 ms/call cheaper than
-    Mosaic's tpu.dynamic_rotate at [64, 1024] f32 (which also rejects bf16)
-    — with it the full decode kernel sits at the pure-DMA floor."""
-    del interpret
-    return jnp.concatenate([jnp.zeros_like(x[:, :1]), x[:, :-1]], axis=1)
+def _shiftk(x: jax.Array, k: int) -> jax.Array:
+    """Lane-shift by +k: col j -> j+k, cols [0, k) <- 0.  Moves each K
+    column's probability onto its token's V column (K class c -> V class
+    c + fc/2).  Equivalent to a roll because the trailing k columns are V
+    columns, always masked to zero.  Static slice+concat measured
+    ~0.05 ms/call cheaper than Mosaic's tpu.dynamic_rotate at [64, 1024]
+    f32 (which also rejects bf16) — with it the full decode kernel sits at
+    the pure-DMA floor."""
+    return jnp.concatenate([jnp.zeros_like(x[:, :k]), x[:, :-k]], axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -79,15 +80,15 @@ def _decode_kernel(
     init_ref,  # [1] mutable
     # inputs
     q_ref,  # [1, KVH, R, D] with R = QS * gp
-    kv_hbm_ref,  # [L, P, ps, 2, KVH*D] (ANY)
+    kv_hbm_ref,  # [L, P, ps, fc, 2*KVH*D/fc] (ANY)
     # output
     o_ref,  # [1, KVH, R, D] f32
     # scratch
-    qbd_ref,  # [KVH*R, KVH*D] bf16 block-diagonal q
+    qbd_ref,  # [KVH*R, Xr] bf16 block-diagonal q (Xr = 2*KVH*D/fc)
     m_ref,  # [KVH*R, 128] f32
     l_ref,  # [KVH*R, 128] f32
-    acc_ref,  # [KVH*R, KVH*D] f32
-    kv_buf,  # [2, ppc, ps, 2, KVH*D]
+    acc_ref,  # [KVH*R, Xr] f32
+    kv_buf,  # [2, ppc, ps, fc, Xr]
     sem,  # [2]
     *,
     batch_size: int,
@@ -102,6 +103,9 @@ def _decode_kernel(
     b, c = pl.program_id(0), pl.program_id(1)
     ps = kv_buf.shape[2]
     ck = pages_per_chunk * ps
+    fc = kv_buf.shape[3]  # face rows per token (2 bf16 / 4 fp8-int8)
+    half = fc // 2  # K classes [0, half), V classes [half, fc)
+    hph = kvh // half  # heads per class row
     length = lengths_ref[b]
 
     def next_block(b, c):
@@ -145,13 +149,15 @@ def _decode_kernel(
             l_ref[...] = jnp.zeros_like(l_ref)
             acc_ref[...] = jnp.zeros_like(acc_ref)
             # Build the block-diagonal q: row h*R + r holds q[h, r] at lanes
-            # [h*D, (h+1)*D), zeros elsewhere, so ONE [KVH*R, X] x [2ck, X]
-            # dot yields every head's scores exactly (zero lanes kill the
-            # cross-head terms).  8 static [R, D] stores per sequence.
+            # [(h%hph)*D, ...), zeros elsewhere, so ONE [KVH*R, Xr] x
+            # [fc*ck, Xr] dot yields every head's scores exactly (zero lanes
+            # kill the cross-head terms; the class mask below drops scores
+            # against other class rows).  KVH static stores per sequence.
             # sm_scale is folded in here: once per sequence, not per chunk.
             qbd_ref[...] = jnp.zeros_like(qbd_ref)
             for h in range(kvh):
-                qbd_ref[h * r : (h + 1) * r, h * d : (h + 1) * d] = (
+                hl = (h % hph) * d
+                qbd_ref[h * r : (h + 1) * r, hl : hl + d] = (
                     q_ref[0, h] * jnp.asarray(sm_scale, q_ref.dtype)
                 )
 
@@ -164,19 +170,29 @@ def _decode_kernel(
             buf_idx_ref[0] = nslot
 
         wait_copy(slot)
-        # [ppc, ps, 2, X] -> [2*ck, X]: sublane-merge, layout preserving.
-        # K rows at even sublanes, V rows at odd.
-        kvc = kv_buf[slot].reshape(2 * ck, kv_buf.shape[-1])
+        # [ppc, ps, fc, Xr] -> [fc*ck, Xr]: sublane-merge, layout preserving.
+        # Token t's class rows sit at fc*t + 0..fc-1: K classes first, V
+        # classes second.  Quantized pools (fp8/int8) are upcast to bf16
+        # here — one VPU cast per chunk, paid for by the halved DMA bytes.
+        kvc = kv_buf[slot].reshape(fc * ck, kv_buf.shape[-1])
+        if kvc.dtype != jnp.bfloat16:
+            kvc = kvc.astype(jnp.bfloat16)
 
-        # All heads in one dot: [KVH*R, 2*ck] scores, row h*R+r = head h.
+        # All heads in one dot: [KVH*R, fc*ck] scores, row h*R+r = head h.
         # sm_scale is pre-folded into qbd.
         qk = lax.dot_general(
             qbd_ref[...], kvc, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         j = lax.broadcasted_iota(jnp.int32, qk.shape, 1)
-        pos = c * ck + j // 2
-        is_k = (j % 2) == 0
+        pos = c * ck + j // fc
+        if half == 1:
+            right_class = (j % fc) == 0
+        else:
+            # head h's K lives in class row h // hph; other classes' scores
+            # are cross-class garbage
+            ch = lax.broadcasted_iota(jnp.int32, qk.shape, 0) // (r * hph)
+            right_class = (j % fc) == ch
         if q_span == 1:
             limit = length
         else:
@@ -184,7 +200,7 @@ def _decode_kernel(
             # limit is length - (q_span - 1 - t); same for every head
             t = (lax.broadcasted_iota(jnp.int32, qk.shape, 0) % r) // gp
             limit = length - (q_span - 1) + t
-        mask = jnp.logical_and(pos < limit, is_k)
+        mask = jnp.logical_and(pos < limit, right_class)
         qk = jnp.where(mask, qk, MASK_VALUE)
 
         m_prev = m_ref[:, :1]  # [KVH*R, 1]
@@ -199,12 +215,13 @@ def _decode_kernel(
         m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
         l_ref[...] = jnp.broadcast_to(alpha * l_prev + l_cur, l_ref.shape)
 
-        # roll probs K->V columns (2t -> 2t+1), then one full [KVH*R, X]
-        # PV dot: K rows multiply 0, V rows multiply p_t.  Off-diagonal
-        # head blocks of the output are garbage (head h probs x head h'
-        # values) — never read, the emit below slices diagonal blocks only.
+        # shift probs K->V columns (class c -> c + half), then one full
+        # [KVH*R, Xr] PV dot: non-prob rows multiply 0, V rows multiply
+        # p_t.  Off-diagonal head blocks of the output are garbage (head h
+        # probs x head h' values) — never read, the emit below slices
+        # diagonal blocks only.
         pv = lax.dot_general(
-            _roll1(p, interpret).astype(jnp.bfloat16),
+            _shiftk(p, half).astype(jnp.bfloat16),
             kvc,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -217,7 +234,8 @@ def _decode_kernel(
             lh = jnp.where(lh == 0.0, 1.0, lh)
             on = acc_ref[...] / lh
             for h in range(kvh):
-                o_ref[0, h] = on[h * r : (h + 1) * r, h * d : (h + 1) * d].astype(
+                hl = (h % hph) * d
+                o_ref[0, h] = on[h * r : (h + 1) * r, hl : hl + d].astype(
                     o_ref.dtype
                 )
 
@@ -246,14 +264,14 @@ def ragged_decode(
     """
     if interpret is None:
         interpret = pallas_interpret_default()
-    L, P, ps, two, X = kv_cache.shape
+    L, P, ps, fc, Xr = kv_cache.shape
     if raw_layout:
         B, KVH_, R_, D = q.shape
         QS, QH = 1, KVH_ * R_
     else:
         B, QS, QH, D = q.shape
-    KVH = X // D
-    assert two == 2 and X == KVH * D and QH % KVH == 0
+    KVH = fc * Xr // (2 * D)
+    assert fc in (2, 4) and Xr * fc == 2 * KVH * D and QH % KVH == 0
     G = QH // KVH
     gp = G if QS * G >= 8 else 8 // QS  # sublane-fill the row dim
     if raw_layout:
@@ -294,11 +312,11 @@ def ragged_decode(
         ],
         out_specs=pl.BlockSpec((1, KVH, R, D), lambda b, c, *_: (b, 0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((KVH * R, X), jnp.bfloat16),
+            pltpu.VMEM((KVH * R, Xr), jnp.bfloat16),
             pltpu.VMEM((KVH * R, 128), jnp.float32),
             pltpu.VMEM((KVH * R, 128), jnp.float32),
-            pltpu.VMEM((KVH * R, X), jnp.float32),
-            pltpu.VMEM((2, ppc, ps, 2, X), kv_cache.dtype),
+            pltpu.VMEM((KVH * R, Xr), jnp.float32),
+            pltpu.VMEM((2, ppc, ps, fc, Xr), kv_cache.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -376,6 +394,9 @@ def _extend_kernel(
     b, qb, c = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     ps = kv_buf.shape[2]
     ck = pages_per_chunk * ps
+    fc = kv_buf.shape[3]  # face rows per token (2 bf16 / 4 fp8-int8)
+    half = fc // 2
+    hph = kvh // half  # heads per class row
 
     def limit_of(bb, qbb):
         q_len = qlens_ref[bb]
@@ -458,38 +479,42 @@ def _extend_kernel(
 
         wait_copy(slot)
         d = q_ref.shape[-1]
-        kvc = kv_buf[slot].reshape(2 * ck, kv_buf.shape[-1])  # [2*ck, X]
+        kvc = kv_buf[slot].reshape(fc * ck, kv_buf.shape[-1])  # [fc*ck, Xr]
+        if kvc.dtype != jnp.bfloat16:
+            kvc = kvc.astype(jnp.bfloat16)
         prefix = kvlens_ref[b] - q_len
-        mask = None
+        masks = [None] * half  # one per class row (heads share within class)
         for h in range(kvh):
+            ch = h // hph  # class row holding this head's K
             qh = q_ref[:, h * g : (h + 1) * g, :].reshape(bq * g, d)
-            kh = kvc[:, h * d : (h + 1) * d]  # [2*ck, D] lane slice
+            hl = (h % hph) * d
+            kh = kvc[:, hl : hl + d]  # [fc*ck, D] lane slice
             qk = lax.dot_general(
                 qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            )  # [BQ*G, 2*ck]
+            )  # [BQ*G, fc*ck]
             qk = qk * sm_scale
-            if mask is None:
+            if masks[ch] is None:
                 j = lax.broadcasted_iota(jnp.int32, qk.shape, 1)
-                pos = c * ck + j // 2
-                is_k = (j % 2) == 0
+                pos = c * ck + j // fc
+                right_class = (j % fc) == ch
                 t = lax.broadcasted_iota(jnp.int32, qk.shape, 0) // g
                 q_pos = prefix + qb * bq + t  # absolute position of the row
-                mask = jnp.logical_and(pos <= q_pos, is_k)
-            qk = jnp.where(mask, qk, MASK_VALUE)
+                masks[ch] = jnp.logical_and(pos <= q_pos, right_class)
+            qk = jnp.where(masks[ch], qk, MASK_VALUE)
 
             m_prev = m_ref[h, :, :1]
             l_prev = l_ref[h, :, :1]
             m_cur = jnp.max(qk, axis=-1, keepdims=True)
             m_next = jnp.maximum(m_prev, m_cur)
+            # masked cols underflow to exact +0.0 in exp — no re-zeroing
             p = jnp.exp(qk - m_next)
-            p = jnp.where(mask, p, 0.0)
             l_cur = jnp.sum(p, axis=-1, keepdims=True)
             alpha = jnp.exp(m_prev - m_next)
             m_ref[h] = jnp.broadcast_to(m_next, m_ref.shape[1:])
             l_ref[h] = jnp.broadcast_to(alpha * l_prev + l_cur, l_ref.shape[1:])
 
             pv = lax.dot_general(
-                _roll1(p, interpret).astype(jnp.bfloat16),
+                _shiftk(p, half).astype(jnp.bfloat16),
                 kh,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -534,9 +559,9 @@ def ragged_extend(
     if interpret is None:
         interpret = pallas_interpret_default()
     TQ, QH, D = q.shape
-    L, P, ps, two, X = kv_cache.shape
-    KVH = X // D
-    assert two == 2 and X == KVH * D and QH % KVH == 0
+    L, P, ps, fc, Xr = kv_cache.shape
+    KVH = fc * Xr // (2 * D)
+    assert fc in (2, 4) and Xr * fc == 2 * KVH * D and QH % KVH == 0
     G = QH // KVH
     BQ = block_q
     assert TQ % BQ == 0, (TQ, BQ)
@@ -578,7 +603,7 @@ def ragged_extend(
             pltpu.VMEM((KVH, BQ * G, 128), jnp.float32),
             pltpu.VMEM((KVH, BQ * G, 128), jnp.float32),
             pltpu.VMEM((KVH, BQ * G, D), jnp.float32),
-            pltpu.VMEM((2, ppc, ps, 2, X), kv_cache.dtype),
+            pltpu.VMEM((2, ppc, ps, fc, Xr), kv_cache.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -623,13 +648,16 @@ def ragged_extend(
 
 def _gather_seq(kv_cache, page_table, layer, head_dim):
     """[B, S, KVH, D] x2 from the v4 pool (S = pmax * ps)."""
-    L, P, ps, _, X = kv_cache.shape
-    KVH = X // head_dim
+    L, P, ps, fc, Xr = kv_cache.shape
+    KVH = fc * Xr // (2 * head_dim)
     layer = jnp.asarray(layer, jnp.int32)
     kvl = jax.lax.dynamic_index_in_dim(kv_cache, layer, 0, keepdims=False)
-    g = kvl[page_table]  # [B, pmax, ps, 2, X]
+    g = kvl[page_table]  # [B, pmax, ps, fc, Xr]
     B = page_table.shape[0]
-    g = g.reshape(B, -1, 2, KVH, head_dim)
+    half = fc // 2
+    # classes: K rows first, V rows second; concat class lanes -> KVH*D
+    g = g.reshape(B, -1, 2, half * Xr)
+    g = g.reshape(B, g.shape[1], 2, KVH, head_dim)
     return g[:, :, 0], g[:, :, 1]
 
 
@@ -643,7 +671,8 @@ def ragged_decode_xla(
     sm_scale: float,
 ) -> jax.Array:
     B, QS, QH, D = q.shape
-    KVH = kv_cache.shape[-1] // D
+    fc = kv_cache.shape[-2]
+    KVH = fc * kv_cache.shape[-1] // (2 * D)
     G = QH // KVH
     kg, vg = _gather_seq(kv_cache, page_table, layer, D)  # [B, S, KVH, D]
     qg = q.reshape(B, QS, KVH, G, D)
@@ -676,7 +705,8 @@ def ragged_extend_xla(
     """Per-sequence gather + masked softmax (test oracle; also the CPU
     serving path — jit-compatible, no python data-dependent control flow)."""
     TQ, QH, D = q.shape
-    KVH = kv_cache.shape[-1] // D
+    fc = kv_cache.shape[-2]
+    KVH = fc * kv_cache.shape[-1] // (2 * D)
     G = QH // KVH
     B = page_table.shape[0]
     kg, vg = _gather_seq(kv_cache, page_table, layer, D)  # [B, S, KVH, D]

@@ -9,6 +9,9 @@ import os
 
 os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 os.environ["SGLT_TEST_MODE"] = "1"
+# zero-egress environment: never let transformers/hub retry network fetches
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
 
 import jax
 

@@ -7,6 +7,8 @@ generation as ground truth (reference integration-test strategy, §4).
 
 import threading
 
+import jax.numpy as jnp
+
 import numpy as np
 import pytest
 
@@ -210,3 +212,41 @@ def test_multi_step_decode_matches_single():
             e.shutdown()
     assert outs[1] == outs[4]
     assert len(outs[4]) == 11  # exact stop at max_new_tokens despite k=4 strips
+
+
+def test_fp8_kv_cache_engine_close_to_hf():
+    """fp8_e4m3 KV cache end to end: quantization noise moves logits, so we
+    check token overlap against HF greedy rather than exact equality."""
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    torch.manual_seed(0)
+    hf_cfg = LlamaConfig(**{k: v for k, v in TINY_CFG.items() if k != "architectures"})
+    hf = LlamaForCausalLM(hf_cfg).eval()
+    tensors = _torch_state_dict_to_np(hf.state_dict())
+    mc = ModelConfig(model_path="", hf_config=dict(TINY_CFG))
+    sa = ServerArgs(
+        model_path="tiny",
+        page_size=8,
+        max_total_tokens=1024,
+        max_running_requests=4,
+        watchdog_timeout=60,
+        kv_cache_dtype="fp8_e4m3",
+    )
+    eng = Engine(server_args=sa, model_config=mc, tensors=tensors, tokenizer=None)
+    try:
+        assert eng.scheduler.runner.kv_spec.jdtype == jnp.float8_e4m3fn
+        rng = np.random.default_rng(7)
+        prompt = rng.integers(3, 500, 21).tolist()
+        ref = hf_greedy(hf, prompt, 8)
+        out = eng.generate(
+            input_ids=prompt,
+            sampling_params={"max_new_tokens": 8, "temperature": 0.0,
+                             "ignore_eos": True},
+        )
+        got = out["output_ids"]
+        assert len(got) == 8
+        overlap = sum(a == b for a, b in zip(got, ref))
+        assert overlap >= 5, (got, ref)
+    finally:
+        eng.shutdown()

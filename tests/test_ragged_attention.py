@@ -220,3 +220,90 @@ def test_ragged_extend_then_decode_consistency():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=2e-2, atol=2e-2
     )
+
+
+def _pool_fp8(seed=0):
+    """4-row token faces: (K_lo, K_hi, V_lo, V_hi), Xr = KVH*D/2 lanes."""
+    k = jax.random.PRNGKey(seed)
+    return (
+        jax.random.normal(k, (L, PAGES, PS, 2 * KVH * D), jnp.float32) * 0.3
+    ).reshape(L, PAGES, PS, 4, KVH * D // 2).astype(jnp.float8_e4m3fn)
+
+
+def test_ragged_decode_fp8_pool_matches_xla():
+    """fp8_e4m3 KV pool: kernel upcasts in VMEM; oracle reads the same
+    quantized pool, so tolerance only covers bf16-vs-f32 compute."""
+    kv = _pool_fp8(4)
+    rng = np.random.default_rng(4)
+    B, pmax = 4, 4
+    lengths = np.array([11, 1, 0, 32], np.int32)
+    page_table = rng.integers(0, PAGES, size=(B, pmax)).astype(np.int32)
+    q = jnp.asarray(rng.normal(size=(B, 1, QH, D)), jnp.bfloat16)
+
+    out = ragged_decode(
+        q, kv, jnp.asarray(page_table), jnp.asarray(lengths), 1,
+        sm_scale=0.125, pages_per_chunk=2, interpret=True,
+    )
+    ref = ragged_decode_xla(
+        q, kv, jnp.asarray(page_table), jnp.asarray(lengths), 1, sm_scale=0.125
+    )
+    live = lengths > 0
+    np.testing.assert_allclose(
+        np.asarray(out)[live], np.asarray(ref)[live], rtol=3e-2, atol=3e-2
+    )
+
+
+def test_ragged_extend_fp8_pool_matches_xla():
+    """fp8 4-row faces through the extend kernel (class-row masks)."""
+    kv = _pool_fp8(6)
+    rng = np.random.default_rng(6)
+    BQ = 16
+    q_lens = np.array([5, 16, 3, 0], np.int32)
+    prefixes = np.array([8, 0, 16, 0], np.int32)
+    kv_lens = q_lens + prefixes
+    B, pmax = 4, 8
+    page_table = rng.integers(0, PAGES, size=(B, pmax)).astype(np.int32)
+    qb_base = np.zeros(B, np.int32)
+    off = 0
+    for i in range(B):
+        qb_base[i] = off // BQ
+        off += (int(q_lens[i]) + BQ - 1) // BQ * BQ
+    TQ = max(off, BQ)
+    q = jnp.asarray(rng.normal(size=(TQ, QH, D)), jnp.bfloat16)
+
+    args = (
+        jnp.asarray(page_table), jnp.asarray(kv_lens),
+        jnp.asarray(q_lens), jnp.asarray(qb_base), 1,
+    )
+    out = ragged_extend(q, kv, *args, sm_scale=0.125, block_q=BQ,
+                        pages_per_chunk=2, interpret=True)
+    ref = ragged_extend_xla(q, kv, *args, sm_scale=0.125, block_q=BQ)
+    live = np.zeros(TQ, bool)
+    for i in range(B):
+        s = int(qb_base[i]) * BQ
+        live[s : s + int(q_lens[i])] = True
+    np.testing.assert_allclose(
+        np.asarray(out)[live], np.asarray(ref)[live], rtol=3e-2, atol=3e-2
+    )
+
+
+def test_write_kv_fp8_roundtrip():
+    kv = _pool_fp8(5)
+    rng = np.random.default_rng(5)
+    T = 4
+    slots = np.array([3, 17, PAD_SLOT, 42], np.int32)
+    k_new = rng.normal(size=(T, KVH, D)).astype(np.float32) * 0.3
+    v_new = rng.normal(size=(T, KVH, D)).astype(np.float32) * 0.3
+    got = write_kv(kv, jnp.asarray(k_new), jnp.asarray(v_new),
+                   jnp.asarray(slots), 0, mode="decode")
+    assert got.dtype == jnp.float8_e4m3fn
+    face = np.asarray(got[0, 3 // PS, 3 % PS].astype(jnp.float32))  # [4, Xr]
+    kq = np.asarray(jnp.asarray(k_new[0].reshape(-1), jnp.float8_e4m3fn)
+                    .astype(jnp.float32))
+    vq = np.asarray(jnp.asarray(v_new[0].reshape(-1), jnp.float8_e4m3fn)
+                    .astype(jnp.float32))
+    half = KVH * D // 2
+    np.testing.assert_array_equal(face[0], kq[:half])
+    np.testing.assert_array_equal(face[1], kq[half:])
+    np.testing.assert_array_equal(face[2], vq[:half])
+    np.testing.assert_array_equal(face[3], vq[half:])
