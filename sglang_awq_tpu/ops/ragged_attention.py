@@ -74,15 +74,15 @@ def _decode_kernel(
     # scalar prefetch
     layer_ref,  # [1]
     lengths_ref,  # [B]
+    nck_ref,  # [B] live chunks per row (0 for pads)
     nlive_ref,  # [B + 1] first live row index >= b (B if none)
+    total_ref,  # [1] total live chunks across the batch
     pt_ref,  # [B * pmax]
-    buf_idx_ref,  # [1] mutable
-    init_ref,  # [1] mutable
     # inputs
-    q_ref,  # [1, KVH, R, D] with R = QS * gp
+    q_ref,  # [B, KVH, R, D] with R = QS * gp (whole batch resident)
     kv_hbm_ref,  # [L, P, ps, fc, 2*KVH*D/fc] (ANY)
     # output
-    o_ref,  # [1, KVH, R, D] f32
+    o_ref,  # [B, KVH, R, D] f32 (whole batch resident)
     # scratch
     qbd_ref,  # [KVH*R, Xr] bf16 block-diagonal q (Xr = 2*KVH*D/fc)
     m_ref,  # [KVH*R, 128] f32
@@ -100,24 +100,26 @@ def _decode_kernel(
     kvh: int,
     interpret: bool,
 ):
-    b, c = pl.program_id(0), pl.program_id(1)
+    """Megakernel: grid=(1,); a dynamic-bound fori_loop walks the GLOBAL
+    list of live (sequence, chunk) pairs, so padded rows, short sequences
+    and page-table headroom cost ZERO iterations (a [B, pmax/ppc] grid paid
+    ~3 us of Mosaic grid machinery per dead step — ~7 ms/step at bs=64 with
+    a 16-page table and 8 live pages).  q and o stay VMEM-resident for the
+    whole batch (1-8 MB); per-sequence state (m/l/acc/qbd) is rebuilt at
+    each sequence's first chunk.  KV chunks stream with the same
+    double-buffered DMA pattern, the lookahead now being "loop iteration
+    i+1" instead of a grid-step scan."""
     ps = kv_buf.shape[2]
     ck = pages_per_chunk * ps
     fc = kv_buf.shape[3]  # face rows per token (2 bf16 / 4 fp8-int8)
     half = fc // 2  # K classes [0, half), V classes [half, fc)
     hph = kvh // half  # heads per class row
-    length = lengths_ref[b]
-
-    def next_block(b, c):
-        """First (b', c') at or after (b, c) whose chunk is live."""
-        return lax.cond(
-            c * ck < length,
-            lambda: (b, c),
-            lambda: (nlive_ref[b + 1], 0),
-        )
+    d = q_ref.shape[-1]
+    r = q_ref.shape[2]
+    layer = layer_ref[0]
+    total = total_ref[0]
 
     def start_copy(bb, cc, slot):
-        layer = layer_ref[0]
         for i in range(pages_per_chunk):
             page = pt_ref[bb * pmax + cc * pages_per_chunk + i]
             pltpu.make_async_copy(
@@ -130,114 +132,125 @@ def _decode_kernel(
                 kv_hbm_ref.at[0, 0], kv_buf.at[slot, i], sem.at[slot]
             ).wait()
 
-    @pl.when(c * ck < length)
-    def _live():
-        slot = buf_idx_ref[0]
-
-        @pl.when(init_ref[0] == 1)
-        def _first():
-            start_copy(b, c, slot)
-
-        init_ref[0] = 0
-
-        d = q_ref.shape[-1]
-        r = q_ref.shape[2]
-
-        @pl.when(c == 0)
-        def _init_state():
-            m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
-            l_ref[...] = jnp.zeros_like(l_ref)
-            acc_ref[...] = jnp.zeros_like(acc_ref)
-            # Build the block-diagonal q: row h*R + r holds q[h, r] at lanes
-            # [(h%hph)*D, ...), zeros elsewhere, so ONE [KVH*R, Xr] x
-            # [fc*ck, Xr] dot yields every head's scores exactly (zero lanes
-            # kill the cross-head terms; the class mask below drops scores
-            # against other class rows).  KVH static stores per sequence.
-            # sm_scale is folded in here: once per sequence, not per chunk.
-            qbd_ref[...] = jnp.zeros_like(qbd_ref)
-            for h in range(kvh):
-                hl = (h % hph) * d
-                qbd_ref[h * r : (h + 1) * r, hl : hl + d] = (
-                    q_ref[0, h] * jnp.asarray(sm_scale, q_ref.dtype)
-                )
-
-        nb, nc = next_block(b, c + 1)
-
-        @pl.when(nb < batch_size)
-        def _prefetch():
-            nslot = 1 - slot
-            start_copy(nb, nc, nslot)
-            buf_idx_ref[0] = nslot
-
-        wait_copy(slot)
-        # [ppc, ps, fc, Xr] -> [fc*ck, Xr]: sublane-merge, layout preserving.
-        # Token t's class rows sit at fc*t + 0..fc-1: K classes first, V
-        # classes second.  Quantized pools (fp8/int8) are upcast to bf16
-        # here — one VPU cast per chunk, paid for by the halved DMA bytes.
-        kvc = kv_buf[slot].reshape(fc * ck, kv_buf.shape[-1])
-        if kvc.dtype != jnp.bfloat16:
-            kvc = kvc.astype(jnp.bfloat16)
-
-        # All heads in one dot: [KVH*R, fc*ck] scores, row h*R+r = head h.
-        # sm_scale is pre-folded into qbd.
-        qk = lax.dot_general(
-            qbd_ref[...], kvc, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+    def advance(bb, cc):
+        """Next live (b, c) after (bb, cc); (B, 0) when exhausted."""
+        return lax.cond(
+            cc + 1 < nck_ref[jnp.minimum(bb, batch_size - 1)],
+            lambda: (bb, cc + 1),
+            lambda: (nlive_ref[jnp.minimum(bb + 1, batch_size)], 0),
         )
-        j = lax.broadcasted_iota(jnp.int32, qk.shape, 1)
-        pos = c * ck + j // fc
-        if half == 1:
-            right_class = (j % fc) == 0
-        else:
-            # head h's K lives in class row h // hph; other classes' scores
-            # are cross-class garbage
-            ch = lax.broadcasted_iota(jnp.int32, qk.shape, 0) // (r * hph)
-            right_class = (j % fc) == ch
-        if q_span == 1:
-            limit = length
-        else:
-            # row h*R + r scores query token t = r // gp whose causal
-            # limit is length - (q_span - 1 - t); same for every head
-            t = (lax.broadcasted_iota(jnp.int32, qk.shape, 0) % r) // gp
-            limit = length - (q_span - 1) + t
-        mask = jnp.logical_and(pos < limit, right_class)
-        qk = jnp.where(mask, qk, MASK_VALUE)
 
-        m_prev = m_ref[:, :1]  # [KVH*R, 1]
-        l_prev = l_ref[:, :1]
-        m_cur = jnp.max(qk, axis=-1, keepdims=True)
-        m_next = jnp.maximum(m_prev, m_cur)
-        # masked cols hold MASK_VALUE (~-2.4e38): exp underflows to exact
-        # +0.0, so no re-zeroing `where` is needed before the sum / PV dot.
-        p = jnp.exp(qk - m_next)
-        l_cur = jnp.sum(p, axis=-1, keepdims=True)
-        alpha = jnp.exp(m_prev - m_next)
-        m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
-        l_ref[...] = jnp.broadcast_to(alpha * l_prev + l_cur, l_ref.shape)
+    @pl.when(total > 0)
+    def _run():
+        b0 = nlive_ref[0]
+        start_copy(b0, 0, 0)
 
-        # shift probs K->V columns (class c -> c + half), then one full
-        # [KVH*R, Xr] PV dot: non-prob rows multiply 0, V rows multiply
-        # p_t.  Off-diagonal head blocks of the output are garbage (head h
-        # probs x head h' values) — never read, the emit below slices
-        # diagonal blocks only.
-        pv = lax.dot_general(
-            _shiftk(p, half).astype(jnp.bfloat16),
-            kvc,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        def body(i, carry):
+            b, c, nb, nc, slot = carry
+
+            @pl.when(nb < batch_size)
+            def _prefetch():
+                start_copy(nb, nc, 1 - slot)
+
+            wait_copy(slot)
+            length = lengths_ref[b]
+
+            @pl.when(c == 0)
+            def _init_state():
+                m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+                l_ref[...] = jnp.zeros_like(l_ref)
+                acc_ref[...] = jnp.zeros_like(acc_ref)
+                # Block-diagonal q: row h*R + r holds q[b, h, r] at lanes
+                # [(h%hph)*D, ...), zeros elsewhere, so ONE [KVH*R, Xr] x
+                # [fc*ck, Xr] dot yields every head's scores exactly (zero
+                # lanes kill the cross-head terms; the class mask below
+                # drops scores against other class rows).  sm_scale is
+                # folded in here: once per sequence, not per chunk.
+                qbd_ref[...] = jnp.zeros_like(qbd_ref)
+                for h in range(kvh):
+                    hl = (h % hph) * d
+                    qbd_ref[h * r : (h + 1) * r, hl : hl + d] = (
+                        q_ref[b, h] * jnp.asarray(sm_scale, q_ref.dtype)
+                    )
+
+            # [ppc, ps, fc, Xr] -> [fc*ck, Xr]: sublane-merge, layout
+            # preserving.  Token t's class rows sit at fc*t + 0..fc-1: K
+            # classes first, V classes second.  Quantized pools (fp8/int8)
+            # are upcast to bf16 here — one VPU cast per chunk, paid for by
+            # the halved DMA bytes.
+            kvc = kv_buf[slot].reshape(fc * ck, kv_buf.shape[-1])
+            if kvc.dtype != jnp.bfloat16:
+                kvc = kvc.astype(jnp.bfloat16)
+
+            # All heads in one dot: [KVH*R, fc*ck] scores, row h*R+r =
+            # head h.  sm_scale is pre-folded into qbd.
+            qk = lax.dot_general(
+                qbd_ref[...], kvc, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            j = lax.broadcasted_iota(jnp.int32, qk.shape, 1)
+            pos = c * ck + j // fc
+            if half == 1:
+                right_class = (j % fc) == 0
+            else:
+                # head h's K lives in class row h // hph; other classes'
+                # scores are cross-class garbage
+                ch = lax.broadcasted_iota(jnp.int32, qk.shape, 0) // (r * hph)
+                right_class = (j % fc) == ch
+            if q_span == 1:
+                limit = length
+            else:
+                # row h*R + r scores query token t = r // gp whose causal
+                # limit is length - (q_span - 1 - t); same for every head
+                t = (lax.broadcasted_iota(jnp.int32, qk.shape, 0) % r) // gp
+                limit = length - (q_span - 1) + t
+            mask = jnp.logical_and(pos < limit, right_class)
+            qk = jnp.where(mask, qk, MASK_VALUE)
+
+            m_prev = m_ref[:, :1]  # [KVH*R, 1]
+            l_prev = l_ref[:, :1]
+            m_cur = jnp.max(qk, axis=-1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_cur)
+            # masked cols hold MASK_VALUE (~-2.4e38): exp underflows to
+            # exact +0.0, so no re-zeroing `where` is needed before the
+            # sum / PV dot.
+            p = jnp.exp(qk - m_next)
+            l_cur = jnp.sum(p, axis=-1, keepdims=True)
+            alpha = jnp.exp(m_prev - m_next)
+            m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
+            l_ref[...] = jnp.broadcast_to(alpha * l_prev + l_cur, l_ref.shape)
+
+            # shift probs K->V columns (class c -> c + half), then one full
+            # [KVH*R, Xr] PV dot: non-prob rows multiply 0, V rows multiply
+            # p_t.  Off-diagonal head blocks of the output are garbage
+            # (head h probs x head h' values) — never read, the emit below
+            # slices diagonal blocks only.
+            pv = lax.dot_general(
+                _shiftk(p, half).astype(jnp.bfloat16),
+                kvc,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_ref[...] = acc_ref[...] * alpha + pv
+
+            @pl.when(c + 1 == nck_ref[b])
+            def _emit():
+                lh = l_ref[:, :1]
+                lh = jnp.where(lh == 0.0, 1.0, lh)
+                on = acc_ref[...] / lh
+                for h in range(kvh):
+                    hl = (h % hph) * d
+                    o_ref[b, h] = on[h * r : (h + 1) * r, hl : hl + d].astype(
+                        o_ref.dtype
+                    )
+
+            nb2, nc2 = advance(nb, nc)
+            return (nb, nc, nb2, nc2, 1 - slot)
+
+        nb0, nc0 = advance(b0, 0)
+        lax.fori_loop(
+            0, total, body, (b0, jnp.int32(0), nb0, nc0, jnp.int32(0)),
         )
-        acc_ref[...] = acc_ref[...] * alpha + pv
-
-        @pl.when((c + 1) * ck >= length)
-        def _emit():
-            lh = l_ref[:, :1]
-            lh = jnp.where(lh == 0.0, 1.0, lh)
-            on = acc_ref[...] / lh
-            for h in range(kvh):
-                hl = (h % hph) * d
-                o_ref[0, h] = on[h * r : (h + 1) * r, hl : hl + d].astype(
-                    o_ref.dtype
-                )
 
 
 @functools.partial(
@@ -264,6 +277,11 @@ def ragged_decode(
     """
     if interpret is None:
         interpret = pallas_interpret_default()
+    import os as _os
+
+    _ppc_env = _os.environ.get("SGLT_DECODE_PPC")
+    if _ppc_env:
+        pages_per_chunk = int(_ppc_env)
     L, P, ps, fc, Xr = kv_cache.shape
     if raw_layout:
         B, KVH_, R_, D = q.shape
@@ -296,8 +314,11 @@ def ragged_decode(
     layer = jnp.clip(jnp.asarray(layer, jnp.int32).reshape(1), 0, L - 1)
     lengths = jnp.asarray(lengths, jnp.int32)
     pt_flat = page_table.reshape(-1).astype(jnp.int32)
-    # nlive[i] = first live row >= i (B if none): lets the kernel's
-    # next-block lookahead be one scalar load instead of an O(B) scan.
+    ck = ppc * ps
+    nck = (lengths + (ck - 1)) // ck  # 0 for padded rows
+    total = jnp.sum(nck).reshape(1)
+    # nlive[i] = first live row >= i (B if none): the megaloop's advance
+    # is one scalar load instead of an O(B) scan.
     vals = jnp.where(lengths > 0, jnp.arange(B, dtype=jnp.int32), B)
     nlive = jnp.concatenate(
         [lax.cummin(vals[::-1])[::-1], jnp.full((1,), B, jnp.int32)]
@@ -305,12 +326,12 @@ def ragged_decode(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
-        grid=(B, n_chunks),
+        grid=(1,),
         in_specs=[
-            pl.BlockSpec((1, KVH, R, D), lambda b, c, *_: (b, 0, 0, 0)),
+            pl.BlockSpec((B, KVH, R, D), lambda g, *_: (0, 0, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, KVH, R, D), lambda b, c, *_: (b, 0, 0, 0)),
+        out_specs=pl.BlockSpec((B, KVH, R, D), lambda g, *_: (0, 0, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((KVH * R, Xr), jnp.bfloat16),
             pltpu.VMEM((KVH * R, 128), jnp.float32),
@@ -336,17 +357,17 @@ def ragged_decode(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, KVH, R, D), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(
         layer,
         lengths,
+        nck,
         nlive,
+        total,
         pt_flat,
-        jnp.zeros((1,), jnp.int32),
-        jnp.ones((1,), jnp.int32),
         qg,
         kv_cache,
     )
