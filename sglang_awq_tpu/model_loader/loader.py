@@ -133,26 +133,42 @@ def load_params_from_tensors(
             )
 
     tp = model.tp_size
-    for target, sources in MERGES.items():
+    if hasattr(model, "merge_schema"):
+        merges = model.merge_schema()
+    else:
+        merges = {tgt: (srcs, "n") for tgt, srcs in MERGES.items()}
+    for target, (sources, kind) in merges.items():
         spec: LinearSpec = model.specs[target]
         quant_here = spec.quantized
+
+        def merge(arrs, axis=1):
+            if kind == "n":
+                return interleave_concat(arrs, tp, axis=axis)
+            if kind == "ne":  # whole blocks per shard (MoE experts)
+                return np.concatenate(arrs, axis=axis)
+            # kind == "k": contraction-dim merge (MoE down: Y = sum_e
+            # act_e @ W2_e == concat_k(act) @ vstack_k(W2)).  AWQ qweight/
+            # qzeros/scales all lead with the K-derived dim, so axis=0
+            # merges every tensor kind.
+            return np.concatenate(arrs, axis=0)
+
         per_layer = []
         biases = []
         for l in range(L):
             names = [f"model.layers.{l}.{s}" for s in sources]
             if quant_here:
-                qw = interleave_concat([t(n + ".qweight") for n in names], tp)
+                qw = merge([t(n + ".qweight") for n in names])
                 has_zeros = names[0] + ".qzeros" in tensors
                 qz = (
-                    interleave_concat([t(n + ".qzeros") for n in names], tp)
+                    merge([t(n + ".qzeros") for n in names])
                     if has_zeros
                     else None
                 )
-                sc = interleave_concat([t(n + ".scales") for n in names], tp)
+                sc = merge([t(n + ".scales") for n in names])
                 per_layer.append(convert_awq_weights_np(spec, qw, qz, sc))
             else:
                 # torch nn.Linear stores [out, in]; we want [in, out]
-                w = interleave_concat([t(n + ".weight").T for n in names], tp)
+                w = merge([t(n + ".weight").T for n in names])
                 per_layer.append({"weight": w})
             bias_name = names[0] + ".bias"
             if bias_name in tensors:
@@ -170,6 +186,8 @@ def load_params_from_tensors(
             assert len(biases) == L
             stacked["bias"] = jnp.asarray(np.stack(biases), dtype)
         params["layers"][target] = stacked
+    if hasattr(model, "extra_layer_params"):  # e.g. MoE router gates
+        params["layers"].update(model.extra_layer_params(t, L))
     return params
 
 

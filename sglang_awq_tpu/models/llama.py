@@ -180,11 +180,15 @@ class LlamaForCausalLM:
         x = x + self._maybe_psum(o.astype(jnp.float32)).astype(x.dtype)
 
         h2 = rms_norm(x, lp["post_norm"][l], c.rms_norm_eps)
-        gu = linear_apply(self.specs["gate_up"], lp["gate_up"], h2, l)
-        act = silu_and_mul(gu)
-        d = linear_apply(self.specs["down"], lp["down"], act, l)
+        d = self._mlp(lp, h2, l)
         x = x + self._maybe_psum(d.astype(jnp.float32)).astype(x.dtype)
         return x
+
+    def _mlp(self, lp: Dict[str, Any], h2: jax.Array, l) -> jax.Array:
+        """Dense SwiGLU MLP; MoE models override (models/mixtral.py)."""
+        gu = linear_apply(self.specs["gate_up"], lp["gate_up"], h2, l)
+        act = silu_and_mul(gu)
+        return linear_apply(self.specs["down"], lp["down"], act, l)
 
     def _logits(self, params, h: jax.Array) -> jax.Array:
         c = self.config

@@ -12,12 +12,14 @@ from typing import Dict, Type
 
 def get_model_class(architecture: str):
     from sglang_awq_tpu.models.llama import LlamaForCausalLM
+    from sglang_awq_tpu.models.mixtral import MixtralForCausalLM
     from sglang_awq_tpu.models.qwen2 import Qwen2ForCausalLM, Qwen3ForCausalLM
 
     registry: Dict[str, Type] = {
         "LlamaForCausalLM": LlamaForCausalLM,
         "TinyLlamaForCausalLM": LlamaForCausalLM,
         "MistralForCausalLM": LlamaForCausalLM,  # same graph, no bias
+        "MixtralForCausalLM": MixtralForCausalLM,
         "Qwen2ForCausalLM": Qwen2ForCausalLM,
         "Qwen3ForCausalLM": Qwen3ForCausalLM,
     }

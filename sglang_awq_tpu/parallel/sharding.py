@@ -68,6 +68,10 @@ def param_pspecs(model, params: Dict[str, Any]) -> Dict[str, Any]:
         specs["layers"][name] = _linear_pspecs(
             spec.shard_axis, spec.quantized, has_bias
         )
+    # replicate any model-specific extras (MoE router gates, qk norms, ...)
+    for name, arr in params["layers"].items():
+        if name not in specs["layers"]:
+            specs["layers"][name] = P(*([None] * arr.ndim))
     return specs
 
 

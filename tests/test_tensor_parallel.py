@@ -109,3 +109,48 @@ def test_tp4_logits_match_tp1():
     assert top_ids1[0] == top_ids4[0]  # same argmax token
     np.testing.assert_allclose(top_vals1[:5], top_vals4[:5], atol=5e-2)
     assert decode_logits[1] == decode_logits[4]
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+def test_mixtral_ep4_logits_match_ep1():
+    """Expert parallelism: tp=4 places 1 whole expert per device (experts
+    merged along the sharded dims — models/mixtral.py), outputs must match
+    the single-device run."""
+    from .test_mixtral import TINY_MIXTRAL, _hf_mixtral
+
+    from sglang_awq_tpu.model_loader.loader import _torch_state_dict_to_np
+
+    tensors = _torch_state_dict_to_np(_hf_mixtral(0).state_dict())
+    rng = np.random.default_rng(1)
+    prompt = rng.integers(3, 500, 21).tolist()
+    T = len(prompt)
+    ps = 8
+
+    out = {}
+    for tp in (1, 4):
+        mc = ModelConfig(model_path="", hf_config=dict(TINY_MIXTRAL))
+        sa = ServerArgs(
+            model_path="tiny-mixtral", page_size=ps, max_total_tokens=1024,
+            chunked_prefill_size=64, tp_size=tp,
+        )
+        r = ModelRunner(sa, model_config=mc, tensors=tensors)
+        pages = np.arange(8, dtype=np.int32)
+        pos = np.arange(T, dtype=np.int32)
+        slots = pages[pos // ps] * ps + pos % ps
+        ids0, lg = r.forward_extend_batch(
+            ExtendBatchInput(
+                tokens=np.asarray(prompt, np.int32),
+                positions=pos,
+                slots=slots,
+                page_table=pages[None, :],
+                kv_lens=np.asarray([T], np.int32),
+                q_lens=np.asarray([T], np.int32),
+                qb_base=np.asarray([0], np.int32),
+                sampling=[SamplingRow()],
+            ),
+            want_logprobs=True,
+        )
+        out[tp] = (int(ids0[0]), lg["logprobs"][0])
+
+    assert out[1][0] == out[4][0]  # same greedy token
+    assert abs(out[1][1] - out[4][1]) < 5e-2
