@@ -48,6 +48,8 @@ class Engine:
         model_config: Optional[ModelConfig] = None,
         tensors: Optional[Dict[str, np.ndarray]] = None,
         tokenizer=None,
+        draft_config: Optional[ModelConfig] = None,  # EAGLE draft (tests)
+        draft_tensors: Optional[Dict[str, np.ndarray]] = None,
         **kwargs,
     ):
         if server_args is None:
@@ -56,7 +58,10 @@ class Engine:
         configure_logger(server_args.log_level)
         self.server_args = server_args
 
-        self.runner = ModelRunner(server_args, model_config=model_config, tensors=tensors)
+        self.runner = ModelRunner(
+            server_args, model_config=model_config, tensors=tensors,
+            draft_config=draft_config, draft_tensors=draft_tensors,
+        )
         self.scheduler = Scheduler(server_args, self.runner)
         if tokenizer is None and server_args.tokenizer_path:
             tokenizer = _load_tokenizer(server_args.tokenizer_path)

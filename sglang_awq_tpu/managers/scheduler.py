@@ -84,6 +84,13 @@ class ReqOutput:
         self.prompt_len = len(req.input_ids)
         self.cached_tokens = req.prefix_len
         self.embedding = req.embedding
+        # prompt-token logprobs ship once, on the finishing chunk
+        self.input_token_logprobs = (
+            list(req.input_token_logprobs) if self.finished else None
+        )
+        self.input_top_logprobs = (
+            list(req.input_top_logprobs) if self.finished else None
+        )
 
 
 class Scheduler:
@@ -117,8 +124,9 @@ class Scheduler:
 
         self.metrics = SchedulerMetrics(server_args.served_model_name or "model")
 
-        # --- speculative decoding (ngram) ---
+        # --- speculative decoding (ngram | eagle) ---
         self.ngram = None
+        self.eagle = server_args.speculative_algorithm == "eagle"
         self.spec_width = 0
         if server_args.speculative_algorithm == "ngram":
             try:
@@ -130,6 +138,7 @@ class Scheduler:
                 from sglang_awq_tpu.speculative.ngram import NgramCache
 
                 self.ngram = NgramCache(n=3)
+        if self.ngram is not None or self.eagle:
             # verify width: 1 real token + (width-1) draft positions
             self.spec_width = max(2, server_args.speculative_num_draft_tokens)
             assert self.spec_width <= self.page_size, (
@@ -177,6 +186,18 @@ class Scheduler:
         # clamp generation length to context
         room = max_ctx - len(req.input_ids) - 1
         req.sampling_params.max_new_tokens = min(req.max_new_tokens, max(room, 0))
+        req.lora_slot = -1
+        if req.sampling_params.lora_path:
+            if self.runner.lora is None:
+                req.finish_info = FinishInfo(FinishReason.ABORT)
+                return
+            try:
+                req.lora_slot = self.runner.lora.slot_of(
+                    req.sampling_params.lora_path
+                )
+            except KeyError:
+                req.finish_info = FinishInfo(FinishReason.ABORT)
+                return
         req.queued_time = time.monotonic()
         self.waiting.append(req)
 
@@ -204,7 +225,7 @@ class Scheduler:
         if prefill_reqs:
             dispatched = self._dispatch_prefill(prefill_reqs)
         elif self.running:
-            if self.ngram is not None and all(
+            if (self.ngram is not None or self.eagle) and all(
                 r.sampling_params.is_greedy and r.grammar is None
                 for r in self.running
             ):
@@ -256,6 +277,16 @@ class Scheduler:
     def _match_fresh(self, req: Req):
         """Radix-match a fresh request's prompt and lock the prefix."""
         ps = self.page_size
+        if req.wants_input_lp:
+            # input logprobs need every prompt position's logits — cached
+            # prefixes skip computation, so reuse is disabled for this req
+            # (reference adjusts extend_input_len the same way)
+            return
+        if getattr(req, "lora_slot", -1) >= 0:
+            # adapter requests produce adapter-specific K/V — sharing pages
+            # with base-model (or other-adapter) prefixes would be wrong
+            # (reference keys the radix tree by lora_path; v1 opts out)
+            return
         m = self.tree.match_prefix(req.fill_ids)
         # never reuse the whole fill (at least one token must compute
         # so logits exist — reference match trim)
@@ -388,6 +419,14 @@ class Scheduler:
         pmax = max(len(r.pages) for r in reqs)
         page_table = np.zeros((B, pmax), np.int32)
         rows = []
+        lora_tok = np.full(tq, -1, np.int32)
+        want_input_lp = any(r.wants_input_lp for r in reqs)
+        eagle = self.eagle or want_input_lp  # both need shifted tokens
+        if eagle:
+            draft_tokens = np.zeros(tq, np.int32)
+            draft_slots = np.full(tq, PAD_SLOT, np.int32)
+            draft_q_lens = np.zeros(B, np.int32)
+            draft_kv_lens = np.zeros(B, np.int32)
         offset = 0
         for i, req in enumerate(reqs):
             chunk = req._chunk
@@ -402,6 +441,20 @@ class Scheduler:
             qb_base[i] = offset // BQ
             page_table[i, : len(req.pages)] = req.pages
             rows.append(req.sampling_row())
+            if self.runner.lora is not None:
+                lora_tok[offset : offset + chunk] = getattr(req, "lora_slot", -1)
+            if eagle:
+                # EAGLE shift: draft pos p consumes token p+1; the final
+                # chunk is one shorter (the first chain step covers the
+                # prompt's last position with the sampled token)
+                dq = chunk if target < len(req.fill_ids) else chunk - 1
+                dq = max(dq, 0)
+                draft_tokens[offset : offset + dq] = req.fill_ids[
+                    req.fill_len + 1 : req.fill_len + 1 + dq
+                ]
+                draft_slots[offset : offset + dq] = slots[offset : offset + dq]
+                draft_q_lens[i] = dq
+                draft_kv_lens[i] = req.fill_len + dq
             offset += (chunk + BQ - 1) // BQ * BQ
 
         # completing rows: the prompt is fully filled this step, so the
@@ -423,6 +476,11 @@ class Scheduler:
             qb_base=qb_base,
             sampling=rows,
             row_ids=row_ids,
+            draft_tokens=draft_tokens if eagle else None,
+            draft_slots=draft_slots if eagle else None,
+            draft_q_lens=draft_q_lens if eagle else None,
+            draft_kv_lens=draft_kv_lens if eagle else None,
+            lora_idx=lora_tok,
         )
 
         # --- embedding requests run solo through the hidden-state fn ---
@@ -460,10 +518,49 @@ class Scheduler:
                 if r.grammar is not None and comp[i]:
                     vocab_mask[i] = r.grammar.vocab_mask()
 
-        ids, lp = self.runner.forward_extend_batch(
-            ext, want_logprobs=want_lp, vocab_mask=vocab_mask,
-            update_counts=update_counts, async_result=True,
-        )
+        if want_input_lp:
+            ids, lp, in_lp = self.runner.forward_extend_batch(
+                ext, want_logprobs=want_lp, vocab_mask=vocab_mask,
+                update_counts=update_counts, async_result=True,
+                want_input_lp=True,
+            )
+        else:
+            in_lp = None
+            ids, lp = self.runner.forward_extend_batch(
+                ext, want_logprobs=want_lp, vocab_mask=vocab_mask,
+                update_counts=update_counts, async_result=True,
+            )
+        # record input (prompt) logprobs per request region
+        if in_lp is not None:
+            chosen = np.asarray(in_lp["logprobs"])
+            tops_i = np.asarray(in_lp["top_ids"])
+            tops_v = np.asarray(in_lp["top_logprobs"])
+            for i, req in enumerate(reqs):
+                if not req.wants_input_lp:
+                    continue
+                s = req.fill_len  # chunk start (absolute prompt index)
+                base = int(qb_base[i]) * BQ
+                dq = int(draft_q_lens[i])
+                start = req.sampling_params.logprob_start_len
+                k = min(req.sampling_params.top_logprobs_num, 20)
+                for j in range(dq):
+                    tok_idx = s + 1 + j  # prompt index being scored
+                    if tok_idx <= start:
+                        continue
+                    if tok_idx >= len(req.fill_ids) + 1:
+                        break
+                    req.input_token_logprobs.append(
+                        (float(chosen[base + j]), int(draft_tokens[base + j]))
+                    )
+                    if k > 0:
+                        req.input_top_logprobs.append(
+                            {
+                                int(t): float(v)
+                                for t, v in zip(
+                                    tops_i[base + j][:k], tops_v[base + j][:k]
+                                )
+                            }
+                        )
 
         # retracted completing reqs: the re-sample is a duplicate of the
         # already-known last token — seed their rows from host history
@@ -527,6 +624,8 @@ class Scheduler:
         the tree's and freed; the path is re-locked at the deeper node."""
         if self.server_args.disable_radix_cache:
             return
+        if getattr(req, "lora_slot", -1) >= 0:
+            return  # adapter K/V must never enter the shared tree
         ps = self.page_size
         fp = req.fill_len // ps
         if fp == 0:
@@ -610,6 +709,7 @@ class Scheduler:
             sample_steps=steps,
             sampling=rows,
             row_ids=row_ids,
+            lora_idx=np.asarray([getattr(r, 'lora_slot', -1) for r in self.running], np.int32),
         )
         ids, lp = self.runner.forward_decode_overlap(
             d, want_logprobs=want_lp, update_counts=want_pen
@@ -738,6 +838,7 @@ class Scheduler:
             lengths=lengths,
             sample_steps=sample_steps,
             sampling=rows,
+            lora_idx=np.asarray([getattr(r, 'lora_slot', -1) for r in self.running], np.int32),
         )
         want_lp = any(r.sampling_params.return_logprob for r in self.running)
         V = self.runner.model_config.vocab_size
@@ -847,6 +948,7 @@ class Scheduler:
             lengths=lengths,
             sample_steps=steps,
             sampling=rows,
+            lora_idx=np.asarray([getattr(r, 'lora_slot', -1) for r in self.running], np.int32),
         )
         ids = self.runner.forward_decode_multi(d, k)  # [k, bs_pad]
         outputs = []
@@ -885,13 +987,31 @@ class Scheduler:
         positions = np.zeros((B, QS), np.int32)
         slots = np.zeros((B, QS), np.int32)
         lengths = np.zeros(B, np.int32)
+        fill_old = np.zeros(B, np.int32)
         pmax = max(len(r.pages) for r in self.running)
         page_table = np.zeros((B, pmax), np.int32)
-        drafts_per_row: List[List[int]] = []
         for i, r in enumerate(self.running):
-            ctx = r.input_ids + r.output_ids
-            drafts = self.ngram.draft(ctx, QS - 1)
-            drafts_per_row.append(drafts)
+            page_table[i, : len(r.pages)] = r.pages
+            fill_old[i] = r.fill_len
+
+        if self.eagle:
+            rows = np.asarray(
+                [r.row if r.row is not None else -1 for r in self.running],
+                np.int32,
+            )
+            t0 = np.asarray([r.output_ids[-1] for r in self.running], np.int32)
+            draft_mat = self.runner.eagle_draft_chain(
+                rows, t0, fill_old, page_table, QS - 1
+            )
+            drafts_per_row = [list(map(int, draft_mat[i])) for i in range(B)]
+        else:
+            drafts_per_row = [
+                self.ngram.draft(r.input_ids + r.output_ids, QS - 1)
+                for r in self.running
+            ]
+
+        for i, r in enumerate(self.running):
+            drafts = drafts_per_row[i]
             row = [r.output_ids[-1]] + drafts + [0] * (QS - 1 - len(drafts))
             tokens[i] = row
             pos = np.arange(r.fill_len, r.fill_len + QS)
@@ -899,12 +1019,13 @@ class Scheduler:
             pages_np = np.asarray(r.pages, np.int32)
             slots[i] = pages_np[pos // ps] * ps + pos % ps
             lengths[i] = r.fill_len + QS
-            page_table[i, : len(r.pages)] = r.pages
 
         ids = self.runner.forward_spec_verify(
-            tokens, positions, slots, page_table, lengths
+            tokens, positions, slots, page_table, lengths,
+            lora_idx=np.asarray([getattr(r, 'lora_slot', -1) for r in self.running], np.int32),
         )
 
+        accepts = np.ones(B, np.int32)
         outputs = []
         still_running = []
         for i, r in enumerate(self.running):
@@ -915,6 +1036,7 @@ class Scheduler:
                     accepted += 1
                 else:
                     break
+            accepts[i] = accepted
             new_tokens = []
             for t in range(accepted):
                 tok = int(ids[i, t])
@@ -924,9 +1046,12 @@ class Scheduler:
                 if r.finished():
                     break
             r.fill_len += len(new_tokens)
-            self.ngram.update(
-                (r.input_ids + r.output_ids)[-(self.ngram.n + len(new_tokens) + 1):]
-            )
+            if self.ngram is not None:
+                self.ngram.update(
+                    (r.input_ids + r.output_ids)[
+                        -(self.ngram.n + len(new_tokens) + 1):
+                    ]
+                )
             self.spec_accept_sum += len(new_tokens)
             self.spec_steps += 1
             outputs.append(ReqOutput(r, new_tokens))
@@ -934,6 +1059,16 @@ class Scheduler:
                 self._finish_req(r)
             else:
                 still_running.append(r)
+        if self.eagle:
+            # repair the draft KV over the verify window + commit the chain
+            # start feature (runs on the pre-acceptance batch layout)
+            rows = np.asarray(
+                [r.row if r.row is not None else -1 for r in self.running],
+                np.int32,
+            )
+            self.runner.eagle_commit_fixup(
+                ids[:B], accepts, rows, fill_old, page_table
+            )
         self.running = still_running
         return outputs
 

@@ -46,6 +46,17 @@ class ExtendBatchInput:
     # device sampling-state row per sequence (overlap scheduling); None /
     # trash rows for sequences whose sampled id should not be published
     row_ids: np.ndarray = None  # [B] int32
+    # EAGLE draft prefill (scheduler fills when --speculative-algorithm
+    # eagle): SHIFTED tokens (t_{i+1} at draft position i) over the same
+    # token-major regions, with per-seq draft q/kv lengths one shorter on
+    # the final chunk (the first chain step covers the last position)
+    draft_tokens: np.ndarray = None  # [TQ] int32
+    draft_slots: np.ndarray = None  # [TQ] int32 (PAD_SLOT beyond draft q_len)
+    draft_q_lens: np.ndarray = None  # [B]
+    draft_kv_lens: np.ndarray = None  # [B]
+    # per-token LoRA adapter slot (-1 = base model); only read when the
+    # server was started with --lora-paths
+    lora_idx: np.ndarray = None  # [TQ] int32
 
     def sampling_padded(self, bs_pad: int) -> "SamplingBatch":
         rows = [r or SamplingRow() for r in (self.sampling or [])]
@@ -70,6 +81,7 @@ class DecodeInput:
     sampling: list = None  # List[SamplingRow], len B
     # device sampling-state rows (overlap path: tokens come from last_ids)
     row_ids: np.ndarray = None  # [B] int32
+    lora_idx: np.ndarray = None  # [B] int32 adapter slots (-1 = base)
 
     def sampling_padded(self, bs_pad: int) -> "SamplingBatch":
         return SamplingBatch.from_rows(self.sampling or [], pad_to=bs_pad)

@@ -25,6 +25,7 @@ TPU re-design (SURVEY.md §7 decisions 2-4):
 from __future__ import annotations
 
 import logging
+import os
 import math
 from functools import partial
 from typing import Any, Dict, List, Optional, Tuple
@@ -83,8 +84,23 @@ class ModelRunner:
         server_args: ServerArgs,
         model_config: Optional[ModelConfig] = None,
         tensors: Optional[Dict[str, np.ndarray]] = None,
+        draft_config: Optional[ModelConfig] = None,  # EAGLE draft (tests)
+        draft_tensors: Optional[Dict[str, np.ndarray]] = None,
     ):
         self.server_args = server_args
+        self._draft_cfg = None
+        if server_args.speculative_algorithm == "eagle":
+            if draft_config is not None:
+                self._draft_cfg = draft_config
+            else:
+                assert server_args.speculative_draft_model_path, (
+                    "--speculative-algorithm eagle needs "
+                    "--speculative-draft-model-path"
+                )
+                self._draft_cfg = ModelConfig.from_model_path(
+                    server_args.speculative_draft_model_path
+                )
+        self._draft_tensors = draft_tensors
         if model_config is None:
             model_config = ModelConfig.from_model_path(
                 server_args.model_path,
@@ -151,6 +167,85 @@ class ModelRunner:
             self.pmax_buckets.append(w)
             w *= 2
         self.pmax_buckets.append(self.pmax)
+
+        # per-row last target hidden (pre-final-norm): the EAGLE chain's
+        # start feature (+1 spare slot so trash-row writes land harmlessly)
+        self.spec_hidden_row = jnp.zeros(
+            (self.sampling_state.capacity + 1, model_config.hidden_size),
+            jnp.bfloat16,
+        )
+        self._init_draft()
+        self._init_lora()
+
+    def _init_lora(self):
+        """LoRA adapter pool (reference lora/lora_manager.py:50).  The
+        stacked pool arrays ride inside `params["lora"]`, so every step
+        executable sees them without signature changes; per-token slot
+        indices are an extra replicated input when enabled."""
+        self.lora = None
+        sa = self.server_args
+        if not sa.lora_paths:
+            return
+        assert self.tp_size == 1, "LoRA + tp>1 lands with sharded pools"
+        from sglang_awq_tpu.lora.lora_manager import LoraManager
+
+        self.lora = LoraManager(
+            self.model, sa.max_loras_per_batch, sa.max_lora_rank
+        )
+        for spec in sa.lora_paths:
+            name, _, path = spec.partition("=")
+            if not path:
+                name, path = os.path.basename(spec.rstrip("/")), spec
+            self.lora.load_adapter(name, path)
+        self.params["lora"] = self.lora.as_params()
+
+    def refresh_lora(self):
+        """Re-publish pool arrays after dynamic load/unload (shapes are
+        fixed by max_lora_rank, so executables stay valid)."""
+        if self.lora is not None:
+            self.params["lora"] = self.lora.as_params()
+
+    def _init_draft(self):
+        """EAGLE draft model + its (small) KV pool + the per-row hidden
+        buffer (reference eagle_worker.py:79 init)."""
+        self.draft = None
+        if self._draft_cfg is None:
+            return
+        assert self.tp_size == 1, "EAGLE + tp>1 lands with multi-chip spec"
+        from sglang_awq_tpu.speculative.eagle_draft import (
+            EagleDraftModel,
+            load_draft_params,
+        )
+
+        dc = self._draft_cfg
+        self.draft = EagleDraftModel(config=dc)
+        if self._draft_tensors is not None:
+            self.draft_params = load_draft_params(self.draft, self._draft_tensors)
+        elif self.server_args.random_weights:
+            self.draft_params = self.draft.random_params()
+        else:
+            from sglang_awq_tpu.model_loader.loader import iterate_safetensors
+
+            tensors = dict(iterate_safetensors(dc.model_path))
+            self.draft_params = load_draft_params(self.draft, tensors)
+        from sglang_awq_tpu.layers.rotary import rope_table
+
+        self.draft_rope = jax.device_put(
+            rope_table(
+                self.model_config.context_length, dc.head_dim, dc.rope_theta,
+                dc.rope_scaling,
+            )
+        )
+        dspec = KVPoolSpec(
+            dc.num_layers, self.draft.kvh, self.kv_spec.num_pages,
+            self.page_size, dc.head_dim,
+        )
+        self.draft_kv = dspec.alloc()
+        self._verify_hidden = None
+        logger.info(
+            "EAGLE draft: %d layer(s), draft pool %.2f GiB",
+            dc.num_layers, self.draft_kv.nbytes / 1024**3,
+        )
 
     # ------------------------------------------------------------------
     # sharding (tp > 1)
@@ -235,6 +330,13 @@ class ModelRunner:
             mc.num_layers, kv_heads_local, 1, self.page_size, mc.head_dim,
             dtype=kv_dtype,
         )
+        extra_bpt = 0
+        if self._draft_cfg is not None:  # EAGLE draft pool rides along
+            dc = self._draft_cfg
+            extra_bpt = KVPoolSpec(
+                dc.num_layers, max(dc.num_kv_heads // sa.tp_size, 1), 1,
+                self.page_size, dc.head_dim,
+            ).bytes_per_token()
         if sa.max_total_tokens is not None:
             tokens = sa.max_total_tokens
         else:
@@ -247,7 +349,7 @@ class ModelRunner:
                 raise RuntimeError(
                     f"no HBM left for KV cache (weights {weight_bytes>>20} MiB/device)"
                 )
-            tokens = budget // probe.bytes_per_token()
+            tokens = budget // (probe.bytes_per_token() + extra_bpt)
         num_pages = max(tokens // self.page_size, 8)
         self.kv_spec = KVPoolSpec(
             mc.num_layers,
@@ -294,23 +396,41 @@ class ModelRunner:
 
     def _extend_fn(self, tq: int, bs: int, pt_w: int, all_greedy: bool,
                    want_lp: bool, want_mask: bool = False,
-                   want_pen: bool = False):
-        key = ("extend", tq, bs, pt_w, all_greedy, want_lp, want_mask, want_pen)
+                   want_pen: bool = False, want_hidden: bool = False):
+        key = ("extend", tq, bs, pt_w, all_greedy, want_lp, want_mask,
+               want_pen, want_hidden)
         if key in self._fns:
             return self._fns[key]
         model = self.model
         block_q = self.block_q
+        lora_on = self.lora is not None
 
         def raw(params, kv, rope, last_ids, *rest):
             rest = list(rest)
             counts = rest.pop(0) if want_pen else None
+            hidden_row = rest.pop(0) if want_hidden else None
             (tokens, positions, slots, page_table, kv_lens, q_lens,
              qb_base, row_ids, info, steps) = rest[:10]
-            mask = rest[10:]
-            logits, kv = model.extend_step(
+            tail = list(rest[10:])
+            lidx = tail.pop(0) if lora_on else None
+            mask = tail
+            step_out = model.extend_step(
                 params, kv, rope, tokens, positions, slots, page_table,
                 kv_lens, q_lens, qb_base, block_q=block_q,
+                capture_hidden=want_hidden, lora_idx=lidx,
             )
+            if want_hidden:
+                logits, kv, hidden = step_out
+                # per-row chain-start feature for the EAGLE draft
+                last = jnp.clip(
+                    qb_base * block_q + jnp.maximum(q_lens, 1) - 1, 0,
+                    tokens.shape[0] - 1,
+                )
+                hidden_row = hidden_row.at[row_ids].set(
+                    hidden[last].astype(hidden_row.dtype), mode="drop"
+                )
+            else:
+                logits, kv = step_out
             vm = mask[0] if want_mask else None
             ids = sample(logits, info, steps, all_greedy=all_greedy, vocab_mask=vm)
             # publish sampled ids (and first penalty count) into the
@@ -321,20 +441,33 @@ class ModelRunner:
             if want_lp:
                 lp, top_ids, top_vals = logprob_outputs(logits, ids)
                 outs = (ids, lp, top_ids, top_vals)
+            if want_hidden:
+                outs = outs + (hidden,)
             outs = outs + (kv, last_ids)
             if want_pen:
                 counts = counts.at[row_ids, ids].add(1, mode="drop")
+            if want_pen:
                 outs = outs + (counts,)
+            if want_hidden:
+                outs = outs + (hidden_row,)
             return outs
 
+        donate = [1, 3]
+        idx = 4
+        if want_pen:
+            donate.append(idx)
+            idx += 1
+        if want_hidden:
+            donate.append(idx)
         fn = jax.jit(
             self._wrap_step(
                 raw,
-                11 + (1 if want_mask else 0) + (1 if want_pen else 0),
-                n_replicated_out=4 if want_lp else 1,
-                n_state_out=2 if want_pen else 1,
+                11 + (1 if want_mask else 0) + (1 if want_pen else 0)
+                + (1 if want_hidden else 0) + (1 if lora_on else 0),
+                n_replicated_out=(4 if want_lp else 1) + (1 if want_hidden else 0),
+                n_state_out=1 + (1 if want_pen else 0) + (1 if want_hidden else 0),
             ),
-            donate_argnums=(1, 3, 4) if want_pen else (1, 3),
+            donate_argnums=tuple(donate),
         )
         self._fns[key] = fn
         return fn
@@ -351,13 +484,17 @@ class ModelRunner:
         model = self.model
         vocab = self.model_config.vocab_size
 
+        lora_on = self.lora is not None
+
         def raw(params, kv, rope, last_ids, *rest):
             rest = list(rest)
             counts = rest.pop(0) if want_pen else None
+            lidx = rest.pop() if lora_on else None
             row_ids, positions, slots, page_table, lengths, info, steps = rest
             tokens = last_ids[row_ids]
             logits, kv = model.decode_step(
-                params, kv, rope, tokens, positions, slots, page_table, lengths
+                params, kv, rope, tokens, positions, slots, page_table,
+                lengths, lora_idx=lidx,
             )
             if want_pen:
                 logits = apply_penalties(logits, counts[row_ids], info, vocab)
@@ -376,7 +513,7 @@ class ModelRunner:
         fn = jax.jit(
             self._wrap_step(
                 raw,
-                8 + (1 if want_pen else 0),
+                8 + (1 if want_pen else 0) + (1 if lora_on else 0),
                 n_replicated_out=4 if want_lp else 1,
                 n_state_out=2 if want_pen else 1,
             ),
@@ -395,11 +532,15 @@ class ModelRunner:
         model = self.model
         vocab = self.model_config.vocab_size
 
+        lora_on = self.lora is not None
+
         def raw(params, kv, rope, tokens, positions, slots, page_table, lengths, info, steps, *extra):
-            logits, kv = model.decode_step(
-                params, kv, rope, tokens, positions, slots, page_table, lengths
-            )
             extra = list(extra)
+            lidx = extra.pop() if lora_on else None
+            logits, kv = model.decode_step(
+                params, kv, rope, tokens, positions, slots, page_table,
+                lengths, lora_idx=lidx,
+            )
             if want_pen:
                 counts = extra.pop(0)
                 logits = apply_penalties(logits, counts, info, vocab)
@@ -413,7 +554,8 @@ class ModelRunner:
         fn = jax.jit(
             self._wrap_step(
                 raw,
-                7 + (1 if want_mask else 0) + (1 if want_pen else 0),
+                7 + (1 if want_mask else 0) + (1 if want_pen else 0)
+                + (1 if lora_on else 0),
                 n_replicated_out=4 if want_lp else 1,
             ),
             donate_argnums=(1,),
@@ -427,8 +569,12 @@ class ModelRunner:
             return self._fns[key]
         model = self.model
         ps = self.page_size
+        lora_on = self.lora is not None
 
-        def raw(params, kv, rope, tokens0, lengths0, page_table, info, steps0):
+        def raw(params, kv, rope, tokens0, lengths0, page_table, info, steps0,
+                *extra):
+            lidx = extra[0] if lora_on else None
+
             def body(carry, s):
                 kv, toks, lens = carry
                 live = lens > 0
@@ -436,7 +582,8 @@ class ModelRunner:
                 page = page_table[jnp.arange(bs), pos // ps]
                 slots = jnp.where(live, page * ps + pos % ps, PAD_SLOT)
                 logits, kv = model.decode_step(
-                    params, kv, rope, toks, pos, slots, page_table, lens
+                    params, kv, rope, toks, pos, slots, page_table, lens,
+                    lora_idx=lidx,
                 )
                 ids = sample(logits, info, steps0 + s, all_greedy=all_greedy)
                 lens = jnp.where(live, lens + 1, lens)
@@ -447,7 +594,10 @@ class ModelRunner:
             )
             return all_ids, kv
 
-        fn = jax.jit(self._wrap_step(raw, 5, n_replicated_out=1), donate_argnums=(1,))
+        fn = jax.jit(
+            self._wrap_step(raw, 5 + (1 if lora_on else 0), n_replicated_out=1),
+            donate_argnums=(1,),
+        )
         self._fns[key] = fn
         return fn
 
@@ -495,6 +645,51 @@ class ModelRunner:
             rows[:bs] = row_ids
         return jnp.asarray(rows)
 
+    def _input_lp_fn(self, tq: int):
+        """Prompt-token logprobs from captured hidden states: row i scores
+        next_tokens[i] given the prefix through position i (reference
+        extend-token logprobs, logits_processor.py:233).  Vocab-blocked
+        lax.map keeps the [TQ, V] logits out of memory."""
+        key = ("input_lp", tq)
+        if key in self._fns:
+            return self._fns[key]
+        model = self.model
+        blk = 128
+        assert tq % blk == 0
+
+        def raw(params, hidden, next_tokens):
+            def one(args):
+                h, t = args
+                logits = model._logits(params, h.astype(jnp.bfloat16))
+                lp = jax.nn.log_softmax(logits, axis=-1)
+                chosen = jnp.take_along_axis(lp, t[:, None], axis=-1)[:, 0]
+                tv, ti = jax.lax.top_k(lp, 20)
+                return chosen, ti.astype(jnp.int32), tv
+
+            H = hidden.shape[-1]
+            chosen, ti, tv = jax.lax.map(
+                one, (hidden.reshape(-1, blk, H), next_tokens.reshape(-1, blk))
+            )
+            return chosen.reshape(tq), ti.reshape(tq, 20), tv.reshape(tq, 20)
+
+        if self.mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            specs = dict(
+                mesh=self.mesh,
+                in_specs=(self._param_specs, P(), P()),
+                out_specs=(P(), P(), P()),
+            )
+            try:
+                raw_w = jax.shard_map(raw, check_vma=False, **specs)
+            except TypeError:
+                raw_w = jax.shard_map(raw, check_rep=False, **specs)
+        else:
+            raw_w = raw
+        fn = jax.jit(raw_w)
+        self._fns[key] = fn
+        return fn
+
     def forward_extend_batch(
         self,
         ext: ExtendBatchInput,
@@ -502,6 +697,7 @@ class ModelRunner:
         vocab_mask: Optional[np.ndarray] = None,  # [B, V] bool
         update_counts: bool = False,
         async_result: bool = False,
+        want_input_lp: bool = False,
     ):
         """Run one batched prefill step -> (ids [bs_pad], logprobs|None).
 
@@ -513,29 +709,51 @@ class ModelRunner:
         (tq_pad, bs_pad, pt_w, tokens, positions, slots, pt,
          kv_lens, q_lens, qb_base, steps) = self._pad_extend(ext)
         st = self.sampling_state
+        want_hidden = self.draft is not None or want_input_lp
         fn = self._extend_fn(
             tq_pad, bs_pad, pt_w, ext.all_greedy(), want_logprobs,
-            vocab_mask is not None, update_counts,
+            vocab_mask is not None, update_counts, want_hidden,
         )
         info = _sampling_info(ext.sampling_padded(bs_pad))
         rows = self._pad_rows(ext.row_ids, len(ext.kv_lens), bs_pad)
         state_args = (st.last_ids,) + (
             (st.ensure_counts(),) if update_counts else ()
-        )
+        ) + ((self.spec_hidden_row,) if want_hidden else ())
         args = (
             self.params, self.kv_cache, self.rope_tab, *state_args,
             tokens, positions, slots, pt, kv_lens, q_lens, qb_base,
             rows, info, steps,
         )
+        if self.lora is not None:
+            args = args + (jnp.asarray(
+                self._pad_i32(
+                    ext.lora_idx if ext.lora_idx is not None else [],
+                    tq_pad, fill=-1,
+                )
+            ),)
         if vocab_mask is not None:
             vm = np.ones((bs_pad, vocab_mask.shape[1]), bool)
             vm[: vocab_mask.shape[0]] = vocab_mask
             args = args + (jnp.asarray(vm),)
         outs = list(fn(*args))
+        if want_hidden:
+            self.spec_hidden_row = outs.pop()
         if update_counts:
             st.out_counts = outs.pop()
         st.last_ids = outs.pop()
         self.kv_cache = outs.pop()
+        input_lp = None
+        if want_hidden:
+            hidden = outs.pop()  # [tq_pad, H] device
+            if self.draft is not None and ext.draft_tokens is not None:
+                self._eagle_prefill(ext, hidden, tq_pad, bs_pad, pt_w, pt)
+            if want_input_lp:
+                nxt = self._pad_i32(ext.draft_tokens, tq_pad)
+                chosen, ti, tv = self._input_lp_fn(tq_pad)(
+                    self.params, hidden, jnp.asarray(nxt)
+                )
+                input_lp = {"logprobs": chosen, "top_ids": ti,
+                            "top_logprobs": tv}
         ids = outs[0]
         lp = None
         if want_logprobs:
@@ -544,6 +762,14 @@ class ModelRunner:
                 "top_ids": outs[2],
                 "top_logprobs": outs[3],
             }
+        if want_input_lp:  # 3-tuple contract for input-logprob callers
+            if async_result:
+                return ids, lp, input_lp
+            return (
+                np.asarray(ids),
+                {k: np.asarray(v) for k, v in lp.items()} if lp else None,
+                {k: np.asarray(v) for k, v in input_lp.items()},
+            )
         if async_result:
             return ids, lp
         ids = np.asarray(ids)
@@ -579,10 +805,15 @@ class ModelRunner:
         state_args = (st.last_ids,) + (
             (st.ensure_counts(),) if update_counts else ()
         )
-        outs = list(fn(
+        args = (
             self.params, self.kv_cache, self.rope_tab, *state_args,
             rows, positions, slots, pt, lengths, info, jnp.asarray(steps),
-        ))
+        )
+        if self.lora is not None:
+            args = args + (jnp.asarray(self._pad_i32(
+                d.lora_idx if d.lora_idx is not None else [], bs_pad, fill=-1
+            )),)
+        outs = list(fn(*args))
         if update_counts:
             st.out_counts = outs.pop()
         st.last_ids = outs.pop()
@@ -629,6 +860,10 @@ class ModelRunner:
             vm = np.ones((bs_pad, vocab_mask.shape[1]), bool)
             vm[:bs] = vocab_mask
             args = args + (jnp.asarray(vm),)
+        if self.lora is not None:
+            args = args + (jnp.asarray(self._pad_i32(
+                d.lora_idx if d.lora_idx is not None else [], bs_pad, fill=-1
+            )),)
         if want_logprobs:
             ids, lp, top_ids, top_vals, self.kv_cache = fn(*args)
             return np.asarray(ids), {
@@ -654,10 +889,15 @@ class ModelRunner:
         if d.sample_steps is not None:
             steps0[:bs] = d.sample_steps
         self.decode_steps_counter += n_steps
-        all_ids, self.kv_cache = fn(
+        args = (
             self.params, self.kv_cache, self.rope_tab,
             tokens, lengths, page_table, info, jnp.asarray(steps0),
         )
+        if self.lora is not None:
+            args = args + (jnp.asarray(self._pad_i32(
+                d.lora_idx if d.lora_idx is not None else [], bs_pad, fill=-1
+            )),)
+        all_ids, self.kv_cache = fn(*args)
         return np.asarray(all_ids)
 
     def _pad_decode(self, d: DecodeInput, bs_pad: int, pt_w: int):
@@ -712,22 +952,34 @@ class ModelRunner:
         )
         return np.asarray(hidden)[: len(ext.kv_lens)]
 
-    def _spec_verify_fn(self, bs: int, q_span: int, pt_w: int):
-        key = ("spec_verify", bs, q_span, pt_w)
+    def _spec_verify_fn(self, bs: int, q_span: int, pt_w: int,
+                        want_hidden: bool = False):
+        key = ("spec_verify", bs, q_span, pt_w, want_hidden)
         if key in self._fns:
             return self._fns[key]
         model = self.model
+        lora_on = self.lora is not None
 
-        def raw(params, kv, rope, tokens, positions, slots, page_table, lengths):
-            logits, kv = model.spec_verify_step(
-                params, kv, rope, tokens, positions, slots, page_table, lengths
+        def raw(params, kv, rope, tokens, positions, slots, page_table,
+                lengths, *extra):
+            lidx = extra[0] if lora_on else None
+            out = model.spec_verify_step(
+                params, kv, rope, tokens, positions, slots, page_table,
+                lengths, capture_hidden=want_hidden, lora_idx=lidx,
             )
+            logits, kv = out[0], out[1]
             # greedy verify ids for every position
             ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, QS]
+            if want_hidden:
+                return ids, out[2], kv
             return ids, kv
 
         fn = jax.jit(
-            self._wrap_step(raw, 5, n_replicated_out=1), donate_argnums=(1,)
+            self._wrap_step(
+                raw, 5 + (1 if lora_on else 0),
+                n_replicated_out=2 if want_hidden else 1,
+            ),
+            donate_argnums=(1,),
         )
         self._fns[key] = fn
         return fn
@@ -739,12 +991,13 @@ class ModelRunner:
         slots: np.ndarray,  # [B, QS]
         page_table: np.ndarray,  # [B, *]
         lengths: np.ndarray,  # [B] total incl. QS
+        lora_idx: Optional[np.ndarray] = None,  # [B]
     ) -> np.ndarray:
         """Speculative verify step -> greedy ids [bs_pad, QS]."""
         bs, qs = tokens.shape
         bs_pad = pick_bucket(bs, self.decode_bs_buckets)
         pt_w = pick_bucket(page_table.shape[1], self.pmax_buckets)
-        fn = self._spec_verify_fn(bs_pad, qs, pt_w)
+        fn = self._spec_verify_fn(bs_pad, qs, pt_w, self.draft is not None)
 
         def pad2(a, fill=0):
             out = np.full((bs_pad, qs), fill, a.dtype)
@@ -757,7 +1010,8 @@ class ModelRunner:
         lens = np.zeros(bs_pad, np.int32)
         lens[:bs] = lengths
         self.decode_steps_counter += 1
-        ids, self.kv_cache = fn(
+        want_hidden = self.draft is not None
+        args = (
             self.params,
             self.kv_cache,
             self.rope_tab,
@@ -767,7 +1021,188 @@ class ModelRunner:
             jnp.asarray(pt),
             jnp.asarray(lens),
         )
+        if self.lora is not None:
+            args = args + (jnp.asarray(self._pad_i32(
+                lora_idx if lora_idx is not None else [], bs_pad, fill=-1
+            )),)
+        outs = fn(*args)
+        if want_hidden:
+            ids, self._verify_hidden, self.kv_cache = outs
+        else:
+            ids, self.kv_cache = outs
         return np.asarray(ids)
+
+    # ------------------------------------------------------------------
+    # EAGLE speculative decoding (reference eagle_worker.py:79,511,670)
+    # ------------------------------------------------------------------
+
+    def _eagle_prefill(self, ext, hidden, tq_pad, bs_pad, pt_w, pt):
+        """Draft prefill over the chunk (builds draft KV for the prompt)."""
+        key = ("eagle_prefill", tq_pad, bs_pad, pt_w)
+        if key not in self._fns:
+            draft = self.draft
+            block_q = self.block_q
+
+            def raw(dp, dkv, drope, embed_w, tokens, hidden, positions, slots,
+                    pt, kv_lens, q_lens, qb_base):
+                return draft.extend_hidden(
+                    dp, dkv, drope, embed_w, tokens, hidden, positions, slots,
+                    pt, kv_lens, q_lens, qb_base, block_q=block_q,
+                )
+
+            self._fns[key] = jax.jit(raw, donate_argnums=(1,))
+        TQ = len(ext.tokens)
+        B = len(ext.kv_lens)
+        dtok = self._pad_i32(ext.draft_tokens, tq_pad)
+        dslots = self._pad_i32(ext.draft_slots, tq_pad, fill=PAD_SLOT)
+        pos = self._pad_i32(ext.positions, tq_pad)
+        self.draft_kv = self._fns[key](
+            self.draft_params, self.draft_kv, self.draft_rope,
+            self.params["embed"]["weight"],
+            jnp.asarray(dtok), hidden, jnp.asarray(pos), jnp.asarray(dslots),
+            pt,
+            jnp.asarray(self._pad_i32(ext.draft_kv_lens, bs_pad)),
+            jnp.asarray(self._pad_i32(ext.draft_q_lens, bs_pad)),
+            jnp.asarray(self._pad_i32(ext.qb_base, bs_pad)),
+        )
+
+    @staticmethod
+    def _pad_i32(a, n, fill=0):
+        out = np.full(n, fill, np.int32)
+        out[: len(a)] = a
+        return out
+
+    def eagle_draft_chain(
+        self,
+        row_ids: np.ndarray,  # [B] sampling-state rows (chain-start hidden)
+        t0: np.ndarray,  # [B] newest accepted token
+        fill_len: np.ndarray,  # [B] tokens before the newest one (0 = pad)
+        page_table: np.ndarray,  # [B, *]
+        k: int,  # draft tokens to produce (spec_width - 1)
+    ) -> np.ndarray:
+        """K-step draft chain -> proposed tokens [B, k] (host numpy).
+
+        Step j drafts from draft position fill_len-1+j; the first step's
+        feature is the per-row target hidden (spec_hidden_row), later steps
+        feed the draft's own hidden (EAGLE chain)."""
+        bs = len(t0)
+        bs_pad = pick_bucket(bs, self.decode_bs_buckets)
+        pt_w = pick_bucket(page_table.shape[1], self.pmax_buckets)
+        key = ("eagle_chain", bs_pad, pt_w, k)
+        if key not in self._fns:
+            draft = self.draft
+            ps = self.page_size
+
+            def raw(dp, dkv, drope, embed_w, lm_head_w, hidden_row, rows,
+                    t0, P, pt):
+                h = hidden_row[rows]  # [B, H]
+                ar = jnp.arange(bs_pad)
+
+                def step(carry, j):
+                    h, tok, dkv = carry
+                    pos = P - 1 + j  # draft position
+                    live = P > 0
+                    pos_c = jnp.maximum(pos, 0)
+                    slots = jnp.where(
+                        live,
+                        pt[ar, jnp.minimum(pos_c // ps, pt.shape[1] - 1)] * ps
+                        + pos_c % ps,
+                        PAD_SLOT,
+                    )
+                    lens = jnp.where(live, pos_c + 1, 0)
+                    g, dkv = draft.decode_hidden(
+                        dp, dkv, drope, embed_w, tok, h, pos_c, slots, pt, lens
+                    )
+                    logits = jnp.dot(
+                        g.astype(jnp.bfloat16), lm_head_w,
+                        preferred_element_type=jnp.float32,
+                    )
+                    nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    return (g.astype(jnp.bfloat16), nxt, dkv), nxt
+
+                (_, _, dkv), drafts = jax.lax.scan(
+                    step, (h, t0, dkv), jnp.arange(k)
+                )
+                return drafts.T, dkv  # [B, k]
+
+            self._fns[key] = jax.jit(raw, donate_argnums=(1,))
+        pt = np.zeros((bs_pad, pt_w), np.int32)
+        w = min(page_table.shape[1], pt_w)
+        pt[:bs, :w] = page_table[:, :w]
+        rows = self._pad_rows(row_ids, bs, bs_pad)
+        drafts, self.draft_kv = self._fns[("eagle_chain", bs_pad, pt_w, k)](
+            self.draft_params, self.draft_kv, self.draft_rope,
+            self.params["embed"]["weight"], self.params["lm_head"]["weight"],
+            self.spec_hidden_row, rows,
+            jnp.asarray(self._pad_i32(t0, bs_pad)),
+            jnp.asarray(self._pad_i32(fill_len, bs_pad)),
+            jnp.asarray(pt),
+        )
+        return np.asarray(drafts)[:bs]
+
+    def eagle_commit_fixup(
+        self,
+        ids: np.ndarray,  # [B, QS] verify outputs (greedy)
+        accept: np.ndarray,  # [B] accepted count (>= 1)
+        row_ids: np.ndarray,  # [B]
+        fill_len_old: np.ndarray,  # [B] fill_len at verify dispatch
+        page_table: np.ndarray,
+    ):
+        """Post-verify: (a) commit the last accepted token's target hidden
+        to the per-row buffer (next chain's start feature), (b) re-run the
+        draft over the verify window with TRUE hiddens to repair the chain's
+        provisional draft KV.  Rejected positions write garbage that later
+        rounds overwrite (length-masked meanwhile)."""
+        if self._verify_hidden is None:
+            return
+        bs, qs = ids.shape
+        bs_pad = self._verify_hidden.shape[0]
+        pt_w = pick_bucket(page_table.shape[1], self.pmax_buckets)
+        key = ("eagle_fixup", bs_pad, qs, pt_w)
+        if key not in self._fns:
+            draft = self.draft
+            ps = self.page_size
+
+            def raw(dp, dkv, drope, embed_w, hidden_row, hidden_full, rows,
+                    ids, acc, P0, pt):
+                ar = jnp.arange(bs_pad)
+                hsel = hidden_full[ar, jnp.maximum(acc - 1, 0)]  # [B, H]
+                hidden_row = hidden_row.at[rows].set(
+                    hsel.astype(hidden_row.dtype), mode="drop"
+                )
+                live = P0 > 0
+                positions = P0[:, None] + jnp.arange(qs)[None, :]
+                slots = jnp.where(
+                    live[:, None],
+                    pt[ar[:, None],
+                       jnp.minimum(positions // ps, pt.shape[1] - 1)] * ps
+                    + positions % ps,
+                    PAD_SLOT,
+                )
+                lens = jnp.where(live, P0 + qs, 0)
+                dkv = draft.spec_hidden(
+                    dp, dkv, drope, embed_w, ids, hidden_full, positions,
+                    slots, pt, lens,
+                )
+                return dkv, hidden_row
+
+            self._fns[key] = jax.jit(raw, donate_argnums=(1, 4))
+        pt = np.zeros((bs_pad, pt_w), np.int32)
+        w = min(page_table.shape[1], pt_w)
+        pt[:bs, :w] = page_table[:, :w]
+        ids_p = np.zeros((bs_pad, qs), np.int32)
+        ids_p[:bs] = ids
+        rows = self._pad_rows(row_ids, bs, bs_pad)
+        self.draft_kv, self.spec_hidden_row = self._fns[key](
+            self.draft_params, self.draft_kv, self.draft_rope,
+            self.params["embed"]["weight"], self.spec_hidden_row,
+            self._verify_hidden, rows,
+            jnp.asarray(ids_p),
+            jnp.asarray(self._pad_i32(accept, bs_pad)),
+            jnp.asarray(self._pad_i32(fill_len_old, bs_pad)),
+            jnp.asarray(pt),
+        )
+        self._verify_hidden = None
 
     # ------------------------------------------------------------------
     # weight updates (reference model_runner.py:969-1344 family)

@@ -145,6 +145,18 @@ class LlamaForCausalLM:
             return jax.lax.psum(x, self.tp_axis)
         return x
 
+    def _lora_delta(self, pool, name: str, x: jax.Array, l, lora_idx):
+        """Dense-over-slots LoRA: contract x against every adapter slot and
+        select with the per-token one-hot (idx -1 -> zeros -> exact base
+        output).  Two MXU einsums, no gather — reference role: the batched
+        LoRA sgemm (`lora/triton_ops/sgemm_lora_a.py`)."""
+        p = pool[name]
+        A = jax.lax.dynamic_index_in_dim(p["A"], l, 1, keepdims=False)
+        B = jax.lax.dynamic_index_in_dim(p["B"], l, 1, keepdims=False)
+        oh = jax.nn.one_hot(lora_idx, A.shape[0], dtype=jnp.bfloat16)  # [T, S]
+        z = jnp.einsum("tk,skr,ts->tr", x.astype(jnp.bfloat16), A, oh)
+        return jnp.einsum("tr,srn,ts->tn", z, B, oh)
+
     def _layer(
         self,
         params: Dict[str, Any],
@@ -153,14 +165,18 @@ class LlamaForCausalLM:
         positions: jax.Array,  # [T]
         rope_tab: jax.Array,
         attn_fn,  # (q [T, QH, D], k [T,KVH,D], v, l) -> [T, QH, D] f32
+        lora_idx: Optional[jax.Array] = None,  # [T] adapter slot (-1 = none)
     ) -> jax.Array:
         c = self.config
         lp = params["layers"]
+        lora = params.get("lora") if lora_idx is not None else None
         T = x.shape[0]
         D = self.head_dim
 
         h = rms_norm(x, lp["input_norm"][l], c.rms_norm_eps)
         qkv = linear_apply(self.specs["qkv"], lp["qkv"], h, l)
+        if lora is not None:
+            qkv = qkv + self._lora_delta(lora, "qkv", h, l, lora_idx)
         if "bias" in lp["qkv"]:
             qkv = qkv + lp["qkv"]["bias"][l]
         q, k, v = jnp.split(
@@ -177,18 +193,26 @@ class LlamaForCausalLM:
         attn = attn_fn(q, k, v, l)  # [T, QH, D] f32
         attn = attn.reshape(T, self.qh * D).astype(jnp.bfloat16)
         o = linear_apply(self.specs["o"], lp["o"], attn, l)
+        if lora is not None:
+            o = o + self._lora_delta(lora, "o", attn, l, lora_idx)
         x = x + self._maybe_psum(o.astype(jnp.float32)).astype(x.dtype)
 
         h2 = rms_norm(x, lp["post_norm"][l], c.rms_norm_eps)
-        d = self._mlp(lp, h2, l)
+        d = self._mlp(lp, h2, l, lora=lora, lora_idx=lora_idx)
         x = x + self._maybe_psum(d.astype(jnp.float32)).astype(x.dtype)
         return x
 
-    def _mlp(self, lp: Dict[str, Any], h2: jax.Array, l) -> jax.Array:
+    def _mlp(self, lp: Dict[str, Any], h2: jax.Array, l, lora=None,
+             lora_idx=None) -> jax.Array:
         """Dense SwiGLU MLP; MoE models override (models/mixtral.py)."""
         gu = linear_apply(self.specs["gate_up"], lp["gate_up"], h2, l)
+        if lora is not None:
+            gu = gu + self._lora_delta(lora, "gate_up", h2, l, lora_idx)
         act = silu_and_mul(gu)
-        return linear_apply(self.specs["down"], lp["down"], act, l)
+        d = linear_apply(self.specs["down"], lp["down"], act, l)
+        if lora is not None:
+            d = d + self._lora_delta(lora, "down", act, l, lora_idx)
+        return d
 
     def _logits(self, params, h: jax.Array) -> jax.Array:
         c = self.config
@@ -217,6 +241,7 @@ class LlamaForCausalLM:
         slots: jax.Array,  # [B] int32 flat KV slot for the new token (pad = PAD_SLOT)
         page_table: jax.Array,  # [B, PMAX] int32
         lengths: jax.Array,  # [B] int32 incl. the new token (0 for pads)
+        lora_idx: Optional[jax.Array] = None,  # [B] adapter slots
     ) -> Tuple[jax.Array, jax.Array]:
         """One decode step for a padded batch -> (logits [B, V], kv)."""
         B = tokens.shape[0]
@@ -236,7 +261,8 @@ class LlamaForCausalLM:
                 return out[:, 0]
 
             state = {"kv": kv}
-            x = self._layer(params, x, l, positions, rope_tab, attn)
+            x = self._layer(params, x, l, positions, rope_tab, attn,
+                            lora_idx=lora_idx)
             return (x, state["kv"]), None
 
         (x, kv_cache), _ = jax.lax.scan(
@@ -255,15 +281,19 @@ class LlamaForCausalLM:
         slots: jax.Array,  # [B, QS] contiguous per row (PAD_SLOT rows skipped)
         page_table: jax.Array,  # [B, PMAX]
         lengths: jax.Array,  # [B] TOTAL length incl. all QS tokens (0 = pad)
-    ) -> Tuple[jax.Array, jax.Array]:
+        capture_hidden: bool = False,  # also return pre-final-norm hidden
+        lora_idx: Optional[jax.Array] = None,  # [B] adapter slots
+    ) -> Tuple[jax.Array, ...]:
         """Speculative-decode verify: one step scores QS tokens per sequence
-        -> (logits [B, QS, V], kv).  Reference role: TARGET_VERIFY forward
-        mode (forward_batch_info.py:70) for draft verification."""
+        -> (logits [B, QS, V], kv[, hidden [B, QS, H]]).  Reference role:
+        TARGET_VERIFY forward mode (forward_batch_info.py:70); hidden
+        capture feeds the EAGLE draft (CaptureHiddenMode.FULL role)."""
         B, QS = tokens.shape
         x = params["embed"]["weight"][tokens.reshape(-1)]  # [B*QS, H]
         use_xla_attn = not is_tpu_backend()
         flat_pos = positions.reshape(-1)
         flat_slots = slots.reshape(-1)
+        flat_lora = jnp.repeat(lora_idx, QS) if lora_idx is not None else None
 
         def body(carry, l):
             x, kv = carry
@@ -278,13 +308,17 @@ class LlamaForCausalLM:
                 return out.reshape(B * QS, self.qh, self.head_dim)
 
             state = {"kv": kv}
-            x = self._layer(params, x, l, flat_pos, rope_tab, attn)
+            x = self._layer(params, x, l, flat_pos, rope_tab, attn,
+                            lora_idx=flat_lora)
             return (x, state["kv"]), None
 
         (x, kv_cache), _ = jax.lax.scan(
             body, (x, kv_cache), jnp.arange(self.config.num_layers)
         )
         logits = self._logits(params, x)  # [B*QS, V]
+        if capture_hidden:
+            H = x.shape[-1]
+            return logits.reshape(B, QS, -1), kv_cache, x.reshape(B, QS, H)
         return logits.reshape(B, QS, -1), kv_cache
 
     def extend_step(
@@ -301,9 +335,13 @@ class LlamaForCausalLM:
         qb_base: jax.Array,  # [B] int32 first q block per seq (TQ offset / BQ)
         return_hidden: bool = False,  # embeddings: pooled hidden, skip lm_head
         block_q: int = 128,
-    ) -> Tuple[jax.Array, jax.Array]:
+        capture_hidden: bool = False,  # also return [TQ, H] pre-norm hidden
+        lora_idx: Optional[jax.Array] = None,  # [TQ] adapter slots
+    ) -> Tuple[jax.Array, ...]:
         """Batched (multi-request) chunked-prefill step -> (per-seq last-token
-        logits [B, V] — or normed hidden [B, H] when return_hidden — plus kv).
+        logits [B, V] — or normed hidden [B, H] when return_hidden — plus kv;
+        with capture_hidden additionally the full-sequence pre-final-norm
+        hidden states [TQ, H] for the EAGLE draft).
 
         Reference role: `get_new_batch_prefill` extend batch
         (`scheduler.py:1783`) + `extend_attention.py` ragged qo_indptr batch.
@@ -325,7 +363,8 @@ class LlamaForCausalLM:
                 )
 
             state = {"kv": kv}
-            x = self._layer(params, x, l, positions, rope_tab, attn)
+            x = self._layer(params, x, l, positions, rope_tab, attn,
+                            lora_idx=lora_idx)
             return (x, state["kv"]), None
 
         (x, kv_cache), _ = jax.lax.scan(
@@ -339,4 +378,6 @@ class LlamaForCausalLM:
             h_norm = rms_norm(h_last, params["final_norm"], c.rms_norm_eps)
             return h_norm.astype(jnp.float32), kv_cache
         logits = self._logits(params, h_last)
+        if capture_hidden:
+            return logits, kv_cache, x
         return logits, kv_cache

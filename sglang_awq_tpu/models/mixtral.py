@@ -118,7 +118,9 @@ class MixtralForCausalLM(LlamaForCausalLM):
     # forward
     # ------------------------------------------------------------------
 
-    def _mlp(self, lp: Dict[str, Any], h2: jax.Array, l) -> jax.Array:
+    def _mlp(self, lp: Dict[str, Any], h2: jax.Array, l, lora=None,
+             lora_idx=None) -> jax.Array:
+        del lora, lora_idx  # LoRA-on-MoE: not supported (reference parity)
         c = self.config
         T = h2.shape[0]
         E, K, I = self.num_experts, self.top_k, c.intermediate_size

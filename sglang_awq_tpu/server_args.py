@@ -80,6 +80,13 @@ class ServerArgs:
     # --- speculative / lora / grammar (wired in later phases) ---
     speculative_algorithm: Optional[str] = None
     speculative_num_draft_tokens: int = 4
+    speculative_draft_model_path: Optional[str] = None
+    # LoRA serving: list of name=path adapter specs loaded at startup
+    lora_paths: Optional[List[str]] = None
+    max_loras_per_batch: int = 4
+    max_lora_rank: int = 32
+    # tool-call output format: auto | llama3 | qwen25
+    tool_call_parser: str = "auto"
     grammar_backend: str = "none"
     lora_paths: Optional[List[str]] = None
 

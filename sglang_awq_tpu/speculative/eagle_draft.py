@@ -1,0 +1,330 @@
+"""EAGLE draft model: a shallow llama-style feature predictor.
+
+Role model: reference `python/sglang/srt/models/llama_eagle.py` (draft
+decoder with the first layer's input layernorm removed, fc merging
+[embedding; target hidden] -> hidden) driven by
+`srt/speculative/eagle_worker.py:79` (draft `:511`, verify `:670`).
+
+TPU re-design: the draft is three jittable step shapes mirroring the
+target's (extend / chain-decode / spec-width fixup), all writing into a
+SEPARATE small KV pool that shares the target's page table and slot
+arithmetic (draft pool has the draft's layer count, so it is ~L_target/
+L_draft times smaller).  Draft KV is BEST-EFFORT: rejected-draft and
+stale slots hold garbage that later writes overwrite — a bad draft only
+lowers the acceptance length, never correctness, because every emitted
+token comes from the target's verify pass.
+
+Position convention (EAGLE shift): draft position i consumes
+[target_hidden_i ; embed(token_{i+1})], so the draft sequence is one
+shorter than the target's and "draft length" = target fill_len - 1.
+
+Weight schema (public EAGLE checkpoints): `fc.weight` ([H, 2H] torch
+layout), `layers.{l}.self_attn...` / `layers.{l}.mlp...` (llama names,
+usually without the `model.` prefix), optional `norm.weight`; embeddings
+and lm_head are the TARGET's (shared).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sglang_awq_tpu.configs.model_config import ModelConfig
+from sglang_awq_tpu.layers.activation import silu_and_mul
+from sglang_awq_tpu.layers.linear import LinearSpec, linear_apply
+from sglang_awq_tpu.layers.norm import rms_norm
+from sglang_awq_tpu.layers.rotary import apply_rope
+from sglang_awq_tpu.mem_cache.kv_pool import write_kv
+from sglang_awq_tpu.ops.ragged_attention import (
+    ragged_decode,
+    ragged_decode_xla,
+    ragged_extend,
+    ragged_extend_xla,
+)
+from sglang_awq_tpu.utils import is_tpu_backend
+
+
+@dataclasses.dataclass
+class EagleDraftModel:
+    config: ModelConfig  # the DRAFT's config (num_layers = draft depth)
+    tp_size: int = 1
+    tp_axis: Optional[str] = None
+
+    def __post_init__(self):
+        c = self.config
+        self.qh = c.num_attention_heads // self.tp_size
+        self.kvh = max(c.num_kv_heads // self.tp_size, 1)
+        self.head_dim = c.head_dim
+        self.sm_scale = 1.0 / float(np.sqrt(c.head_dim))
+        q = c.quant_config
+        H = c.hidden_size
+        qkv_n = (self.qh + 2 * self.kvh) * self.head_dim * self.tp_size
+        self.specs: Dict[str, LinearSpec] = {
+            "qkv": LinearSpec.make("qkv", H, qkv_n, q, "column", self.tp_size),
+            "o": LinearSpec.make(
+                "o", self.qh * self.head_dim * self.tp_size, H, q, "row",
+                self.tp_size,
+            ),
+            "gate_up": LinearSpec.make(
+                "gate_up", H, 2 * c.intermediate_size, q, "column", self.tp_size
+            ),
+            "down": LinearSpec.make(
+                "down", c.intermediate_size, H, q, "row", self.tp_size
+            ),
+            # fc merges [embed ; hidden] -> hidden; replicated (tiny)
+            "fc": LinearSpec.make("fc", 2 * H, H, None, None, 1),
+        }
+
+    def param_shapes(self) -> Dict[str, Any]:
+        c = self.config
+        L, H = c.num_layers, c.hidden_size
+        shapes: Dict[str, Any] = {
+            "fc": {"weight": ((2 * H, H), jnp.bfloat16)},
+            "layers": {
+                # layer 0's input norm is SKIPPED in the forward (EAGLE);
+                # keep the array for uniform stacking
+                "input_norm": ((L, H), jnp.float32),
+                "post_norm": ((L, H), jnp.float32),
+            },
+            "final_norm": ((H,), jnp.float32),
+        }
+        for name, spec in self.specs.items():
+            if name == "fc":
+                continue
+            shapes["layers"][name] = spec.param_shapes(L, tp_size=1)
+        return shapes
+
+    def random_params(self, seed: int = 0) -> Dict[str, Any]:
+        """Random draft weights (tests / bench: drafts will be near-chance,
+        which only lowers acceptance, never correctness)."""
+        rng = np.random.default_rng(seed)
+        is_shape = (
+            lambda x: isinstance(x, tuple) and len(x) == 2 and isinstance(x[0], tuple)
+        )
+        out = jax.tree.map(
+            lambda s: jnp.asarray(
+                rng.standard_normal(s[0]) * 0.02, s[1]
+            ),
+            self.param_shapes(),
+            is_leaf=is_shape,
+        )
+        out["layers"]["input_norm"] = jnp.ones_like(out["layers"]["input_norm"])
+        out["layers"]["post_norm"] = jnp.ones_like(out["layers"]["post_norm"])
+        out["final_norm"] = jnp.ones_like(out["final_norm"])
+        return out
+
+    # ------------------------------------------------------------------
+    # forward
+    # ------------------------------------------------------------------
+
+    def _maybe_psum(self, x):
+        if self.tp_axis is not None:
+            return jax.lax.psum(x, self.tp_axis)
+        return x
+
+    def _merge(self, embed_w, tokens, hidden):
+        """fc([embed(tokens) ; hidden]) -> [T, H] bf16."""
+        e = embed_w[tokens].astype(jnp.bfloat16)
+        h = hidden.astype(jnp.bfloat16)
+        x = jnp.concatenate([e, h], axis=-1)
+        return jnp.dot(
+            x, self._fc_weight, preferred_element_type=jnp.float32
+        ).astype(jnp.bfloat16)
+
+    def _layer(self, params, x, l, positions, rope_tab, attn_fn):
+        c = self.config
+        lp = params["layers"]
+        T = x.shape[0]
+        D = self.head_dim
+
+        # EAGLE: layer 0 takes the fc output UN-normalized
+        h = jax.lax.cond(
+            jnp.asarray(l) == 0,
+            lambda: x.astype(jnp.float32),
+            lambda: rms_norm(x, lp["input_norm"][l], c.rms_norm_eps).astype(
+                jnp.float32
+            ),
+        ).astype(x.dtype)
+        qkv = linear_apply(self.specs["qkv"], lp["qkv"], h, l)
+        q, k, v = jnp.split(
+            qkv, [self.qh * D, (self.qh + self.kvh) * D], axis=-1
+        )
+        q = q.reshape(T, self.qh, D)
+        k = k.reshape(T, self.kvh, D)
+        v = v.reshape(T, self.kvh, D)
+        q, k = apply_rope(q, k, positions, rope_tab)
+
+        attn = attn_fn(q, k, v, l)
+        attn = attn.reshape(T, self.qh * D).astype(jnp.bfloat16)
+        o = linear_apply(self.specs["o"], lp["o"], attn, l)
+        x = x + self._maybe_psum(o.astype(jnp.float32)).astype(x.dtype)
+
+        h2 = rms_norm(x, lp["post_norm"][l], c.rms_norm_eps)
+        gu = linear_apply(self.specs["gate_up"], lp["gate_up"], h2, l)
+        act = silu_and_mul(gu)
+        d = linear_apply(self.specs["down"], lp["down"], act, l)
+        x = x + self._maybe_psum(d.astype(jnp.float32)).astype(x.dtype)
+        return x
+
+    def extend_hidden(
+        self,
+        params: Dict[str, Any],
+        kv_cache: jax.Array,
+        rope_tab: jax.Array,
+        embed_w: jax.Array,  # target embedding [V, H]
+        tokens: jax.Array,  # [TQ] SHIFTED tokens (t_{i+1} at draft pos i)
+        hidden: jax.Array,  # [TQ, H] target hidden at draft pos i
+        positions: jax.Array,  # [TQ]
+        slots: jax.Array,  # [TQ] draft-pool slots (PAD_SLOT pads)
+        page_table: jax.Array,  # [B, PMAX]
+        kv_lens: jax.Array,  # [B] draft kv length incl. this chunk
+        q_lens: jax.Array,  # [B]
+        qb_base: jax.Array,  # [B]
+        block_q: int = 128,
+    ) -> jax.Array:
+        """Draft prefill over a (chunk of a) prompt -> updated draft kv."""
+        self._fc_weight = params["fc"]["weight"]
+        x = self._merge(embed_w, tokens, hidden)
+        use_xla = not is_tpu_backend()
+
+        def body(carry, l):
+            x, kv = carry
+
+            def attn(q, k, v, l):
+                st["kv"] = write_kv(st["kv"], k, v, slots, l, mode="prefill")
+                fn = ragged_extend_xla if use_xla else ragged_extend
+                return fn(
+                    q, st["kv"], page_table, kv_lens, q_lens, qb_base, l,
+                    sm_scale=self.sm_scale, block_q=block_q,
+                )
+
+            st = {"kv": kv}
+            x = self._layer(params, x, l, positions, rope_tab, attn)
+            return (x, st["kv"]), None
+
+        (_, kv_cache), _ = jax.lax.scan(
+            body, (x, kv_cache), jnp.arange(self.config.num_layers)
+        )
+        return kv_cache
+
+    def decode_hidden(
+        self,
+        params: Dict[str, Any],
+        kv_cache: jax.Array,
+        rope_tab: jax.Array,
+        embed_w: jax.Array,
+        tokens: jax.Array,  # [B] token t_{i+1}
+        hidden: jax.Array,  # [B, H] hidden at draft position i
+        positions: jax.Array,  # [B] draft position i
+        slots: jax.Array,  # [B]
+        page_table: jax.Array,
+        lengths: jax.Array,  # [B] draft length incl. this position
+    ) -> Tuple[jax.Array, jax.Array]:
+        """One draft chain step -> (draft hidden [B, H] f32, kv)."""
+        self._fc_weight = params["fc"]["weight"]
+        x = self._merge(embed_w, tokens, hidden)
+        use_xla = not is_tpu_backend()
+
+        def body(carry, l):
+            x, kv = carry
+
+            def attn(q, k, v, l):
+                st["kv"] = write_kv(st["kv"], k, v, slots, l, mode="decode")
+                fn = ragged_decode_xla if use_xla else ragged_decode
+                out = fn(
+                    q[:, None], st["kv"], page_table, lengths, l,
+                    sm_scale=self.sm_scale,
+                )
+                return out[:, 0]
+
+            st = {"kv": kv}
+            x = self._layer(params, x, l, positions, rope_tab, attn)
+            return (x, st["kv"]), None
+
+        (x, kv_cache), _ = jax.lax.scan(
+            body, (x, kv_cache), jnp.arange(self.config.num_layers)
+        )
+        h = rms_norm(x, params["final_norm"], self.config.rms_norm_eps)
+        return h.astype(jnp.float32), kv_cache
+
+    def spec_hidden(
+        self,
+        params: Dict[str, Any],
+        kv_cache: jax.Array,
+        rope_tab: jax.Array,
+        embed_w: jax.Array,
+        tokens: jax.Array,  # [B, QS] shifted tokens
+        hidden: jax.Array,  # [B, QS, H] target hidden per position
+        positions: jax.Array,  # [B, QS]
+        slots: jax.Array,  # [B, QS]
+        page_table: jax.Array,
+        lengths: jax.Array,  # [B] draft length incl. all QS positions
+    ) -> jax.Array:
+        """Post-verify fixup: re-run the draft over the verify window with
+        TRUE target hiddens, repairing the chain's provisional KV -> kv."""
+        B, QS = tokens.shape
+        self._fc_weight = params["fc"]["weight"]
+        x = self._merge(
+            embed_w, tokens.reshape(-1), hidden.reshape(B * QS, -1)
+        )
+        flat_pos = positions.reshape(-1)
+        flat_slots = slots.reshape(-1)
+        use_xla = not is_tpu_backend()
+
+        def body(carry, l):
+            x, kv = carry
+
+            def attn(q, k, v, l):
+                st["kv"] = write_kv(st["kv"], k, v, flat_slots, l, mode="spec")
+                qs = q.reshape(B, QS, self.qh, self.head_dim)
+                fn = ragged_decode_xla if use_xla else ragged_decode
+                out = fn(
+                    qs, st["kv"], page_table, lengths, l, sm_scale=self.sm_scale
+                )
+                return out.reshape(B * QS, self.qh, self.head_dim)
+
+            st = {"kv": kv}
+            x = self._layer(params, x, l, flat_pos, rope_tab, attn)
+            return (x, st["kv"]), None
+
+        (_, kv_cache), _ = jax.lax.scan(
+            body, (x, kv_cache), jnp.arange(self.config.num_layers)
+        )
+        return kv_cache
+
+
+def load_draft_params(model: EagleDraftModel, tensors: Dict[str, np.ndarray]):
+    """Flat EAGLE-named tensors -> stacked draft param pytree.
+
+    Accepts both `layers.0...` (public EAGLE) and `model.layers.0...`
+    naming; `norm.weight` is optional (identity when absent)."""
+    from sglang_awq_tpu.model_loader.loader import load_params_from_tensors
+
+    # normalize to the llama schema the shared loader expects
+    t = {}
+    H = model.config.hidden_size
+    for k, v in tensors.items():
+        k2 = k
+        if k2.startswith("model."):
+            k2 = k2[len("model."):]
+        if k2.startswith("layers."):
+            t["model." + k2] = v
+        elif k2 in ("norm.weight",):
+            t["model.norm.weight"] = v
+        elif k2 in ("fc.weight", "fc.bias", "embed_tokens.weight",
+                    "lm_head.weight"):
+            t[k2] = v
+    if "model.norm.weight" not in t:
+        t["model.norm.weight"] = np.ones(H, np.float32)
+    # loader requires embed/lm_head; draft shares the target's — dummies
+    t.setdefault("model.embed_tokens.weight", np.zeros((1, H), np.float32))
+    t.setdefault("lm_head.weight", np.zeros((1, H), np.float32))
+    params = load_params_from_tensors(model, t)
+    del params["embed"], params["lm_head"]
+    fc = t["fc.weight"]
+    params["fc"] = {"weight": jnp.asarray(fc.T, jnp.bfloat16)}  # [2H, H]
+    return params

@@ -89,3 +89,120 @@ def test_cpp_ngram_parity():
     cc.update(seq)
     for ctx in ([9, 1, 2], [2, 3], [7, 8], [3, 1]):
         assert cc.draft(ctx, 4) == py.draft(ctx, 4), ctx
+
+
+# ---------------------------------------------------------------------------
+# EAGLE
+# ---------------------------------------------------------------------------
+
+
+def _tiny_draft_tensors(seed=7):
+    """Random EAGLE-named draft weights (public checkpoint schema):
+    fc.weight [H, 2H] torch layout + one llama layer, no final norm."""
+    rng = np.random.default_rng(seed)
+    H = TINY_LLAMA_CFG["hidden_size"]
+    I = TINY_LLAMA_CFG["intermediate_size"]
+    nh = TINY_LLAMA_CFG["num_attention_heads"]
+    nkv = TINY_LLAMA_CFG["num_key_value_heads"]
+    hd = H // nh
+
+    def w(*shape):
+        return (rng.standard_normal(shape) * 0.02).astype(np.float32)
+
+    t = {
+        "fc.weight": w(H, 2 * H),
+        "layers.0.self_attn.q_proj.weight": w(nh * hd, H),
+        "layers.0.self_attn.k_proj.weight": w(nkv * hd, H),
+        "layers.0.self_attn.v_proj.weight": w(nkv * hd, H),
+        "layers.0.self_attn.o_proj.weight": w(H, nh * hd),
+        "layers.0.mlp.gate_proj.weight": w(I, H),
+        "layers.0.mlp.up_proj.weight": w(I, H),
+        "layers.0.mlp.down_proj.weight": w(H, I),
+        "layers.0.input_layernorm.weight": np.ones(H, np.float32),
+        "layers.0.post_attention_layernorm.weight": np.ones(H, np.float32),
+    }
+    return t
+
+
+def _draft_config():
+    cfg = dict(TINY_LLAMA_CFG, num_hidden_layers=1)
+    return ModelConfig(model_path="", hf_config=cfg)
+
+
+def _make_eagle_engine(eagle: bool, chunked=64):
+    _, tensors = tiny_hf_model_and_tensors()
+    mc = ModelConfig(model_path="", hf_config=dict(TINY_LLAMA_CFG))
+    sa = ServerArgs(
+        model_path="tiny",
+        page_size=8,
+        max_total_tokens=2048,
+        chunked_prefill_size=chunked,
+        speculative_algorithm="eagle" if eagle else None,
+        speculative_num_draft_tokens=4,
+    )
+    kw = {}
+    if eagle:
+        kw = dict(draft_config=_draft_config(),
+                  draft_tensors=_tiny_draft_tensors())
+    return Engine(server_args=sa, model_config=mc, tensors=tensors,
+                  tokenizer=None, **kw)
+
+
+def test_eagle_matches_plain_greedy():
+    """A RANDOM draft must not change greedy outputs (verify is lossless);
+    exercises draft prefill, chain, verify, fixup end to end."""
+    rng = np.random.default_rng(1)
+    prompt = rng.integers(3, 500, 23).tolist()
+    sp = {"max_new_tokens": 16, "temperature": 0.0, "ignore_eos": True}
+
+    eng_plain = _make_eagle_engine(False)
+    try:
+        ref = eng_plain.generate(input_ids=prompt, sampling_params=dict(sp))[
+            "output_ids"]
+    finally:
+        eng_plain.shutdown()
+
+    eng = _make_eagle_engine(True)
+    try:
+        out = eng.generate(input_ids=prompt, sampling_params=dict(sp))[
+            "output_ids"]
+        assert eng.scheduler.spec_steps > 0
+    finally:
+        eng.shutdown()
+    assert out == ref, (out, ref)
+
+
+def test_eagle_chunked_prefill_and_concurrency():
+    """Chunked draft prefill (shifted tokens across chunk boundaries) and
+    two concurrent requests through the spec path."""
+    import threading
+
+    rng = np.random.default_rng(2)
+    prompts = [rng.integers(3, 500, 70).tolist(),
+               rng.integers(3, 500, 41).tolist()]
+    sp = {"max_new_tokens": 10, "temperature": 0.0, "ignore_eos": True}
+
+    eng_plain = _make_eagle_engine(False, chunked=32)
+    try:
+        refs = [eng_plain.generate(input_ids=p, sampling_params=dict(sp))[
+            "output_ids"] for p in prompts]
+    finally:
+        eng_plain.shutdown()
+
+    eng = _make_eagle_engine(True, chunked=32)
+    try:
+        results = [None, None]
+
+        def run(i):
+            results[i] = eng.generate(
+                input_ids=prompts[i], sampling_params=dict(sp))["output_ids"]
+
+        ts = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=180)
+    finally:
+        eng.shutdown()
+    assert results[0] == refs[0], (results[0], refs[0])
+    assert results[1] == refs[1], (results[1], refs[1])
