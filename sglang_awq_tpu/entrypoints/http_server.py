@@ -168,6 +168,7 @@ class HttpServer:
             rid=body.get("rid"),
             stream=bool(body.get("stream", False)),
             return_logprob=bool(body.get("return_logprob", False)),
+            logprob_start_len=int(body.get("logprob_start_len", -1)),
             session_params=body.get("session_params"),
         )
         state = self._submit(gin)
@@ -304,6 +305,42 @@ class HttpServer:
             }
         )
 
+    def _completion_logprobs(self, o: dict, req, first_token=None) -> Optional[dict]:
+        """OpenAI completions `logprobs` block: output tokens (+ prompt
+        tokens when echo) with per-token logprob and top alternatives."""
+        if req.logprobs is None:
+            return None
+        mi = o["meta_info"]
+        tok = self.engine.tokenizer_manager.tokenizer
+        dec = (lambda t: tok.decode([t])) if tok is not None else str
+        tokens, token_logprobs, top_logprobs = [], [], []
+        if req.echo and mi.get("input_token_logprobs") is not None:
+            # first prompt token has no prefix -> null logprob
+            tokens.append(dec(first_token) if first_token is not None else "")
+            token_logprobs.append(None)
+            top_logprobs.append(None)
+            in_tops = mi.get("input_top_logprobs") or []
+            for j, (lp, t) in enumerate(mi["input_token_logprobs"]):
+                tokens.append(dec(t))
+                token_logprobs.append(lp)
+                top_logprobs.append(
+                    {dec(k): v for k, v in in_tops[j].items()}
+                    if j < len(in_tops) else None
+                )
+        for j, (lp, t, _) in enumerate(mi.get("output_token_logprobs") or []):
+            tokens.append(dec(t))
+            token_logprobs.append(lp)
+            tops = (mi.get("output_top_logprobs") or [])
+            top_logprobs.append(
+                {dec(k): v for k, v in tops[j].items()} if j < len(tops) else None
+            )
+        return {
+            "tokens": tokens,
+            "token_logprobs": token_logprobs,
+            "top_logprobs": top_logprobs,
+            "text_offset": [0] * len(tokens),
+        }
+
     async def v1_completions(self, request: web.Request) -> web.StreamResponse:
         try:
             req = CompletionRequest(**await request.json())
@@ -336,6 +373,13 @@ class HttpServer:
                 outs[0]["meta_info"]["prompt_tokens"],
                 sum(o["meta_info"]["completion_tokens"] for o in outs),
             )
+            first_tok = None
+            if req.echo and req.logprobs is not None:
+                ids0 = gin_kwargs.get("input_ids")
+                tok = self.engine.tokenizer_manager.tokenizer
+                if ids0 is None and tok is not None:
+                    ids0 = tok.encode(gin_kwargs.get("text", ""))
+                first_tok = ids0[0] if ids0 else None
             echo = prompt if (req.echo and isinstance(prompt, str)) else ""
             resp = completion_response(
                 outs[0]["rid"], model, outs[0]["text"],
@@ -346,7 +390,7 @@ class HttpServer:
                 {
                     "index": i,
                     "text": echo + o["text"],
-                    "logprobs": None,
+                    "logprobs": self._completion_logprobs(o, req, first_tok),
                     "finish_reason": (o["meta_info"]["finish_reason"] or {}).get("type", "stop"),
                 }
                 for i, o in enumerate(outs)
@@ -403,13 +447,7 @@ class HttpServer:
                 usage,
             )
             resp["choices"] = [
-                {
-                    "index": i,
-                    "message": {"role": "assistant", "content": o["text"]},
-                    "logprobs": None,
-                    "finish_reason": (o["meta_info"]["finish_reason"] or {}).get("type", "stop"),
-                }
-                for i, o in enumerate(outs)
+                self._chat_choice(i, o, req) for i, o in enumerate(outs)
             ]
             return web.json_response(resp)
 
@@ -444,24 +482,89 @@ class HttpServer:
         await resp.write_eof()
         return resp
 
+    def _chat_choice(self, i: int, o: dict, req) -> dict:
+        """One chat.completion choice; extracts tool calls when requested
+        (reference srt/function_call detectors role)."""
+        text = o["text"]
+        fr = (o["meta_info"]["finish_reason"] or {}).get("type", "stop")
+        message: Dict[str, Any] = {"role": "assistant", "content": text}
+        if req.tools and req.tool_choice != "none":
+            from sglang_awq_tpu.function_call.parser import FunctionCallParser
+
+            parser = FunctionCallParser(
+                req.tools, self.engine.server_args.tool_call_parser
+            )
+            calls, normal = parser.parse(text)
+            if calls:
+                message["content"] = normal or None
+                message["tool_calls"] = [
+                    {
+                        "id": f"call_{uuid.uuid4().hex[:12]}",
+                        "type": "function",
+                        "function": {"name": c.name, "arguments": c.arguments},
+                    }
+                    for c in calls
+                ]
+                fr = "tool_calls"
+        return {
+            "index": i,
+            "message": message,
+            "logprobs": None,
+            "finish_reason": fr,
+        }
+
     def _chat_to_gin(self, req: ChatCompletionRequest) -> GenerateReqInput:
         tok = self.engine.tokenizer_manager.tokenizer
         messages = [{"role": m.role, "content": m.text()} for m in req.messages]
-        if tok is not None and getattr(tok, "chat_template", None):
-            ids = tok.apply_chat_template(
-                messages, tokenize=True, add_generation_prompt=True
+        sp = req.to_sampling_params()
+
+        # --- tools: prompt injection + (optionally) grammar-forced calls ---
+        if req.tools:
+            from sglang_awq_tpu.function_call.parser import (
+                forced_call_schema,
+                tools_system_text,
             )
+
+            forced = forced_call_schema(req.tools, req.tool_choice)
+            if forced is not None:
+                sp["json_schema"] = forced
+            if req.tool_choice != "none":
+                messages = [
+                    {"role": "system", "content": tools_system_text(req.tools)}
+                ] + messages
+
+        # --- response_format (OpenAI structured outputs) ---
+        rf = req.response_format or {}
+        if rf.get("type") == "json_schema":
+            import json as _json
+
+            schema = (rf.get("json_schema") or {}).get("schema")
+            if schema is not None:
+                sp["json_schema"] = _json.dumps(schema)
+        elif rf.get("type") == "json_object":
+            sp.setdefault(
+                "json_schema", '{"type": "object", "properties": {}}'
+            )
+
+        if tok is not None and getattr(tok, "chat_template", None):
+            try:
+                ids = tok.apply_chat_template(
+                    messages, tokenize=True, add_generation_prompt=True,
+                    tools=req.tools if req.tools else None,
+                )
+            except TypeError:  # template without tools support
+                ids = tok.apply_chat_template(
+                    messages, tokenize=True, add_generation_prompt=True
+                )
             return GenerateReqInput(
-                input_ids=list(ids),
-                sampling_params=req.to_sampling_params(),
-                stream=req.stream,
+                input_ids=list(ids), sampling_params=sp, stream=req.stream,
             )
         # no template: simple role-tagged concatenation
         text = (
             "".join(f"{m['role']}: {m['content']}\n" for m in messages) + "assistant:"
         )
         return GenerateReqInput(
-            text=text, sampling_params=req.to_sampling_params(), stream=req.stream
+            text=text, sampling_params=sp, stream=req.stream
         )
 
     def _openai_error(self, message: str, status: int = 400) -> web.Response:

@@ -38,7 +38,7 @@ class CompletionRequest(BaseModel):
     user: Optional[str] = None
 
     def to_sampling_params(self) -> Dict[str, Any]:
-        return dict(
+        sp = dict(
             max_new_tokens=self.max_tokens,
             min_new_tokens=self.min_tokens,
             temperature=self.temperature,
@@ -55,6 +55,12 @@ class CompletionRequest(BaseModel):
             seed=self.seed,
             n=self.n,
         )
+        if self.logprobs is not None:
+            sp["return_logprob"] = True
+            sp["top_logprobs_num"] = int(self.logprobs)
+            if self.echo:  # prompt tokens need logprobs too
+                sp["logprob_start_len"] = 0
+        return sp
 
 
 class ChatMessage(BaseModel):
@@ -96,6 +102,10 @@ class ChatCompletionRequest(BaseModel):
     logprobs: bool = False
     top_logprobs: Optional[int] = None
     user: Optional[str] = None
+    tools: Optional[List[Dict[str, Any]]] = None
+    tool_choice: Union[str, Dict[str, Any], None] = "auto"
+    # structured outputs (OpenAI response_format json_schema subset)
+    response_format: Optional[Dict[str, Any]] = None
 
     def to_sampling_params(self) -> Dict[str, Any]:
         return dict(

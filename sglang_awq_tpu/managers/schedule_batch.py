@@ -59,6 +59,9 @@ class Req:
         self.embedding = None  # List[float] result for embedding reqs
         self.output_token_logprobs: List[float] = []
         self.output_top_logprobs: List[Dict[int, float]] = []
+        # (logprob, token_id) per scored prompt token (input logprobs)
+        self.input_token_logprobs: List = []
+        self.input_top_logprobs: List = []
         self.finish_info: Optional[FinishInfo] = None
 
         # --- KV state (pages granularity) ---
@@ -107,6 +110,11 @@ class Req:
     @property
     def max_new_tokens(self) -> int:
         return self.sampling_params.max_new_tokens
+
+    @property
+    def wants_input_lp(self) -> bool:
+        sp = self.sampling_params
+        return sp.return_logprob and sp.logprob_start_len >= 0
 
     @property
     def remaining_new_tokens(self) -> int:

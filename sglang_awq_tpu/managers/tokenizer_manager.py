@@ -36,6 +36,7 @@ class GenerateReqInput:
     rid: Optional[str] = None
     stream: bool = False
     return_logprob: bool = False
+    logprob_start_len: int = -1  # >= 0: also score prompt tokens from here
     session_params: Optional[Dict[str, Any]] = None  # {"id": session_id}
     is_embedding: bool = False
 
@@ -120,6 +121,9 @@ class TokenizerManager:
         # it from sampling_params, so fold it in here
         if gin.return_logprob:
             sp.return_logprob = True
+        if gin.logprob_start_len >= 0:
+            sp.return_logprob = True
+            sp.logprob_start_len = gin.logprob_start_len
         if gin.input_ids is not None:
             ids = list(gin.input_ids)
         else:
@@ -231,6 +235,10 @@ class TokenizerManager:
                 "cached_tokens": out.cached_tokens,
                 "output_token_logprobs": list(state.token_logprobs) or None,
                 "output_top_logprobs": list(state.top_logprobs) or None,
+                "input_token_logprobs": getattr(
+                    out, "input_token_logprobs", None
+                ),
+                "input_top_logprobs": getattr(out, "input_top_logprobs", None),
                 "finish_reason": (
                     {"type": finish_reason, "matched": matched_stop}
                     if emit_finish

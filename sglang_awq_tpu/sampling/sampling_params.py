@@ -38,6 +38,11 @@ class SamplingParams:
     # logprobs
     return_logprob: bool = False
     top_logprobs_num: int = 0
+    # >= 0: also return input (prompt) token logprobs from this prompt
+    # index on (reference logprob_start_len; OpenAI completions echo)
+    logprob_start_len: int = -1
+    # LoRA adapter name for this request (must be registered at the server)
+    lora_path: Optional[str] = None
     n: int = 1
 
     def __post_init__(self):

@@ -32,7 +32,10 @@ def server_url():
     from aiohttp import web
 
     _, tensors = tiny_hf_model_and_tensors()
-    mc = ModelConfig(model_path="", hf_config=dict(TINY_LLAMA_CFG))
+    # context 1024 > max_position_embeddings: roomy enough for tool-schema
+    # system prompts under the byte tokenizer (1 char = 1 token)
+    mc = ModelConfig(model_path="", hf_config=dict(TINY_LLAMA_CFG),
+                     context_length=1024)
     sa = ServerArgs(
         model_path="tiny",
         page_size=8,
@@ -410,3 +413,133 @@ def test_api_key_auth():
     finally:
         engine.shutdown()
         loop.call_soon_threadsafe(loop.stop)
+
+
+def test_v1_completions_echo_logprobs(server_url):
+    """OpenAI completions with echo + logprobs: prompt AND output tokens
+    carry logprobs (reference echo+logprobs surface)."""
+    prompt = "The quick brown fox"
+    r = httpx.post(
+        f"{server_url}/v1/completions",
+        json={
+            "model": "tiny",
+            "prompt": prompt,
+            "max_tokens": 4,
+            "temperature": 0.0,
+            "ignore_eos": True,
+            "echo": True,
+            "logprobs": 2,
+        },
+        timeout=120,
+    )
+    out = r.json()
+    ch = out["choices"][0]
+    assert ch["text"].startswith(prompt)
+    lp = ch["logprobs"]
+    assert lp is not None
+    n_prompt = out["usage"]["prompt_tokens"]
+    assert len(lp["tokens"]) == n_prompt + 4
+    assert lp["token_logprobs"][0] is None  # first prompt token: no prefix
+    assert all(v is not None and v <= 0.0 for v in lp["token_logprobs"][1:])
+    # decoded-text keys may collide (two ids, same text), so 1..2 entries
+    assert all(t is None or 1 <= len(t) <= 2 for t in lp["top_logprobs"])
+
+
+def test_v1_completions_logprobs_no_echo(server_url):
+    r = httpx.post(
+        f"{server_url}/v1/completions",
+        json={
+            "model": "tiny",
+            "prompt": "hello there",
+            "max_tokens": 3,
+            "temperature": 0.0,
+            "ignore_eos": True,
+            "logprobs": 1,
+        },
+        timeout=120,
+    )
+    lp = r.json()["choices"][0]["logprobs"]
+    assert lp is not None and len(lp["tokens"]) == 3
+    assert all(v <= 0.0 for v in lp["token_logprobs"])
+
+
+def test_run_eval_harness(server_url):
+    """run_eval pipeline smoke: both evals run against the live server with
+    the synthetic set and produce a score dict (accuracy meaningless on the
+    tiny random model — the reference floors need a real checkpoint)."""
+    from sglang_awq_tpu.run_eval import main as run_eval_main
+
+    host, port = server_url.rsplit("//", 1)[1].split(":")
+    for name in ("mmlu", "gsm8k"):
+        res = run_eval_main([
+            "--eval-name", name, "--data-path", "synthetic",
+            "--host", host, "--port", port,
+            "--num-questions", "2", "--max-tokens", "16", "--parallel", "2",
+            "--num-shots", "2",
+        ])
+        assert res["eval"] == name
+        assert 0.0 <= res["score"] <= 1.0
+        assert res["n"] == 2
+
+
+def test_chat_tools_forced_call(server_url):
+    """tool_choice='required' grammar-forces a parseable call even from the
+    tiny random model; the response carries tool_calls + finish_reason."""
+    tools = [{
+        "type": "function",
+        "function": {
+            "name": "add",
+            "parameters": {
+                "type": "object",
+                "properties": {"a": {"enum": [1, 2, 3]},
+                               "b": {"enum": [1, 2, 3]}},
+                "required": ["a", "b"],
+            },
+        },
+    }]
+    r = httpx.post(
+        f"{server_url}/v1/chat/completions",
+        json={
+            "model": "tiny",
+            "messages": [{"role": "user", "content": "add two and three"}],
+            "max_tokens": 64,
+            "temperature": 0.0,
+            "tools": tools,
+            "tool_choice": "required",
+        },
+        timeout=180,
+    )
+    out = r.json()
+    ch = out["choices"][0]
+    assert ch["finish_reason"] == "tool_calls", ch
+    tc = ch["message"]["tool_calls"]
+    assert tc[0]["function"]["name"] == "add"
+    args = json.loads(tc[0]["function"]["arguments"])
+    assert set(args) <= {"a", "b"}
+
+
+def test_chat_response_format_json_schema(server_url):
+    r = httpx.post(
+        f"{server_url}/v1/chat/completions",
+        json={
+            "model": "tiny",
+            "messages": [{"role": "user", "content": "give me json"}],
+            "max_tokens": 64,
+            "temperature": 0.0,
+            "response_format": {
+                "type": "json_schema",
+                "json_schema": {
+                    "name": "t",
+                    "schema": {
+                        "type": "object",
+                        "properties": {"x": {"type": "integer"}},
+                        "required": ["x"],
+                    },
+                },
+            },
+        },
+        timeout=180,
+    )
+    content = r.json()["choices"][0]["message"]["content"]
+    obj = json.loads(content)
+    assert isinstance(obj.get("x"), int)

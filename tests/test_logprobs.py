@@ -73,3 +73,55 @@ def test_penalties_applied(eng):
     assert plain != pen
     # and produce strictly more distinct tokens
     assert len(set(pen)) >= len(set(plain))
+
+
+def test_input_logprobs_match_hf():
+    """logprob_start_len=0 returns prompt-token logprobs matching HF's
+    shifted log-softmax (reference extend-token logprobs,
+    logits_processor.py:233); exercises chunked prefill stitching."""
+    import torch
+
+    hf, tensors = tiny_hf_model_and_tensors()
+    mc = ModelConfig(model_path="", hf_config=dict(TINY_LLAMA_CFG))
+    sa = ServerArgs(model_path="tiny", page_size=8, max_total_tokens=1024,
+                    chunked_prefill_size=32)
+    e = Engine(server_args=sa, model_config=mc, tensors=tensors, tokenizer=None)
+    try:
+        rng = np.random.default_rng(3)
+        prompt = rng.integers(3, 500, 45).tolist()  # > 1 chunk of 32
+        out = e.generate(
+            input_ids=prompt,
+            sampling_params={
+                "max_new_tokens": 2, "temperature": 0.0, "ignore_eos": True,
+                "return_logprob": True, "logprob_start_len": 0,
+                "top_logprobs_num": 2,
+            },
+        )
+        in_lps = out["meta_info"]["input_token_logprobs"]
+        assert in_lps is not None
+        # tokens 1..T-1 scored (token 0 has no prefix)
+        assert len(in_lps) == len(prompt) - 1
+        with torch.no_grad():
+            logits = hf(torch.tensor([prompt])).logits[0].float()
+        ref_lp = torch.log_softmax(logits, dim=-1)
+        for i, (lp, tok) in enumerate(in_lps):
+            assert tok == prompt[i + 1]
+            ref = float(ref_lp[i, prompt[i + 1]])
+            assert abs(lp - ref) < 0.05, (i, lp, ref)
+        tops = out["meta_info"]["input_top_logprobs"]
+        assert tops is not None and len(tops) == len(in_lps)
+        assert all(len(t) == 2 for t in tops)
+
+        # start_len mid-prompt restricts the scored range
+        out2 = e.generate(
+            input_ids=prompt,
+            sampling_params={
+                "max_new_tokens": 1, "temperature": 0.0, "ignore_eos": True,
+                "return_logprob": True, "logprob_start_len": 20,
+            },
+        )
+        in2 = out2["meta_info"]["input_token_logprobs"]
+        assert len(in2) == len(prompt) - 21
+        assert in2[0][1] == prompt[21]
+    finally:
+        e.shutdown()
