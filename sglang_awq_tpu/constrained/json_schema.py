@@ -14,8 +14,11 @@ from typing import Any, Dict
 
 WS = r"[ \n\t]{0,2}"  # bounded: unbounded ws lets a greedy model loop on whitespace
 STRING_RE = r'"[^"\\\x00-\x1f]*"'
-INT_RE = r"-?(0|[1-9]\d*)"
-NUM_RE = r"-?(0|[1-9]\d*)(\.\d+)?([eE][+-]?\d+)?"
+# digit runs are BOUNDED so a grammar-masked greedy decode must eventually
+# close the value (an unbounded \d* lets a looping model burn its budget on
+# one integer); 15 digits covers every int53
+INT_RE = r"-?(0|[1-9]\d{0,14})"
+NUM_RE = r"-?(0|[1-9]\d{0,14})(\.\d{1,15})?([eE][+-]?\d{1,3})?"
 BOOL_RE = r"(true|false)"
 NULL_RE = r"null"
 
@@ -27,6 +30,8 @@ def _lit(value: Any) -> str:
 def schema_to_regex(schema: Dict[str, Any]) -> str:
     if not isinstance(schema, dict):
         raise ValueError("schema must be an object")
+    if "const" in schema:
+        return _lit(schema["const"])
     if "enum" in schema:
         return "(" + "|".join(_lit(v) for v in schema["enum"]) + ")"
     if "anyOf" in schema:

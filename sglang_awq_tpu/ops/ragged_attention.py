@@ -282,6 +282,10 @@ def ragged_decode(
     _ppc_env = _os.environ.get("SGLT_DECODE_PPC")
     if _ppc_env:
         pages_per_chunk = int(_ppc_env)
+    elif pages_per_chunk == 8 and kv_cache.shape[2] * 8 > 128:
+        # measured sweet spot on v5e: ~128-token chunks (256 KB bf16 faces);
+        # larger chunks lengthen the DMA critical path, smaller ones starve it
+        pages_per_chunk = max(1, 128 // kv_cache.shape[2])
     L, P, ps, fc, Xr = kv_cache.shape
     if raw_layout:
         B, KVH_, R_, D = q.shape
