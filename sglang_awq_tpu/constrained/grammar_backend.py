@@ -170,6 +170,10 @@ def compile_grammar(
 
         schema = _json.loads(spec) if isinstance(spec, str) else spec
         pattern = schema_to_regex(schema)
+    elif kind == "ebnf":
+        from sglang_awq_tpu.constrained.ebnf import ebnf_to_regex
+
+        pattern = ebnf_to_regex(spec)
     else:
         raise ValueError(f"unsupported grammar kind {kind!r}")
     dfa = compile_regex(pattern)

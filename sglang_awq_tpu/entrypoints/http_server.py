@@ -457,8 +457,20 @@ class HttpServer:
         await resp.prepare(request)
         rid = uuid.uuid4().hex
         first = True
+        rparser = None
+        if self.engine.server_args.reasoning_parser:
+            from sglang_awq_tpu.parser import ReasoningParser
+
+            rparser = ReasoningParser(self.engine.server_args.reasoning_parser)
         async for chunk in self._iter_chunks(state):
             delta: Dict[str, Any] = {"content": chunk["delta"]}
+            if rparser is not None:
+                r_delta, c_delta = rparser.parse_stream_chunk(chunk["delta"])
+                delta = {}
+                if r_delta:
+                    delta["reasoning_content"] = r_delta
+                if c_delta or not r_delta:
+                    delta["content"] = c_delta
             if first:
                 delta["role"] = "assistant"
                 first = False
@@ -488,6 +500,15 @@ class HttpServer:
         text = o["text"]
         fr = (o["meta_info"]["finish_reason"] or {}).get("type", "stop")
         message: Dict[str, Any] = {"role": "assistant", "content": text}
+        if self.engine.server_args.reasoning_parser:
+            from sglang_awq_tpu.parser import ReasoningParser
+
+            rp = ReasoningParser(self.engine.server_args.reasoning_parser)
+            reasoning, content = rp.parse(text)
+            message["content"] = content
+            if reasoning is not None:
+                message["reasoning_content"] = reasoning
+            text = content
         if req.tools and req.tool_choice != "none":
             from sglang_awq_tpu.function_call.parser import FunctionCallParser
 

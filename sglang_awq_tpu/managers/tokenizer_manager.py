@@ -150,14 +150,17 @@ class TokenizerManager:
             stream=gin.stream,
             eos_token_ids=self.eos_token_ids,
         )
-        if sp.regex or sp.json_schema:
+        if sp.regex or sp.json_schema or sp.ebnf:
             if self.tokenizer is None:
                 raise ValueError("structured output requires a tokenizer")
             from sglang_awq_tpu.constrained import GrammarMatcher, compile_grammar
 
-            kind, spec_src = (
-                ("regex", sp.regex) if sp.regex else ("json_schema", sp.json_schema)
-            )
+            if sp.regex:
+                kind, spec_src = "regex", sp.regex
+            elif sp.json_schema:
+                kind, spec_src = "json_schema", sp.json_schema
+            else:
+                kind, spec_src = "ebnf", sp.ebnf
             compiled = compile_grammar(
                 kind, spec_src, self.tokenizer, self.vocab_size, self.eos_token_ids
             )

@@ -87,6 +87,8 @@ class ServerArgs:
     max_lora_rank: int = 32
     # tool-call output format: auto | llama3 | qwen25
     tool_call_parser: str = "auto"
+    # separate <think> reasoning from content: deepseek-r1 | qwen3 | glm45
+    reasoning_parser: Optional[str] = None
     grammar_backend: str = "none"
     lora_paths: Optional[List[str]] = None
 

@@ -128,3 +128,44 @@ def test_engine_regex_with_sampling(eng):
         },
     )
     assert _re.fullmatch(r"[abc]{3}", out["text"]), out["text"]
+
+
+# ---------------------------------------------------------------------------
+# EBNF
+# ---------------------------------------------------------------------------
+
+
+def test_ebnf_to_regex_basics():
+    from sglang_awq_tpu.constrained.ebnf import ebnf_to_regex
+
+    g = '''
+    root  ::= answer ("," ws answer){0,2}
+    answer ::= "yes" | "no" | maybe
+    maybe ::= "maybe" ws digit+
+    ws    ::= [ \\t]
+    digit ::= [0-9]
+    '''
+    rx = ebnf_to_regex(g)
+    assert _re.fullmatch(rx, "yes")
+    assert _re.fullmatch(rx, "maybe 42")
+    assert _re.fullmatch(rx, "yes, no")
+    assert not _re.fullmatch(rx, "dunno")
+
+
+def test_ebnf_rejects_recursion():
+    from sglang_awq_tpu.constrained.ebnf import ebnf_to_regex
+
+    with pytest.raises(ValueError, match="recursive"):
+        ebnf_to_regex('root ::= "a" root | "b"')
+
+
+def test_engine_ebnf_constrained(eng):
+    out = eng.generate(
+        prompt="choose",
+        sampling_params={
+            "max_new_tokens": 16,
+            "temperature": 0.0,
+            "ebnf": 'root ::= "left" | "right" | "straight"',
+        },
+    )
+    assert out["text"] in ("left", "right", "straight"), out["text"]
