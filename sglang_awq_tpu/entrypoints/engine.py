@@ -58,10 +58,35 @@ class Engine:
         configure_logger(server_args.log_level)
         self.server_args = server_args
 
+        self._multihost = False
+        if server_args.nnodes > 1:
+            from sglang_awq_tpu.parallel.multihost import initialize_multihost
+
+            self._multihost = initialize_multihost(
+                server_args.dist_init_addr, server_args.nnodes,
+                server_args.node_rank,
+            )
+
         self.runner = ModelRunner(
             server_args, model_config=model_config, tensors=tensors,
             draft_config=draft_config, draft_tensors=draft_tensors,
         )
+        if self._multihost:
+            from sglang_awq_tpu.parallel.multihost import (
+                MirroredRunner,
+                is_host0,
+                worker_loop,
+            )
+
+            if not is_host0():
+                # non-host0 processes never return from here: they execute
+                # host0's mirrored steps until STOP (reference engine.py
+                # multi-node: rank 0 serves, other ranks run workers)
+                worker_loop(self.runner)
+                import sys
+
+                sys.exit(0)
+            self.runner = MirroredRunner(self.runner)
         self.scheduler = Scheduler(server_args, self.runner)
         if tokenizer is None and server_args.tokenizer_path:
             tokenizer = _load_tokenizer(server_args.tokenizer_path)
@@ -244,6 +269,11 @@ class Engine:
     def shutdown(self):
         self._shutdown.set()
         self._thread.join(timeout=5)
+        if self._multihost and hasattr(self.runner, "stop_workers"):
+            try:
+                self.runner.stop_workers()
+            except Exception:  # workers may already be gone
+                logger.warning("stop_workers broadcast failed", exc_info=True)
 
 
 class _FlushSentinel:

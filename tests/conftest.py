@@ -18,3 +18,9 @@ import jax
 # The environment may pin JAX_PLATFORMS to a TPU plugin (e.g. axon); tests
 # must run on the host CPU platform regardless.
 jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_configure(config):
+    # fast tier: `pytest -m "not slow"` (< a few minutes); slow tier adds
+    # the multi-process / many-engine integration tests
+    config.addinivalue_line("markers", "slow: multi-minute integration test")
