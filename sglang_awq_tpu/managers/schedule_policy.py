@@ -77,8 +77,12 @@ class PrefillBudget:
     def can_add(self, req: Req) -> str:
         if self.rem_input_tokens <= 0:
             return AddReqResult.OTHER
-        need = min(req.extend_len, self.chunk) + min(
-            req.remaining_new_tokens + req.extend_len, CLIP_MAX_NEW_TOKENS
+        # full remaining prefill + (clipped) generation headroom — the
+        # reference add_one_req formula (schedule_policy.py:572).  NOT
+        # extend_len twice: that over-reservation livelocked small pools
+        # (a 64-token prompt + 4 new demanded 132 of 128 pool tokens).
+        need = req.extend_len + min(
+            req.remaining_new_tokens, CLIP_MAX_NEW_TOKENS
         )
         if self.rem_total_tokens < need:
             return AddReqResult.NO_TOKEN

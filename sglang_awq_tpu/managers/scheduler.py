@@ -101,6 +101,25 @@ class Scheduler:
 
         self.allocator = PagedAllocator(runner.num_pages, self.page_size)
         self.tree = self._make_tree(server_args)
+        self.hicache = None
+        if server_args.enable_hierarchical_cache:
+            from sglang_awq_tpu.mem_cache.hicache import HiCacheController
+            from sglang_awq_tpu.mem_cache.radix_cache import RadixCache
+
+            if not isinstance(self.tree, RadixCache):
+                logger.warning(
+                    "HiCache needs the Python radix tree (evict hook); "
+                    "switching from the C++ tree"
+                )
+                self.tree = RadixCache(
+                    self.allocator, self.page_size,
+                    disable=server_args.disable_radix_cache,
+                )
+            self.hicache = HiCacheController(
+                runner, int(server_args.hicache_size_gb * 1024**3),
+                self.page_size,
+            )
+            self.tree.evict_hook = self.hicache.on_evict
         self.policy = SchedulePolicy(server_args.schedule_policy, self.tree)
 
         self.waiting: Deque[Req] = deque()
@@ -183,6 +202,16 @@ class Scheduler:
         max_ctx = self.runner.model_config.context_length
         if len(req.input_ids) >= max_ctx:
             req.input_ids = req.input_ids[: max_ctx - 1]
+        # a prompt that can NEVER fit the KV pool must be rejected up front,
+        # not spin in admission forever (reference: abort on over-capacity)
+        pool_tokens = self.runner.max_total_tokens
+        if len(req.input_ids) + 1 > pool_tokens:
+            logger.warning(
+                "rejecting %s: prompt %d tokens > KV pool %d",
+                req.rid, len(req.input_ids), pool_tokens,
+            )
+            req.finish_info = FinishInfo(FinishReason.ABORT)
+            return
         # clamp generation length to context
         room = max_ctx - len(req.input_ids) - 1
         req.sampling_params.max_new_tokens = min(req.max_new_tokens, max(room, 0))
@@ -299,6 +328,44 @@ class Scheduler:
         req.fill_len = matched
         req.last_node = m.last_node
         self.tree.inc_lock_ref(m.last_node)
+        if self.hicache is not None:
+            self._hicache_extend(req, max_match)
+
+    def _hicache_extend(self, req: Req, max_match: int):
+        """Extend a fresh request's device-tree match with pages restored
+        from the host tier (reference hiradix load-on-match)."""
+        ps = self.page_size
+        keys = self.tree._page_keys(req.fill_ids)
+        extra = self.hicache.match_extend(keys, req.prefix_pages)
+        extra = extra[: max_match // ps - req.prefix_pages]
+        if not extra:
+            return
+        before = req.prefix_pages * ps
+        # evicting to make room is fine: the evicted pages offload to the
+        # host tier through the same hook (they may round-trip back later)
+        new_pages = self._alloc_with_evict(
+            before, before + len(extra) * ps, req.pages
+        )
+        if new_pages is None:
+            return
+        self.hicache.restore(extra, new_pages)
+        req.pages.extend(new_pages)
+        total_fp = req.prefix_pages + len(extra)
+        dup = self.tree.insert(
+            req.fill_ids[: total_fp * ps], req.pages[:total_fp]
+        )
+        m2 = self.tree.match_prefix(req.fill_ids[: total_fp * ps])
+        assert m2.matched_len == total_fp * ps
+        self.allocator.free_pages(req.pages[req.prefix_pages : dup])
+        req.pages[:total_fp] = m2.pages
+        if req.last_node is not None:
+            self.tree.dec_lock_ref(req.last_node)
+        self.tree.inc_lock_ref(m2.last_node)
+        req.last_node = m2.last_node
+        req.prefix_pages = total_fp
+        req.prefix_len = total_fp * ps
+        req.fill_len = total_fp * ps
+        logger.debug("hicache: restored %d pages for %s", len(extra), req.rid)
 
     def _get_prefill_batch(self) -> List[Req]:
         """Assemble this round's prefill batch (reference

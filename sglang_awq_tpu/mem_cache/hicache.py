@@ -1,0 +1,180 @@
+"""HiCache: host-memory KV tier (L2) behind the device radix cache.
+
+Role model: reference `mem_cache/hiradix_cache.py` + the device<->host
+`cache_controller.py:100` (write-on-evict, load-on-match).  TPU
+re-design:
+
+* A "page" for offload purposes spans ALL layers of the combined pool:
+  one host entry is [L, ps, fc, Xr] — exactly the face layout the
+  kv_write_prefill Pallas kernel consumes, so restore = replay the pages
+  through the same whole-page-DMA write path as prefill (no bespoke
+  upload kernel, no full-pool scatter).
+* Host entries are keyed by a rolling prefix-hash chain
+  (h_i = hash((h_{i-1}, page_tokens_i)), verified by the page tuple), so
+  lookup walks page-by-page from any device-tree match point without
+  storing full prefixes per entry.
+* Write-on-evict: the device radix tree's eviction hook captures the
+  evicted pages device->host BEFORE the allocator reclaims them.
+  Synchronous v1 (eviction is off the hot path); the reference's async
+  streaming controller is the later upgrade.
+
+Enabled with --enable-hierarchical-cache / --hicache-size-gb; requires
+the Python radix tree (the C++ tree gains the evict hook later).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+class HostKVCache:
+    """Bounded host pool of whole-prefix-page KV entries (LRU)."""
+
+    def __init__(self, kv_spec, capacity_bytes: int):
+        L, _, ps, fc, Xr = kv_spec.shape
+        self.page_shape = (L, ps, fc, Xr)
+        itemsize = np.dtype(kv_spec.jdtype).itemsize
+        self.page_bytes = L * ps * fc * Xr * itemsize
+        self.capacity = max(int(capacity_bytes // self.page_bytes), 1)
+        self.store = np.empty((self.capacity,) + self.page_shape,
+                              kv_spec.jdtype)
+        # (parent_hash, page_tokens) -> (slot, own_hash)
+        self.index: Dict[Tuple[int, tuple], Tuple[int, int]] = {}
+        self._slot_key: List[Optional[tuple]] = [None] * self.capacity
+        self._lru: Dict[Tuple[int, tuple], int] = {}  # key -> tick
+        self._tick = 0
+        self.hits = 0
+        self.misses = 0
+        logger.info(
+            "HiCache host pool: %d pages x %.2f MiB",
+            self.capacity, self.page_bytes / 1024**2,
+        )
+
+    @staticmethod
+    def chain(parent_hash: int, page_tokens: tuple) -> int:
+        return hash((parent_hash, page_tokens))
+
+    def _alloc_slot(self) -> int:
+        if len(self.index) < self.capacity:
+            used = {s for s, _ in self.index.values()}
+            for s in range(self.capacity):
+                if s not in used:
+                    return s
+        victim = min(self._lru, key=self._lru.get)
+        slot, _ = self.index.pop(victim)
+        del self._lru[victim]
+        return slot
+
+    def put(self, parent_hash: int, page_tokens: tuple, data: np.ndarray) -> int:
+        """Store one page -> its chain hash."""
+        key = (parent_hash, page_tokens)
+        h = self.chain(parent_hash, page_tokens)
+        if key in self.index:
+            slot, _ = self.index[key]
+        else:
+            slot = self._alloc_slot()
+            self.index[key] = (slot, h)
+        self.store[slot] = data
+        self._tick += 1
+        self._lru[key] = self._tick
+        return h
+
+    def get(self, parent_hash: int, page_tokens: tuple):
+        """-> (slot, chain_hash) | None."""
+        hit = self.index.get((parent_hash, page_tokens))
+        if hit is None:
+            self.misses += 1
+            return None
+        self.hits += 1
+        self._tick += 1
+        self._lru[(parent_hash, page_tokens)] = self._tick
+        return hit
+
+
+class HiCacheController:
+    """Device<->host transfer glue owned by the scheduler."""
+
+    def __init__(self, runner, capacity_bytes: int, page_size: int):
+        self.runner = runner
+        self.page_size = page_size
+        self.host = HostKVCache(runner.kv_spec, capacity_bytes)
+
+    # -- device -> host (evict hook) -----------------------------------
+
+    def on_evict(self, full_key: List[tuple], pages: List[int]):
+        """Called by the radix tree with the evicted node's FULL key path
+        (list of page-token tuples, root->node) and its device pages
+        (aligned with the key tail)."""
+        n = len(pages)
+        if n == 0:
+            return
+        import jax.numpy as jnp
+
+        data = np.asarray(
+            jnp.take(self.runner.kv_cache, jnp.asarray(pages, jnp.int32),
+                     axis=1)
+        )  # [L, n, ps, fc, Xr]
+        data = np.moveaxis(data, 1, 0)  # [n, L, ...]
+        h = 0
+        for pk in full_key[: len(full_key) - n]:
+            h = self.host.chain(h, pk)
+        for i, pk in enumerate(full_key[len(full_key) - n:]):
+            h = self.host.put(h, pk, data[i])
+
+    # -- host -> device (match extension) ------------------------------
+
+    def match_extend(self, keys: List[tuple], matched_pages: int):
+        """How many MORE pages past the device match exist on host, and
+        their host slots.  keys = the prompt's full page-key list."""
+        h = 0
+        for pk in keys[:matched_pages]:
+            h = self.host.chain(h, pk)
+        slots = []
+        for pk in keys[matched_pages:]:
+            hit = self.host.get(h, pk)
+            if hit is None:
+                break
+            slot, h = hit
+            slots.append(slot)
+        return slots
+
+    def restore(self, host_slots: List[int], device_pages: List[int]):
+        """Upload host entries into freshly-allocated device pages through
+        the prefill write kernel (whole-page DMAs per layer)."""
+        assert len(host_slots) == len(device_pages)
+        data = self.host.store[host_slots]  # [n, L, ps, fc, Xr]
+        data = np.ascontiguousarray(np.moveaxis(data, 1, 0))  # [L, n, ps, ..]
+        L = data.shape[0]
+        n, ps = data.shape[1], data.shape[2]
+        self.runner.kv_cache = self._restore_fn(n)(
+            self.runner.kv_cache,
+            data.reshape(L, n * ps, *data.shape[3:]),
+            np.asarray(device_pages, np.int32),
+        )
+
+    def _restore_fn(self, n_pages: int):
+        key = ("hicache_restore", n_pages)
+        fns = self.runner._fns
+        if key not in fns:
+            import jax
+            import jax.numpy as jnp
+
+            from sglang_awq_tpu.ops.kv_write import kv_write_prefill
+
+            def raw(kv, data, pages):
+                def body(kv, args):
+                    l, layer_data = args
+                    return kv_write_prefill(kv, layer_data, pages, l), None
+
+                kv, _ = jax.lax.scan(
+                    body, kv, (jnp.arange(kv.shape[0]), data)
+                )
+                return kv
+
+            fns[key] = jax.jit(raw, donate_argnums=(0,))
+        return fns[key]

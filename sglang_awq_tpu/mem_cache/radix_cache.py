@@ -60,6 +60,9 @@ class RadixCache:
         self.allocator = allocator
         self.page_size = page_size
         self.disable = disable
+        # HiCache hook: called with (full key path, pages) BEFORE eviction
+        # frees the pages, so the controller can offload them to host
+        self.evict_hook = None
         self.reset()
 
     def reset(self):
@@ -225,6 +228,16 @@ class RadixCache:
                 continue
             # evict whole node (page tail first would allow partial, but whole
             # nodes keep bookkeeping simple; nodes are split at match points)
+            if self.evict_hook is not None:
+                path = []
+                p = node
+                while p is not None and p is not self.root:
+                    path.append(p)
+                    p = p.parent
+                full_key = []
+                for anc in reversed(path):
+                    full_key.extend(anc.key)
+                self.evict_hook(full_key, list(node.pages))
             self.allocator.free_pages(node.pages)
             freed += len(node.pages)
             self._tree_pages -= len(node.pages)

@@ -89,6 +89,9 @@ class ServerArgs:
     tool_call_parser: str = "auto"
     # separate <think> reasoning from content: deepseek-r1 | qwen3 | glm45
     reasoning_parser: Optional[str] = None
+    # HiCache: host-memory KV tier behind the device radix cache
+    enable_hierarchical_cache: bool = False
+    hicache_size_gb: float = 4.0
     grammar_backend: str = "none"
     lora_paths: Optional[List[str]] = None
 
