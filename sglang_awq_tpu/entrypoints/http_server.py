@@ -78,6 +78,8 @@ class HttpServer:
         r.add_post("/v1/embeddings", self.v1_embeddings)
         r.add_post("/encode", self.encode)
         r.add_get("/metrics", self.metrics)
+        r.add_post("/start_profile", self.start_profile)
+        r.add_post("/stop_profile", self.stop_profile)
 
     # ------------------------------------------------------------------
     # helpers
@@ -192,6 +194,38 @@ class HttpServer:
             "output_ids": out["output_ids"],
             "meta_info": {**out["meta_info"], "id": out["rid"]},
         }
+
+    async def start_profile(self, request: web.Request) -> web.Response:
+        """Start a jax.profiler trace (reference /start_profile ->
+        torch.profiler; serves TensorBoard-compatible traces)."""
+        try:
+            body = await request.json()
+        except Exception:
+            body = {}
+        out_dir = body.get("output_dir") or "/tmp/sglt_profile"
+        if getattr(self, "_profiling", False):
+            return web.json_response(
+                {"success": False, "message": "already profiling"}, status=409
+            )
+        import jax
+
+        jax.profiler.start_trace(out_dir)
+        self._profiling = True
+        self._profile_dir = out_dir
+        return web.json_response({"success": True, "output_dir": out_dir})
+
+    async def stop_profile(self, request: web.Request) -> web.Response:
+        if not getattr(self, "_profiling", False):
+            return web.json_response(
+                {"success": False, "message": "not profiling"}, status=409
+            )
+        import jax
+
+        jax.profiler.stop_trace()
+        self._profiling = False
+        return web.json_response(
+            {"success": True, "output_dir": self._profile_dir}
+        )
 
     async def flush_cache(self, request: web.Request) -> web.Response:
         ok = self.engine.flush_cache()

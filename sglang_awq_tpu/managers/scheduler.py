@@ -365,6 +365,8 @@ class Scheduler:
         req.prefix_pages = total_fp
         req.prefix_len = total_fp * ps
         req.fill_len = total_fp * ps
+        if self.metrics.enabled:
+            self.metrics.hicache_hit_pages.inc(len(extra))
         logger.debug("hicache: restored %d pages for %s", len(extra), req.rid)
 
     def _get_prefill_batch(self) -> List[Req]:
@@ -1121,6 +1123,10 @@ class Scheduler:
                 )
             self.spec_accept_sum += len(new_tokens)
             self.spec_steps += 1
+            if self.metrics.enabled and self.spec_steps % 64 == 0:
+                self.metrics.spec_accept_length.set(
+                    self.spec_accept_sum / self.spec_steps
+                )
             outputs.append(ReqOutput(r, new_tokens))
             if r.finished():
                 self._finish_req(r)

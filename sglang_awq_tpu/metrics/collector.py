@@ -63,6 +63,17 @@ class SchedulerMetrics:
             buckets=[0.1, 0.25, 0.5, 1, 2, 4, 8, 16, 32, 64, 128],
             registry=self.registry,
         ).labels(**labels)
+        # speculative decoding (reference spec_accept_length gauge)
+        self.spec_accept_length = Gauge(
+            "sglt_spec_accept_length",
+            "Mean accepted tokens per speculative verify step",
+            ["model_name"], registry=self.registry,
+        ).labels(**labels)
+        self.hicache_hit_pages = Counter(
+            "sglt_hicache_restored_pages_total",
+            "KV pages restored from the host tier",
+            ["model_name"], registry=self.registry,
+        ).labels(**labels)
         # cumulative counters for hit-rate
         self._cached_tokens = 0
         self._total_prompt_tokens = 0

@@ -543,3 +543,27 @@ def test_chat_response_format_json_schema(server_url):
     content = r.json()["choices"][0]["message"]["content"]
     obj = json.loads(content)
     assert isinstance(obj.get("x"), int)
+
+
+def test_profile_endpoints(server_url, tmp_path):
+    out = str(tmp_path / "trace")
+    r = httpx.post(f"{server_url}/start_profile",
+                   json={"output_dir": out}, timeout=60)
+    assert r.json()["success"]
+    # double-start rejected
+    r2 = httpx.post(f"{server_url}/start_profile", json={}, timeout=60)
+    assert r2.status_code == 409
+    httpx.post(
+        f"{server_url}/generate",
+        json={"text": "p", "sampling_params": {"max_new_tokens": 2,
+                                               "temperature": 0.0,
+                                               "ignore_eos": True}},
+        timeout=120,
+    )
+    r3 = httpx.post(f"{server_url}/stop_profile", json={}, timeout=60)
+    assert r3.json()["success"]
+    import glob as _glob
+
+    assert _glob.glob(out + "/**/*.pb", recursive=True) or _glob.glob(
+        out + "/**/*.json.gz", recursive=True
+    ), "no trace written"
