@@ -567,3 +567,28 @@ def test_profile_endpoints(server_url, tmp_path):
     assert _glob.glob(out + "/**/*.pb", recursive=True) or _glob.glob(
         out + "/**/*.json.gz", recursive=True
     ), "no trace written"
+
+
+def test_bench_one_batch_harness():
+    """Offline one-batch bench runs against a tiny in-process engine."""
+    from sglang_awq_tpu.bench_one_batch import run_one
+    from sglang_awq_tpu.configs.model_config import ModelConfig
+    from sglang_awq_tpu.entrypoints.engine import Engine
+    from sglang_awq_tpu.server_args import ServerArgs
+    from .utils import TINY_LLAMA_CFG, tiny_hf_model_and_tensors
+    import numpy as np
+
+    _, tensors = tiny_hf_model_and_tensors()
+    mc = ModelConfig(model_path="", hf_config=dict(TINY_LLAMA_CFG))
+    sa = ServerArgs(model_path="tiny", page_size=8, max_total_tokens=2048,
+                    chunked_prefill_size=64, max_running_requests=4)
+    eng = Engine(server_args=sa, model_config=mc, tensors=tensors,
+                 tokenizer=None)
+    try:
+        rep = run_one(eng, bs=3, input_len=24, output_len=6,
+                      rng=np.random.default_rng(0))
+    finally:
+        eng.shutdown()
+    assert rep["batch_size"] == 3
+    assert rep["prefill_tok_s"] > 0 and rep["decode_tok_s"] > 0
+    assert rep["total_latency_s"] > 0
