@@ -80,6 +80,8 @@ class HttpServer:
         r.add_get("/metrics", self.metrics)
         r.add_post("/start_profile", self.start_profile)
         r.add_post("/stop_profile", self.stop_profile)
+        r.add_post("/v1/score", self.v1_score)
+        r.add_post("/v1/rerank", self.v1_rerank)
 
     # ------------------------------------------------------------------
     # helpers
@@ -194,6 +196,86 @@ class HttpServer:
             "output_ids": out["output_ids"],
             "meta_info": {**out["meta_info"], "id": out["rid"]},
         }
+
+    def _encode(self, x):
+        if isinstance(x, list) and (not x or isinstance(x[0], int)):
+            return list(x)
+        tok = self.engine.tokenizer_manager.tokenizer
+        if tok is None:
+            raise ValueError("text scoring requires a tokenizer")
+        return tok.encode(x)
+
+    async def _score_one(self, ids, start_len):
+        """Input logprobs of ids[start_len+1:] -> list[(lp, token)]."""
+        gin = GenerateReqInput(
+            input_ids=ids,
+            sampling_params={"max_new_tokens": 1, "temperature": 0.0,
+                             "ignore_eos": True},
+            return_logprob=True,
+            logprob_start_len=start_len,
+        )
+        out = await self._collect(self._submit(gin))
+        return out["meta_info"]["input_token_logprobs"] or []
+
+    async def v1_score(self, request: web.Request) -> web.Response:
+        """Probability of label tokens following (query + item) pairs
+        (reference score_request, tokenizer_manager_multiitem_mixin.py:155 —
+        single-item mode).  Scored through the prompt-logprob machinery:
+        each label is appended and its logprob read at the last position;
+        the shared (query + item) prefix rides the radix cache."""
+        import math
+
+        try:
+            body = await request.json()
+            labels = body["label_token_ids"]
+            q = self._encode(body.get("query") or [])
+            items = body.get("items")
+            if isinstance(items, str):
+                items = [items]
+            items_ids = [self._encode(it) for it in (items or [])]
+            item_first = bool(body.get("item_first", False))
+        except Exception as e:  # noqa: BLE001
+            return self._openai_error(str(e))
+        vocab = self.engine.runner.model_config.vocab_size
+        if any(not (0 <= t < vocab) for t in labels):
+            return self._openai_error("label token id out of vocabulary")
+
+        scores = []
+        for it in items_ids:
+            base = (it + q) if item_first else (q + it)
+            lps = []
+            for lab in labels:
+                got = await self._score_one(base + [lab], len(base) - 1)
+                # last scored token is the label
+                lps.append(got[-1][0] if got else float("-inf"))
+            if body.get("apply_softmax"):
+                m = max(lps)
+                exps = [math.exp(v - m) for v in lps]
+                z = sum(exps) or 1.0
+                scores.append([e / z for e in exps])
+            else:
+                scores.append([math.exp(v) for v in lps])
+        return web.json_response({"scores": scores, "object": "scoring"})
+
+    async def v1_rerank(self, request: web.Request) -> web.Response:
+        """Rank documents by generative likelihood: mean per-token prompt
+        logprob of the document given the query (reference /v1/rerank role;
+        cross-encoder checkpoints are out of scope — this is the
+        LM-likelihood variant, which the same API shape serves)."""
+        try:
+            body = await request.json()
+            q = self._encode(body["query"])
+            docs = body["documents"]
+        except Exception as e:  # noqa: BLE001
+            return self._openai_error(str(e))
+        results = []
+        for i, d in enumerate(docs):
+            ids = q + self._encode(d)
+            got = await self._score_one(ids, len(q) - 1)
+            lp = sum(v for v, _ in got) / max(len(got), 1)
+            results.append({"score": lp, "document": d, "index": i})
+        results.sort(key=lambda r: -r["score"])
+        return web.json_response(results)
 
     async def start_profile(self, request: web.Request) -> web.Response:
         """Start a jax.profiler trace (reference /start_profile ->

@@ -306,11 +306,6 @@ class Scheduler:
     def _match_fresh(self, req: Req):
         """Radix-match a fresh request's prompt and lock the prefix."""
         ps = self.page_size
-        if req.wants_input_lp:
-            # input logprobs need every prompt position's logits — cached
-            # prefixes skip computation, so reuse is disabled for this req
-            # (reference adjusts extend_input_len the same way)
-            return
         if getattr(req, "lora_slot", -1) >= 0:
             # adapter requests produce adapter-specific K/V — sharing pages
             # with base-model (or other-adapter) prefixes would be wrong
@@ -320,6 +315,13 @@ class Scheduler:
         # never reuse the whole fill (at least one token must compute
         # so logits exist — reference match trim)
         max_match = (len(req.fill_ids) - 1) // ps * ps
+        if req.wants_input_lp:
+            # prompt logprobs for token idx need the hidden state at
+            # idx-1 computed this run: cap reuse at the scoring start
+            # (reference adjusts extend_input_len the same way)
+            max_match = min(
+                max_match, req.sampling_params.logprob_start_len // ps * ps
+            )
         matched = min(m.matched_len, max_match)
         n_prefix_pages = matched // ps
         req.pages = list(m.pages[:n_prefix_pages])

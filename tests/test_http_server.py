@@ -592,3 +592,50 @@ def test_bench_one_batch_harness():
     assert rep["batch_size"] == 3
     assert rep["prefill_tok_s"] > 0 and rep["decode_tok_s"] > 0
     assert rep["total_latency_s"] > 0
+
+
+def test_v1_score(server_url):
+    """Label probabilities after query+item, vs direct HF shifted softmax."""
+    import torch
+
+    hf, _ = tiny_hf_model_and_tensors()
+    q = [7, 8, 9]
+    item = [20, 21]
+    labels = [5, 6, 7]
+    r = httpx.post(
+        f"{server_url}/v1/score",
+        json={"query": q, "items": [item], "label_token_ids": labels,
+              "apply_softmax": False},
+        timeout=120,
+    )
+    scores = r.json()["scores"]
+    assert len(scores) == 1 and len(scores[0]) == 3
+    with torch.no_grad():
+        logits = hf(torch.tensor([q + item])).logits[0, -1].float()
+    ref = torch.log_softmax(logits, dim=-1)
+    import math
+
+    for j, lab in enumerate(labels):
+        assert abs(math.log(max(scores[0][j], 1e-30)) - float(ref[lab])) < 0.1
+
+    # softmax normalization over labels
+    r2 = httpx.post(
+        f"{server_url}/v1/score",
+        json={"query": q, "items": [item], "label_token_ids": labels,
+              "apply_softmax": True},
+        timeout=120,
+    )
+    s2 = r2.json()["scores"][0]
+    assert abs(sum(s2) - 1.0) < 1e-5
+
+
+def test_v1_rerank(server_url):
+    r = httpx.post(
+        f"{server_url}/v1/rerank",
+        json={"query": "the quick", "documents": ["brown fox", "zzqqxx"]},
+        timeout=120,
+    )
+    out = r.json()
+    assert len(out) == 2
+    assert {d["index"] for d in out} == {0, 1}
+    assert out[0]["score"] >= out[1]["score"]
