@@ -1,32 +1,49 @@
 """Rotary position embeddings.
 
 Reference: `python/sglang/srt/layers/rotary_embedding.py` (`get_rope` with
-HF scaling types).  Supported here: none / linear / llama3 / dynamic-ntk
-(yarn and mrope arrive with the models that need them).
+HF scaling types).  Supported here: none / linear / llama3 / yarn /
+dynamic-NTK (mrope arrives with the VLM models that need it).
 
 Uses the NEOX (rotate-half) convention that Llama/Qwen checkpoints use.
+Yarn's attention-temperature mscale folds into the cos/sin table;
+dynamic NTK precomputes for the serving context length (the standard
+static worst-case approximation — positions inside the original window
+use the unscaled base exactly as HF does once the cache has grown).
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from math import ceil, floor, log
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
-def compute_inv_freq(head_dim: int, rope_theta: float, rope_scaling: Optional[Dict[str, Any]]) -> np.ndarray:
+def _yarn_correction_dim(num_rot: float, dim: int, base: float,
+                         max_pos: float) -> float:
+    return (dim * log(max_pos / (num_rot * 2 * np.pi))) / (2 * log(base))
+
+
+def compute_inv_freq(
+    head_dim: int,
+    rope_theta: float,
+    rope_scaling: Optional[Dict[str, Any]],
+    max_positions: int = 0,
+    trained_max: int = 0,  # config max_position_embeddings (dynamic NTK)
+) -> Tuple[np.ndarray, float]:
+    """-> (inv_freq [D/2], mscale applied to cos/sin)."""
     inv_freq = 1.0 / (
         rope_theta ** (np.arange(0, head_dim, 2, dtype=np.float64) / head_dim)
     )
     if not rope_scaling:
-        return inv_freq.astype(np.float32)
+        return inv_freq.astype(np.float32), 1.0
     rtype = rope_scaling.get("rope_type", rope_scaling.get("type", "default"))
     if rtype in ("default", "mrope"):
-        return inv_freq.astype(np.float32)
+        return inv_freq.astype(np.float32), 1.0
     if rtype == "linear":
-        return (inv_freq / float(rope_scaling["factor"])).astype(np.float32)
+        return (inv_freq / float(rope_scaling["factor"])).astype(np.float32), 1.0
     if rtype == "llama3":
         # HF Llama-3.1 frequency-dependent scaling
         factor = float(rope_scaling["factor"])
@@ -40,7 +57,49 @@ def compute_inv_freq(head_dim: int, rope_theta: float, rope_scaling: Optional[Di
         smooth = (orig_ctx / wavelen - low) / (high - low)
         mid = (1 - smooth) * inv_freq / factor + smooth * inv_freq
         is_mid = (wavelen <= low_wl) & (wavelen >= high_wl)
-        return np.where(is_mid, mid, scaled).astype(np.float32)
+        return np.where(is_mid, mid, scaled).astype(np.float32), 1.0
+    if rtype == "yarn":
+        factor = float(rope_scaling["factor"])
+        orig_max = float(
+            rope_scaling.get("original_max_position_embeddings", 4096)
+        )
+        beta_fast = float(rope_scaling.get("beta_fast", 32))
+        beta_slow = float(rope_scaling.get("beta_slow", 1))
+        attn_factor = float(rope_scaling.get("attention_factor")
+                            or rope_scaling.get("attn_factor") or 1.0)
+        extrap = inv_freq
+        interp = inv_freq / factor
+        lo = floor(_yarn_correction_dim(beta_fast, head_dim, rope_theta,
+                                        orig_max))
+        hi = ceil(_yarn_correction_dim(beta_slow, head_dim, rope_theta,
+                                       orig_max))
+        lo, hi = max(lo, 0), min(hi, head_dim - 1)
+        ramp = np.clip(
+            (np.arange(head_dim // 2, dtype=np.float64) - lo)
+            / max(hi - lo, 0.001),
+            0, 1,
+        )
+        mask = 1.0 - ramp  # 1 -> extrapolate (high freq), 0 -> interpolate
+        out = interp * (1 - mask) + extrap * mask
+        mscale = (0.1 * log(factor) + 1.0) if factor > 1.0 else 1.0
+        return out.astype(np.float32), float(mscale * attn_factor)
+    if rtype == "dynamic":
+        # dynamic NTK, precomputed for the serving context (vLLM-style):
+        # scale the base for max_positions, exact beyond the original window
+        factor = float(rope_scaling["factor"])
+        # HF semantics: the trained window is config.max_position_embeddings
+        orig_max = float(
+            rope_scaling.get("original_max_position_embeddings")
+            or trained_max or 4096
+        )
+        seq_len = max(float(max_positions), orig_max)
+        base = rope_theta * (
+            (factor * seq_len / orig_max) - (factor - 1)
+        ) ** (head_dim / (head_dim - 2))
+        inv_freq = 1.0 / (
+            base ** (np.arange(0, head_dim, 2, dtype=np.float64) / head_dim)
+        )
+        return inv_freq.astype(np.float32), 1.0
     raise NotImplementedError(f"rope scaling type {rtype!r}")
 
 
@@ -49,13 +108,17 @@ def rope_table(
     head_dim: int,
     rope_theta: float,
     rope_scaling: Optional[Dict[str, Any]] = None,
+    trained_max: int = 0,
 ) -> jax.Array:
     """Precomputed [max_positions, head_dim] table: [cos | sin] halves."""
-    inv_freq = compute_inv_freq(head_dim, rope_theta, rope_scaling)
+    inv_freq, mscale = compute_inv_freq(
+        head_dim, rope_theta, rope_scaling, max_positions, trained_max
+    )
     t = np.arange(max_positions, dtype=np.float32)
     freqs = np.outer(t, inv_freq)  # [P, D/2]
     return jnp.asarray(
-        np.concatenate([np.cos(freqs), np.sin(freqs)], axis=-1), jnp.float32
+        np.concatenate([np.cos(freqs), np.sin(freqs)], axis=-1) * mscale,
+        jnp.float32,
     )
 
 

@@ -134,7 +134,10 @@ class LlamaForCausalLM:
 
     def rope(self) -> jax.Array:
         c = self.config
-        return rope_table(c.context_length, c.head_dim, c.rope_theta, c.rope_scaling)
+        return rope_table(
+            c.context_length, c.head_dim, c.rope_theta, c.rope_scaling,
+            trained_max=c.max_position_embeddings,
+        )
 
     # ------------------------------------------------------------------
     # forward building blocks (shard-local shapes)
