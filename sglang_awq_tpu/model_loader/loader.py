@@ -188,6 +188,8 @@ def load_params_from_tensors(
         params["layers"][target] = stacked
     if hasattr(model, "extra_layer_params"):  # e.g. MoE router gates
         params["layers"].update(model.extra_layer_params(t, L))
+    if hasattr(model, "postprocess_params"):  # e.g. Gemma's (1+w) norms
+        params = model.postprocess_params(params)
     return params
 
 

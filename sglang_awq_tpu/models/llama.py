@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from sglang_awq_tpu.configs.model_config import ModelConfig
-from sglang_awq_tpu.layers.activation import silu_and_mul
+from sglang_awq_tpu.layers.activation import gelu_and_mul, silu_and_mul
 from sglang_awq_tpu.layers.linear import LinearSpec, linear_apply
 from sglang_awq_tpu.layers.norm import rms_norm
 from sglang_awq_tpu.layers.rotary import apply_rope, rope_table
@@ -48,6 +48,8 @@ class LlamaForCausalLM:
     tp_axis: Optional[str] = None  # mesh axis name when running under shard_map
     qkv_bias: bool = False  # Qwen2 sets True
     qk_norm: bool = False  # Qwen3: per-head RMSNorm on q and k before RoPE
+    embed_multiplier: float = 1.0  # Gemma scales embeddings by sqrt(H)
+    mlp_act: str = "silu"  # "silu" | "gelu" (Gemma GeGLU)
 
     def __post_init__(self):
         c = self.config
@@ -148,6 +150,12 @@ class LlamaForCausalLM:
             return jax.lax.psum(x, self.tp_axis)
         return x
 
+    def _embed(self, params, tokens):
+        x = params["embed"]["weight"][tokens]
+        if self.embed_multiplier != 1.0:
+            x = (x.astype(jnp.float32) * self.embed_multiplier).astype(x.dtype)
+        return x
+
     def _lora_delta(self, pool, name: str, x: jax.Array, l, lora_idx):
         """Dense-over-slots LoRA: contract x against every adapter slot and
         select with the per-token one-hot (idx -1 -> zeros -> exact base
@@ -211,7 +219,8 @@ class LlamaForCausalLM:
         gu = linear_apply(self.specs["gate_up"], lp["gate_up"], h2, l)
         if lora is not None:
             gu = gu + self._lora_delta(lora, "gate_up", h2, l, lora_idx)
-        act = silu_and_mul(gu)
+        act_fn = silu_and_mul if self.mlp_act == "silu" else gelu_and_mul
+        act = act_fn(gu)
         d = linear_apply(self.specs["down"], lp["down"], act, l)
         if lora is not None:
             d = d + self._lora_delta(lora, "down", act, l, lora_idx)
@@ -248,7 +257,7 @@ class LlamaForCausalLM:
     ) -> Tuple[jax.Array, jax.Array]:
         """One decode step for a padded batch -> (logits [B, V], kv)."""
         B = tokens.shape[0]
-        x = params["embed"]["weight"][tokens]
+        x = self._embed(params, tokens)
         use_xla_attn = not is_tpu_backend()
 
         def body(carry, l):
@@ -292,7 +301,7 @@ class LlamaForCausalLM:
         TARGET_VERIFY forward mode (forward_batch_info.py:70); hidden
         capture feeds the EAGLE draft (CaptureHiddenMode.FULL role)."""
         B, QS = tokens.shape
-        x = params["embed"]["weight"][tokens.reshape(-1)]  # [B*QS, H]
+        x = self._embed(params, tokens.reshape(-1))  # [B*QS, H]
         use_xla_attn = not is_tpu_backend()
         flat_pos = positions.reshape(-1)
         flat_slots = slots.reshape(-1)
@@ -351,7 +360,7 @@ class LlamaForCausalLM:
         """
         TQ = tokens.shape[0]
         B = page_table.shape[0]
-        x = params["embed"]["weight"][tokens]
+        x = self._embed(params, tokens)
         use_xla_attn = not is_tpu_backend()
 
         def body(carry, l):

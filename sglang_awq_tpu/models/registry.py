@@ -11,9 +11,11 @@ from typing import Dict, Type
 
 
 def get_model_class(architecture: str):
+    from sglang_awq_tpu.models.gemma import GemmaForCausalLM
     from sglang_awq_tpu.models.llama import LlamaForCausalLM
     from sglang_awq_tpu.models.mixtral import MixtralForCausalLM
     from sglang_awq_tpu.models.qwen2 import Qwen2ForCausalLM, Qwen3ForCausalLM
+    from sglang_awq_tpu.models.qwen2_moe import Qwen2MoeForCausalLM
 
     registry: Dict[str, Type] = {
         "LlamaForCausalLM": LlamaForCausalLM,
@@ -22,6 +24,8 @@ def get_model_class(architecture: str):
         "MixtralForCausalLM": MixtralForCausalLM,
         "Qwen2ForCausalLM": Qwen2ForCausalLM,
         "Qwen3ForCausalLM": Qwen3ForCausalLM,
+        "Qwen2MoeForCausalLM": Qwen2MoeForCausalLM,
+        "GemmaForCausalLM": GemmaForCausalLM,
     }
     if architecture not in registry:
         raise ValueError(

@@ -1,0 +1,94 @@
+"""Model-zoo logit equivalence vs HF: Qwen2-MoE and Gemma.
+
+(Llama/Qwen2/Qwen3/Mixtral covered in their own files.)
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from sglang_awq_tpu.configs.model_config import ModelConfig
+from sglang_awq_tpu.mem_cache.kv_pool import KVPoolSpec, PAD_SLOT
+from sglang_awq_tpu.model_loader.loader import _torch_state_dict_to_np, load_model
+
+
+def _run_extend(model, params, prompt, ps=8):
+    spec = KVPoolSpec(model.config.num_layers, model.kvh, 16, ps,
+                      model.head_dim)
+    kv = spec.alloc()
+    pages = [3, 5, 7, 2]
+    T, T_pad = len(prompt), 16
+    slots = np.full(T_pad, PAD_SLOT, np.int32)
+    for i in range(T):
+        slots[i] = pages[i // ps] * ps + i % ps
+    logits, _ = model.extend_step(
+        params, kv, model.rope(),
+        jnp.asarray(prompt + [0] * (T_pad - T), jnp.int32),
+        jnp.asarray(list(range(T)) + [0] * (T_pad - T), jnp.int32),
+        jnp.asarray(slots),
+        jnp.asarray(np.asarray(pages, np.int32)[None, :]),
+        jnp.asarray([T], jnp.int32), jnp.asarray([T], jnp.int32),
+        jnp.asarray([0], jnp.int32), block_q=16,
+    )
+    return np.asarray(logits[0])
+
+
+def _check_vs_hf(hf, cfg_dict, prompt, atol=0.3):
+    import torch
+
+    tensors = _torch_state_dict_to_np(hf.state_dict())
+    mc = ModelConfig(model_path="", hf_config=dict(cfg_dict))
+    model, params = load_model(mc, tensors=tensors)
+    ours = _run_extend(model, params, prompt)
+    with torch.no_grad():
+        ref = hf(torch.tensor([prompt])).logits[0, -1].float().numpy()
+    assert np.argmax(ours) == np.argmax(ref), (
+        int(np.argmax(ours)), int(np.argmax(ref)))
+    assert np.abs(ours - ref).max() < atol, np.abs(ours - ref).max()
+
+
+def test_qwen2_moe_matches_hf():
+    import torch
+    from transformers import Qwen2MoeConfig, Qwen2MoeForCausalLM
+
+    cfg = dict(
+        architectures=["Qwen2MoeForCausalLM"],
+        vocab_size=512, hidden_size=256, num_hidden_layers=2,
+        num_attention_heads=8, num_key_value_heads=4,
+        intermediate_size=448,  # dense size (unused: all layers sparse)
+        moe_intermediate_size=128, shared_expert_intermediate_size=192,
+        num_experts=4, num_experts_per_tok=2, norm_topk_prob=False,
+        decoder_sparse_step=1, mlp_only_layers=[],
+        rms_norm_eps=1e-5, rope_theta=10000.0,
+        max_position_embeddings=256, tie_word_embeddings=False,
+        bos_token_id=1, eos_token_id=2,
+    )
+    torch.manual_seed(0)
+    hf = Qwen2MoeForCausalLM(
+        Qwen2MoeConfig(**{k: v for k, v in cfg.items()
+                          if k != "architectures"})
+    ).eval()
+    rng = np.random.default_rng(0)
+    _check_vs_hf(hf, cfg, rng.integers(3, 500, 13).tolist())
+
+
+def test_gemma_matches_hf():
+    import torch
+    from transformers import GemmaConfig, GemmaForCausalLM
+
+    cfg = dict(
+        architectures=["GemmaForCausalLM"],
+        vocab_size=512, hidden_size=256, num_hidden_layers=2,
+        num_attention_heads=8, num_key_value_heads=4, head_dim=32,
+        intermediate_size=448, hidden_act="gelu_pytorch_tanh",
+        rms_norm_eps=1e-6, rope_theta=10000.0,
+        max_position_embeddings=256, tie_word_embeddings=True,
+        bos_token_id=1, eos_token_id=2,
+    )
+    torch.manual_seed(0)
+    hf = GemmaForCausalLM(
+        GemmaConfig(**{k: v for k, v in cfg.items() if k != "architectures"})
+    ).eval()
+    rng = np.random.default_rng(1)
+    _check_vs_hf(hf, cfg, rng.integers(3, 500, 11).tolist())
