@@ -34,7 +34,101 @@ class GemmaForCausalLM(LlamaForCausalLM):
     def postprocess_params(self, params: Dict[str, Any]) -> Dict[str, Any]:
         """Fold Gemma's (1 + w) norm convention into the stacked weights."""
         lp = params["layers"]
-        lp["input_norm"] = lp["input_norm"] + 1.0
-        lp["post_norm"] = lp["post_norm"] + 1.0
+        for key in list(lp):
+            if key.endswith("norm"):
+                lp[key] = lp[key] + 1.0
         params["final_norm"] = params["final_norm"] + 1.0
         return params
+
+
+@dataclasses.dataclass
+class Gemma2ForCausalLM(GemmaForCausalLM):
+    """Gemma-2: sandwich norms (post-attention and post-feedforward norms
+    apply to the SUBLAYER OUTPUT before the residual add), attention-logit
+    and final-logit softcapping, query_pre_attn_scalar attention scale,
+    and sliding-window attention on alternating layers (the window rides
+    the ragged kernels' per-layer window support)."""
+
+    def __post_init__(self):
+        super().__post_init__()
+        hf = self.config.hf_config
+        c = self.config
+        self.sm_scale = float(
+            hf.get("query_pre_attn_scalar", c.head_dim)
+        ) ** -0.5
+        self.attn_softcap = float(hf.get("attn_logit_softcapping") or 0.0)
+        self.final_softcap = float(hf.get("final_logit_softcapping") or 0.0)
+        sw = int(hf.get("sliding_window") or 0)
+        # HF Gemma2: even layer indices slide, odd are full
+        self.layer_windows = tuple(
+            sw if (i % 2 == 0 and sw) else 0 for i in range(c.num_layers)
+        )
+
+    def param_shapes(self) -> Dict[str, Any]:
+        shapes = super().param_shapes()
+        c = self.config
+        L, H = c.num_layers, c.hidden_size
+        shapes["layers"]["pre_ffw_norm"] = ((L, H), jnp.float32)
+        shapes["layers"]["post_ffw_norm"] = ((L, H), jnp.float32)
+        return shapes
+
+    def extra_layer_params(self, t, L: int) -> Dict[str, Any]:
+        import numpy as np
+
+        return {
+            "pre_ffw_norm": jnp.asarray(
+                np.stack([
+                    t(f"model.layers.{l}.pre_feedforward_layernorm.weight")
+                    for l in range(L)
+                ]), jnp.float32,
+            ),
+            "post_ffw_norm": jnp.asarray(
+                np.stack([
+                    t(f"model.layers.{l}.post_feedforward_layernorm.weight")
+                    for l in range(L)
+                ]), jnp.float32,
+            ),
+        }
+
+    def _layer(self, params, x, l, positions, rope_tab, attn_fn,
+               lora_idx=None):
+        from sglang_awq_tpu.layers.linear import linear_apply
+        from sglang_awq_tpu.layers.norm import rms_norm
+        from sglang_awq_tpu.layers.rotary import apply_rope
+
+        c = self.config
+        lp = params["layers"]
+        T = x.shape[0]
+        D = self.head_dim
+
+        h = rms_norm(x, lp["input_norm"][l], c.rms_norm_eps)
+        qkv = linear_apply(self.specs["qkv"], lp["qkv"], h, l)
+        q, k, v = jnp.split(
+            qkv, [self.qh * D, (self.qh + self.kvh) * D], axis=-1
+        )
+        q = q.reshape(T, self.qh, D)
+        k = k.reshape(T, self.kvh, D)
+        v = v.reshape(T, self.kvh, D)
+        q, k = apply_rope(q, k, positions, rope_tab)
+        attn = attn_fn(q, k, v, l)
+        attn = attn.reshape(T, self.qh * D).astype(jnp.bfloat16)
+        o = linear_apply(self.specs["o"], lp["o"], attn, l)
+        o = self._maybe_psum(o.astype(jnp.float32))
+        # sandwich: post-attention norm on the sublayer OUTPUT
+        o = rms_norm(o.astype(jnp.bfloat16), lp["post_norm"][l],
+                     c.rms_norm_eps)
+        x = x + o.astype(x.dtype)
+
+        h2 = rms_norm(x, lp["pre_ffw_norm"][l], c.rms_norm_eps)
+        d = self._mlp(lp, h2, l)
+        d = self._maybe_psum(d.astype(jnp.float32))
+        d = rms_norm(d.astype(jnp.bfloat16), lp["post_ffw_norm"][l],
+                     c.rms_norm_eps)
+        x = x + d.astype(x.dtype)
+        return x
+
+    def _logits(self, params, h):
+        logits = super()._logits(params, h)
+        if self.final_softcap:
+            logits = self.final_softcap * jnp.tanh(logits / self.final_softcap)
+        return logits

@@ -50,6 +50,8 @@ class LlamaForCausalLM:
     qk_norm: bool = False  # Qwen3: per-head RMSNorm on q and k before RoPE
     embed_multiplier: float = 1.0  # Gemma scales embeddings by sqrt(H)
     mlp_act: str = "silu"  # "silu" | "gelu" (Gemma GeGLU)
+    layer_windows: tuple = None  # per-layer sliding window (0/None = full)
+    attn_softcap: float = 0.0  # Gemma2 attn-logit softcapping
 
     def __post_init__(self):
         c = self.config
@@ -149,6 +151,12 @@ class LlamaForCausalLM:
         if self.tp_axis is not None:
             return jax.lax.psum(x, self.tp_axis)
         return x
+
+    def _win(self, l):
+        """Per-layer sliding window as a traced scalar (0 = full)."""
+        if not self.layer_windows:
+            return 0
+        return jnp.asarray(np.asarray(self.layer_windows, np.int32))[l]
 
     def _embed(self, params, tokens):
         x = params["embed"]["weight"][tokens]
@@ -268,7 +276,8 @@ class LlamaForCausalLM:
                 fn = ragged_decode_xla if use_xla_attn else ragged_decode
                 out = fn(
                     q[:, None], state["kv"], page_table, lengths, l,
-                    sm_scale=self.sm_scale,
+                    sm_scale=self.sm_scale, window=self._win(l),
+                    softcap=self.attn_softcap,
                 )  # [B, 1, QH, D]
                 return out[:, 0]
 
@@ -315,7 +324,9 @@ class LlamaForCausalLM:
                 qs = q.reshape(B, QS, self.qh, self.head_dim)
                 fn = ragged_decode_xla if use_xla_attn else ragged_decode
                 out = fn(
-                    qs, state["kv"], page_table, lengths, l, sm_scale=self.sm_scale
+                    qs, state["kv"], page_table, lengths, l,
+                    sm_scale=self.sm_scale, window=self._win(l),
+                    softcap=self.attn_softcap,
                 )
                 return out.reshape(B * QS, self.qh, self.head_dim)
 
@@ -372,6 +383,7 @@ class LlamaForCausalLM:
                 return fn(
                     q, state["kv"], page_table, kv_lens, q_lens, qb_base, l,
                     sm_scale=self.sm_scale, block_q=block_q,
+                    window=self._win(l), softcap=self.attn_softcap,
                 )
 
             state = {"kv": kv}

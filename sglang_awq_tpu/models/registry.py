@@ -11,7 +11,7 @@ from typing import Dict, Type
 
 
 def get_model_class(architecture: str):
-    from sglang_awq_tpu.models.gemma import GemmaForCausalLM
+    from sglang_awq_tpu.models.gemma import Gemma2ForCausalLM, GemmaForCausalLM
     from sglang_awq_tpu.models.llama import LlamaForCausalLM
     from sglang_awq_tpu.models.mixtral import MixtralForCausalLM
     from sglang_awq_tpu.models.qwen2 import Qwen2ForCausalLM, Qwen3ForCausalLM
@@ -26,6 +26,7 @@ def get_model_class(architecture: str):
         "Qwen3ForCausalLM": Qwen3ForCausalLM,
         "Qwen2MoeForCausalLM": Qwen2MoeForCausalLM,
         "GemmaForCausalLM": GemmaForCausalLM,
+        "Gemma2ForCausalLM": Gemma2ForCausalLM,
     }
     if architecture not in registry:
         raise ValueError(

@@ -73,7 +73,9 @@ def _shiftk(x: jax.Array, k: int) -> jax.Array:
 def _decode_kernel(
     # scalar prefetch
     layer_ref,  # [1]
+    window_ref,  # [1] sliding window (0 = full attention)
     lengths_ref,  # [B]
+    s0_ref,  # [B] first live chunk per row (window skips earlier ones)
     nck_ref,  # [B] live chunks per row (0 for pads)
     nlive_ref,  # [B + 1] first live row index >= b (B if none)
     total_ref,  # [1] total live chunks across the batch
@@ -98,6 +100,7 @@ def _decode_kernel(
     q_span: int,
     gp: int,
     kvh: int,
+    softcap: float,
     interpret: bool,
 ):
     """Megakernel: grid=(1,); a dynamic-bound fori_loop walks the GLOBAL
@@ -120,8 +123,9 @@ def _decode_kernel(
     total = total_ref[0]
 
     def start_copy(bb, cc, slot):
+        base = s0_ref[bb] + cc  # absolute chunk (window skips the head)
         for i in range(pages_per_chunk):
-            page = pt_ref[bb * pmax + cc * pages_per_chunk + i]
+            page = pt_ref[bb * pmax + base * pages_per_chunk + i]
             pltpu.make_async_copy(
                 kv_hbm_ref.at[layer, page], kv_buf.at[slot, i], sem.at[slot]
             ).start()
@@ -188,8 +192,10 @@ def _decode_kernel(
                 qbd_ref[...], kvc, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+            if softcap:  # Gemma2 attn-logit softcapping
+                qk = softcap * jnp.tanh(qk / softcap)
             j = lax.broadcasted_iota(jnp.int32, qk.shape, 1)
-            pos = c * ck + j // fc
+            pos = (s0_ref[b] + c) * ck + j // fc
             if half == 1:
                 right_class = (j % fc) == 0
             else:
@@ -205,6 +211,9 @@ def _decode_kernel(
                 t = (lax.broadcasted_iota(jnp.int32, qk.shape, 0) % r) // gp
                 limit = length - (q_span - 1) + t
             mask = jnp.logical_and(pos < limit, right_class)
+            win = window_ref[0]
+            low = jnp.where(win > 0, limit - win, -(1 << 30))
+            mask = jnp.logical_and(mask, pos >= low)
             qk = jnp.where(mask, qk, MASK_VALUE)
 
             m_prev = m_ref[:, :1]  # [KVH*R, 1]
@@ -255,7 +264,8 @@ def _decode_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sm_scale", "pages_per_chunk", "interpret", "raw_layout"),
+    static_argnames=("sm_scale", "pages_per_chunk", "interpret", "raw_layout",
+                     "softcap"),
 )
 def ragged_decode(
     q: jax.Array,  # [B, QS, QH, D] bf16
@@ -268,12 +278,16 @@ def ragged_decode(
     pages_per_chunk: int = 8,
     interpret: Optional[bool] = None,
     raw_layout: bool = False,  # q/out already [B, KVH, R, D] grouped
+    window: jax.Array | int = 0,  # sliding window (0 = full); may be traced
+    softcap: float = 0.0,  # attn-logit softcapping (Gemma2); 0 = off
 ) -> jax.Array:
     """Decode / spec-verify attention -> [B, QS, QH, D] f32.
 
     Token t of each sequence attends causally up to position
-    lengths[b] - QS + t (its own position); lengths[b] = 0 marks a padded
-    row (skipped).  New tokens' K/V must already be in the pool.
+    lengths[b] - QS + t (its own position), and (window > 0) no further
+    back than window tokens — chunks wholly below the window are SKIPPED
+    (zero DMAs), so SWA layers cost O(window) regardless of context.
+    lengths[b] = 0 marks a padded row (skipped).
     """
     if interpret is None:
         interpret = pallas_interpret_default()
@@ -319,7 +333,13 @@ def ragged_decode(
     lengths = jnp.asarray(lengths, jnp.int32)
     pt_flat = page_table.reshape(-1).astype(jnp.int32)
     ck = ppc * ps
-    nck = (lengths + (ck - 1)) // ck  # 0 for padded rows
+    win = jnp.asarray(window, jnp.int32).reshape(1)
+    # window > 0: the earliest position any query can see is
+    # lengths - (QS-1) - window; chunks wholly below it never load
+    lowest = jnp.maximum(lengths - (QS - 1) - win[0], 0)
+    s0 = jnp.where(win[0] > 0, lowest // ck, 0).astype(jnp.int32)
+    nck = (lengths + (ck - 1)) // ck - jnp.where(lengths > 0, s0, 0)
+    nck = jnp.where(lengths > 0, nck, 0)
     total = jnp.sum(nck).reshape(1)
     # nlive[i] = first live row >= i (B if none): the megaloop's advance
     # is one scalar load instead of an O(B) scan.
@@ -329,7 +349,7 @@ def ragged_decode(
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=8,
         grid=(1,),
         in_specs=[
             pl.BlockSpec((B, KVH, R, D), lambda g, *_: (0, 0, 0, 0)),
@@ -354,6 +374,7 @@ def ragged_decode(
         q_span=QS,
         gp=gp,
         kvh=KVH,
+        softcap=float(softcap),
         interpret=bool(interpret),
     )
     out = pl.pallas_call(
@@ -367,7 +388,9 @@ def ragged_decode(
         interpret=interpret,
     )(
         layer,
+        win,
         lengths,
+        s0,
         nck,
         nlive,
         total,
@@ -389,6 +412,7 @@ def ragged_decode(
 def _extend_kernel(
     # scalar prefetch
     layer_ref,  # [1]
+    window_ref,  # [1] sliding window (0 = full attention)
     kvlens_ref,  # [B] total kv length (prefix + new)
     qlens_ref,  # [B] live new tokens (0 = padded row)
     qbbase_ref,  # [B] first q block of each sequence (cu_qpad // BQ)
@@ -414,6 +438,7 @@ def _extend_kernel(
     sm_scale: float,
     kvh: int,
     g: int,
+    softcap: float,
     interpret: bool,
 ):
     b, qb, c = pl.program_id(0), pl.program_id(1), pl.program_id(2)
@@ -518,13 +543,19 @@ def _extend_kernel(
                 qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             )  # [BQ*G, fc*ck]
             qk = qk * sm_scale
+            if softcap:  # Gemma2 attn-logit softcapping
+                qk = softcap * jnp.tanh(qk / softcap)
             if masks[ch] is None:
                 j = lax.broadcasted_iota(jnp.int32, qk.shape, 1)
                 pos = c * ck + j // fc
                 right_class = (j % fc) == ch
                 t = lax.broadcasted_iota(jnp.int32, qk.shape, 0) // g
                 q_pos = prefix + qb * bq + t  # absolute position of the row
-                masks[ch] = jnp.logical_and(pos <= q_pos, right_class)
+                win = window_ref[0]
+                low = jnp.where(win > 0, q_pos - win + 1, -(1 << 30))
+                masks[ch] = jnp.logical_and(
+                    jnp.logical_and(pos <= q_pos, pos >= low), right_class
+                )
             qk = jnp.where(masks[ch], qk, MASK_VALUE)
 
             m_prev = m_ref[h, :, :1]
@@ -557,7 +588,8 @@ def _extend_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sm_scale", "block_q", "pages_per_chunk", "interpret"),
+    static_argnames=("sm_scale", "block_q", "pages_per_chunk", "interpret",
+                     "softcap"),
 )
 def ragged_extend(
     q: jax.Array,  # [TQ, QH, D] bf16 token-major; each sequence's q rows
@@ -573,6 +605,8 @@ def ragged_extend(
     block_q: int = 128,
     pages_per_chunk: int = 8,
     interpret: Optional[bool] = None,
+    window: jax.Array | int = 0,  # sliding window (0 = full)
+    softcap: float = 0.0,  # attn-logit softcapping (Gemma2); 0 = off
 ) -> jax.Array:
     """Batched ragged extend attention -> [TQ, QH, D] f32.
 
@@ -611,13 +645,13 @@ def ragged_extend(
     # (observed on hardware: padded rows with qb_base=0 re-flushed block 0).
     q = jnp.pad(q, ((0, BQ), (0, 0), (0, 0)))
 
-    def q_index(b, qb, c, layer_r, kvlens_r, qlens_r, qbbase_r, *_):
+    def q_index(b, qb, c, layer_r, window_r, kvlens_r, qlens_r, qbbase_r, *_):
         live = qb * BQ < qlens_r[b]
         idx = jnp.where(live, qbbase_r[b] + qb, n_qblocks)
         return (jnp.minimum(idx, n_qblocks), 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
+        num_scalar_prefetch=8,
         grid=(B, n_qblocks, n_chunks),
         in_specs=[
             pl.BlockSpec((BQ, QH, D), q_index),
@@ -641,6 +675,7 @@ def ragged_extend(
         sm_scale=sm_scale,
         kvh=KVH,
         g=G,
+        softcap=float(softcap),
         interpret=bool(interpret),
     )
     out = pl.pallas_call(
@@ -654,6 +689,7 @@ def ragged_extend(
         interpret=interpret,
     )(
         layer,
+        jnp.asarray(window, jnp.int32).reshape(1),
         jnp.asarray(kv_lens, jnp.int32),
         jnp.asarray(q_lens, jnp.int32),
         jnp.asarray(qb_base, jnp.int32),
@@ -694,6 +730,8 @@ def ragged_decode_xla(
     layer: jax.Array | int,
     *,
     sm_scale: float,
+    window: jax.Array | int = 0,
+    softcap: float = 0.0,
 ) -> jax.Array:
     B, QS, QH, D = q.shape
     fc = kv_cache.shape[-2]
@@ -705,10 +743,14 @@ def ragged_decode_xla(
         jnp.einsum("btkgd,bskd->btkgs", qg.astype(jnp.float32), kg.astype(jnp.float32))
         * sm_scale
     )
+    if softcap:
+        s = softcap * jnp.tanh(s / softcap)
     S = s.shape[-1]
     key_pos = jnp.arange(S)[None, None, :]
     limit = (lengths[:, None] - (QS - 1) + jnp.arange(QS)[None, :])[:, :, None]
     mask = key_pos < limit  # [B, QS, S]
+    win = jnp.asarray(window, jnp.int32)
+    mask = mask & jnp.where(win > 0, key_pos >= limit - win, True)
     s = jnp.where(mask[:, :, None, None, :], s, MASK_VALUE)
     p = jax.nn.softmax(s, axis=-1)
     o = jnp.einsum("btkgs,bskd->btkgd", p, vg.astype(jnp.float32))
@@ -726,6 +768,8 @@ def ragged_extend_xla(
     *,
     sm_scale: float,
     block_q: int = 128,
+    window: jax.Array | int = 0,
+    softcap: float = 0.0,
 ) -> jax.Array:
     """Per-sequence gather + masked softmax (test oracle; also the CPU
     serving path — jit-compatible, no python data-dependent control flow)."""
@@ -756,8 +800,13 @@ def ragged_extend_xla(
         jnp.einsum("tkgd,tskd->tkgs", qg.astype(jnp.float32), kr.astype(jnp.float32))
         * sm_scale
     )
+    if softcap:
+        s = softcap * jnp.tanh(s / softcap)
     key_pos = jnp.arange(S)[None, None, None, :]
-    mask = key_pos <= q_pos[:, None, None, None]
+    qp = q_pos[:, None, None, None]
+    mask = key_pos <= qp
+    win = jnp.asarray(window, jnp.int32)
+    mask = mask & jnp.where(win > 0, key_pos >= qp - win + 1, True)
     s = jnp.where(mask, s, MASK_VALUE)
     p = jax.nn.softmax(s, axis=-1)
     o = jnp.einsum("tkgs,tskd->tkgd", p, vr.astype(jnp.float32))

@@ -17,8 +17,9 @@ def _run_extend(model, params, prompt, ps=8):
     spec = KVPoolSpec(model.config.num_layers, model.kvh, 16, ps,
                       model.head_dim)
     kv = spec.alloc()
-    pages = [3, 5, 7, 2]
-    T, T_pad = len(prompt), 16
+    T = len(prompt)
+    T_pad = max((T + 15) // 16 * 16, 16)
+    pages = list(range(1, T_pad // ps + 1))
     slots = np.full(T_pad, PAD_SLOT, np.int32)
     for i in range(T):
         slots[i] = pages[i // ps] * ps + i % ps
@@ -92,3 +93,29 @@ def test_gemma_matches_hf():
     ).eval()
     rng = np.random.default_rng(1)
     _check_vs_hf(hf, cfg, rng.integers(3, 500, 11).tolist())
+
+
+def test_gemma2_matches_hf():
+    """Gemma-2: sandwich norms, logit softcaps, query_pre_attn_scalar AND
+    alternating sliding-window layers (prompt longer than the window)."""
+    import torch
+    from transformers import Gemma2Config, Gemma2ForCausalLM
+
+    cfg = dict(
+        architectures=["Gemma2ForCausalLM"],
+        vocab_size=512, hidden_size=256, num_hidden_layers=4,
+        num_attention_heads=8, num_key_value_heads=4, head_dim=32,
+        intermediate_size=448, hidden_act="gelu_pytorch_tanh",
+        rms_norm_eps=1e-6, rope_theta=10000.0,
+        max_position_embeddings=256, tie_word_embeddings=True,
+        query_pre_attn_scalar=24, attn_logit_softcapping=50.0,
+        final_logit_softcapping=30.0, sliding_window=16,
+        bos_token_id=1, eos_token_id=2,
+    )
+    torch.manual_seed(0)
+    hf = Gemma2ForCausalLM(
+        Gemma2Config(**{k: v for k, v in cfg.items() if k != "architectures"})
+    ).eval()
+    rng = np.random.default_rng(2)
+    # 27 tokens > window 16: the sliding layers genuinely clip
+    _check_vs_hf(hf, cfg, rng.integers(3, 500, 27).tolist(), atol=0.4)

@@ -307,3 +307,89 @@ def test_write_kv_fp8_roundtrip():
     np.testing.assert_array_equal(face[1], kq[half:])
     np.testing.assert_array_equal(face[2], vq[:half])
     np.testing.assert_array_equal(face[3], vq[half:])
+
+
+def test_ragged_decode_sliding_window():
+    """SWA: only the last `window` positions attend; chunks wholly below
+    the window are skipped (schedule changes), so parity vs the oracle
+    covers both the mask and the skip arithmetic."""
+    kv = _pool(7)
+    rng = np.random.default_rng(7)
+    B, pmax = 4, 8
+    lengths = np.array([40, 7, 0, 61], np.int32)
+    page_table = rng.integers(0, PAGES, size=(B, pmax)).astype(np.int32)
+    q = jnp.asarray(rng.normal(size=(B, 1, QH, D)), jnp.bfloat16)
+    for W in (8, 17, 100):
+        out = ragged_decode(
+            q, kv, jnp.asarray(page_table), jnp.asarray(lengths), 1,
+            sm_scale=0.125, pages_per_chunk=2, interpret=True, window=W,
+        )
+        ref = ragged_decode_xla(
+            q, kv, jnp.asarray(page_table), jnp.asarray(lengths), 1,
+            sm_scale=0.125, window=W,
+        )
+        live = lengths > 0
+        np.testing.assert_allclose(
+            np.asarray(out)[live], np.asarray(ref)[live],
+            rtol=2e-2, atol=2e-2, err_msg=f"W={W}",
+        )
+    # brute-force spot check at W=8, row 3 (len 61): softmax over last 8
+    kg, vg = _gather_oracle(kv, page_table, 1)
+    qrow = np.asarray(q, np.float32)[3, 0]  # [QH, D]
+    ks, vs = kg[3], vg[3]  # [S, KVH, D]
+    G = QH // KVH
+    h = 2  # query head
+    kh = ks[61 - 8 : 61, h // G]
+    vh = vs[61 - 8 : 61, h // G]
+    sc = (qrow[h] @ kh.T) * 0.125
+    pr = np.exp(sc - sc.max()); pr /= pr.sum()
+    want = pr @ vh
+    out8 = ragged_decode(
+        q, kv, jnp.asarray(page_table), jnp.asarray(lengths), 1,
+        sm_scale=0.125, pages_per_chunk=2, interpret=True, window=8,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out8)[3, 0, h], want, rtol=3e-2, atol=3e-2
+    )
+
+
+def _gather_oracle(kv, page_table, layer):
+    from sglang_awq_tpu.ops.ragged_attention import _gather_seq
+
+    kg, vg = _gather_seq(jnp.asarray(kv), jnp.asarray(page_table), layer, D)
+    return np.asarray(kg, np.float32), np.asarray(vg, np.float32)
+
+
+def test_ragged_extend_sliding_window():
+    kv = _pool(8)
+    rng = np.random.default_rng(8)
+    BQ = 16
+    q_lens = np.array([5, 16, 3, 0], np.int32)
+    prefixes = np.array([24, 0, 16, 0], np.int32)
+    kv_lens = q_lens + prefixes
+    B, pmax = 4, 8
+    page_table = rng.integers(0, PAGES, size=(B, pmax)).astype(np.int32)
+    qb_base = np.zeros(B, np.int32)
+    off = 0
+    for i in range(B):
+        qb_base[i] = off // BQ
+        off += (int(q_lens[i]) + BQ - 1) // BQ * BQ
+    TQ = max(off, BQ)
+    q = jnp.asarray(rng.normal(size=(TQ, QH, D)), jnp.bfloat16)
+    args = (
+        jnp.asarray(page_table), jnp.asarray(kv_lens),
+        jnp.asarray(q_lens), jnp.asarray(qb_base), 0,
+    )
+    for W in (4, 12):
+        out = ragged_extend(q, kv, *args, sm_scale=0.125, block_q=BQ,
+                            pages_per_chunk=2, interpret=True, window=W)
+        ref = ragged_extend_xla(q, kv, *args, sm_scale=0.125, block_q=BQ,
+                                window=W)
+        live = np.zeros(TQ, bool)
+        for i in range(B):
+            s = int(qb_base[i]) * BQ
+            live[s : s + int(q_lens[i])] = True
+        np.testing.assert_allclose(
+            np.asarray(out)[live], np.asarray(ref)[live],
+            rtol=2e-2, atol=2e-2, err_msg=f"W={W}",
+        )
