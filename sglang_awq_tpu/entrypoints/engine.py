@@ -238,6 +238,18 @@ class Engine:
         done.wait(timeout=30)
         return result.get("ok", False)
 
+    def save_weights_snapshot(self, path: str):
+        """Pause-and-save native sharded snapshot (checkpoint/resume)."""
+        import queue as _q
+
+        done: "_q.Queue" = _q.Queue()
+
+        def do():
+            done.put(self.runner.save_snapshot(path))
+
+        self._in_queue.put(_FlushSentinel(do))
+        return done.get(timeout=600)
+
     def update_weights_from_disk(self, model_path: str):
         """Pause scheduling, reload weights, resume (reference engine.py:530)."""
         done = threading.Event()

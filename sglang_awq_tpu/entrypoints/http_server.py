@@ -80,6 +80,7 @@ class HttpServer:
         r.add_get("/metrics", self.metrics)
         r.add_post("/start_profile", self.start_profile)
         r.add_post("/stop_profile", self.stop_profile)
+        r.add_post("/save_weights_snapshot", self.save_weights_snapshot)
         r.add_post("/v1/score", self.v1_score)
         r.add_post("/v1/rerank", self.v1_rerank)
 
@@ -276,6 +277,21 @@ class HttpServer:
             results.append({"score": lp, "document": d, "index": i})
         results.sort(key=lambda r: -r["score"])
         return web.json_response(results)
+
+    async def save_weights_snapshot(self, request: web.Request) -> web.Response:
+        """Write a sharded native checkpoint (reloadable through
+        /update_weights_from_disk) — reference sharded-save role."""
+        try:
+            body = await request.json()
+            path = body["path"]
+        except Exception as e:  # noqa: BLE001
+            return self._openai_error(str(e))
+        loop = asyncio.get_running_loop()
+        ok, msg = await loop.run_in_executor(
+            None, self.engine.save_weights_snapshot, path
+        )
+        return web.json_response({"success": ok, "message": msg},
+                                 status=200 if ok else 500)
 
     async def start_profile(self, request: web.Request) -> web.Response:
         """Start a jax.profiler trace (reference /start_profile ->

@@ -1208,10 +1208,100 @@ class ModelRunner:
     # weight updates (reference model_runner.py:969-1344 family)
     # ------------------------------------------------------------------
 
+    def save_snapshot(self, path: str, shard_bytes: int = 4 << 30) -> Tuple[bool, str]:
+        """Sharded native checkpoint: the converted layer-stacked pytree as
+        safetensors shards + a manifest (reference sharded-save role,
+        ModelRunner.save_sharded_model).  Reload with load_snapshot — no
+        AWQ re-conversion, no merge pass, so RL checkpoint/restore loops
+        skip the load-time transform entirely."""
+        try:
+            from safetensors.numpy import save_file
+
+            os.makedirs(path, exist_ok=True)
+            flat = jax.tree_util.tree_flatten_with_path(self.params)[0]
+            shard: Dict[str, np.ndarray] = {}
+            shards = []
+            size = 0
+
+            def flush():
+                nonlocal shard, size
+                if shard:
+                    fn = f"snapshot-{len(shards):05d}.safetensors"
+                    save_file(shard, os.path.join(path, fn))
+                    shards.append(fn)
+                    shard, size = {}, 0
+
+            names = []
+            for kp, leaf in flat:
+                name = "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                                for k in kp)
+                arr = np.asarray(jax.device_get(leaf))
+                if arr.dtype == jnp.bfloat16:
+                    arr = arr.view(np.uint16)  # safetensors-numpy: no bf16
+                    name += "::bf16"
+                names.append(name)
+                shard[name] = arr
+                size += arr.nbytes
+                if size >= shard_bytes:
+                    flush()
+            flush()
+            import json as _json
+
+            with open(os.path.join(path, "manifest.json"), "w") as f:
+                _json.dump(
+                    {"format": "sglt_native_snapshot", "shards": shards,
+                     "tensors": names}, f,
+                )
+            return True, f"saved {len(names)} tensors in {len(shards)} shards"
+        except Exception as e:  # noqa: BLE001
+            logger.exception("save_snapshot failed")
+            return False, str(e)
+
+    def load_snapshot(self, path: str) -> Tuple[bool, str]:
+        """Reload a native snapshot (shapes/dtypes must match)."""
+        try:
+            import json as _json
+
+            from safetensors import safe_open
+
+            with open(os.path.join(path, "manifest.json")) as f:
+                manifest = _json.load(f)
+            loaded: Dict[str, np.ndarray] = {}
+            for fn in manifest["shards"]:
+                with safe_open(os.path.join(path, fn), framework="np") as sf:
+                    for name in sf.keys():
+                        loaded[name] = sf.get_tensor(name)
+            flat, treedef = jax.tree_util.tree_flatten_with_path(self.params)
+            new_leaves = []
+            for kp, leaf in flat:
+                name = "/".join(str(getattr(k, "key", getattr(k, "idx", k)))
+                                for k in kp)
+                arr = loaded.get(name + "::bf16")
+                if arr is not None:
+                    arr = jnp.asarray(arr.view(np.uint16)).view(jnp.bfloat16)
+                else:
+                    arr = loaded[name]
+                if tuple(arr.shape) != tuple(leaf.shape):
+                    return False, f"shape mismatch for {name}"
+                new_leaves.append(jnp.asarray(arr, leaf.dtype))
+            self.params = jax.tree_util.tree_unflatten(
+                jax.tree_util.tree_structure(self.params), new_leaves
+            )
+            if self.mesh is not None:
+                self._shard_state()
+            return True, f"loaded {len(new_leaves)} tensors"
+        except Exception as e:  # noqa: BLE001
+            logger.exception("load_snapshot failed")
+            return False, str(e)
+
     def update_weights_from_disk(self, model_path: str) -> Tuple[bool, str]:
         """In-place reload from a checkpoint dir (reference
         update_weights_from_disk — RL rollout refresh / model hot-swap).
-        The architecture and shapes must match the loaded model."""
+        The architecture and shapes must match the loaded model.  Native
+        snapshots (save_snapshot manifests) short-circuit the HF-schema
+        conversion."""
+        if os.path.exists(os.path.join(model_path, "manifest.json")):
+            return self.load_snapshot(model_path)
         try:
             from sglang_awq_tpu.model_loader.loader import (
                 iterate_safetensors,
