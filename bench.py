@@ -95,16 +95,19 @@ def main():
         sampling=[SamplingRow() for _ in range(bs)],
     )
 
-    lo_steps, hi_steps = 8, 72
-    log("bench: compiling multi-step decode (lo)...")
+    # ONE executable (remote compiles run minutes each through the relay;
+    # a second executable for the classic two-point slope doubled the cold
+    # bench time).  Slope between 1 call and 3 consecutive calls of the
+    # SAME executable cancels per-run Python overhead; the per-call
+    # dispatch latency (~45 ms) does not cancel and biases the result
+    # CONSERVATIVELY by ~dispatch/(n_steps) per step (<1 ms at 64 steps).
+    n_steps = int(os.environ.get("SGLT_BENCH_STEPS", "64"))
+    log("bench: compiling multi-step decode...")
     t0 = time.time()
-    runner.forward_decode_multi(d, lo_steps)
-    log(f"bench: lo compile+run {time.time()-t0:.1f}s; compiling hi...")
-    t0 = time.time()
-    runner.forward_decode_multi(d, hi_steps)
-    log(f"bench: hi compile+run {time.time()-t0:.1f}s; measuring...")
+    runner.forward_decode_multi(d, n_steps)
+    log(f"bench: compile+run {time.time()-t0:.1f}s; measuring...")
 
-    def timed(n_steps, trial):
+    def one_call(trial):
         dd = DecodeInput(
             tokens=((d.tokens + trial) % 1000).astype(np.int32),
             positions=d.positions,
@@ -114,16 +117,21 @@ def main():
             sample_steps=d.sample_steps + trial,
             sampling=d.sampling,
         )
-        t0 = time.perf_counter()
-        out = runner.forward_decode_multi(dd, n_steps)  # np.asarray inside = fetch sync
+        out = runner.forward_decode_multi(dd, n_steps)
         assert out.shape[0] == n_steps
+
+    def timed(calls, trial):
+        t0 = time.perf_counter()
+        for c in range(calls):
+            one_call(trial * 10 + c)
         return time.perf_counter() - t0
 
-    mins = {}
-    for n in (lo_steps, hi_steps):
-        mins[n] = min(timed(n, t) for t in range(3))
-    per_step = (mins[hi_steps] - mins[lo_steps]) / (hi_steps - lo_steps)
+    t1 = min(timed(1, t) for t in range(3))
+    t3 = min(timed(3, t) for t in range(3, 5))
+    per_step = (t3 - t1) / (2 * n_steps)
     tok_s = bs / per_step
+    mins = {1: t1, 3: t3}
+    lo_steps, hi_steps = 1, 3
     log(
         f"bench: per-step {per_step*1e3:.2f} ms @ bs={bs} -> {tok_s:.0f} tok/s "
         f"(lo={mins[lo_steps]:.3f}s hi={mins[hi_steps]:.3f}s)"
