@@ -146,6 +146,56 @@ class GrammarMatcher:
                 non_eos[e] = False
         return not non_eos.any()
 
+    def jump_forward_bytes(self, limit: int = 4096) -> bytes:
+        """The FORCED continuation: bytes the grammar admits exactly one
+        way (reference xgrammar find_jump_forward_string).  Stops at any
+        accepting state (EOS becomes an option) or branching state."""
+        dfa = self.compiled.dfa
+        st = self.state
+        out = bytearray()
+        while len(out) < limit and not dfa.accept[st]:
+            row = dfa.table[st]
+            nxt = None
+            for b in range(256):
+                if row[b] >= 0:
+                    if nxt is not None:
+                        nxt = None
+                        break
+                    nxt = (b, row[b])
+            if nxt is None:
+                break
+            out.append(nxt[0])
+            st = nxt[1]
+        return bytes(out)
+
+    def jump_forward_tokens(self) -> list:
+        """Greedy longest-match tokenization of the forced bytes over the
+        vocab trie (any tokenization of the exact byte string stays on the
+        forced DFA path, so each returned token is grammar-legal).  A tail
+        that completes no token is left for normal masked decoding."""
+        data = self.jump_forward_bytes()
+        if not data:
+            return []
+        trie = self.compiled.trie
+        toks = []
+        i = 0
+        while i < len(data):
+            node = 0
+            j = i
+            last = None
+            while j < len(data):
+                node = trie.children[node].get(data[j])
+                if node is None:
+                    break
+                j += 1
+                if trie.tokens_at[node]:
+                    last = (trie.tokens_at[node][0], j)
+            if last is None:
+                break
+            toks.append(last[0])
+            i = last[1]
+        return toks
+
 
 _GRAMMAR_CACHE: Dict[Tuple[int, str, str], CompiledGrammar] = {}
 _GRAMMAR_LOCK = threading.Lock()

@@ -941,9 +941,20 @@ class Scheduler:
                 self._record_logprobs(r, lp, i)
             r.check_finished(new_id)
             self._advance_grammar(r, new_id)
-            outputs.append(ReqOutput(r, [new_id]))
+            jf = []
+            if (
+                r.grammar is not None
+                and not r.finished()
+                and not self.server_args.disable_jump_forward
+            ):
+                jf = self._try_jump_forward(r)
+            outputs.append(ReqOutput(r, [new_id] + jf))
             if r.finished():
                 self._finish_req(r)
+            elif jf:
+                # forced tokens have no KV yet: re-extend through prefill
+                # (retraction-resume machinery; pages and row retained)
+                self.waiting.appendleft(r)
             else:
                 still_running.append(r)
         self.running = still_running
@@ -952,6 +963,24 @@ class Scheduler:
             self.base_new_token_ratio,
         )
         return outputs
+
+    def _try_jump_forward(self, r: Req):
+        """Append the grammar's forced continuation without model steps
+        (reference jump-forward, xgrammar_backend.py:94-138).  Token
+        boundaries may differ from free-running decode (retokenization
+        effect) — the emitted STRING is identical and grammar-legal."""
+        toks = r.grammar.jump_forward_tokens()
+        if len(toks) < 2:
+            return []
+        applied = []
+        for t in toks:
+            r.output_ids.append(t)
+            applied.append(t)
+            r.check_finished(t)
+            self._advance_grammar(r, t)
+            if r.finished():
+                break
+        return applied
 
     def _ensure_decode_memory(self, grow: int = 1):
         """Grow each running req by `grow` tokens; retract on OOM

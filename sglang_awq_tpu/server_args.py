@@ -91,6 +91,7 @@ class ServerArgs:
     reasoning_parser: Optional[str] = None
     # HiCache: host-memory KV tier behind the device radix cache
     enable_hierarchical_cache: bool = False
+    disable_jump_forward: bool = False  # grammar forced-string fast path
     hicache_size_gb: float = 4.0
     grammar_backend: str = "none"
     lora_paths: Optional[List[str]] = None

@@ -169,3 +169,59 @@ def test_engine_ebnf_constrained(eng):
         },
     )
     assert out["text"] in ("left", "right", "straight"), out["text"]
+
+
+def test_jump_forward_matcher_unit():
+    """Forced-continuation extraction + trie retokenization."""
+    from sglang_awq_tpu.constrained.grammar_backend import (
+        GrammarMatcher,
+        compile_grammar,
+    )
+    from .utils import ByteTokenizer
+
+    tok = ByteTokenizer()
+    g = compile_grammar(
+        "regex", r'\{"answer": (yes|no)\}', tok, 512, {2}
+    )
+    m = GrammarMatcher(g)
+    forced = m.jump_forward_bytes()
+    assert forced == b'{"answer": '
+    toks = m.jump_forward_tokens()
+    assert toks  # byte tokenizer: one token per byte
+    for t in toks:
+        assert m.accept_token(t)
+    # after the fork point there is no forced continuation
+    assert m.jump_forward_bytes() == b""
+
+
+def test_engine_jump_forward_same_string_fewer_steps(eng):
+    schema = json.dumps(
+        {
+            "type": "object",
+            "properties": {
+                "first_field_name": {"enum": ["aa", "bb"]},
+                "second_field_name": {"type": "boolean"},
+            },
+            "required": ["first_field_name", "second_field_name"],
+        }
+    )
+    sp = {"max_new_tokens": 80, "temperature": 0.0, "json_schema": schema}
+    c0 = eng.runner.decode_steps_counter
+    out_jf = eng.generate(prompt="emit json", sampling_params=dict(sp))
+    steps_jf = eng.runner.decode_steps_counter - c0
+
+    eng.server_args.disable_jump_forward = True
+    try:
+        c0 = eng.runner.decode_steps_counter
+        out_plain = eng.generate(prompt="emit json v2",
+                                 sampling_params=dict(sp))
+        steps_plain = eng.runner.decode_steps_counter - c0
+    finally:
+        eng.server_args.disable_jump_forward = False
+
+    doc = json.loads(out_jf["text"])
+    assert doc["first_field_name"] in ("aa", "bb")
+    assert isinstance(doc["second_field_name"], bool)
+    # same grammar-forced skeleton -> same string shape; far fewer steps
+    assert json.loads(out_plain["text"]).keys() == doc.keys()
+    assert steps_jf < steps_plain * 0.7, (steps_jf, steps_plain)
