@@ -83,6 +83,12 @@ class HttpServer:
         r.add_post("/save_weights_snapshot", self.save_weights_snapshot)
         r.add_post("/v1/score", self.v1_score)
         r.add_post("/v1/rerank", self.v1_rerank)
+        r.add_post("/tokenize", self.tokenize)
+        r.add_post("/detokenize", self.detokenize)
+        # Ollama compatibility (reference entrypoints/ollama_compat role)
+        r.add_post("/api/generate", self.ollama_generate)
+        r.add_post("/api/chat", self.ollama_chat)
+        r.add_get("/api/tags", self.ollama_tags)
 
     # ------------------------------------------------------------------
     # helpers
@@ -436,6 +442,124 @@ class HttpServer:
                 ],
             }
         )
+
+    async def tokenize(self, request: web.Request) -> web.Response:
+        try:
+            body = await request.json()
+            text = body["text"]
+        except Exception as e:  # noqa: BLE001
+            return self._openai_error(str(e))
+        tok = self.engine.tokenizer_manager.tokenizer
+        if tok is None:
+            return self._openai_error("no tokenizer loaded", status=503)
+        ids = tok.encode(text)
+        return web.json_response({"tokens": ids, "count": len(ids)})
+
+    async def detokenize(self, request: web.Request) -> web.Response:
+        try:
+            body = await request.json()
+            ids = body["tokens"]
+        except Exception as e:  # noqa: BLE001
+            return self._openai_error(str(e))
+        tok = self.engine.tokenizer_manager.tokenizer
+        if tok is None:
+            return self._openai_error("no tokenizer loaded", status=503)
+        return web.json_response({"text": tok.decode(ids)})
+
+    # ------------------------------------------------------------------
+    # Ollama compatibility
+    # ------------------------------------------------------------------
+
+    def _ollama_opts(self, body: dict) -> dict:
+        o = body.get("options") or {}
+        return {
+            "max_new_tokens": int(o.get("num_predict", 128)),
+            "temperature": float(o.get("temperature", 0.8)),
+            "top_p": float(o.get("top_p", 0.9)),
+            "top_k": int(o.get("top_k", -1) or -1),
+            "stop": o.get("stop"),
+            "seed": o.get("seed"),
+        }
+
+    async def ollama_generate(self, request: web.Request) -> web.StreamResponse:
+        try:
+            body = await request.json()
+        except Exception as e:  # noqa: BLE001
+            return self._openai_error(str(e))
+        gin = GenerateReqInput(
+            text=body.get("prompt", ""),
+            sampling_params=self._ollama_opts(body),
+            stream=bool(body.get("stream", True)),
+        )
+        state = self._submit(gin)
+        model = body.get("model") or self.engine.server_args.served_model_name
+        if not gin.stream:
+            out = await self._collect(state)
+            return web.json_response({
+                "model": model, "response": out["text"], "done": True,
+                "done_reason": (out["meta_info"]["finish_reason"] or {}).get(
+                    "type", "stop"),
+                "prompt_eval_count": out["meta_info"]["prompt_tokens"],
+                "eval_count": out["meta_info"]["completion_tokens"],
+            })
+        resp = web.StreamResponse(
+            headers={"Content-Type": "application/x-ndjson"})
+        await resp.prepare(request)
+        async for chunk in self._iter_chunks(state):
+            line = {"model": model, "response": chunk["delta"],
+                    "done": chunk["finished"]}
+            if chunk["finished"]:
+                line["prompt_eval_count"] = chunk["meta_info"]["prompt_tokens"]
+                line["eval_count"] = chunk["meta_info"]["completion_tokens"]
+            await resp.write((json.dumps(line) + "\n").encode())
+        await resp.write_eof()
+        return resp
+
+    async def ollama_chat(self, request: web.Request) -> web.StreamResponse:
+        try:
+            body = await request.json()
+            messages = body["messages"]
+        except Exception as e:  # noqa: BLE001
+            return self._openai_error(str(e))
+        text = "".join(
+            f"{m.get('role', 'user')}: {m.get('content', '')}\n"
+            for m in messages
+        ) + "assistant:"
+        gin = GenerateReqInput(
+            text=text, sampling_params=self._ollama_opts(body),
+            stream=bool(body.get("stream", True)),
+        )
+        state = self._submit(gin)
+        model = body.get("model") or self.engine.server_args.served_model_name
+        if not gin.stream:
+            out = await self._collect(state)
+            return web.json_response({
+                "model": model,
+                "message": {"role": "assistant", "content": out["text"]},
+                "done": True,
+            })
+        resp = web.StreamResponse(
+            headers={"Content-Type": "application/x-ndjson"})
+        await resp.prepare(request)
+        async for chunk in self._iter_chunks(state):
+            line = {
+                "model": model,
+                "message": {"role": "assistant", "content": chunk["delta"]},
+                "done": chunk["finished"],
+            }
+            await resp.write((json.dumps(line) + "\n").encode())
+        await resp.write_eof()
+        return resp
+
+    async def ollama_tags(self, request: web.Request) -> web.Response:
+        sa = self.engine.server_args
+        return web.json_response({
+            "models": [{
+                "name": sa.served_model_name,
+                "model": sa.served_model_name,
+                "details": {"family": self.engine.runner.model_config.architecture},
+            }]
+        })
 
     def _completion_logprobs(self, o: dict, req, first_token=None) -> Optional[dict]:
         """OpenAI completions `logprobs` block: output tokens (+ prompt

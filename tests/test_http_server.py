@@ -639,3 +639,40 @@ def test_v1_rerank(server_url):
     assert len(out) == 2
     assert {d["index"] for d in out} == {0, 1}
     assert out[0]["score"] >= out[1]["score"]
+
+
+def test_tokenize_detokenize(server_url):
+    r = httpx.post(f"{server_url}/tokenize", json={"text": "hello"}, timeout=30)
+    ids = r.json()["tokens"]
+    assert r.json()["count"] == len(ids) == 5  # byte tokenizer
+    r2 = httpx.post(f"{server_url}/detokenize", json={"tokens": ids}, timeout=30)
+    assert r2.json()["text"] == "hello"
+
+
+def test_ollama_compat(server_url):
+    r = httpx.post(
+        f"{server_url}/api/generate",
+        json={"model": "tiny", "prompt": "hi", "stream": False,
+              "options": {"num_predict": 4, "temperature": 0}},
+        timeout=120,
+    )
+    out = r.json()
+    assert out["done"] is True and out["eval_count"] == 4
+
+    # streaming NDJSON
+    lines = []
+    with httpx.stream(
+        "POST", f"{server_url}/api/chat",
+        json={"model": "tiny",
+              "messages": [{"role": "user", "content": "yo"}],
+              "options": {"num_predict": 3, "temperature": 0}},
+        timeout=120,
+    ) as r:
+        for ln in r.iter_lines():
+            if ln.strip():
+                lines.append(json.loads(ln))
+    assert lines[-1]["done"] is True
+    assert all("message" in l for l in lines)
+
+    tags = httpx.get(f"{server_url}/api/tags", timeout=30).json()
+    assert tags["models"][0]["name"]
