@@ -1,0 +1,140 @@
+"""gRPC serving endpoint.
+
+Role model: reference `python/sglang/srt/entrypoints/grpc_server.py`
+(SglangScheduler service: Generate stream, HealthCheck).  This image has
+grpcio but not grpc_python_plugin, so the service is registered through
+gRPC's generic method handlers with a JSON message codec — the wire
+contract below is stable and `protos/sglang_engine.proto` documents the
+equivalent typed schema for clients that generate their own stubs.
+
+Methods (service `sglang.Engine`):
+  Generate      server-streaming; request/response JSON:
+                {"text"|"input_ids", "sampling_params": {...}} ->
+                stream of {"text", "delta", "output_ids", "meta_info",
+                "finished"}
+  GenerateUnary unary variant (final chunk only)
+  Health        {} -> {"status": "ok"}
+  Abort         {"rid": ...} -> {}
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import queue
+from concurrent import futures
+from typing import Optional
+
+import grpc
+
+from sglang_awq_tpu.managers.tokenizer_manager import GenerateReqInput
+
+logger = logging.getLogger(__name__)
+
+_SERVICE = "sglang.Engine"
+
+
+def _ser(obj) -> bytes:
+    return json.dumps(obj).encode()
+
+
+def _de(data: bytes):
+    return json.loads(data.decode())
+
+
+def _gin_from(body: dict, stream: bool) -> GenerateReqInput:
+    return GenerateReqInput(
+        text=body.get("text"),
+        input_ids=body.get("input_ids"),
+        sampling_params=body.get("sampling_params"),
+        rid=body.get("rid"),
+        stream=stream,
+        return_logprob=bool(body.get("return_logprob", False)),
+        logprob_start_len=int(body.get("logprob_start_len", -1)),
+    )
+
+
+def _payload(out: dict) -> dict:
+    return {
+        "text": out.get("text", ""),
+        "delta": out.get("delta", ""),
+        "output_ids": out.get("output_ids", []),
+        "meta_info": out.get("meta_info", {}),
+        "finished": out.get("finished", True),
+    }
+
+
+class GrpcEngineServer:
+    def __init__(self, engine, port: int, max_workers: int = 16):
+        self.engine = engine
+        self.port = port
+        self.server = grpc.server(
+            futures.ThreadPoolExecutor(max_workers=max_workers)
+        )
+
+        def generate_stream(request: bytes, context):
+            body = _de(request)
+            state = self.engine.tokenizer_manager.create_request(
+                _gin_from(body, stream=True)
+            )
+            try:
+                while True:
+                    item = state.out_queue.get()
+                    if item is None:
+                        break
+                    yield _ser(_payload(item))
+            finally:
+                self.engine.tokenizer_manager._drop(state)
+
+        def generate_unary(request: bytes, context):
+            body = _de(request)
+            state = self.engine.tokenizer_manager.create_request(
+                _gin_from(body, stream=False)
+            )
+            last = None
+            while True:
+                item = state.out_queue.get()
+                if item is None:
+                    break
+                last = item
+            self.engine.tokenizer_manager._drop(state)
+            if last is None:
+                context.abort(grpc.StatusCode.INTERNAL, "no output")
+            return _ser(_payload(last))
+
+        def health(request: bytes, context):
+            return _ser({"status": "ok"})
+
+        def abort(request: bytes, context):
+            rid = _de(request).get("rid")
+            if rid:
+                self.engine.tokenizer_manager.abort_request(rid)
+            return _ser({})
+
+        handlers = {
+            "Generate": grpc.unary_stream_rpc_method_handler(
+                generate_stream, request_deserializer=None,
+                response_serializer=None,
+            ),
+            "GenerateUnary": grpc.unary_unary_rpc_method_handler(
+                generate_unary, request_deserializer=None,
+                response_serializer=None,
+            ),
+            "Health": grpc.unary_unary_rpc_method_handler(
+                health, request_deserializer=None, response_serializer=None,
+            ),
+            "Abort": grpc.unary_unary_rpc_method_handler(
+                abort, request_deserializer=None, response_serializer=None,
+            ),
+        }
+        self.server.add_generic_rpc_handlers(
+            (grpc.method_handlers_generic_handler(_SERVICE, handlers),)
+        )
+        self.bound_port = self.server.add_insecure_port(f"[::]:{port}")
+
+    def start(self):
+        self.server.start()
+        logger.info("gRPC server on :%d", self.bound_port)
+
+    def stop(self, grace: Optional[float] = 1.0):
+        self.server.stop(grace)

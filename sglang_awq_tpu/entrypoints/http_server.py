@@ -874,6 +874,11 @@ def launch_server(server_args: ServerArgs, engine: Optional[Engine] = None):
         engine = Engine(server_args=server_args)
     if not server_args.skip_server_warmup:
         _warmup(engine)
+    if server_args.grpc_port:
+        from sglang_awq_tpu.entrypoints.grpc_server import GrpcEngineServer
+
+        grpc_srv = GrpcEngineServer(engine, server_args.grpc_port)
+        grpc_srv.start()
     app = build_app(engine)
     logger.info(
         "serving %s on http://%s:%d",

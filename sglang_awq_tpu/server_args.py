@@ -92,6 +92,7 @@ class ServerArgs:
     # HiCache: host-memory KV tier behind the device radix cache
     enable_hierarchical_cache: bool = False
     disable_jump_forward: bool = False  # grammar forced-string fast path
+    grpc_port: Optional[int] = None  # also serve gRPC (sglang.Engine)
     hicache_size_gb: float = 4.0
     grammar_backend: str = "none"
     lora_paths: Optional[List[str]] = None
