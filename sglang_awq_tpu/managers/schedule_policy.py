@@ -36,10 +36,48 @@ class SchedulePolicy:
             items.sort(key=lambda r: -r.sampling_params.max_new_tokens)
         elif self.policy == "lpm":  # longest (cached) prefix match first
             items.sort(key=lambda r: -self.tree.match_prefix(r.fill_ids).matched_len)
+        elif self.policy == "dfs-weight":
+            items = self._dfs_weight_order(items)
         else:
             raise ValueError(f"unknown schedule policy {self.policy!r}")
         waiting.clear()
         waiting.extend(items)
+
+    def _dfs_weight_order(self, items: List[Req]) -> List[Req]:
+        """Group shared-prefix requests adjacently: DFS over a trie of the
+        waiting prompts, heavier subtrees first (reference calc_priority
+        dfs-weight branch) — adjacent admission maximizes in-batch radix
+        reuse."""
+        ps = self.tree.page_size
+        root: dict = {"children": {}, "reqs": []}
+        for r in items:
+            node = root
+            ids = r.fill_ids
+            for i in range(0, len(ids) // ps * ps, ps):
+                key = tuple(ids[i : i + ps])
+                node = node["children"].setdefault(
+                    key, {"children": {}, "reqs": []}
+                )
+            node["reqs"].append(r)
+
+        def weight(node) -> int:
+            w = len(node["reqs"])
+            for c in node["children"].values():
+                w += weight(c)
+            node["_w"] = w
+            return w
+
+        weight(root)
+        out: List[Req] = []
+
+        def dfs(node):
+            out.extend(node["reqs"])
+            for c in sorted(node["children"].values(),
+                            key=lambda n: -n["_w"]):
+                dfs(c)
+
+        dfs(root)
+        return out
 
 
 class AddReqResult:

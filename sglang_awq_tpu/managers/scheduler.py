@@ -406,6 +406,10 @@ class Scheduler:
             self.server_args.max_prefill_tokens,
             self.server_args.chunked_prefill_size,
         )
+        batch_page0: set = set()  # in-batch prefix dedup (reference
+        # IN_BATCH_PREFIX_CACHING check): a request whose first page
+        # matches a batch-mate's — but is not yet in the tree — defers one
+        # round so it HITS the cache instead of recomputing the prefix
         for req in list(self.waiting):
             if (
                 room <= 0
@@ -414,6 +418,19 @@ class Scheduler:
                 >= self.server_args.max_running_requests
             ):
                 break
+            ps_ = self.page_size
+            if (
+                req.fill_len == 0
+                and len(req.fill_ids) > ps_
+                and not req.wants_input_lp
+            ):
+                key0 = tuple(req.fill_ids[:ps_])
+                if (
+                    key0 in batch_page0
+                    and self.tree.match_prefix(req.fill_ids).matched_len == 0
+                ):
+                    continue  # defer: next round it rides the radix cache
+                batch_page0.add(key0)
             if req.is_embedding:
                 if reqs:
                     break  # embedding requests run solo (different step fn)

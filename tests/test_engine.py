@@ -250,3 +250,46 @@ def test_fp8_kv_cache_engine_close_to_hf():
         assert overlap >= 5, (got, ref)
     finally:
         eng.shutdown()
+
+
+def test_dfs_weight_policy_and_in_batch_dedup():
+    """dfs-weight groups shared prefixes; a same-prefix batch-mate defers
+    one round and then rides the radix cache (cached_tokens > 0)."""
+    import threading
+
+    from .utils import TINY_LLAMA_CFG as CFG2, tiny_hf_model_and_tensors
+
+    _, tensors = tiny_hf_model_and_tensors()
+
+    mc = ModelConfig(model_path="", hf_config=dict(CFG2))
+    sa = ServerArgs(
+        model_path="tiny", page_size=8, max_total_tokens=2048,
+        chunked_prefill_size=256, max_running_requests=8,
+        schedule_policy="dfs-weight",
+    )
+    eng = Engine(server_args=sa, model_config=mc, tensors=tensors,
+                 tokenizer=None)
+    try:
+        rng = np.random.default_rng(9)
+        base = rng.integers(3, 500, 40).tolist()
+        prompts = [base + rng.integers(3, 500, 5).tolist() for _ in range(4)]
+        refs, results = {}, {}
+        sp = {"max_new_tokens": 5, "temperature": 0.0, "ignore_eos": True}
+        for i, p in enumerate(prompts):
+            refs[i] = None
+
+        def run(i):
+            results[i] = eng.generate(input_ids=prompts[i],
+                                      sampling_params=dict(sp))
+
+        ts = [threading.Thread(target=run, args=(i,)) for i in range(4)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=120)
+        assert all(i in results for i in range(4))
+        cached = [results[i]["meta_info"]["cached_tokens"] for i in range(4)]
+        # the deferred batch-mates ride the shared 40-token prefix
+        assert max(cached) >= 32, cached
+    finally:
+        eng.shutdown()
