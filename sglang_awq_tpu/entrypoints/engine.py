@@ -209,10 +209,12 @@ class Engine:
         sampling_params: Optional[Dict[str, Any]] = None,
         stream: bool = False,
         rid: Optional[str] = None,
+        input_embeds=None,
     ) -> Union[dict, Iterator[dict]]:
         gin = GenerateReqInput(
             text=prompt,
             input_ids=input_ids,
+            input_embeds=input_embeds,
             sampling_params=sampling_params,
             stream=stream,
             rid=rid,

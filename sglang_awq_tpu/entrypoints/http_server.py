@@ -175,6 +175,7 @@ class HttpServer:
         gin = GenerateReqInput(
             text=body.get("text"),
             input_ids=body.get("input_ids"),
+            input_embeds=body.get("input_embeds"),
             sampling_params=body.get("sampling_params"),
             rid=body.get("rid"),
             stream=bool(body.get("stream", False)),

@@ -57,6 +57,7 @@ class Req:
         self.grammar = None  # Optional[GrammarMatcher]
         self.is_embedding = False
         self.embedding = None  # List[float] result for embedding reqs
+        self.input_embeds = None  # np [T, H]: multimodal embedding injection
         self.output_token_logprobs: List[float] = []
         self.output_top_logprobs: List[Dict[int, float]] = []
         # (logprob, token_id) per scored prompt token (input logprobs)

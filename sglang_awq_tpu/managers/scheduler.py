@@ -311,6 +311,8 @@ class Scheduler:
             # with base-model (or other-adapter) prefixes would be wrong
             # (reference keys the radix tree by lora_path; v1 opts out)
             return
+        if req.input_embeds is not None:
+            return  # placeholder token ids carry no cache identity
         m = self.tree.match_prefix(req.fill_ids)
         # never reuse the whole fill (at least one token must compute
         # so logits exist — reference match trim)
@@ -389,8 +391,8 @@ class Scheduler:
             req._chunk = min(req.extend_len, room)
             room -= cdiv(req._chunk, BQ) * BQ
             reqs.append(req)
-            if req.is_embedding:
-                return reqs
+            if req.is_embedding or req.input_embeds is not None:
+                return reqs  # solo step executables
         if (
             room <= 0
             or not self.waiting
@@ -431,14 +433,17 @@ class Scheduler:
                 ):
                     continue  # defer: next round it rides the radix cache
                 batch_page0.add(key0)
-            if req.is_embedding:
+            if req.is_embedding or req.input_embeds is not None:
                 if reqs:
-                    break  # embedding requests run solo (different step fn)
+                    break  # these run solo (different step executables)
                 self.waiting.remove(req)
                 if req.fill_len == 0 and req.prefix_len == 0:
                     self._match_fresh(req)
                 req._chunk = min(req.extend_len, room)
-                return [req]
+                if req.is_embedding:
+                    return [req]
+                reqs.append(req)
+                break  # solo input_embeds batch
             verdict = budget.can_add(req)
             if verdict == AddReqResult.NO_TOKEN:
                 break
@@ -554,6 +559,12 @@ class Scheduler:
             if comp[i] and fresh[i] and not r.is_embedding:
                 row_ids[i] = r.row  # device publishes the sampled id here
 
+        input_embeds = None
+        if len(reqs) == 1 and reqs[0].input_embeds is not None:
+            r0 = reqs[0]
+            input_embeds = r0.input_embeds[
+                r0.fill_len : r0.fill_len + r0._chunk
+            ]
         ext = ExtendBatchInput(
             tokens=tokens,
             positions=positions,
@@ -564,6 +575,7 @@ class Scheduler:
             qb_base=qb_base,
             sampling=rows,
             row_ids=row_ids,
+            input_embeds=input_embeds,
             draft_tokens=draft_tokens if eagle else None,
             draft_slots=draft_slots if eagle else None,
             draft_q_lens=draft_q_lens if eagle else None,
@@ -714,6 +726,8 @@ class Scheduler:
             return
         if getattr(req, "lora_slot", -1) >= 0:
             return  # adapter K/V must never enter the shared tree
+        if req.input_embeds is not None:
+            return  # placeholder ids would alias unrelated prompts
         ps = self.page_size
         fp = req.fill_len // ps
         if fp == 0:

@@ -39,6 +39,9 @@ class GenerateReqInput:
     logprob_start_len: int = -1  # >= 0: also score prompt tokens from here
     session_params: Optional[Dict[str, Any]] = None  # {"id": session_id}
     is_embedding: bool = False
+    # multimodal: [T, H] float embeddings replacing token lookup (reference
+    # GenerateReqInput.input_embeds); prompt tokens become placeholders
+    input_embeds: Optional[Any] = None
 
     def normalize(self):
         if self.rid is None:
@@ -124,7 +127,14 @@ class TokenizerManager:
         if gin.logprob_start_len >= 0:
             sp.return_logprob = True
             sp.logprob_start_len = gin.logprob_start_len
-        if gin.input_ids is not None:
+        if gin.input_embeds is not None:
+            import numpy as _np
+
+            emb = _np.asarray(gin.input_embeds, _np.float32)
+            if emb.ndim != 2:
+                raise ValueError("input_embeds must be [T, hidden_size]")
+            ids = [0] * emb.shape[0]
+        elif gin.input_ids is not None:
             ids = list(gin.input_ids)
         else:
             if self.tokenizer is None:
@@ -171,6 +181,10 @@ class TokenizerManager:
             self.tokenizer, skip_special_tokens=sp.skip_special_tokens
         )
         req.is_embedding = gin.is_embedding
+        if gin.input_embeds is not None:
+            import numpy as _np
+
+            req.input_embeds = _np.asarray(gin.input_embeds, _np.float32)
         state = ReqState(req, detok)
         state.session_id = session_id
         state.session_ctx_len = session_ctx_len

@@ -57,6 +57,9 @@ class ExtendBatchInput:
     # per-token LoRA adapter slot (-1 = base model); only read when the
     # server was started with --lora-paths
     lora_idx: np.ndarray = None  # [TQ] int32
+    # multimodal / embedding injection: [TQ, H] replaces the embedding
+    # lookup for this (solo) batch
+    input_embeds: np.ndarray = None
 
     def sampling_padded(self, bs_pad: int) -> "SamplingBatch":
         rows = [r or SamplingRow() for r in (self.sampling or [])]

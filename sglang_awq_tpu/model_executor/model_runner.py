@@ -396,9 +396,10 @@ class ModelRunner:
 
     def _extend_fn(self, tq: int, bs: int, pt_w: int, all_greedy: bool,
                    want_lp: bool, want_mask: bool = False,
-                   want_pen: bool = False, want_hidden: bool = False):
+                   want_pen: bool = False, want_hidden: bool = False,
+                   want_embeds: bool = False):
         key = ("extend", tq, bs, pt_w, all_greedy, want_lp, want_mask,
-               want_pen, want_hidden)
+               want_pen, want_hidden, want_embeds)
         if key in self._fns:
             return self._fns[key]
         model = self.model
@@ -413,11 +414,13 @@ class ModelRunner:
              qb_base, row_ids, info, steps) = rest[:10]
             tail = list(rest[10:])
             lidx = tail.pop(0) if lora_on else None
+            embeds = tail.pop(0) if want_embeds else None
             mask = tail
             step_out = model.extend_step(
                 params, kv, rope, tokens, positions, slots, page_table,
                 kv_lens, q_lens, qb_base, block_q=block_q,
                 capture_hidden=want_hidden, lora_idx=lidx,
+                input_embeds=embeds,
             )
             if want_hidden:
                 logits, kv, hidden = step_out
@@ -463,7 +466,8 @@ class ModelRunner:
             self._wrap_step(
                 raw,
                 11 + (1 if want_mask else 0) + (1 if want_pen else 0)
-                + (1 if want_hidden else 0) + (1 if lora_on else 0),
+                + (1 if want_hidden else 0) + (1 if lora_on else 0)
+                + (1 if want_embeds else 0),
                 n_replicated_out=(4 if want_lp else 1) + (1 if want_hidden else 0),
                 n_state_out=1 + (1 if want_pen else 0) + (1 if want_hidden else 0),
             ),
@@ -710,9 +714,10 @@ class ModelRunner:
          kv_lens, q_lens, qb_base, steps) = self._pad_extend(ext)
         st = self.sampling_state
         want_hidden = self.draft is not None or want_input_lp
+        want_embeds = ext.input_embeds is not None
         fn = self._extend_fn(
             tq_pad, bs_pad, pt_w, ext.all_greedy(), want_logprobs,
-            vocab_mask is not None, update_counts, want_hidden,
+            vocab_mask is not None, update_counts, want_hidden, want_embeds,
         )
         info = _sampling_info(ext.sampling_padded(bs_pad))
         rows = self._pad_rows(ext.row_ids, len(ext.kv_lens), bs_pad)
@@ -731,6 +736,10 @@ class ModelRunner:
                     tq_pad, fill=-1,
                 )
             ),)
+        if want_embeds:
+            emb = np.zeros((tq_pad, ext.input_embeds.shape[1]), np.float32)
+            emb[: len(ext.input_embeds)] = ext.input_embeds
+            args = args + (jnp.asarray(emb, jnp.bfloat16),)
         if vocab_mask is not None:
             vm = np.ones((bs_pad, vocab_mask.shape[1]), bool)
             vm[: vocab_mask.shape[0]] = vocab_mask

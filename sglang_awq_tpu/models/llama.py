@@ -360,6 +360,7 @@ class LlamaForCausalLM:
         block_q: int = 128,
         capture_hidden: bool = False,  # also return [TQ, H] pre-norm hidden
         lora_idx: Optional[jax.Array] = None,  # [TQ] adapter slots
+        input_embeds: Optional[jax.Array] = None,  # [TQ, H] replaces lookup
     ) -> Tuple[jax.Array, ...]:
         """Batched (multi-request) chunked-prefill step -> (per-seq last-token
         logits [B, V] — or normed hidden [B, H] when return_hidden — plus kv;
@@ -371,7 +372,12 @@ class LlamaForCausalLM:
         """
         TQ = tokens.shape[0]
         B = page_table.shape[0]
-        x = self._embed(params, tokens)
+        if input_embeds is not None:
+            # multimodal / embedding-injection path (reference
+            # GenerateReqInput.input_embeds, io_struct.py:158)
+            x = input_embeds.astype(jnp.bfloat16)
+        else:
+            x = self._embed(params, tokens)
         use_xla_attn = not is_tpu_backend()
 
         def body(carry, l):

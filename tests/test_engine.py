@@ -293,3 +293,32 @@ def test_dfs_weight_policy_and_in_batch_dedup():
         assert max(cached) >= 32, cached
     finally:
         eng.shutdown()
+
+
+def test_input_embeds_matches_token_prompt():
+    """Passing the embedding rows of a token prompt through input_embeds
+    must generate the same continuation (reference
+    GenerateReqInput.input_embeds — the multimodal injection path)."""
+    from .utils import TINY_LLAMA_CFG as CFG2, tiny_hf_model_and_tensors
+
+    _, tensors = tiny_hf_model_and_tensors()
+    mc = ModelConfig(model_path="", hf_config=dict(CFG2))
+    sa = ServerArgs(model_path="tiny", page_size=8, max_total_tokens=1024,
+                    chunked_prefill_size=32, max_running_requests=4)
+    eng = Engine(server_args=sa, model_config=mc, tensors=tensors,
+                 tokenizer=None)
+    try:
+        rng = np.random.default_rng(11)
+        prompt = rng.integers(3, 500, 41).tolist()  # > 1 chunk
+        sp = {"max_new_tokens": 6, "temperature": 0.0, "ignore_eos": True}
+        ref = eng.generate(input_ids=prompt,
+                           sampling_params=dict(sp))["output_ids"]
+        embed_w = np.asarray(
+            eng.runner.params["embed"]["weight"], np.float32
+        )
+        embeds = embed_w[np.asarray(prompt)]
+        out = eng.generate(input_embeds=embeds.tolist(),
+                           sampling_params=dict(sp))["output_ids"]
+        assert out == ref, (out, ref)
+    finally:
+        eng.shutdown()
