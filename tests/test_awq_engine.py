@@ -100,6 +100,7 @@ def hf_from_state_dict(hf_sd):
     return hf.eval()
 
 
+@pytest.mark.slow
 def test_awq_engine_matches_dequantized_hf():
     tensors, hf_sd = make_awq_checkpoint()
     hf = hf_from_state_dict(hf_sd)

@@ -75,6 +75,7 @@ def test_penalties_applied(eng):
     assert len(set(pen)) >= len(set(plain))
 
 
+@pytest.mark.slow
 def test_input_logprobs_match_hf():
     """logprob_start_len=0 returns prompt-token logprobs matching HF's
     shifted log-softmax (reference extend-token logprobs,

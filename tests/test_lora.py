@@ -87,6 +87,7 @@ def _engine(tensors, lora_paths=None):
                   tokenizer=None)
 
 
+@pytest.mark.slow
 def test_lora_batch_equivalence(tmp_path):
     _, base = tiny_hf_model_and_tensors()
     p1 = _write_adapter(str(tmp_path), "ad1", 1)

@@ -63,6 +63,7 @@ def run_hf(hf, token_ids):
     return out.float().numpy()
 
 
+@pytest.mark.slow
 def test_extend_and_decode_match_hf(hf_and_ours):
     hf, model, params = hf_and_ours
     rng = np.random.default_rng(0)
@@ -112,6 +113,7 @@ def test_extend_and_decode_match_hf(hf_and_ours):
         assert np.abs(ours - ref).max() < 0.25, (step, np.abs(ours - ref).max())
 
 
+@pytest.mark.slow
 def test_mixtral_engine_greedy_matches_manual_rollout():
     """Engine (scheduler + runner + batching) vs a manual greedy rollout of
     the SAME model step functions — must agree exactly.  (HF math parity is

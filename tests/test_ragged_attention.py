@@ -189,6 +189,7 @@ def test_ragged_extend_multi_qblock_and_long_kv():
     )
 
 
+@pytest.mark.slow
 def test_ragged_extend_then_decode_consistency():
     """Extend writes + reads the pool; a following decode step must see the
     same context (end-to-end pool round trip through write_kv)."""

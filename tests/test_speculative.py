@@ -34,6 +34,7 @@ def _make_engine(spec: bool):
     return Engine(server_args=sa, model_config=mc, tensors=tensors, tokenizer=None)
 
 
+@pytest.mark.slow
 def test_spec_matches_plain_greedy():
     rng = np.random.default_rng(0)
     base = rng.integers(3, 500, 8).tolist()
@@ -148,6 +149,7 @@ def _make_eagle_engine(eagle: bool, chunked=64):
                   tokenizer=None, **kw)
 
 
+@pytest.mark.slow
 def test_eagle_matches_plain_greedy():
     """A RANDOM draft must not change greedy outputs (verify is lossless);
     exercises draft prefill, chain, verify, fixup end to end."""
@@ -172,6 +174,7 @@ def test_eagle_matches_plain_greedy():
     assert out == ref, (out, ref)
 
 
+@pytest.mark.slow
 def test_eagle_chunked_prefill_and_concurrency():
     """Chunked draft prefill (shifted tokens across chunk boundaries) and
     two concurrent requests through the spec path."""
