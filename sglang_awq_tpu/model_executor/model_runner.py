@@ -109,20 +109,34 @@ class ModelRunner:
             )
         self.model_config = model_config
         self.tp_size = server_args.tp_size
+        self.pp_size = server_args.pp_size
         self.mesh = None
-        if self.tp_size > 1:
-            from sglang_awq_tpu.parallel.mesh import MODEL_AXIS, make_mesh
+        tp_axis = stage_axis = None
+        if self.tp_size > 1 or self.pp_size > 1:
+            from sglang_awq_tpu.parallel.mesh import (
+                MODEL_AXIS,
+                STAGE_AXIS,
+                make_mesh,
+            )
 
-            self.mesh = make_mesh(dp_size=1, tp_size=self.tp_size)
-            tp_axis = MODEL_AXIS
-        else:
-            tp_axis = None
+            self.mesh = make_mesh(
+                dp_size=1, tp_size=self.tp_size, pp_size=self.pp_size
+            )
+            tp_axis = MODEL_AXIS if self.tp_size > 1 else None
+            stage_axis = STAGE_AXIS if self.pp_size > 1 else None
+        if self.pp_size > 1:
+            assert server_args.speculative_algorithm is None, (
+                "speculative decoding + pp lands later"
+            )
+            assert not server_args.lora_paths, "LoRA + pp lands later"
         self.model, self.params = load_model(
             model_config,
             tp_size=server_args.tp_size,
             tp_axis=tp_axis,
             tensors=tensors,
             random_weights=server_args.random_weights,
+            pp_size=self.pp_size,
+            stage_axis=stage_axis,
         )
         if self.mesh is not None:
             self._shard_state()
@@ -306,6 +320,7 @@ class ModelRunner:
     def _init_memory_pool(self):
         sa, mc = self.server_args, self.model_config
         kv_heads_local = max(mc.num_kv_heads // sa.tp_size, 1)
+        layers_local = mc.num_layers // max(sa.pp_size, 1)
         # per-DEVICE bytes/token governs the budget; the page dim is global
         kv_dtype = (
             "bfloat16" if sa.kv_cache_dtype in ("auto", "bfloat16") else sa.kv_cache_dtype
@@ -327,7 +342,7 @@ class ModelRunner:
                     f"bf16 KV for this geometry"
                 )
         probe = KVPoolSpec(
-            mc.num_layers, kv_heads_local, 1, self.page_size, mc.head_dim,
+            layers_local, kv_heads_local, 1, self.page_size, mc.head_dim,
             dtype=kv_dtype,
         )
         extra_bpt = 0

@@ -199,10 +199,13 @@ def load_model(
     tp_axis: Optional[str] = None,
     tensors: Optional[Dict[str, np.ndarray]] = None,
     random_weights: bool = False,
+    pp_size: int = 1,
+    stage_axis: Optional[str] = None,
 ):
     """Returns (model, params). tensors overrides disk reading (tests/RL)."""
     cls = get_model_class(model_config.architecture)
-    model = cls(config=model_config, tp_size=tp_size, tp_axis=tp_axis)
+    model = cls(config=model_config, tp_size=tp_size, tp_axis=tp_axis,
+                pp_size=pp_size, stage_axis=stage_axis)
     if random_weights:
         params = model.random_params()
         return model, params

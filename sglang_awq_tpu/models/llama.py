@@ -31,7 +31,7 @@ from sglang_awq_tpu.layers.activation import gelu_and_mul, silu_and_mul
 from sglang_awq_tpu.layers.linear import LinearSpec, linear_apply
 from sglang_awq_tpu.layers.norm import rms_norm
 from sglang_awq_tpu.layers.rotary import apply_rope, rope_table
-from sglang_awq_tpu.mem_cache.kv_pool import write_kv
+from sglang_awq_tpu.mem_cache.kv_pool import PAD_SLOT, write_kv
 from sglang_awq_tpu.ops.ragged_attention import (
     ragged_decode,
     ragged_decode_xla,
@@ -52,9 +52,17 @@ class LlamaForCausalLM:
     mlp_act: str = "silu"  # "silu" | "gelu" (Gemma GeGLU)
     layer_windows: tuple = None  # per-layer sliding window (0/None = full)
     attn_softcap: float = 0.0  # Gemma2 attn-logit softcapping
+    pp_size: int = 1  # pipeline stages over the "stage" mesh axis
+    stage_axis: Optional[str] = None
 
     def __post_init__(self):
         c = self.config
+        if self.pp_size > 1:
+            assert c.num_layers % self.pp_size == 0, (
+                c.num_layers, self.pp_size)
+            assert not self.layer_windows, (
+                "per-layer windows + pp need global-layer bookkeeping"
+            )
         assert c.num_attention_heads % self.tp_size == 0
         assert c.num_kv_heads % self.tp_size == 0 or self.tp_size % c.num_kv_heads == 0
         self.qh = c.num_attention_heads // self.tp_size
@@ -151,6 +159,42 @@ class LlamaForCausalLM:
         if self.tp_axis is not None:
             return jax.lax.psum(x, self.tp_axis)
         return x
+
+    @property
+    def layers_local(self) -> int:
+        return self.config.num_layers // self.pp_size
+
+    def _run_layers(self, params, x, kv, per_tick):
+        """Run all layers: direct local scan (pp=1) or PIPELINE rotation.
+
+        Pipeline (reference PP role, TPU-SPMD form): the layer stack is
+        stage-sharded; every stage runs its local layers on whatever batch
+        copy it holds, then the activations ppermute to the next stage.
+        The copy that starts on stage 0 traverses stages in order — only
+        its KV writes are real, so per_tick gates writes on
+        `t == stage_index` (garbage copies write PAD_SLOT).  After S hops
+        the valid copy is back on stage 0; a masked psum re-replicates it.
+        Wall clock equals the un-pipelined layer walk (bubbles burn idle
+        compute, not time); per-device weights/KV shrink by S — the point
+        of inference PP.  Microbatch overlap is the next upgrade."""
+        if self.pp_size == 1:
+            return per_tick(x, kv, None)
+        S = self.pp_size
+        perm = [(i, (i + 1) % S) for i in range(S)]
+
+        def tick(carry, t):
+            x, kv = carry
+            live = jnp.equal(t, jax.lax.axis_index(self.stage_axis))
+            x, kv = per_tick(x, kv, live)
+            x = jax.lax.ppermute(x, self.stage_axis, perm)
+            return (x, kv), None
+
+        (x, kv), _ = jax.lax.scan(tick, (x, kv), jnp.arange(S))
+        keep = jnp.equal(jax.lax.axis_index(self.stage_axis), 0)
+        x = jax.lax.psum(
+            jnp.where(keep, x.astype(jnp.float32), 0.0), self.stage_axis
+        ).astype(x.dtype)
+        return x, kv
 
     def _win(self, l):
         """Per-layer sliding window as a traced scalar (0 = full)."""
@@ -268,27 +312,38 @@ class LlamaForCausalLM:
         x = self._embed(params, tokens)
         use_xla_attn = not is_tpu_backend()
 
-        def body(carry, l):
-            x, kv = carry
+        def per_tick(x, kv, live):
+            slots_t = (
+                slots if live is None
+                else jnp.where(live, slots, PAD_SLOT)
+            )
 
-            def attn(q, k, v, l):
-                state["kv"] = write_kv(state["kv"], k, v, slots, l, mode="decode")
-                fn = ragged_decode_xla if use_xla_attn else ragged_decode
-                out = fn(
-                    q[:, None], state["kv"], page_table, lengths, l,
-                    sm_scale=self.sm_scale, window=self._win(l),
-                    softcap=self.attn_softcap,
-                )  # [B, 1, QH, D]
-                return out[:, 0]
+            def body(carry, l):
+                x, kv = carry
 
-            state = {"kv": kv}
-            x = self._layer(params, x, l, positions, rope_tab, attn,
-                            lora_idx=lora_idx)
-            return (x, state["kv"]), None
+                def attn(q, k, v, l):
+                    state["kv"] = write_kv(
+                        state["kv"], k, v, slots_t, l, mode="decode"
+                    )
+                    fn = ragged_decode_xla if use_xla_attn else ragged_decode
+                    out = fn(
+                        q[:, None], state["kv"], page_table, lengths, l,
+                        sm_scale=self.sm_scale, window=self._win(l),
+                        softcap=self.attn_softcap,
+                    )  # [B, 1, QH, D]
+                    return out[:, 0]
 
-        (x, kv_cache), _ = jax.lax.scan(
-            body, (x, kv_cache), jnp.arange(self.config.num_layers)
-        )
+                state = {"kv": kv}
+                x = self._layer(params, x, l, positions, rope_tab, attn,
+                                lora_idx=lora_idx)
+                return (x, state["kv"]), None
+
+            (x, kv), _ = jax.lax.scan(
+                body, (x, kv), jnp.arange(self.layers_local)
+            )
+            return x, kv
+
+        x, kv_cache = self._run_layers(params, x, kv_cache, per_tick)
         logits = self._logits(params, x)
         return logits, kv_cache
 
@@ -316,28 +371,39 @@ class LlamaForCausalLM:
         flat_slots = slots.reshape(-1)
         flat_lora = jnp.repeat(lora_idx, QS) if lora_idx is not None else None
 
-        def body(carry, l):
-            x, kv = carry
+        def per_tick(x, kv, live):
+            slots_t = (
+                flat_slots if live is None
+                else jnp.where(live, flat_slots, PAD_SLOT)
+            )
 
-            def attn(q, k, v, l):
-                state["kv"] = write_kv(state["kv"], k, v, flat_slots, l, mode="spec")
-                qs = q.reshape(B, QS, self.qh, self.head_dim)
-                fn = ragged_decode_xla if use_xla_attn else ragged_decode
-                out = fn(
-                    qs, state["kv"], page_table, lengths, l,
-                    sm_scale=self.sm_scale, window=self._win(l),
-                    softcap=self.attn_softcap,
-                )
-                return out.reshape(B * QS, self.qh, self.head_dim)
+            def body(carry, l):
+                x, kv = carry
 
-            state = {"kv": kv}
-            x = self._layer(params, x, l, flat_pos, rope_tab, attn,
-                            lora_idx=flat_lora)
-            return (x, state["kv"]), None
+                def attn(q, k, v, l):
+                    state["kv"] = write_kv(
+                        state["kv"], k, v, slots_t, l, mode="spec"
+                    )
+                    qs = q.reshape(B, QS, self.qh, self.head_dim)
+                    fn = ragged_decode_xla if use_xla_attn else ragged_decode
+                    out = fn(
+                        qs, state["kv"], page_table, lengths, l,
+                        sm_scale=self.sm_scale, window=self._win(l),
+                        softcap=self.attn_softcap,
+                    )
+                    return out.reshape(B * QS, self.qh, self.head_dim)
 
-        (x, kv_cache), _ = jax.lax.scan(
-            body, (x, kv_cache), jnp.arange(self.config.num_layers)
-        )
+                state = {"kv": kv}
+                x = self._layer(params, x, l, flat_pos, rope_tab, attn,
+                                lora_idx=flat_lora)
+                return (x, state["kv"]), None
+
+            (x, kv), _ = jax.lax.scan(
+                body, (x, kv), jnp.arange(self.layers_local)
+            )
+            return x, kv
+
+        x, kv_cache = self._run_layers(params, x, kv_cache, per_tick)
         logits = self._logits(params, x)  # [B*QS, V]
         if capture_hidden:
             H = x.shape[-1]
@@ -380,26 +446,38 @@ class LlamaForCausalLM:
             x = self._embed(params, tokens)
         use_xla_attn = not is_tpu_backend()
 
-        def body(carry, l):
-            x, kv = carry
+        def per_tick(x, kv, live):
+            # prefill writes are whole-page: gate by blanking the PAGE list
+            slots_t = (
+                slots if live is None
+                else jnp.where(live, slots, PAD_SLOT)
+            )
 
-            def attn(q, k, v, l):
-                state["kv"] = write_kv(state["kv"], k, v, slots, l, mode="prefill")
-                fn = ragged_extend_xla if use_xla_attn else ragged_extend
-                return fn(
-                    q, state["kv"], page_table, kv_lens, q_lens, qb_base, l,
-                    sm_scale=self.sm_scale, block_q=block_q,
-                    window=self._win(l), softcap=self.attn_softcap,
-                )
+            def body(carry, l):
+                x, kv = carry
 
-            state = {"kv": kv}
-            x = self._layer(params, x, l, positions, rope_tab, attn,
-                            lora_idx=lora_idx)
-            return (x, state["kv"]), None
+                def attn(q, k, v, l):
+                    state["kv"] = write_kv(
+                        state["kv"], k, v, slots_t, l, mode="prefill"
+                    )
+                    fn = ragged_extend_xla if use_xla_attn else ragged_extend
+                    return fn(
+                        q, state["kv"], page_table, kv_lens, q_lens, qb_base,
+                        l, sm_scale=self.sm_scale, block_q=block_q,
+                        window=self._win(l), softcap=self.attn_softcap,
+                    )
 
-        (x, kv_cache), _ = jax.lax.scan(
-            body, (x, kv_cache), jnp.arange(self.config.num_layers)
-        )
+                state = {"kv": kv}
+                x = self._layer(params, x, l, positions, rope_tab, attn,
+                                lora_idx=lora_idx)
+                return (x, state["kv"]), None
+
+            (x, kv), _ = jax.lax.scan(
+                body, (x, kv), jnp.arange(self.layers_local)
+            )
+            return x, kv
+
+        x, kv_cache = self._run_layers(params, x, kv_cache, per_tick)
         # gather each sequence's last live row
         last = jnp.clip(qb_base * block_q + jnp.maximum(q_lens, 1) - 1, 0, TQ - 1)
         h_last = x[last]  # [B, H]

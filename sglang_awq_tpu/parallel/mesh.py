@@ -7,8 +7,10 @@ axes; XLA emits the collectives (SURVEY.md §2.6 "TPU-native equivalent").
 
 Axis names:
     "data"  — data parallel (batch replicas; DCN-friendly)
+    "stage" — pipeline parallel (layer ranges; batch rotates via ppermute)
     "model" — tensor parallel (weights/KV-heads; rides ICI)
-Expert parallel ("expert") joins with the MoE phase.
+Expert parallel rides the "model" axis (expert-merged matmul dims —
+models/mixtral.py).
 """
 
 from __future__ import annotations
@@ -20,14 +22,17 @@ import numpy as np
 from jax.sharding import Mesh
 
 DATA_AXIS = "data"
+STAGE_AXIS = "stage"
 MODEL_AXIS = "model"
 
 
-def make_mesh(dp_size: int = 1, tp_size: int = 1, devices=None) -> Mesh:
+def make_mesh(
+    dp_size: int = 1, tp_size: int = 1, pp_size: int = 1, devices=None
+) -> Mesh:
     if devices is None:
         devices = jax.devices()
-    need = dp_size * tp_size
+    need = dp_size * pp_size * tp_size
     if len(devices) < need:
         raise ValueError(f"need {need} devices, have {len(devices)}")
-    arr = np.asarray(devices[:need]).reshape(dp_size, tp_size)
-    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+    arr = np.asarray(devices[:need]).reshape(dp_size, pp_size, tp_size)
+    return Mesh(arr, (DATA_AXIS, STAGE_AXIS, MODEL_AXIS))

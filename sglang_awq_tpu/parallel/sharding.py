@@ -23,32 +23,34 @@ from typing import Any, Dict
 
 from jax.sharding import PartitionSpec as P
 
-from sglang_awq_tpu.parallel.mesh import MODEL_AXIS
+from sglang_awq_tpu.parallel.mesh import MODEL_AXIS, STAGE_AXIS
 
 
 def _linear_pspecs(shard_axis: str, quantized: bool, has_bias: bool) -> Dict[str, P]:
-    m = MODEL_AXIS
+    # leading dim is the LAYER stack: pipeline stages slice it ("stage"
+    # spans size 1 without pp, so these specs serve both topologies)
+    m, st = MODEL_AXIS, STAGE_AXIS
     if quantized:
         if shard_axis == "column":
             out = {
-                "qweight": P(None, None, m),
-                "scales": P(None, None, m),
-                "zbias": P(None, None, m),
+                "qweight": P(st, None, m),
+                "scales": P(st, None, m),
+                "zbias": P(st, None, m),
             }
         else:  # row
             out = {
-                "qweight": P(None, m, None),
-                "scales": P(None, m, None),
-                "zbias": P(None, m, None),
+                "qweight": P(st, m, None),
+                "scales": P(st, m, None),
+                "zbias": P(st, m, None),
             }
     else:
         if shard_axis == "column":
-            out = {"weight": P(None, None, m)}
+            out = {"weight": P(st, None, m)}
         else:
-            out = {"weight": P(None, m, None)}
+            out = {"weight": P(st, m, None)}
     if has_bias:
         # bias adds along N: column-parallel shards it, row-parallel replicates
-        out["bias"] = P(None, m) if shard_axis == "column" else P(None, None)
+        out["bias"] = P(st, m) if shard_axis == "column" else P(st, None)
     return out
 
 
@@ -57,8 +59,8 @@ def param_pspecs(model, params: Dict[str, Any]) -> Dict[str, Any]:
     specs: Dict[str, Any] = {
         "embed": {"weight": P(None, None)},
         "layers": {
-            "input_norm": P(None, None),
-            "post_norm": P(None, None),
+            "input_norm": P(STAGE_AXIS, None),
+            "post_norm": P(STAGE_AXIS, None),
         },
         "final_norm": P(None),
         "lm_head": {"weight": P(None, MODEL_AXIS)},
@@ -68,10 +70,11 @@ def param_pspecs(model, params: Dict[str, Any]) -> Dict[str, Any]:
         specs["layers"][name] = _linear_pspecs(
             spec.shard_axis, spec.quantized, has_bias
         )
-    # replicate any model-specific extras (MoE router gates, qk norms, ...)
+    # model-specific extras (MoE router gates, qk norms, ...) are layer-
+    # stacked: stage-shard the leading dim, replicate the rest
     for name, arr in params["layers"].items():
         if name not in specs["layers"]:
-            specs["layers"][name] = P(*([None] * arr.ndim))
+            specs["layers"][name] = P(STAGE_AXIS, *([None] * (arr.ndim - 1)))
     return specs
 
 
@@ -81,4 +84,4 @@ def kv_pspec() -> P:
     # self-consistent v4 pool over its own KVH/s heads: writes come from
     # the same shard's column-sharded qkv projection, reads stay local to
     # the shard inside shard_map.
-    return P(None, None, None, None, MODEL_AXIS)
+    return P(STAGE_AXIS, None, None, None, MODEL_AXIS)

@@ -93,6 +93,7 @@ class ServerArgs:
     enable_hierarchical_cache: bool = False
     disable_jump_forward: bool = False  # grammar forced-string fast path
     grpc_port: Optional[int] = None  # also serve gRPC (sglang.Engine)
+    pp_size: int = 1  # pipeline-parallel stages (layer ranges)
     hicache_size_gb: float = 4.0
     grammar_backend: str = "none"
     lora_paths: Optional[List[str]] = None

@@ -154,3 +154,84 @@ def test_mixtral_ep4_logits_match_ep1():
 
     assert out[1][0] == out[4][0]  # same greedy token
     assert abs(out[1][1] - out[4][1]) < 5e-2
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+def test_pp2_tp2_matches_single_device():
+    """Pipeline parallelism: 2 stages x 2-way TP on the virtual mesh must
+    reproduce single-device logits and greedy decode tokens (the rotation
+    gates garbage-copy KV writes — any leak would corrupt the psums)."""
+    tensors = make_tensors()
+    rng = np.random.default_rng(3)
+    prompt = rng.integers(3, 500, 29).tolist()
+    T = len(prompt)
+    ps = 8
+
+    out = {}
+    for tp, pp in ((1, 1), (2, 2), (1, 2)):
+        mc = ModelConfig(model_path="", hf_config=dict(TINY_CFG))
+        sa = ServerArgs(
+            model_path="tiny", page_size=ps, max_total_tokens=1024,
+            chunked_prefill_size=64, tp_size=tp, pp_size=pp,
+        )
+        r = ModelRunner(sa, model_config=mc, tensors=tensors)
+        pages = np.arange(8, dtype=np.int32)
+        pos = np.arange(T, dtype=np.int32)
+        slots = pages[pos // ps] * ps + pos % ps
+        ids0, lg = r.forward_extend_batch(
+            ExtendBatchInput(
+                tokens=np.asarray(prompt, np.int32),
+                positions=pos,
+                slots=slots,
+                page_table=pages[None, :],
+                kv_lens=np.asarray([T], np.int32),
+                q_lens=np.asarray([T], np.int32),
+                qb_base=np.asarray([0], np.int32),
+                sampling=[SamplingRow()],
+            ),
+            want_logprobs=True,
+        )
+        tok = int(ids0[0])
+        d = DecodeInput(
+            tokens=np.asarray([tok], np.int32),
+            positions=np.asarray([T], np.int32),
+            slots=np.asarray([pages[T // ps] * ps + T % ps], np.int32),
+            page_table=pages[None, :],
+            lengths=np.asarray([T + 1], np.int32),
+            sample_steps=np.asarray([1], np.int32),
+            sampling=[SamplingRow()],
+        )
+        ids1, _ = r.forward_decode(d)
+        out[(tp, pp)] = (tok, int(ids1[0]), lg["logprobs"][0])
+
+    base = out[(1, 1)]
+    for key in ((2, 2), (1, 2)):
+        assert out[key][0] == base[0], (key, out[key], base)
+        assert out[key][1] == base[1], (key, out[key], base)
+        assert abs(out[key][2] - base[2]) < 5e-2
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+def test_pp_engine_serving_matches_single():
+    """Full serving loop (chunked prefill + continuous decode) under pp=2."""
+    from sglang_awq_tpu.entrypoints.engine import Engine
+
+    tensors = make_tensors()
+    rng = np.random.default_rng(5)
+    prompt = rng.integers(3, 500, 51).tolist()  # > 1 chunk of 32
+    sp = {"max_new_tokens": 6, "temperature": 0.0, "ignore_eos": True}
+    outs = {}
+    for pp in (1, 2):
+        mc = ModelConfig(model_path="", hf_config=dict(TINY_CFG))
+        sa = ServerArgs(
+            model_path="tiny", page_size=8, max_total_tokens=1024,
+            chunked_prefill_size=32, max_running_requests=4, pp_size=pp,
+        )
+        eng = Engine(server_args=sa, model_config=mc, tensors=tensors,
+                     tokenizer=None)
+        try:
+            outs[pp] = eng.generate(input_ids=prompt,
+                                    sampling_params=dict(sp))["output_ids"]
+        finally:
+            eng.shutdown()
+    assert outs[2] == outs[1], outs
