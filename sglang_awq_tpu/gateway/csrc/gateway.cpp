@@ -250,7 +250,28 @@ void proxy_connection(int cfd) {
     struct timeval tv {};
     setsockopt(bfd, SOL_SOCKET, SO_RCVTIMEO, &tv, sizeof(tv));
     w->inflight.fetch_add(1);
-    bool ok = send_all(bfd, req.data(), req.size());
+    // force Connection: close on the backend leg — keep-alive backends
+    // would hold the socket open and wedge the streaming loop (and leak
+    // this thread) after the response completes
+    std::string breq = req;
+    {
+      size_t he = breq.find("\r\n\r\n");
+      size_t line_end = breq.find("\r\n");
+      if (he != std::string::npos && line_end != std::string::npos) {
+        std::string head = breq.substr(0, he);
+        std::string lower;
+        lower.reserve(head.size());
+        for (char c : head) lower.push_back(tolower(c));
+        size_t cpos = lower.find("\r\nconnection:");
+        if (cpos != std::string::npos) {
+          size_t cend = head.find("\r\n", cpos + 2);
+          head = head.substr(0, cpos) +
+                 (cend == std::string::npos ? "" : head.substr(cend));
+        }
+        breq = head + "\r\nConnection: close" + breq.substr(he);
+      }
+    }
+    bool ok = send_all(bfd, breq.data(), breq.size());
     char buf[65536];
     while (ok) {
       ssize_t r = recv(bfd, buf, sizeof(buf), 0);
