@@ -39,6 +39,7 @@ class SamplingInfo(NamedTuple):
     frequency_penalties: jax.Array  # [B] f32
     presence_penalties: jax.Array  # [B] f32
     repetition_penalties: jax.Array  # [B] f32
+    min_new_tokens: jax.Array  # [B] i32 (EOS suppressed below this)
 
 
 @functools.partial(jax.jit, static_argnames=("vocab_size",))
@@ -61,7 +62,7 @@ def apply_penalties(
     return logits
 
 
-@functools.partial(jax.jit, static_argnames=("all_greedy",))
+@functools.partial(jax.jit, static_argnames=("all_greedy", "eos_ids"))
 def sample(
     logits: jax.Array,  # [B, V] f32
     info: SamplingInfo,
@@ -70,6 +71,7 @@ def sample(
     #                   draws are reproducible regardless of batching)
     all_greedy: bool = False,  # static fast path: skip top-k/softmax entirely
     vocab_mask: jax.Array | None = None,  # [B, V] bool — grammar constraint
+    eos_ids: tuple = (),  # static: EOS token ids (min_new_tokens masking)
 ) -> jax.Array:
     """Returns sampled token ids [B] i32.
 
@@ -79,6 +81,14 @@ def sample(
     B, V = logits.shape
     if vocab_mask is not None:
         logits = jnp.where(vocab_mask, logits, NEG_INF)
+    if eos_ids:
+        # reference min_new_tokens penalizer: EOS is masked (not merely
+        # ignored) until the request reaches its minimum
+        steps_b = jnp.broadcast_to(jnp.asarray(step, jnp.int32), (B,))
+        under = steps_b < info.min_new_tokens  # [B]
+        cols = jnp.asarray(list(eos_ids), jnp.int32)
+        bias = jnp.where(under[:, None], NEG_INF, 0.0)  # [B, 1]
+        logits = logits.at[:, cols].add(bias)
     greedy_ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     if all_greedy:
         return greedy_ids

@@ -144,6 +144,7 @@ class Req:
             frequency_penalty=sp.frequency_penalty,
             presence_penalty=sp.presence_penalty,
             repetition_penalty=sp.repetition_penalty,
+            min_new_tokens=sp.min_new_tokens,
         )
 
     def check_finished(self, new_token: int):

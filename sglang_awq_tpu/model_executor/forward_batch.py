@@ -103,6 +103,7 @@ class SamplingRow:
     frequency_penalty: float = 0.0
     presence_penalty: float = 0.0
     repetition_penalty: float = 1.0
+    min_new_tokens: int = 0
 
 
 @dataclasses.dataclass
@@ -115,6 +116,7 @@ class SamplingBatch:
     frequency_penalties: np.ndarray
     presence_penalties: np.ndarray
     repetition_penalties: np.ndarray
+    min_new_tokens: np.ndarray
 
     @classmethod
     def from_rows(cls, rows, pad_to: int) -> "SamplingBatch":
@@ -136,4 +138,5 @@ class SamplingBatch:
             frequency_penalties=arr(lambda r: r.frequency_penalty, np.float32, 0.0),
             presence_penalties=arr(lambda r: r.presence_penalty, np.float32, 0.0),
             repetition_penalties=arr(lambda r: r.repetition_penalty, np.float32, 1.0),
+            min_new_tokens=arr(lambda r: r.min_new_tokens, np.int32, 0),
         )

@@ -75,6 +75,7 @@ def _sampling_info(sb: SamplingBatch) -> SamplingInfo:
         frequency_penalties=jnp.asarray(sb.frequency_penalties),
         presence_penalties=jnp.asarray(sb.presence_penalties),
         repetition_penalties=jnp.asarray(sb.repetition_penalties),
+        min_new_tokens=jnp.asarray(sb.min_new_tokens),
     )
 
 
@@ -160,6 +161,8 @@ class ModelRunner:
             )
         ]
         self._fns: Dict[Any, Any] = {}
+        # static per-server EOS set (min_new_tokens suppression in-sampler)
+        self._eos_ids = tuple(sorted(model_config.eos_token_ids()))
         self.decode_steps_counter = 0
         # device-resident per-request sampling state (overlap scheduling):
         # last sampled ids + penalty counts stay on device between steps
@@ -450,7 +453,8 @@ class ModelRunner:
             else:
                 logits, kv = step_out
             vm = mask[0] if want_mask else None
-            ids = sample(logits, info, steps, all_greedy=all_greedy, vocab_mask=vm)
+            ids = sample(logits, info, steps, all_greedy=all_greedy, vocab_mask=vm,
+                         eos_ids=self._eos_ids)
             # publish sampled ids (and first penalty count) into the
             # device sampling state so the NEXT decode step can be
             # dispatched before the host ever fetches these ids
@@ -517,7 +521,8 @@ class ModelRunner:
             )
             if want_pen:
                 logits = apply_penalties(logits, counts[row_ids], info, vocab)
-            ids = sample(logits, info, steps, all_greedy=all_greedy)
+            ids = sample(logits, info, steps, all_greedy=all_greedy,
+                         eos_ids=self._eos_ids)
             last_ids = last_ids.at[row_ids].set(ids, mode="drop")
             outs = (ids,)
             if want_lp:
@@ -564,7 +569,8 @@ class ModelRunner:
                 counts = extra.pop(0)
                 logits = apply_penalties(logits, counts, info, vocab)
             vm = extra.pop(0) if want_mask else None
-            ids = sample(logits, info, steps, all_greedy=all_greedy, vocab_mask=vm)
+            ids = sample(logits, info, steps, all_greedy=all_greedy, vocab_mask=vm,
+                         eos_ids=self._eos_ids)
             if want_lp:
                 lp, top_ids, top_vals = logprob_outputs(logits, ids)
                 return ids, lp, top_ids, top_vals, kv
@@ -604,7 +610,8 @@ class ModelRunner:
                     params, kv, rope, toks, pos, slots, page_table, lens,
                     lora_idx=lidx,
                 )
-                ids = sample(logits, info, steps0 + s, all_greedy=all_greedy)
+                ids = sample(logits, info, steps0 + s, all_greedy=all_greedy,
+                             eos_ids=self._eos_ids)
                 lens = jnp.where(live, lens + 1, lens)
                 return (kv, ids, lens), ids
 

@@ -322,3 +322,37 @@ def test_input_embeds_matches_token_prompt():
         assert out == ref, (out, ref)
     finally:
         eng.shutdown()
+
+
+def test_min_new_tokens_suppresses_eos():
+    """EOS must be MASKED (not emitted) until min_new_tokens (reference
+    min-token penalizer): a model whose argmax is always EOS generates
+    exactly min_new non-EOS tokens + the final EOS."""
+    from .utils import TINY_LLAMA_CFG as CFG2, tiny_hf_model_and_tensors
+
+    _, tensors = tiny_hf_model_and_tensors()
+    t2 = {k: v.copy() for k, v in tensors.items()}
+    t2["lm_head.weight"][2] += 50.0  # EOS (id 2) always wins argmax
+    mc = ModelConfig(model_path="", hf_config=dict(CFG2))
+    sa = ServerArgs(model_path="tiny", page_size=8, max_total_tokens=512,
+                    chunked_prefill_size=32, max_running_requests=4)
+    eng = Engine(server_args=sa, model_config=mc, tensors=t2, tokenizer=None)
+    try:
+        prompt = list(range(5, 20))
+        out0 = eng.generate(
+            input_ids=prompt,
+            sampling_params={"max_new_tokens": 8, "temperature": 0.0},
+        )
+        assert out0["output_ids"] == [2]  # immediate EOS without min
+
+        out = eng.generate(
+            input_ids=prompt,
+            sampling_params={"max_new_tokens": 8, "temperature": 0.0,
+                             "min_new_tokens": 4},
+        )
+        ids = out["output_ids"]
+        assert len(ids) == 5, ids  # 4 forced non-EOS + the EOS
+        assert all(t != 2 for t in ids[:4]), ids
+        assert ids[-1] == 2
+    finally:
+        eng.shutdown()
