@@ -36,6 +36,7 @@ class CompletionRequest(BaseModel):
     skip_special_tokens: bool = True
     stop_token_ids: Optional[List[int]] = None
     user: Optional[str] = None
+    logit_bias: Optional[Dict[str, float]] = None
 
     def to_sampling_params(self) -> Dict[str, Any]:
         sp = dict(
@@ -55,6 +56,8 @@ class CompletionRequest(BaseModel):
             seed=self.seed,
             n=self.n,
         )
+        if self.logit_bias:
+            sp["logit_bias"] = {int(k): v for k, v in self.logit_bias.items()}
         if self.logprobs is not None:
             sp["return_logprob"] = True
             sp["top_logprobs_num"] = int(self.logprobs)
@@ -102,13 +105,14 @@ class ChatCompletionRequest(BaseModel):
     logprobs: bool = False
     top_logprobs: Optional[int] = None
     user: Optional[str] = None
+    logit_bias: Optional[Dict[str, float]] = None
     tools: Optional[List[Dict[str, Any]]] = None
     tool_choice: Union[str, Dict[str, Any], None] = "auto"
     # structured outputs (OpenAI response_format json_schema subset)
     response_format: Optional[Dict[str, Any]] = None
 
     def to_sampling_params(self) -> Dict[str, Any]:
-        return dict(
+        sp = dict(
             max_new_tokens=self.max_completion_tokens or self.max_tokens or 128,
             min_new_tokens=self.min_tokens,
             temperature=self.temperature,
@@ -125,6 +129,9 @@ class ChatCompletionRequest(BaseModel):
             seed=self.seed,
             n=self.n,
         )
+        if self.logit_bias:
+            sp["logit_bias"] = {int(k): v for k, v in self.logit_bias.items()}
+        return sp
 
 
 def completion_response(rid, model, text, finish_reason, usage, echo_prompt=""):

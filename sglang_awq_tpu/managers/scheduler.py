@@ -274,9 +274,12 @@ class Scheduler:
                 self._drain_pending()
                 self._out_buffer += self._run_decode_multi()
                 self._rows_dirty = True
-            elif any(r.grammar is not None for r in self.running):
-                # grammar masks need last step's token before the next
-                # dispatch — stay synchronous
+            elif any(
+                r.grammar is not None or r.sampling_params.has_logit_bias
+                for r in self.running
+            ):
+                # grammar masks / logit_bias matrices need last step's token
+                # before the next dispatch — stay synchronous
                 self._drain_pending()
                 self._out_buffer += self._run_decode_step()
                 self._rows_dirty = True
@@ -618,17 +621,26 @@ class Scheduler:
                 if r.grammar is not None and comp[i]:
                     vocab_mask[i] = r.grammar.vocab_mask()
 
+        prefill_bias = None
+        if any(
+            comp[i] and r.sampling_params.has_logit_bias
+            for i, r in enumerate(reqs)
+        ):
+            prefill_bias = self._logit_bias_matrix(
+                list(reqs), self.runner.model_config.vocab_size
+            )
         if want_input_lp:
             ids, lp, in_lp = self.runner.forward_extend_batch(
                 ext, want_logprobs=want_lp, vocab_mask=vocab_mask,
                 update_counts=update_counts, async_result=True,
-                want_input_lp=True,
+                want_input_lp=True, logit_bias=prefill_bias,
             )
         else:
             in_lp = None
             ids, lp = self.runner.forward_extend_batch(
                 ext, want_logprobs=want_lp, vocab_mask=vocab_mask,
                 update_counts=update_counts, async_result=True,
+                logit_bias=prefill_bias,
             )
         # record input (prompt) logprobs per request region
         if in_lp is not None:
@@ -691,6 +703,22 @@ class Scheduler:
             ], ids, lp, want_lp)
         )
         return True
+
+    @staticmethod
+    def _logit_bias_matrix(reqs, vocab: int):
+        """Dense [B, V] bias (OpenAI logit_bias) — built only when some
+        request carries one (rare; these requests ride the sync paths)."""
+        if not any(r.sampling_params.has_logit_bias for r in reqs):
+            return None
+        bias = np.zeros((len(reqs), vocab), np.float32)
+        for i, r in enumerate(reqs):
+            lb = r.sampling_params.logit_bias
+            if lb:
+                for tok, v in lb.items():
+                    t = int(tok)
+                    if 0 <= t < vocab:
+                        bias[i, t] = float(v)
+        return bias
 
     def _advance_grammar(self, req: Req, token: int):
         """Advance the grammar DFA; force-finish when the grammar completes
@@ -957,9 +985,10 @@ class Scheduler:
                 if r.sampling_params.has_penalties and r.output_ids:
                     ids_np = np.asarray(r.output_ids)
                     np.add.at(output_counts[i], ids_np[ids_np < V], 1)
+        logit_bias = self._logit_bias_matrix(self.running, V)
         ids, lp = self.runner.forward_decode(
             d, want_logprobs=want_lp, vocab_mask=vocab_mask,
-            output_counts=output_counts,
+            output_counts=output_counts, logit_bias=logit_bias,
         )
 
         outputs = []

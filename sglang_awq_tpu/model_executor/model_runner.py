@@ -415,9 +415,9 @@ class ModelRunner:
     def _extend_fn(self, tq: int, bs: int, pt_w: int, all_greedy: bool,
                    want_lp: bool, want_mask: bool = False,
                    want_pen: bool = False, want_hidden: bool = False,
-                   want_embeds: bool = False):
+                   want_embeds: bool = False, want_bias: bool = False):
         key = ("extend", tq, bs, pt_w, all_greedy, want_lp, want_mask,
-               want_pen, want_hidden, want_embeds)
+               want_pen, want_hidden, want_embeds, want_bias)
         if key in self._fns:
             return self._fns[key]
         model = self.model
@@ -433,6 +433,7 @@ class ModelRunner:
             tail = list(rest[10:])
             lidx = tail.pop(0) if lora_on else None
             embeds = tail.pop(0) if want_embeds else None
+            bias = tail.pop(0) if want_bias else None
             mask = tail
             step_out = model.extend_step(
                 params, kv, rope, tokens, positions, slots, page_table,
@@ -452,6 +453,8 @@ class ModelRunner:
                 )
             else:
                 logits, kv = step_out
+            if want_bias:  # OpenAI logit_bias on the bonus-token sample
+                logits = logits + bias
             vm = mask[0] if want_mask else None
             ids = sample(logits, info, steps, all_greedy=all_greedy, vocab_mask=vm,
                          eos_ids=self._eos_ids)
@@ -486,7 +489,7 @@ class ModelRunner:
                 raw,
                 11 + (1 if want_mask else 0) + (1 if want_pen else 0)
                 + (1 if want_hidden else 0) + (1 if lora_on else 0)
-                + (1 if want_embeds else 0),
+                + (1 if want_embeds else 0) + (1 if want_bias else 0),
                 n_replicated_out=(4 if want_lp else 1) + (1 if want_hidden else 0),
                 n_state_out=1 + (1 if want_pen else 0) + (1 if want_hidden else 0),
             ),
@@ -549,8 +552,10 @@ class ModelRunner:
     def _decode_fn(
         self, bs: int, pt_w: int, all_greedy: bool, want_lp: bool,
         want_mask: bool = False, want_pen: bool = False,
+        want_bias: bool = False,
     ):
-        key = ("decode", bs, pt_w, all_greedy, want_lp, want_mask, want_pen)
+        key = ("decode", bs, pt_w, all_greedy, want_lp, want_mask, want_pen,
+               want_bias)
         if key in self._fns:
             return self._fns[key]
         model = self.model
@@ -568,6 +573,8 @@ class ModelRunner:
             if want_pen:
                 counts = extra.pop(0)
                 logits = apply_penalties(logits, counts, info, vocab)
+            if want_bias:  # OpenAI logit_bias (reference sampler order)
+                logits = logits + extra.pop(0)
             vm = extra.pop(0) if want_mask else None
             ids = sample(logits, info, steps, all_greedy=all_greedy, vocab_mask=vm,
                          eos_ids=self._eos_ids)
@@ -580,7 +587,7 @@ class ModelRunner:
             self._wrap_step(
                 raw,
                 7 + (1 if want_mask else 0) + (1 if want_pen else 0)
-                + (1 if lora_on else 0),
+                + (1 if want_bias else 0) + (1 if lora_on else 0),
                 n_replicated_out=4 if want_lp else 1,
             ),
             donate_argnums=(1,),
@@ -724,6 +731,7 @@ class ModelRunner:
         update_counts: bool = False,
         async_result: bool = False,
         want_input_lp: bool = False,
+        logit_bias: Optional[np.ndarray] = None,  # [B, V] f32
     ):
         """Run one batched prefill step -> (ids [bs_pad], logprobs|None).
 
@@ -740,6 +748,7 @@ class ModelRunner:
         fn = self._extend_fn(
             tq_pad, bs_pad, pt_w, ext.all_greedy(), want_logprobs,
             vocab_mask is not None, update_counts, want_hidden, want_embeds,
+            logit_bias is not None,
         )
         info = _sampling_info(ext.sampling_padded(bs_pad))
         rows = self._pad_rows(ext.row_ids, len(ext.kv_lens), bs_pad)
@@ -762,6 +771,10 @@ class ModelRunner:
             emb = np.zeros((tq_pad, ext.input_embeds.shape[1]), np.float32)
             emb[: len(ext.input_embeds)] = ext.input_embeds
             args = args + (jnp.asarray(emb, jnp.bfloat16),)
+        if logit_bias is not None:
+            lb = np.zeros((bs_pad, logit_bias.shape[1]), np.float32)
+            lb[: logit_bias.shape[0]] = logit_bias
+            args = args + (jnp.asarray(lb),)
         if vocab_mask is not None:
             vm = np.ones((bs_pad, vocab_mask.shape[1]), bool)
             vm[: vocab_mask.shape[0]] = vocab_mask
@@ -864,6 +877,7 @@ class ModelRunner:
         want_logprobs: bool = False,
         vocab_mask: Optional[np.ndarray] = None,
         output_counts: Optional[np.ndarray] = None,  # [B, V] i32 (penalties)
+        logit_bias: Optional[np.ndarray] = None,  # [B, V] f32
     ) -> Tuple[np.ndarray, Optional[dict]]:
         """One decode step over a padded batch -> (ids [bs_pad], logprobs)."""
         bs = len(d.tokens)
@@ -872,6 +886,7 @@ class ModelRunner:
         fn = self._decode_fn(
             bs_pad, pt_w, d.all_greedy(), want_logprobs,
             vocab_mask is not None, output_counts is not None,
+            logit_bias is not None,
         )
         arrays = self._pad_decode(d, bs_pad, pt_w)
         info = _sampling_info(d.sampling_padded(bs_pad))
@@ -887,6 +902,10 @@ class ModelRunner:
             oc = np.zeros((bs_pad, output_counts.shape[1]), np.int32)
             oc[:bs] = output_counts
             args = args + (jnp.asarray(oc),)
+        if logit_bias is not None:
+            lb = np.zeros((bs_pad, logit_bias.shape[1]), np.float32)
+            lb[:bs] = logit_bias
+            args = args + (jnp.asarray(lb),)
         if vocab_mask is not None:
             vm = np.ones((bs_pad, vocab_mask.shape[1]), bool)
             vm[:bs] = vocab_mask

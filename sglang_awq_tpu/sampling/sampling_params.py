@@ -75,6 +75,10 @@ class SamplingParams:
         return self.temperature < 1e-5
 
     @property
+    def has_logit_bias(self) -> bool:
+        return bool(self.logit_bias)
+
+    @property
     def has_penalties(self) -> bool:
         return (
             self.frequency_penalty != 0.0

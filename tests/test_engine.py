@@ -356,3 +356,39 @@ def test_min_new_tokens_suppresses_eos():
         assert ids[-1] == 2
     finally:
         eng.shutdown()
+
+
+def test_logit_bias_forces_token():
+    """OpenAI logit_bias: a huge positive bias forces the token in both
+    the prefill (bonus) sample and decode steps."""
+    from .utils import TINY_LLAMA_CFG as CFG2, tiny_hf_model_and_tensors
+
+    _, tensors = tiny_hf_model_and_tensors()
+    mc = ModelConfig(model_path="", hf_config=dict(CFG2))
+    sa = ServerArgs(model_path="tiny", page_size=8, max_total_tokens=512,
+                    chunked_prefill_size=32, max_running_requests=4)
+    eng = Engine(server_args=sa, model_config=mc, tensors=tensors,
+                 tokenizer=None)
+    try:
+        out = eng.generate(
+            input_ids=list(range(5, 20)),
+            sampling_params={"max_new_tokens": 4, "temperature": 0.0,
+                             "ignore_eos": True,
+                             "logit_bias": {77: 100.0}},
+        )
+        assert out["output_ids"] == [77, 77, 77, 77], out["output_ids"]
+        # strong negative bias vetoes a token the model would pick
+        base = eng.generate(
+            input_ids=list(range(5, 20)),
+            sampling_params={"max_new_tokens": 1, "temperature": 0.0,
+                             "ignore_eos": True},
+        )["output_ids"][0]
+        out2 = eng.generate(
+            input_ids=list(range(5, 20)),
+            sampling_params={"max_new_tokens": 1, "temperature": 0.0,
+                             "ignore_eos": True,
+                             "logit_bias": {int(base): -100.0}},
+        )
+        assert out2["output_ids"][0] != base
+    finally:
+        eng.shutdown()
