@@ -240,6 +240,22 @@ class Engine:
         done.wait(timeout=30)
         return result.get("ok", False)
 
+    def run_on_scheduler(self, fn, timeout: float = 600.0):
+        """Execute fn on the scheduler thread (tree/pool mutations are
+        scheduler-owned) and wait for completion."""
+        import queue as _q
+
+        done: "_q.Queue" = _q.Queue()
+
+        def do():
+            try:
+                fn()
+            finally:
+                done.put(True)
+
+        self._in_queue.put(_FlushSentinel(do))
+        done.get(timeout=timeout)
+
     def save_weights_snapshot(self, path: str):
         """Pause-and-save native sharded snapshot (checkpoint/resume)."""
         import queue as _q

@@ -89,6 +89,9 @@ class HttpServer:
         r.add_post("/api/generate", self.ollama_generate)
         r.add_post("/api/chat", self.ollama_chat)
         r.add_get("/api/tags", self.ollama_tags)
+        # PD disaggregation (reference srt/disaggregation role)
+        r.add_post("/pd/prefill", self.pd_prefill)
+        r.add_post("/pd/receive", self.pd_receive)
 
     # ------------------------------------------------------------------
     # helpers
@@ -443,6 +446,86 @@ class HttpServer:
                 ],
             }
         )
+
+    async def pd_prefill(self, request: web.Request) -> web.Response:
+        """PREFILL role: compute the prompt KV + first token, export the
+        page-aligned KV for a decode server (disaggregation/pd.py)."""
+        body = await request.json()
+        sp = dict(body.get("sampling_params") or {})
+        full_sp = dict(sp)
+        sp["max_new_tokens"] = 1
+        gin = GenerateReqInput(
+            text=body.get("text"), input_ids=body.get("input_ids"),
+            sampling_params=sp,
+        )
+        state = self._submit(gin)
+        out = await self._collect(state)
+        prompt_ids = list(state.req.input_ids)
+        finished_here = (
+            (out["meta_info"]["finish_reason"] or {}).get("type") != "length"
+            or int(full_sp.get("max_new_tokens", 128)) <= 1
+        )
+        transfer = None
+        if not finished_here:
+            from sglang_awq_tpu.disaggregation.pd import export_prefilled_kv
+
+            loop = asyncio.get_running_loop()
+            transfer = await loop.run_in_executor(
+                None, export_prefilled_kv, self.engine, prompt_ids
+            )
+        return web.json_response({
+            "prompt_ids": prompt_ids,
+            "first_token": out["output_ids"][0] if out["output_ids"] else None,
+            "finished": finished_here,
+            "finish_payload": self._native_payload(out) if finished_here else None,
+            "transfer": transfer,
+        })
+
+    async def pd_receive(self, request: web.Request) -> web.StreamResponse:
+        """DECODE role: adopt a prefilled request (restore KV, emit the
+        prefill-sampled token, continue decoding; stream SSE)."""
+        body = await request.json()
+        gin = GenerateReqInput(
+            input_ids=body["prompt_ids"],
+            sampling_params=body.get("sampling_params"),
+            stream=True,
+        )
+        tm = self.engine.tokenizer_manager
+        state = tm.create_request(gin, submit=False)
+        req = state.req
+        first = int(body["first_token"])
+        req.output_ids.append(first)
+        req.check_finished(first)
+        if req.grammar is not None:
+            req.grammar.accept_token(first)
+
+        from sglang_awq_tpu.disaggregation.pd import adopt_prefilled
+        from sglang_awq_tpu.managers.scheduler import ReqOutput
+
+        # surface the prefill-sampled token to the client stream
+        tm.on_output(ReqOutput(req, [first]))
+        if not req.finished():
+            loop = asyncio.get_running_loop()
+            adopted = False
+            if body.get("transfer"):
+                adopted = await loop.run_in_executor(
+                    None, adopt_prefilled, self.engine, body["transfer"], req
+                )
+            if not adopted:
+                # no transfer / no room: recompute the prompt locally
+                self.engine._submit(req)
+        resp = web.StreamResponse(
+            headers={"Content-Type": "text/event-stream",
+                     "Cache-Control": "no-cache"}
+        )
+        await resp.prepare(request)
+        async for chunk in self._iter_chunks(state):
+            await resp.write(
+                f"data: {json.dumps(self._native_payload(chunk))}\n\n".encode()
+            )
+        await resp.write(b"data: [DONE]\n\n")
+        await resp.write_eof()
+        return resp
 
     async def tokenize(self, request: web.Request) -> web.Response:
         try:

@@ -97,7 +97,7 @@ class TokenizerManager:
 
     # ------------------------------------------------------------------
 
-    def create_request(self, gin: GenerateReqInput):
+    def create_request(self, gin: GenerateReqInput, submit: bool = True):
         gin.normalize()
         n = int((gin.sampling_params or {}).get("n", 1) or 1)
         if n > 1:
@@ -190,7 +190,8 @@ class TokenizerManager:
         state.session_ctx_len = session_ctx_len
         with self.lock:
             self.states[gin.rid] = state
-        self._submit(req)
+        if submit:
+            self._submit(req)
         return state
 
     def abort_request(self, rid: str):

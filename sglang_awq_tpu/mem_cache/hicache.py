@@ -147,8 +147,12 @@ class HiCacheController:
         """Upload host entries into freshly-allocated device pages through
         the prefill write kernel (whole-page DMAs per layer)."""
         assert len(host_slots) == len(device_pages)
-        data = self.host.store[host_slots]  # [n, L, ps, fc, Xr]
-        data = np.ascontiguousarray(np.moveaxis(data, 1, 0))  # [L, n, ps, ..]
+        self.restore_raw(self.host.store[host_slots], device_pages)
+
+    def restore_raw(self, data, device_pages: List[int]):
+        """data [n, L, ps, fc, Xr] -> device pages (PD transfer reuses
+        this without a host tier)."""
+        data = np.ascontiguousarray(np.moveaxis(np.asarray(data), 1, 0))
         L = data.shape[0]
         n, ps = data.shape[1], data.shape[2]
         self.runner.kv_cache = self._restore_fn(n)(
