@@ -255,7 +255,9 @@ class Scheduler:
             dispatched = self._dispatch_prefill(prefill_reqs)
         elif self.running:
             if (self.ngram is not None or self.eagle) and all(
-                r.sampling_params.is_greedy and r.grammar is None
+                r.sampling_params.is_greedy
+                and r.grammar is None
+                and not r.sampling_params.has_logit_bias
                 for r in self.running
             ):
                 self._drain_pending()
@@ -268,6 +270,7 @@ class Scheduler:
                     r.grammar is None
                     and not r.sampling_params.return_logprob
                     and not r.sampling_params.has_penalties
+                    and not r.sampling_params.has_logit_bias
                     for r in self.running
                 )
             ):
