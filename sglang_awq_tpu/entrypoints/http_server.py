@@ -92,6 +92,13 @@ class HttpServer:
         # PD disaggregation (reference srt/disaggregation role)
         r.add_post("/pd/prefill", self.pd_prefill)
         r.add_post("/pd/receive", self.pd_receive)
+        # EPLB (reference srt/eplb/ expert-distribution endpoints)
+        r.add_post("/start_expert_distribution_record",
+                   self.start_expert_distribution_record)
+        r.add_post("/stop_expert_distribution_record",
+                   self.stop_expert_distribution_record)
+        r.add_post("/dump_expert_distribution", self.dump_expert_distribution)
+        r.add_post("/rebalance_experts", self.rebalance_experts)
 
     # ------------------------------------------------------------------
     # helpers
@@ -371,6 +378,51 @@ class HttpServer:
         return web.json_response(
             {"success": ok, "message": msg}, status=200 if ok else 400
         )
+
+    # -- EPLB (eplb/expert_distribution.py; toggles run on the scheduler
+    # thread because they clear the runner's jit cache) -----------------
+
+    def _eplb_call(self, fn):
+        out = {}
+
+        def do():
+            try:
+                out["result"] = fn()
+            except Exception as e:  # noqa: BLE001
+                out["error"] = str(e)
+
+        self.engine.run_on_scheduler(do)
+        return out
+
+    async def start_expert_distribution_record(self, request) -> web.Response:
+        loop = asyncio.get_running_loop()
+        out = await loop.run_in_executor(
+            None, self._eplb_call,
+            self.engine.runner.start_expert_distribution_record,
+        )
+        if "error" in out:
+            return web.json_response({"error": out["error"]}, status=400)
+        return web.Response(text="OK")
+
+    async def stop_expert_distribution_record(self, request) -> web.Response:
+        loop = asyncio.get_running_loop()
+        await loop.run_in_executor(
+            None, self._eplb_call,
+            self.engine.runner.stop_expert_distribution_record,
+        )
+        return web.Response(text="OK")
+
+    async def dump_expert_distribution(self, request) -> web.Response:
+        return web.json_response(self.engine.runner.dump_expert_distribution())
+
+    async def rebalance_experts(self, request) -> web.Response:
+        loop = asyncio.get_running_loop()
+        out = await loop.run_in_executor(
+            None, self._eplb_call, self.engine.runner.rebalance_experts
+        )
+        if "error" in out:
+            return web.json_response({"error": out["error"]}, status=400)
+        return web.json_response({"permutation": list(out["result"])})
 
     async def abort_request(self, request: web.Request) -> web.Response:
         body = await request.json()

@@ -1344,6 +1344,68 @@ class ModelRunner:
             logger.exception("load_snapshot failed")
             return False, str(e)
 
+    # ------------------------------------------------------------------
+    # EPLB: expert distribution recording + relocation (eplb/;
+    # reference srt/eplb/ + http_server expert-distribution endpoints)
+    # ------------------------------------------------------------------
+
+    def start_expert_distribution_record(self) -> None:
+        """Attach the host-side recorder and retrace step fns with the
+        in-jit io_callback (jit cache cleared; next steps recompile)."""
+        model = self.model
+        if not hasattr(model, "num_experts"):
+            raise ValueError("expert distribution: not a MoE model")
+        assert self.tp_size == 1, (
+            "expert distribution recording: tp=1 (io_callback under pjit "
+            "is the multi-chip upgrade)"
+        )
+        if getattr(self, "expert_recorder", None) is None:
+            from sglang_awq_tpu.eplb.expert_distribution import (
+                ExpertDistributionRecorder,
+            )
+
+            self.expert_recorder = ExpertDistributionRecorder(
+                self.model_config.num_layers, model.num_experts
+            )
+        if model.expert_dist_sink is None:
+            model.expert_dist_sink = self.expert_recorder
+            self._fns.clear()
+
+    def stop_expert_distribution_record(self) -> None:
+        model = self.model
+        if getattr(model, "expert_dist_sink", None) is not None:
+            model.expert_dist_sink = None
+            self._fns.clear()
+
+    def dump_expert_distribution(self) -> Dict[str, Any]:
+        rec = getattr(self, "expert_recorder", None)
+        if rec is None:
+            return {"recording": False, "counts": None}
+        counts = rec.snapshot()
+        return {
+            "recording": self.model.expert_dist_sink is not None,
+            "num_layers": int(counts.shape[0]),
+            "num_experts": int(counts.shape[1]),
+            "counts": counts.tolist(),
+        }
+
+    def rebalance_experts(self):
+        """Apply an EPLB relocation from the recorded distribution.
+        Returns the permutation (shard s owns perm[s*El:(s+1)*El])."""
+        from sglang_awq_tpu.eplb.expert_distribution import rebalance_order
+
+        rec = getattr(self, "expert_recorder", None)
+        if rec is None:
+            raise ValueError("no expert distribution recorded")
+        perm = rebalance_order(rec.snapshot().sum(axis=0), self.tp_size)
+        self.params["layers"] = self.model.permute_experts(
+            self.params["layers"], perm
+        )
+        if self.mesh is not None:
+            self._shard_state()
+        rec.reset()
+        return perm
+
     def update_weights_from_disk(self, model_path: str) -> Tuple[bool, str]:
         """In-place reload from a checkpoint dir (reference
         update_weights_from_disk — RL rollout refresh / model hot-swap).

@@ -53,6 +53,10 @@ class MixtralForCausalLM(LlamaForCausalLM):
             f"expert count {self.num_experts} must divide by tp {self.tp_size}"
         )
         self.experts_local = self.num_experts // self.tp_size
+        # routed-expert intermediate size (qwen2_moe overrides via moe_inter)
+        self.expert_inter = getattr(self, "moe_inter", c.intermediate_size)
+        # EPLB observability sink (eplb/expert_distribution.py); None = off
+        self.expert_dist_sink = None
         E, I, H = self.num_experts, c.intermediate_size, c.hidden_size
         q = c.quant_config
         # replace the dense-MLP specs with expert-merged ones
@@ -118,6 +122,57 @@ class MixtralForCausalLM(LlamaForCausalLM):
     # forward
     # ------------------------------------------------------------------
 
+
+    # ------------------------------------------------------------------
+    # EPLB (eplb/expert_distribution.py; reference srt/eplb/)
+    # ------------------------------------------------------------------
+
+    def _record_experts(self, topi: jax.Array, l) -> None:
+        """Stream per-layer expert counts to the host recorder (when on).
+
+        io_callback inside jit: the traced program is unchanged when the
+        sink is None; toggling clears the runner's jit cache to retrace.
+        """
+        if self.expert_dist_sink is None:
+            return
+        cnt = jnp.sum(
+            jax.nn.one_hot(topi.reshape(-1), self.num_experts,
+                           dtype=jnp.int32),
+            axis=0,
+        )
+        jax.experimental.io_callback(
+            self.expert_dist_sink, None, l, cnt, ordered=False
+        )
+
+    def permute_experts(self, layers: Dict[str, Any], perm) -> Dict[str, Any]:
+        """Relocate experts per an EPLB permutation (shard s owns experts
+        perm[s*El:(s+1)*El] afterwards).  Router columns move with their
+        expert blocks, so logits are invariant — pinned by
+        tests/test_eplb.py.  bf16 weights only (AWQ block repack is the
+        later upgrade)."""
+        assert not self.specs["gate_up"].quantized, (
+            "EPLB relocation supports unquantized expert weights (v1)"
+        )
+        import numpy as np
+
+        E, I = self.num_experts, self.expert_inter
+        perm = np.asarray(perm, np.int32)
+        assert sorted(perm.tolist()) == list(range(E)), perm
+        out = dict(layers)
+        out["router"] = layers["router"][..., perm]
+        gu = layers["gate_up"]["weight"]  # [L, H, E*2I]
+        L, H = gu.shape[0], gu.shape[1]
+        out["gate_up"] = {
+            "weight": gu.reshape(L, H, E, 2 * I)[:, :, perm].reshape(
+                L, H, E * 2 * I
+            )
+        }
+        dn = layers["down"]["weight"]  # [L, E*I, H]
+        out["down"] = {
+            "weight": dn.reshape(L, E, I, -1)[:, perm].reshape(dn.shape)
+        }
+        return out
+
     def _mlp(self, lp: Dict[str, Any], h2: jax.Array, l, lora=None,
              lora_idx=None) -> jax.Array:
         del lora, lora_idx  # LoRA-on-MoE: not supported (reference parity)
@@ -131,6 +186,7 @@ class MixtralForCausalLM(LlamaForCausalLM):
         )  # [T, E]
         probs = jax.nn.softmax(router_logits, axis=-1)
         topv, topi = lax.top_k(probs, K)  # [T, K]
+        self._record_experts(topi, l)
         topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
         # dense per-expert weights, zero off the top-k (HF renormalized gate)
         w = jnp.sum(

@@ -130,6 +130,7 @@ class Qwen2MoeForCausalLM(MixtralForCausalLM):
         )
         probs = jax.nn.softmax(router_logits, axis=-1)
         topv, topi = lax.top_k(probs, K)
+        self._record_experts(topi, l)
         if self.norm_topk:
             topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
         w = jnp.sum(
