@@ -348,7 +348,7 @@ class Scheduler:
         keys = self.tree._page_keys(req.fill_ids)
         extra = self.hicache.match_extend(keys, req.prefix_pages)
         extra = extra[: max_match // ps - req.prefix_pages]
-        if not extra:
+        if len(extra) == 0:
             return
         before = req.prefix_pages * ps
         # evicting to make room is fine: the evicted pages offload to the

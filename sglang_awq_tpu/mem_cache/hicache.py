@@ -13,10 +13,14 @@ re-design:
   (h_i = hash((h_{i-1}, page_tokens_i)), verified by the page tuple), so
   lookup walks page-by-page from any device-tree match point without
   storing full prefixes per entry.
-* Write-on-evict: the device radix tree's eviction hook captures the
-  evicted pages device->host BEFORE the allocator reclaims them.
-  Synchronous v1 (eviction is off the hot path); the reference's async
-  streaming controller is the later upgrade.
+* Write-on-evict is ASYNC (reference cache_controller's streaming role):
+  the eviction hook only dispatches the device-side page gather — JAX
+  executes it in dispatch order, i.e. before any later kv-write can
+  reuse the pages — and hands the device array to a writer thread that
+  does the blocking device->host fetch and host-index insertion.  The
+  scheduling hot path never waits on PCIe/relay.  The rare load-on-match
+  path (request intake) flushes the writer first, so lookups observe
+  every completed eviction.
 
 Enabled with --enable-hierarchical-cache / --hicache-size-gb; requires
 the Python radix tree (the C++ tree gains the evict hook later).
@@ -25,6 +29,8 @@ the Python radix tree (the C++ tree gains the evict hook later).
 from __future__ import annotations
 
 import logging
+import queue
+import threading
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -103,51 +109,81 @@ class HiCacheController:
         self.runner = runner
         self.page_size = page_size
         self.host = HostKVCache(runner.kv_spec, capacity_bytes)
+        # async writer: device->host fetches happen off the scheduler thread
+        self._writes: "queue.Queue" = queue.Queue()
+        self._host_lock = threading.Lock()
+        self._writer = threading.Thread(
+            target=self._write_loop, name="hicache-writer", daemon=True
+        )
+        self._writer.start()
 
     # -- device -> host (evict hook) -----------------------------------
 
     def on_evict(self, full_key: List[tuple], pages: List[int]):
         """Called by the radix tree with the evicted node's FULL key path
         (list of page-token tuples, root->node) and its device pages
-        (aligned with the key tail)."""
+        (aligned with the key tail).  Only DISPATCHES the gather here:
+        device execution order guarantees it reads the pages before any
+        later kv-write reuses them; the writer thread does the fetch."""
         n = len(pages)
         if n == 0:
             return
         import jax.numpy as jnp
 
-        data = np.asarray(
-            jnp.take(self.runner.kv_cache, jnp.asarray(pages, jnp.int32),
-                     axis=1)
-        )  # [L, n, ps, fc, Xr]
-        data = np.moveaxis(data, 1, 0)  # [n, L, ...]
-        h = 0
-        for pk in full_key[: len(full_key) - n]:
-            h = self.host.chain(h, pk)
-        for i, pk in enumerate(full_key[len(full_key) - n:]):
-            h = self.host.put(h, pk, data[i])
+        data_dev = jnp.take(
+            self.runner.kv_cache, jnp.asarray(pages, jnp.int32), axis=1
+        )  # [L, n, ps, fc, Xr], async on device
+        self._writes.put((list(full_key), n, data_dev))
+
+    def _write_loop(self):
+        while True:
+            item = self._writes.get()
+            try:
+                full_key, n, data_dev = item
+                data = np.moveaxis(np.asarray(data_dev), 1, 0)  # [n, L, ...]
+                h = 0
+                for pk in full_key[: len(full_key) - n]:
+                    h = self.host.chain(h, pk)
+                with self._host_lock:
+                    for i, pk in enumerate(full_key[len(full_key) - n:]):
+                        h = self.host.put(h, pk, data[i])
+            except Exception:  # noqa: BLE001
+                logger.exception("hicache writer failed (entry dropped)")
+            finally:
+                self._writes.task_done()
+
+    def flush(self):
+        """Block until every dispatched eviction landed in the host index."""
+        self._writes.join()
 
     # -- host -> device (match extension) ------------------------------
 
     def match_extend(self, keys: List[tuple], matched_pages: int):
-        """How many MORE pages past the device match exist on host, and
-        their host slots.  keys = the prompt's full page-key list."""
+        """Pages past the device match that exist on host: returns a COPY
+        of their KV data [n, L, ps, fc, Xr] (n may be 0).  A copy — not
+        slot indices — because the async writer may LRU-recycle a host
+        slot between lookup and restore (e.g. when making device room for
+        the restore evicts more pages).  keys = the prompt's full
+        page-key list."""
+        self.flush()  # intake is rare; observe all completed evictions
         h = 0
         for pk in keys[:matched_pages]:
             h = self.host.chain(h, pk)
         slots = []
-        for pk in keys[matched_pages:]:
-            hit = self.host.get(h, pk)
-            if hit is None:
-                break
-            slot, h = hit
-            slots.append(slot)
-        return slots
+        with self._host_lock:
+            for pk in keys[matched_pages:]:
+                hit = self.host.get(h, pk)
+                if hit is None:
+                    break
+                slot, h = hit
+                slots.append(slot)
+            return self.host.store[slots].copy()
 
-    def restore(self, host_slots: List[int], device_pages: List[int]):
+    def restore(self, data, device_pages: List[int]):
         """Upload host entries into freshly-allocated device pages through
         the prefill write kernel (whole-page DMAs per layer)."""
-        assert len(host_slots) == len(device_pages)
-        self.restore_raw(self.host.store[host_slots], device_pages)
+        assert len(data) == len(device_pages)
+        self.restore_raw(data, device_pages)
 
     def restore_raw(self, data, device_pages: List[int]):
         """data [n, L, ps, fc, Xr] -> device pages (PD transfer reuses

@@ -40,6 +40,7 @@ def test_hicache_restores_evicted_prefix():
         out_a1 = eng.generate(input_ids=prompt_a, sampling_params=dict(sp))
         # big request B forces eviction of A's pages from the device tree
         eng.generate(input_ids=prompt_b, sampling_params=dict(sp))
+        eng.scheduler.hicache.flush()  # async writer: settle before inspect
         host = eng.scheduler.hicache.host
         assert len(host.index) > 0, "eviction never offloaded to host"
         out_a2 = eng.generate(input_ids=prompt_a, sampling_params=dict(sp))
