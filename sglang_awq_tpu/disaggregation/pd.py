@@ -16,19 +16,44 @@ pieces:
   then decode proceeds as if the prompt had been prefilled locally.
 * `pd_router` (HTTP) fronts one prefill + one decode pool.
 
-Wire format: JSON with base64 KV payload (simple + proxy-friendly; a
-binary framing is the bandwidth upgrade, noted in pd_router).
+Wire formats (both supported end to end):
+
+* JSON with base64 KV (`kv_b64`) — proxy-friendly fallback.
+* BINARY (default between our servers): `SGLTPD1\n` magic, uint32-LE
+  header length, UTF-8 JSON header, then the raw KV bytes — no base64
+  inflation (+33%) and no megabyte JSON-string parse on either side.
+  `frame_encode`/`frame_decode` below; the router negotiates by asking
+  /pd/prefill for `binary` and falling back if the response is JSON.
 """
 
 from __future__ import annotations
 
 import base64
+import json
 import logging
-from typing import Dict, List, Optional
+import struct
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
 logger = logging.getLogger(__name__)
+
+PD_MAGIC = b"SGLTPD1\n"
+
+
+def frame_encode(header: dict, payload: bytes) -> bytes:
+    """MAGIC | uint32-LE header_len | header JSON | raw payload."""
+    hj = json.dumps(header).encode()
+    return PD_MAGIC + struct.pack("<I", len(hj)) + hj + payload
+
+
+def frame_decode(buf: bytes) -> Tuple[dict, bytes]:
+    assert buf[: len(PD_MAGIC)] == PD_MAGIC, "bad PD frame magic"
+    off = len(PD_MAGIC)
+    (hlen,) = struct.unpack_from("<I", buf, off)
+    off += 4
+    header = json.loads(buf[off : off + hlen].decode())
+    return header, buf[off + hlen :]
 
 
 def export_prefilled_kv(engine, token_ids: List[int]) -> Optional[dict]:
@@ -67,12 +92,21 @@ def export_prefilled_kv(engine, token_ids: List[int]) -> Optional[dict]:
             "page_size": sched.page_size,
             "shape": list(payload.shape),
             "dtype": dtype,
-            "kv_b64": base64.b64encode(payload.tobytes()).decode(),
+            "kv_bytes": payload.tobytes(),  # raw; see transfer_to_json
         }
 
     # run on the scheduler thread: the tree and pool are scheduler-owned
     engine.run_on_scheduler(do)
     return result["out"]
+
+
+def transfer_to_json(transfer: Optional[dict]) -> Optional[dict]:
+    """Raw transfer -> JSON-able dict (base64 KV) for the legacy path."""
+    if transfer is None:
+        return None
+    t = {k: v for k, v in transfer.items() if k != "kv_bytes"}
+    t["kv_b64"] = base64.b64encode(transfer["kv_bytes"]).decode()
+    return t
 
 
 def adopt_prefilled(engine, transfer: dict, req) -> bool:
@@ -87,7 +121,11 @@ def adopt_prefilled(engine, transfer: dict, req) -> bool:
         logger.warning("pd: page_size mismatch %s != %s", ps, sched.page_size)
         return False
     shape = tuple(transfer["shape"])
-    raw = base64.b64decode(transfer["kv_b64"])
+    raw = (
+        transfer["kv_bytes"]
+        if "kv_bytes" in transfer
+        else base64.b64decode(transfer["kv_b64"])
+    )
     if transfer["dtype"] == "bf16":
         import jax.numpy as jnp
 

@@ -4,8 +4,9 @@ Role model: reference `srt/disaggregation` mini-lb.  /generate sends the
 prompt to the PREFILL server (/pd/prefill), then hands the sampled first
 token + exported KV to the DECODE server (/pd/receive) and pipes its SSE
 stream back.  Requests that finish at prefill (EOS / 1-token) short-
-circuit.  (The JSON+base64 KV framing favors simplicity; binary framing
-is the bandwidth upgrade.)
+circuit.  KV rides the binary PD frame by default (pd.frame_encode: raw
+bytes, no base64 inflation); a prefill server answering JSON downgrades
+the decode hop to JSON+base64 automatically.
 
     python -m sglang_awq_tpu.disaggregation.pd_router \
         --port 8080 --prefill http://h1:30000 --decode http://h2:30000
@@ -24,9 +25,10 @@ logger = logging.getLogger(__name__)
 
 class PDRouter:
     def __init__(self, prefill_url: str, decode_url: str,
-                 timeout: float = 600.0):
+                 timeout: float = 600.0, binary: bool = True):
         self.prefill_url = prefill_url.rstrip("/")
         self.decode_url = decode_url.rstrip("/")
+        self.binary = binary
         self.timeout = ClientTimeout(total=timeout)
         self.app = web.Application(client_max_size=256 * 1024 * 1024)
         self.app.router.add_post("/generate", self.generate)
@@ -44,9 +46,16 @@ class PDRouter:
         body = await request.json()
         stream = bool(body.get("stream", False))
         async with ClientSession(timeout=self.timeout) as s:
+            preq = dict(body)
+            preq["binary"] = self.binary
             async with s.post(self.prefill_url + "/pd/prefill",
-                              json=body) as r:
-                pre = await r.json()
+                              json=preq) as r:
+                if r.content_type == "application/octet-stream":
+                    from sglang_awq_tpu.disaggregation.pd import frame_decode
+
+                    pre, kv = frame_decode(await r.read())
+                else:
+                    pre, kv = await r.json(), None
             if pre["finished"]:
                 return web.json_response(pre["finish_payload"])
             recv_body = {
@@ -55,8 +64,17 @@ class PDRouter:
                 "transfer": pre["transfer"],
                 "sampling_params": body.get("sampling_params"),
             }
+            if kv is not None:
+                from sglang_awq_tpu.disaggregation.pd import frame_encode
+
+                recv_kwargs = dict(
+                    data=frame_encode(recv_body, kv),
+                    headers={"Content-Type": "application/octet-stream"},
+                )
+            else:
+                recv_kwargs = dict(json=recv_body)
             async with s.post(self.decode_url + "/pd/receive",
-                              json=recv_body) as r:
+                              **recv_kwargs) as r:
                 if not stream:
                     last = None
                     async for line in r.content:

@@ -525,18 +525,43 @@ class HttpServer:
             transfer = await loop.run_in_executor(
                 None, export_prefilled_kv, self.engine, prompt_ids
             )
-        return web.json_response({
+        resp_obj = {
             "prompt_ids": prompt_ids,
             "first_token": out["output_ids"][0] if out["output_ids"] else None,
             "finished": finished_here,
             "finish_payload": self._native_payload(out) if finished_here else None,
-            "transfer": transfer,
-        })
+            "transfer": None,
+        }
+        if body.get("binary"):
+            from sglang_awq_tpu.disaggregation.pd import frame_encode
+
+            kv = b""
+            if transfer is not None:
+                resp_obj["transfer"] = {
+                    k: v for k, v in transfer.items() if k != "kv_bytes"
+                }
+                kv = transfer["kv_bytes"]
+            return web.Response(
+                body=frame_encode(resp_obj, kv),
+                content_type="application/octet-stream",
+            )
+        from sglang_awq_tpu.disaggregation.pd import transfer_to_json
+
+        resp_obj["transfer"] = transfer_to_json(transfer)
+        return web.json_response(resp_obj)
 
     async def pd_receive(self, request: web.Request) -> web.StreamResponse:
         """DECODE role: adopt a prefilled request (restore KV, emit the
-        prefill-sampled token, continue decoding; stream SSE)."""
-        body = await request.json()
+        prefill-sampled token, continue decoding; stream SSE).  Accepts
+        the binary PD frame (octet-stream) or legacy JSON+base64."""
+        if request.content_type == "application/octet-stream":
+            from sglang_awq_tpu.disaggregation.pd import frame_decode
+
+            body, kv = frame_decode(await request.read())
+            if body.get("transfer") is not None:
+                body["transfer"]["kv_bytes"] = kv
+        else:
+            body = await request.json()
         gin = GenerateReqInput(
             input_ids=body["prompt_ids"],
             sampling_params=body.get("sampling_params"),

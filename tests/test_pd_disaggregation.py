@@ -71,8 +71,13 @@ def pd_stack():
     _serve(build_app(eng_d), dport, asyncio.new_event_loop())
     router = PDRouter(f"http://127.0.0.1:{pport}", f"http://127.0.0.1:{dport}")
     _serve(router.app, rport, asyncio.new_event_loop())
+    jport = _free_port()  # legacy JSON+base64 framing
+    router_j = PDRouter(f"http://127.0.0.1:{pport}",
+                        f"http://127.0.0.1:{dport}", binary=False)
+    _serve(router_j.app, jport, asyncio.new_event_loop())
     yield {
         "router": f"http://127.0.0.1:{rport}",
+        "router_json": f"http://127.0.0.1:{jport}",
         "prefill": eng_p, "decode": eng_d, "unified": eng_u,
     }
     for e in (eng_p, eng_d, eng_u):
@@ -140,3 +145,30 @@ def test_pd_streaming(pd_stack):
                          "ignore_eos": True},
     )["output_ids"]
     assert chunks[-1]["output_ids"] == ref
+
+
+def test_pd_frame_codec_roundtrip():
+    from sglang_awq_tpu.disaggregation.pd import frame_decode, frame_encode
+
+    header = {"a": 1, "nested": {"b": [1, 2, 3]}}
+    payload = bytes(range(256)) * 33
+    h2, p2 = frame_decode(frame_encode(header, payload))
+    assert h2 == header and p2 == payload
+
+
+def test_pd_json_fallback_matches(pd_stack):
+    """A binary=False router (legacy JSON+base64 hop) is token-identical."""
+    rng = np.random.default_rng(5)
+    prompt = rng.integers(3, 500, 37).tolist()
+    sp = {"max_new_tokens": 6, "temperature": 0.0, "ignore_eos": True}
+    ref = pd_stack["unified"].generate(
+        input_ids=prompt, sampling_params=dict(sp)
+    )["output_ids"]
+    r = httpx.post(
+        pd_stack["router_json"] + "/generate",
+        json={"input_ids": prompt, "sampling_params": dict(sp)},
+        timeout=300,
+    )
+    out = r.json()
+    assert out["output_ids"] == ref
+    assert out["meta_info"]["cached_tokens"] >= 32
