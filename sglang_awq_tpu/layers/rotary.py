@@ -13,7 +13,7 @@ use the unscaled base exactly as HF does once the cache has grown).
 
 from __future__ import annotations
 
-from math import ceil, floor, log
+from math import ceil, floor, log, sqrt
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -100,6 +100,31 @@ def compute_inv_freq(
             base ** (np.arange(0, head_dim, 2, dtype=np.float64) / head_dim)
         )
         return inv_freq.astype(np.float32), 1.0
+    if rtype == "longrope":
+        # LongRoPE (Phi-3; HF _compute_longrope_parameters): per-dim factor
+        # lists.  HF switches short->long factors at runtime when the seq
+        # crosses original_max; for serving we pick STATICALLY from the
+        # table length (vLLM-style su-rope) so cached prefixes never change.
+        orig_max = float(
+            rope_scaling.get("original_max_position_embeddings")
+            or trained_max or 4096
+        )
+        target = float(trained_max or max_positions or orig_max)
+        factor = float(rope_scaling.get("factor") or (target / orig_max))
+        attn_factor = rope_scaling.get("attention_factor")
+        if attn_factor is None:
+            attn_factor = (
+                1.0 if factor <= 1.0
+                else sqrt(1.0 + log(factor) / log(orig_max))
+            )
+        use_long = max(float(max_positions), target) > orig_max
+        ext = np.asarray(
+            rope_scaling["long_factor"] if use_long
+            else rope_scaling["short_factor"],
+            np.float64,
+        )
+        assert ext.shape == (head_dim // 2,), (ext.shape, head_dim)
+        return (inv_freq / ext).astype(np.float32), float(attn_factor)
     raise NotImplementedError(f"rope scaling type {rtype!r}")
 
 

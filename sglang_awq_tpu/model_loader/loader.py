@@ -96,6 +96,10 @@ def load_params_from_tensors(
     cfg: ModelConfig = model.config
     L = cfg.num_layers
     quant = cfg.quant_config
+    if hasattr(model, "pretranslate_tensors"):
+        # e.g. Phi-3: split checkpoint-fused qkv_proj / gate_up_proj back
+        # into the canonical per-projection names the schemas expect
+        tensors = model.pretranslate_tensors(tensors)
 
     def t(name):  # fetch + fail loud
         if name not in tensors:

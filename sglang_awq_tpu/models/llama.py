@@ -146,8 +146,16 @@ class LlamaForCausalLM:
 
     def rope(self) -> jax.Array:
         c = self.config
+        rs = c.rope_scaling
+        if rs and rs.get("rope_type", rs.get("type")) == "longrope" \
+                and "original_max_position_embeddings" not in rs:
+            # Phi-3 keeps the trained window top-level in the HF config
+            rs = dict(rs, original_max_position_embeddings=c.hf_config.get(
+                "original_max_position_embeddings",
+                c.max_position_embeddings,
+            ))
         return rope_table(
-            c.context_length, c.head_dim, c.rope_theta, c.rope_scaling,
+            c.context_length, c.head_dim, c.rope_theta, rs,
             trained_max=c.max_position_embeddings,
         )
 

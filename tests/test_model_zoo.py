@@ -119,3 +119,34 @@ def test_gemma2_matches_hf():
     rng = np.random.default_rng(2)
     # 27 tokens > window 16: the sliding layers genuinely clip
     _check_vs_hf(hf, cfg, rng.integers(3, 500, 27).tolist(), atol=0.4)
+
+
+def test_phi3_matches_hf():
+    """Phi-3: fused qkv/gate_up checkpoint split + longrope + uniform SWA."""
+    import torch
+    from transformers import Phi3Config
+    from transformers import Phi3ForCausalLM as HFPhi3
+
+    D2 = 16  # head_dim 32 -> factor lists of 16
+    cfg = dict(
+        architectures=["Phi3ForCausalLM"],
+        vocab_size=512, hidden_size=256, num_hidden_layers=2,
+        num_attention_heads=8, num_key_value_heads=4,
+        intermediate_size=448, hidden_act="silu",
+        rms_norm_eps=1e-5, rope_theta=10000.0,
+        max_position_embeddings=256,
+        original_max_position_embeddings=256,  # short regime end to end
+        rope_scaling={"type": "longrope",
+                      "short_factor": [1.0 + 0.05 * i for i in range(D2)],
+                      "long_factor": [1.0 + 0.3 * i for i in range(D2)]},
+        sliding_window=8,  # < prompt length: SWA active on every layer
+        resid_pdrop=0.0, embd_pdrop=0.0, attention_dropout=0.0,
+        tie_word_embeddings=False, bos_token_id=1, eos_token_id=2,
+        pad_token_id=0,
+    )
+    torch.manual_seed(0)
+    hf = HFPhi3(
+        Phi3Config(**{k: v for k, v in cfg.items() if k != "architectures"})
+    ).eval()
+    rng = np.random.default_rng(0)
+    _check_vs_hf(hf, cfg, rng.integers(3, 500, 24).tolist())
