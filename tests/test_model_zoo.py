@@ -150,3 +150,27 @@ def test_phi3_matches_hf():
     ).eval()
     rng = np.random.default_rng(0)
     _check_vs_hf(hf, cfg, rng.integers(3, 500, 24).tolist())
+
+
+def test_olmo2_matches_hf():
+    """OLMo-2: post-norm residual stream + full-width joint q/k norms."""
+    import torch
+    from transformers import Olmo2Config
+    from transformers import Olmo2ForCausalLM as HFOlmo2
+
+    cfg = dict(
+        architectures=["Olmo2ForCausalLM"],
+        vocab_size=512, hidden_size=256, num_hidden_layers=2,
+        num_attention_heads=8, num_key_value_heads=4,
+        intermediate_size=448, hidden_act="silu",
+        rms_norm_eps=1e-5, rope_theta=10000.0,
+        max_position_embeddings=256,
+        tie_word_embeddings=False, bos_token_id=1, eos_token_id=2,
+        pad_token_id=0,
+    )
+    torch.manual_seed(0)
+    hf = HFOlmo2(
+        Olmo2Config(**{k: v for k, v in cfg.items() if k != "architectures"})
+    ).eval()
+    rng = np.random.default_rng(1)
+    _check_vs_hf(hf, cfg, rng.integers(3, 500, 17).tolist())

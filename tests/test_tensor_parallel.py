@@ -111,6 +111,68 @@ def test_tp4_logits_match_tp1():
     assert decode_logits[1] == decode_logits[4]
 
 
+def test_olmo2_tp4_matches_tp1():
+    """Full-width q/k norm under TP: sum-of-squares must psum across
+    shards (a per-shard variance silently diverges)."""
+    import torch
+    from transformers import Olmo2Config
+    from transformers import Olmo2ForCausalLM as HFOlmo2
+
+    from sglang_awq_tpu.model_loader.loader import (
+        _torch_state_dict_to_np,
+        load_model,
+    )
+
+    from .test_model_zoo import _run_extend
+
+    cfg = dict(
+        architectures=["Olmo2ForCausalLM"],
+        vocab_size=512, hidden_size=256, num_hidden_layers=2,
+        num_attention_heads=8, num_key_value_heads=4,
+        intermediate_size=448, hidden_act="silu",
+        rms_norm_eps=1e-5, rope_theta=10000.0,
+        max_position_embeddings=256, tie_word_embeddings=False,
+        bos_token_id=1, eos_token_id=2, pad_token_id=0,
+    )
+    torch.manual_seed(0)
+    hf = HFOlmo2(
+        Olmo2Config(**{k: v for k, v in cfg.items() if k != "architectures"})
+    ).eval()
+    tensors = _torch_state_dict_to_np(hf.state_dict())
+    rng = np.random.default_rng(2)
+    prompt = rng.integers(3, 500, 21).tolist()
+
+    out = {}
+    for tp in (1, 4):
+        mc = ModelConfig(model_path="", hf_config=dict(cfg))
+        if tp == 1:
+            model, params = load_model(mc, tensors=tensors)
+            out[tp] = _run_extend(model, params, prompt)
+        else:
+            sa = ServerArgs(model_path="tiny", page_size=8,
+                            max_total_tokens=1024, chunked_prefill_size=64,
+                            tp_size=tp)
+            r = ModelRunner(sa, model_config=mc, tensors=tensors)
+            T = len(prompt)
+            pages = np.arange(8, dtype=np.int32)
+            pos = np.arange(T, dtype=np.int32)
+            slots = pages[pos // 8] * 8 + pos % 8
+            _, lg = r.forward_extend_batch(
+                ExtendBatchInput(
+                    tokens=np.asarray(prompt, np.int32), positions=pos,
+                    slots=slots, page_table=pages[None, :],
+                    kv_lens=np.asarray([T], np.int32),
+                    q_lens=np.asarray([T], np.int32),
+                    qb_base=np.asarray([0], np.int32),
+                    sampling=[SamplingRow()],
+                ),
+                want_logprobs=True,
+            )
+            out[tp] = lg["top_ids"][0]
+    # tp=1 path gives full logits; compare its argmax to tp=4's top id
+    assert int(np.argmax(out[1])) == int(out[4][0])
+
+
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
 def test_mixtral_ep4_logits_match_ep1():
     """Expert parallelism: tp=4 places 1 whole expert per device (experts
