@@ -1018,15 +1018,24 @@ def build_app(engine: Engine) -> web.Application:
 
 def _warmup(engine: Engine):
     """Pre-compile the first-touch buckets so request #1 is not a multi-minute
-    compile (reference entrypoints/warmup.py role)."""
-    try:
-        engine.generate(
-            input_ids=[1, 2, 3],
-            sampling_params={"max_new_tokens": 2, "temperature": 0.0, "ignore_eos": True},
-        )
-        logger.info("warmup complete")
-    except Exception:
-        logger.exception("warmup failed (continuing)")
+    compile (reference entrypoints/warmup.py role).  Beyond the default
+    greedy executables, also warms the common flag variants — logprobs and
+    stochastic sampling with penalties — because executables key on those
+    static flags and a mid-serving toggle would otherwise stall on a fresh
+    remote compile."""
+    variants = [
+        {"max_new_tokens": 2, "temperature": 0.0, "ignore_eos": True},
+        {"max_new_tokens": 2, "temperature": 0.0, "ignore_eos": True,
+         "return_logprob": True},
+        {"max_new_tokens": 2, "temperature": 0.8, "top_p": 0.9,
+         "frequency_penalty": 0.1, "ignore_eos": True},
+    ]
+    for sp in variants:
+        try:
+            engine.generate(input_ids=[1, 2, 3], sampling_params=sp)
+        except Exception:
+            logger.exception("warmup variant %s failed (continuing)", sp)
+    logger.info("warmup complete (%d variants)", len(variants))
 
 
 def launch_server(server_args: ServerArgs, engine: Optional[Engine] = None):
