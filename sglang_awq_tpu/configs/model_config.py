@@ -76,7 +76,9 @@ class ModelConfig:
         self.num_kv_heads = int(c.get("num_key_value_heads", self.num_attention_heads))
         self.head_dim = int(c.get("head_dim") or self.hidden_size // self.num_attention_heads)
         self.intermediate_size = int(c["intermediate_size"])
-        self.rms_norm_eps = float(c.get("rms_norm_eps", 1e-6))
+        self.rms_norm_eps = float(
+            c.get("rms_norm_eps", c.get("layer_norm_eps", 1e-6))
+        )  # Cohere names its (Layer)Norm eps layer_norm_eps
         self.rope_theta = float(c.get("rope_theta", 10000.0))
         self.rope_scaling = c.get("rope_scaling")
         self.max_position_embeddings = int(c.get("max_position_embeddings", 4096))

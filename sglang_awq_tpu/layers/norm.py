@@ -23,3 +23,14 @@ def fused_add_rms_norm(x, residual, weight, eps: float):
     fused_add_rmsnorm (layernorm.py)."""
     s = (x.astype(jnp.float32) + residual.astype(jnp.float32)).astype(x.dtype)
     return rms_norm(s, weight, eps), s
+
+
+def layer_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    """Mean-centered LayerNorm, weight only (Cohere's CohereLayerNorm:
+    no bias).  Compute in f32, return x.dtype."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    out = xc * jax.lax.rsqrt(var + eps) * weight.astype(jnp.float32)
+    return out.astype(x.dtype)

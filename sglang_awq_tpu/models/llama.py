@@ -286,9 +286,11 @@ class LlamaForCausalLM:
             d = d + self._lora_delta(lora, "down", act, l, lora_idx)
         return d
 
+    def _final_norm(self, params, h: jax.Array) -> jax.Array:
+        return rms_norm(h, params["final_norm"], self.config.rms_norm_eps)
+
     def _logits(self, params, h: jax.Array) -> jax.Array:
-        c = self.config
-        h = rms_norm(h, params["final_norm"], c.rms_norm_eps)
+        h = self._final_norm(params, h)
         logits = jnp.dot(
             h, params["lm_head"]["weight"], preferred_element_type=jnp.float32
         )
@@ -490,8 +492,7 @@ class LlamaForCausalLM:
         last = jnp.clip(qb_base * block_q + jnp.maximum(q_lens, 1) - 1, 0, TQ - 1)
         h_last = x[last]  # [B, H]
         if return_hidden:
-            c = self.config
-            h_norm = rms_norm(h_last, params["final_norm"], c.rms_norm_eps)
+            h_norm = self._final_norm(params, h_last)
             return h_norm.astype(jnp.float32), kv_cache
         logits = self._logits(params, h_last)
         if capture_hidden:

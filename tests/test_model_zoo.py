@@ -174,3 +174,28 @@ def test_olmo2_matches_hf():
     ).eval()
     rng = np.random.default_rng(1)
     _check_vs_hf(hf, cfg, rng.integers(3, 500, 17).tolist())
+
+
+def test_cohere_matches_hf():
+    """Command-R: parallel residual, LayerNorm, interleaved rope,
+    logit_scale, tied embeddings."""
+    import torch
+    from transformers import CohereConfig
+    from transformers import CohereForCausalLM as HFCohere
+
+    cfg = dict(
+        architectures=["CohereForCausalLM"],
+        vocab_size=512, hidden_size=256, num_hidden_layers=2,
+        num_attention_heads=8, num_key_value_heads=4,
+        intermediate_size=448, hidden_act="silu",
+        layer_norm_eps=1e-5, rope_theta=10000.0,
+        max_position_embeddings=256, logit_scale=0.25,
+        tie_word_embeddings=True, use_qk_norm=False,
+        bos_token_id=1, eos_token_id=2, pad_token_id=0,
+    )
+    torch.manual_seed(0)
+    hf = HFCohere(
+        CohereConfig(**{k: v for k, v in cfg.items() if k != "architectures"})
+    ).eval()
+    rng = np.random.default_rng(3)
+    _check_vs_hf(hf, cfg, rng.integers(3, 500, 19).tolist())
