@@ -151,4 +151,34 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # The axon relay can wedge hard (even jnp.arange hangs); make sure the
+    # driver still records a parseable line instead of an empty file.
+    import threading
+
+    _deadline = float(os.environ.get("SGLT_BENCH_DEADLINE", "1800"))
+
+    def _fail_line(err: str):
+        print(
+            json.dumps(
+                {
+                    "metric": "decode_throughput_llama3-8b_awq",
+                    "value": 0,
+                    "unit": "tok/s/chip",
+                    "vs_baseline": 0.0,
+                    "error": err,
+                }
+            ),
+            flush=True,
+        )
+
+    def _watchdog():
+        time.sleep(_deadline)
+        _fail_line(f"bench exceeded {_deadline:.0f}s (TPU relay hang?)")
+        os._exit(2)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001
+        _fail_line(repr(e)[:300])
+        raise SystemExit(1)
