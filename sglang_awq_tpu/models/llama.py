@@ -49,6 +49,7 @@ class LlamaForCausalLM:
     qkv_bias: bool = False  # Qwen2 sets True
     qk_norm: bool = False  # Qwen3: per-head RMSNorm on q and k before RoPE
     embed_multiplier: float = 1.0  # Gemma scales embeddings by sqrt(H)
+    residual_multiplier: float = 1.0  # Granite scales sub-block outputs
     mlp_act: str = "silu"  # "silu" | "gelu" (Gemma GeGLU)
     layer_windows: tuple = None  # per-layer sliding window (0/None = full)
     attn_softcap: float = 0.0  # Gemma2 attn-logit softcapping
@@ -266,11 +267,14 @@ class LlamaForCausalLM:
         o = linear_apply(self.specs["o"], lp["o"], attn, l)
         if lora is not None:
             o = o + self._lora_delta(lora, "o", attn, l, lora_idx)
-        x = x + self._maybe_psum(o.astype(jnp.float32)).astype(x.dtype)
+        rm = self.residual_multiplier
+        oc = self._maybe_psum(o.astype(jnp.float32))
+        x = x + (oc * rm if rm != 1.0 else oc).astype(x.dtype)
 
         h2 = rms_norm(x, lp["post_norm"][l], c.rms_norm_eps)
         d = self._mlp(lp, h2, l, lora=lora, lora_idx=lora_idx)
-        x = x + self._maybe_psum(d.astype(jnp.float32)).astype(x.dtype)
+        dc = self._maybe_psum(d.astype(jnp.float32))
+        x = x + (dc * rm if rm != 1.0 else dc).astype(x.dtype)
         return x
 
     def _mlp(self, lp: Dict[str, Any], h2: jax.Array, l, lora=None,

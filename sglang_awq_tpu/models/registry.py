@@ -15,6 +15,7 @@ def get_model_class(architecture: str):
     from sglang_awq_tpu.models.llama import LlamaForCausalLM
     from sglang_awq_tpu.models.mixtral import MixtralForCausalLM
     from sglang_awq_tpu.models.cohere import CohereForCausalLM
+    from sglang_awq_tpu.models.granite import GraniteForCausalLM
     from sglang_awq_tpu.models.olmo2 import Olmo2ForCausalLM
     from sglang_awq_tpu.models.phi3 import Phi3ForCausalLM
     from sglang_awq_tpu.models.qwen2 import Qwen2ForCausalLM, Qwen3ForCausalLM
@@ -31,6 +32,7 @@ def get_model_class(architecture: str):
         "Phi3ForCausalLM": Phi3ForCausalLM,
         "Olmo2ForCausalLM": Olmo2ForCausalLM,
         "CohereForCausalLM": CohereForCausalLM,
+        "GraniteForCausalLM": GraniteForCausalLM,
         "GemmaForCausalLM": GemmaForCausalLM,
         "Gemma2ForCausalLM": Gemma2ForCausalLM,
     }

@@ -199,3 +199,29 @@ def test_cohere_matches_hf():
     ).eval()
     rng = np.random.default_rng(3)
     _check_vs_hf(hf, cfg, rng.integers(3, 500, 19).tolist())
+
+
+def test_granite_matches_hf():
+    """Granite 3: the four muP-style scalar multipliers on the Llama graph."""
+    import torch
+    from transformers import GraniteConfig
+    from transformers import GraniteForCausalLM as HFGranite
+
+    cfg = dict(
+        architectures=["GraniteForCausalLM"],
+        vocab_size=512, hidden_size=256, num_hidden_layers=2,
+        num_attention_heads=8, num_key_value_heads=4,
+        intermediate_size=448, hidden_act="silu",
+        rms_norm_eps=1e-5, rope_theta=10000.0,
+        max_position_embeddings=256,
+        embedding_multiplier=12.0, attention_multiplier=0.0078125,
+        residual_multiplier=0.22, logits_scaling=8.0,
+        attention_bias=False, tie_word_embeddings=True,
+        bos_token_id=1, eos_token_id=2, pad_token_id=0,
+    )
+    torch.manual_seed(0)
+    hf = HFGranite(
+        GraniteConfig(**{k: v for k, v in cfg.items() if k != "architectures"})
+    ).eval()
+    rng = np.random.default_rng(4)
+    _check_vs_hf(hf, cfg, rng.integers(3, 500, 15).tolist())
