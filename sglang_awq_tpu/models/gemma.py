@@ -109,7 +109,10 @@ class Gemma2ForCausalLM(GemmaForCausalLM):
         q = q.reshape(T, self.qh, D)
         k = k.reshape(T, self.kvh, D)
         v = v.reshape(T, self.kvh, D)
-        q, k = apply_rope(q, k, positions, rope_tab)
+        if self.qk_norm:  # Gemma3 per-head (1+w)-folded RMSNorm
+            q = rms_norm(q, lp["q_norm"][l], c.rms_norm_eps)
+            k = rms_norm(k, lp["k_norm"][l], c.rms_norm_eps)
+        q, k = apply_rope(q, k, positions, self._rope_for_layer(rope_tab, l))
         attn = attn_fn(q, k, v, l)
         attn = attn.reshape(T, self.qh * D).astype(jnp.bfloat16)
         o = linear_apply(self.specs["o"], lp["o"], attn, l)
@@ -127,8 +130,65 @@ class Gemma2ForCausalLM(GemmaForCausalLM):
         x = x + d.astype(x.dtype)
         return x
 
+    def _rope_for_layer(self, rope_tab, l):
+        """Gemma2: one table for every layer; Gemma3 selects per layer."""
+        return rope_tab
+
     def _logits(self, params, h):
         logits = super()._logits(params, h)
         if self.final_softcap:
             logits = self.final_softcap * jnp.tanh(logits / self.final_softcap)
         return logits
+
+
+@dataclasses.dataclass
+class Gemma3ForCausalLM(Gemma2ForCausalLM):
+    """Gemma-3 (text): Gemma-2's sandwich-norm graph plus per-head q/k
+    RMSNorm ((1+w)-folded like every Gemma norm), `layer_types`-driven
+    sliding pattern (5:1 by default instead of Gemma-2's alternation), and
+    DUAL rope tables — sliding layers rotate with `rope_local_base_freq`
+    and no scaling, full layers with `rope_theta` + `rope_scaling` — the
+    stacked [2, P, D] table is selected per layer inside the scan.
+
+    Role model: reference `python/sglang/srt/models/gemma3_causal.py`."""
+
+    def __post_init__(self):
+        self.qk_norm = True
+        super().__post_init__()
+        hf = self.config.hf_config
+        c = self.config
+        sw = int(hf.get("sliding_window") or 0)
+        lt = hf.get("layer_types")
+        if lt is None:
+            pattern = int(hf.get("sliding_window_pattern", 6))
+            lt = [
+                "full_attention" if (i + 1) % pattern == 0
+                else "sliding_attention"
+                for i in range(c.num_layers)
+            ]
+        self.layer_windows = tuple(
+            sw if t == "sliding_attention" else 0 for t in lt
+        )
+        self._rope_idx = tuple(
+            1 if t == "sliding_attention" else 0 for t in lt
+        )
+        self.local_rope_theta = float(hf.get("rope_local_base_freq", 10000.0))
+
+    def rope(self):
+        from sglang_awq_tpu.layers.rotary import rope_table
+
+        c = self.config
+        glob = rope_table(
+            c.context_length, c.head_dim, c.rope_theta, c.rope_scaling,
+            trained_max=c.max_position_embeddings,
+        )
+        loc = rope_table(
+            c.context_length, c.head_dim, self.local_rope_theta, None
+        )
+        return jnp.stack([glob, loc])  # [2, P, D]
+
+    def _rope_for_layer(self, rope_tab, l):
+        import numpy as np
+
+        idx = jnp.asarray(np.asarray(self._rope_idx, np.int32))[l]
+        return rope_tab[idx]

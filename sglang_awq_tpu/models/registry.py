@@ -11,7 +11,11 @@ from typing import Dict, Type
 
 
 def get_model_class(architecture: str):
-    from sglang_awq_tpu.models.gemma import Gemma2ForCausalLM, GemmaForCausalLM
+    from sglang_awq_tpu.models.gemma import (
+        Gemma2ForCausalLM,
+        Gemma3ForCausalLM,
+        GemmaForCausalLM,
+    )
     from sglang_awq_tpu.models.llama import LlamaForCausalLM
     from sglang_awq_tpu.models.mixtral import MixtralForCausalLM
     from sglang_awq_tpu.models.cohere import CohereForCausalLM
@@ -35,6 +39,7 @@ def get_model_class(architecture: str):
         "GraniteForCausalLM": GraniteForCausalLM,
         "GemmaForCausalLM": GemmaForCausalLM,
         "Gemma2ForCausalLM": Gemma2ForCausalLM,
+        "Gemma3ForCausalLM": Gemma3ForCausalLM,
     }
     if architecture not in registry:
         raise ValueError(

@@ -225,3 +225,87 @@ def test_granite_matches_hf():
     ).eval()
     rng = np.random.default_rng(4)
     _check_vs_hf(hf, cfg, rng.integers(3, 500, 15).tolist())
+
+
+def test_gemma3_matches_hf():
+    """Gemma-3 text: dual rope tables (local theta on sliding layers),
+    per-head (1+w) q/k norms, layer_types sliding pattern."""
+    import torch
+    from transformers import Gemma3TextConfig
+    from transformers import Gemma3ForCausalLM as HFGemma3
+
+    cfg = dict(
+        architectures=["Gemma3ForCausalLM"],
+        vocab_size=512, hidden_size=256, num_hidden_layers=3,
+        num_attention_heads=8, num_key_value_heads=4, head_dim=32,
+        intermediate_size=448, hidden_activation="gelu_pytorch_tanh",
+        rms_norm_eps=1e-5, rope_theta=100000.0,
+        rope_local_base_freq=10000.0,
+        rope_scaling={"rope_type": "linear", "factor": 2.0},
+        layer_types=["sliding_attention", "sliding_attention",
+                     "full_attention"],
+        sliding_window=8, query_pre_attn_scalar=32,
+        max_position_embeddings=256, tie_word_embeddings=True,
+        attention_bias=False, attn_logit_softcapping=None,
+        final_logit_softcapping=None,
+        bos_token_id=1, eos_token_id=2, pad_token_id=0,
+    )
+    torch.manual_seed(0)
+    hf = HFGemma3(
+        Gemma3TextConfig(
+            **{k: v for k, v in cfg.items() if k != "architectures"}
+        )
+    ).eval()
+    rng = np.random.default_rng(5)
+    _check_vs_hf(hf, cfg, rng.integers(3, 500, 24).tolist())
+
+
+def test_gemma3_engine_decode():
+    """Dual-table selection inside the decode scan + SWA windows e2e."""
+    import torch
+    from transformers import Gemma3TextConfig
+    from transformers import Gemma3ForCausalLM as HFGemma3
+
+    from sglang_awq_tpu.entrypoints.engine import Engine
+    from sglang_awq_tpu.server_args import ServerArgs
+
+    cfg = dict(
+        architectures=["Gemma3ForCausalLM"],
+        vocab_size=512, hidden_size=256, num_hidden_layers=3,
+        num_attention_heads=8, num_key_value_heads=4, head_dim=32,
+        intermediate_size=448, hidden_activation="gelu_pytorch_tanh",
+        rms_norm_eps=1e-5, rope_theta=100000.0,
+        rope_local_base_freq=10000.0, rope_scaling=None,
+        layer_types=["sliding_attention", "sliding_attention",
+                     "full_attention"],
+        sliding_window=8, query_pre_attn_scalar=32,
+        max_position_embeddings=256, tie_word_embeddings=True,
+        attention_bias=False, bos_token_id=1, eos_token_id=2,
+        pad_token_id=0,
+    )
+    torch.manual_seed(0)
+    hf = HFGemma3(
+        Gemma3TextConfig(
+            **{k: v for k, v in cfg.items() if k != "architectures"}
+        )
+    ).eval()
+    tensors = _torch_state_dict_to_np(hf.state_dict())
+    mc = ModelConfig(model_path="", hf_config=dict(cfg))
+    sa = ServerArgs(model_path="tiny", page_size=8, max_total_tokens=512,
+                    chunked_prefill_size=32)
+    eng = Engine(server_args=sa, model_config=mc, tensors=tensors,
+                 tokenizer=None)
+    try:
+        prompt = np.random.default_rng(6).integers(3, 500, 21).tolist()
+        out = eng.generate(
+            input_ids=prompt,
+            sampling_params={"max_new_tokens": 6, "temperature": 0.0,
+                             "ignore_eos": True},
+        )["output_ids"]
+        with torch.no_grad():
+            ref = hf.generate(
+                torch.tensor([prompt]), max_new_tokens=6, do_sample=False
+            )[0, len(prompt):].tolist()
+        assert out == ref, (out, ref)
+    finally:
+        eng.shutdown()
