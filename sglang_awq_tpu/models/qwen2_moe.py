@@ -160,3 +160,17 @@ class Qwen2MoeForCausalLM(MixtralForCausalLM):
             )
             out = out + (shared.astype(jnp.float32) * sg).astype(out.dtype)
         return out
+
+
+@dataclasses.dataclass
+class Qwen3MoeForCausalLM(Qwen2MoeForCausalLM):
+    """Qwen3-MoE: the Qwen2-MoE graph without the shared expert, without
+    qkv biases, and with Qwen3's per-head q/k RMSNorm.  Role model:
+    reference `python/sglang/srt/models/qwen3_moe.py`."""
+
+    qkv_bias: bool = False
+    qk_norm: bool = True
+
+    def __post_init__(self):
+        self.config.hf_config.setdefault("shared_expert_intermediate_size", 0)
+        super().__post_init__()

@@ -23,7 +23,10 @@ def get_model_class(architecture: str):
     from sglang_awq_tpu.models.olmo2 import Olmo2ForCausalLM
     from sglang_awq_tpu.models.phi3 import Phi3ForCausalLM
     from sglang_awq_tpu.models.qwen2 import Qwen2ForCausalLM, Qwen3ForCausalLM
-    from sglang_awq_tpu.models.qwen2_moe import Qwen2MoeForCausalLM
+    from sglang_awq_tpu.models.qwen2_moe import (
+        Qwen2MoeForCausalLM,
+        Qwen3MoeForCausalLM,
+    )
 
     registry: Dict[str, Type] = {
         "LlamaForCausalLM": LlamaForCausalLM,
@@ -33,6 +36,7 @@ def get_model_class(architecture: str):
         "Qwen2ForCausalLM": Qwen2ForCausalLM,
         "Qwen3ForCausalLM": Qwen3ForCausalLM,
         "Qwen2MoeForCausalLM": Qwen2MoeForCausalLM,
+        "Qwen3MoeForCausalLM": Qwen3MoeForCausalLM,
         "Phi3ForCausalLM": Phi3ForCausalLM,
         "Olmo2ForCausalLM": Olmo2ForCausalLM,
         "CohereForCausalLM": CohereForCausalLM,

@@ -309,3 +309,29 @@ def test_gemma3_engine_decode():
         assert out == ref, (out, ref)
     finally:
         eng.shutdown()
+
+
+def test_qwen3_moe_matches_hf():
+    """Qwen3-MoE: no shared expert, no qkv bias, per-head qk-norm."""
+    import torch
+    from transformers import Qwen3MoeConfig
+    from transformers import Qwen3MoeForCausalLM as HFQwen3Moe
+
+    cfg = dict(
+        architectures=["Qwen3MoeForCausalLM"],
+        vocab_size=512, hidden_size=256, num_hidden_layers=2,
+        num_attention_heads=8, num_key_value_heads=4, head_dim=32,
+        intermediate_size=448, moe_intermediate_size=128,
+        num_experts=4, num_experts_per_tok=2, norm_topk_prob=True,
+        decoder_sparse_step=1, mlp_only_layers=[],
+        rms_norm_eps=1e-5, rope_theta=10000.0,
+        max_position_embeddings=256, tie_word_embeddings=False,
+        bos_token_id=1, eos_token_id=2, pad_token_id=0,
+    )
+    torch.manual_seed(0)
+    hf = HFQwen3Moe(
+        Qwen3MoeConfig(**{k: v for k, v in cfg.items()
+                          if k != "architectures"})
+    ).eval()
+    rng = np.random.default_rng(7)
+    _check_vs_hf(hf, cfg, rng.integers(3, 500, 13).tolist())
