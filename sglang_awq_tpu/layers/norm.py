@@ -34,3 +34,17 @@ def layer_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
     var = jnp.mean(xc * xc, axis=-1, keepdims=True)
     out = xc * jax.lax.rsqrt(var + eps) * weight.astype(jnp.float32)
     return out.astype(x.dtype)
+
+
+def layer_norm_bias(x: jax.Array, weight: jax.Array, bias: jax.Array,
+                    eps: float) -> jax.Array:
+    """Full nn.LayerNorm (weight + bias), f32 compute (StarCoder2)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    out = (
+        xc * jax.lax.rsqrt(var + eps) * weight.astype(jnp.float32)
+        + bias.astype(jnp.float32)
+    )
+    return out.astype(x.dtype)

@@ -23,6 +23,7 @@ def get_model_class(architecture: str):
     from sglang_awq_tpu.models.olmo2 import Olmo2ForCausalLM
     from sglang_awq_tpu.models.phi3 import Phi3ForCausalLM
     from sglang_awq_tpu.models.qwen2 import Qwen2ForCausalLM, Qwen3ForCausalLM
+    from sglang_awq_tpu.models.starcoder2 import Starcoder2ForCausalLM
     from sglang_awq_tpu.models.qwen2_moe import (
         Qwen2MoeForCausalLM,
         Qwen3MoeForCausalLM,
@@ -39,6 +40,7 @@ def get_model_class(architecture: str):
         "Qwen3MoeForCausalLM": Qwen3MoeForCausalLM,
         "Phi3ForCausalLM": Phi3ForCausalLM,
         "Olmo2ForCausalLM": Olmo2ForCausalLM,
+        "Starcoder2ForCausalLM": Starcoder2ForCausalLM,
         "CohereForCausalLM": CohereForCausalLM,
         "GraniteForCausalLM": GraniteForCausalLM,
         "GemmaForCausalLM": GemmaForCausalLM,

@@ -1,0 +1,132 @@
+"""StarCoder2 causal LM, TPU-native.
+
+Role model: reference `python/sglang/srt/models/starcoder2.py`.
+Differences from Llama, handled by overriding `_layer` / `_mlp` /
+`_final_norm`:
+
+* Full nn.LayerNorm (mean-centered, weight AND bias) for input/post/final
+  norms — biases ride as extra stacked layer params.
+* NON-gated MLP: `c_fc -> gelu(tanh) -> c_proj`, both with biases.
+* Biases on every projection (`use_bias`); row-parallel biases (o_proj,
+  c_proj) are added AFTER the TP psum so they are counted once.
+* Uniform sliding window on every layer when `sliding_window` is set.
+* Tied embeddings by default.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sglang_awq_tpu.layers.linear import LinearSpec, linear_apply
+from sglang_awq_tpu.layers.norm import layer_norm_bias
+from sglang_awq_tpu.layers.rotary import apply_rope
+from sglang_awq_tpu.models.llama import LlamaForCausalLM
+
+
+@dataclasses.dataclass
+class Starcoder2ForCausalLM(LlamaForCausalLM):
+    qkv_bias: bool = True
+
+    def __post_init__(self):
+        super().__post_init__()
+        c = self.config
+        hf = c.hf_config
+        sw = int(hf.get("sliding_window") or 0)
+        if sw:
+            self.layer_windows = tuple(sw for _ in range(c.num_layers))
+        q = c.quant_config
+        H, I = c.hidden_size, c.intermediate_size
+        del self.specs["gate_up"], self.specs["down"]
+        self.specs["fc"] = LinearSpec.make("fc", H, I, q, "column",
+                                           self.tp_size)
+        self.specs["cproj"] = LinearSpec.make("cproj", I, H, q, "row",
+                                              self.tp_size)
+
+    def merge_schema(self) -> Dict[str, tuple]:
+        return {
+            "qkv": (["self_attn.q_proj", "self_attn.k_proj",
+                     "self_attn.v_proj"], "n"),
+            "o": (["self_attn.o_proj"], "n"),
+            "fc": (["mlp.c_fc"], "n"),
+            "cproj": (["mlp.c_proj"], "n"),
+        }
+
+    def extra_layer_params(self, t, L: int) -> Dict[str, jax.Array]:
+        def stack(name, dtype=jnp.float32):
+            return jnp.asarray(
+                np.stack([t(f"model.layers.{l}.{name}") for l in range(L)]),
+                dtype,
+            )
+
+        return {
+            "input_norm_bias": stack("input_layernorm.bias"),
+            "post_norm_bias": stack("post_attention_layernorm.bias"),
+            "final_norm_bias": jnp.asarray(t("model.norm.bias"), jnp.float32),
+        }
+
+    def _final_norm(self, params, h: jax.Array) -> jax.Array:
+        return layer_norm_bias(
+            h, params["final_norm"], params["layers"]["final_norm_bias"],
+            self.config.rms_norm_eps,
+        )
+
+    def _mlp(self, lp: Dict[str, Any], h2: jax.Array, l, lora=None,
+             lora_idx=None) -> jax.Array:
+        del lora, lora_idx
+        a = linear_apply(self.specs["fc"], lp["fc"], h2, l)
+        if "bias" in lp["fc"]:
+            a = a + lp["fc"]["bias"][l]
+        a = jax.nn.gelu(a.astype(jnp.float32), approximate=True).astype(
+            jnp.bfloat16
+        )
+        return linear_apply(self.specs["cproj"], lp["cproj"], a, l)
+
+    def _layer(
+        self,
+        params: Dict[str, Any],
+        x: jax.Array,
+        l: jax.Array,
+        positions: jax.Array,
+        rope_tab: jax.Array,
+        attn_fn,
+        lora_idx: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        c = self.config
+        lp = params["layers"]
+        T = x.shape[0]
+        D = self.head_dim
+
+        h = layer_norm_bias(x, lp["input_norm"][l], lp["input_norm_bias"][l],
+                            c.rms_norm_eps)
+        qkv = linear_apply(self.specs["qkv"], lp["qkv"], h, l)
+        if "bias" in lp["qkv"]:
+            qkv = qkv + lp["qkv"]["bias"][l]
+        q, k, v = jnp.split(
+            qkv, [self.qh * D, (self.qh + self.kvh) * D], axis=-1
+        )
+        q = q.reshape(T, self.qh, D)
+        k = k.reshape(T, self.kvh, D)
+        v = v.reshape(T, self.kvh, D)
+        q, k = apply_rope(q, k, positions, rope_tab)
+
+        attn = attn_fn(q, k, v, l)
+        attn = attn.reshape(T, self.qh * D).astype(jnp.bfloat16)
+        o = linear_apply(self.specs["o"], lp["o"], attn, l)
+        o = self._maybe_psum(o.astype(jnp.float32))
+        if "bias" in lp["o"]:  # row-parallel: bias once, after the psum
+            o = o + lp["o"]["bias"][l].astype(jnp.float32)
+        x = x + o.astype(x.dtype)
+
+        h2 = layer_norm_bias(x, lp["post_norm"][l], lp["post_norm_bias"][l],
+                             c.rms_norm_eps)
+        d = self._mlp(lp, h2, l)
+        d = self._maybe_psum(d.astype(jnp.float32))
+        if "bias" in lp["cproj"]:
+            d = d + lp["cproj"]["bias"][l].astype(jnp.float32)
+        x = x + d.astype(x.dtype)
+        return x

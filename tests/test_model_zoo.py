@@ -335,3 +335,31 @@ def test_qwen3_moe_matches_hf():
     ).eval()
     rng = np.random.default_rng(7)
     _check_vs_hf(hf, cfg, rng.integers(3, 500, 13).tolist())
+
+
+def test_starcoder2_matches_hf():
+    """StarCoder2: biased LayerNorms, non-gated gelu MLP, biases on every
+    projection (row-parallel ones added once, after the psum)."""
+    import torch
+    from transformers import Starcoder2Config
+    from transformers import Starcoder2ForCausalLM as HFStarcoder2
+
+    cfg = dict(
+        architectures=["Starcoder2ForCausalLM"],
+        vocab_size=512, hidden_size=256, num_hidden_layers=2,
+        num_attention_heads=8, num_key_value_heads=4,
+        intermediate_size=448, hidden_act="gelu_pytorch_tanh",
+        norm_epsilon=1e-5, rope_theta=10000.0, use_bias=True,
+        sliding_window=8, max_position_embeddings=256,
+        tie_word_embeddings=True, residual_dropout=0.0,
+        embedding_dropout=0.0, attention_dropout=0.0,
+        bos_token_id=1, eos_token_id=2, pad_token_id=0,
+    )
+    torch.manual_seed(0)
+    hf = HFStarcoder2(
+        Starcoder2Config(
+            **{k: v for k, v in cfg.items() if k != "architectures"}
+        )
+    ).eval()
+    rng = np.random.default_rng(8)
+    _check_vs_hf(hf, cfg, rng.integers(3, 500, 24).tolist())
