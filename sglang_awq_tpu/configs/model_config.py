@@ -78,8 +78,9 @@ class ModelConfig:
         self.intermediate_size = int(c["intermediate_size"])
         self.rms_norm_eps = float(
             c.get("rms_norm_eps",
-                  c.get("layer_norm_eps", c.get("norm_epsilon", 1e-6)))
-        )  # Cohere: layer_norm_eps; StarCoder2: norm_epsilon
+                  c.get("layer_norm_eps",
+                        c.get("norm_epsilon", c.get("norm_eps", 1e-6))))
+        )  # Cohere: layer_norm_eps; StarCoder2: norm_epsilon; Nemotron: norm_eps
         self.rope_theta = float(c.get("rope_theta", 10000.0))
         self.rope_scaling = c.get("rope_scaling")
         self.max_position_embeddings = int(c.get("max_position_embeddings", 4096))

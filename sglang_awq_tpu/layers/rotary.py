@@ -151,18 +151,26 @@ def apply_rope(
     q: jax.Array,  # [T, QH, D]
     k: jax.Array,  # [T, KVH, D]
     positions: jax.Array,  # [T] int32
-    table: jax.Array,  # [P, D] ([cos | sin])
+    table: jax.Array,  # [P, rot_dim] ([cos | sin])
 ):
-    cs = table[positions]  # [T, D]
-    d2 = q.shape[-1] // 2
+    """Half-split rotation.  A table narrower than the head dim means
+    PARTIAL rotary (partial_rotary_factor — Nemotron/Phi/StableLM): only
+    the first rot_dim features rotate, the tail passes through."""
+    cs = table[positions]  # [T, rot_dim]
+    rot_dim = cs.shape[-1]
+    d2 = rot_dim // 2
     cos = cs[:, None, :d2]
     sin = cs[:, None, d2:]
 
     def rot(x):
         xf = x.astype(jnp.float32)
-        x1, x2 = xf[..., :d2], xf[..., d2:]
-        return jnp.concatenate(
+        xr, xp = xf[..., :rot_dim], xf[..., rot_dim:]
+        x1, x2 = xr[..., :d2], xr[..., d2:]
+        out = jnp.concatenate(
             [x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1
-        ).astype(x.dtype)
+        )
+        if xp.shape[-1]:
+            out = jnp.concatenate([out, xp], axis=-1)
+        return out.astype(x.dtype)
 
     return rot(q), rot(k)

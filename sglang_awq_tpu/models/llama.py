@@ -155,8 +155,11 @@ class LlamaForCausalLM:
                 "original_max_position_embeddings",
                 c.max_position_embeddings,
             ))
+        rot_dim = int(
+            c.head_dim * float(c.hf_config.get("partial_rotary_factor", 1.0))
+        )
         return rope_table(
-            c.context_length, c.head_dim, c.rope_theta, rs,
+            c.context_length, rot_dim, c.rope_theta, rs,
             trained_max=c.max_position_embeddings,
         )
 

@@ -23,7 +23,10 @@ def get_model_class(architecture: str):
     from sglang_awq_tpu.models.olmo2 import Olmo2ForCausalLM
     from sglang_awq_tpu.models.phi3 import Phi3ForCausalLM
     from sglang_awq_tpu.models.qwen2 import Qwen2ForCausalLM, Qwen3ForCausalLM
-    from sglang_awq_tpu.models.starcoder2 import Starcoder2ForCausalLM
+    from sglang_awq_tpu.models.starcoder2 import (
+        NemotronForCausalLM,
+        Starcoder2ForCausalLM,
+    )
     from sglang_awq_tpu.models.qwen2_moe import (
         Qwen2MoeForCausalLM,
         Qwen3MoeForCausalLM,
@@ -41,6 +44,7 @@ def get_model_class(architecture: str):
         "Phi3ForCausalLM": Phi3ForCausalLM,
         "Olmo2ForCausalLM": Olmo2ForCausalLM,
         "Starcoder2ForCausalLM": Starcoder2ForCausalLM,
+        "NemotronForCausalLM": NemotronForCausalLM,
         "CohereForCausalLM": CohereForCausalLM,
         "GraniteForCausalLM": GraniteForCausalLM,
         "GemmaForCausalLM": GemmaForCausalLM,

@@ -130,3 +130,42 @@ class Starcoder2ForCausalLM(LlamaForCausalLM):
             d = d + lp["cproj"]["bias"][l].astype(jnp.float32)
         x = x + d.astype(x.dtype)
         return x
+
+
+@dataclasses.dataclass
+class NemotronForCausalLM(Starcoder2ForCausalLM):
+    """Nemotron: the StarCoder2 graph shape with LayerNorm1P ((1+w) folded
+    at load), a squared-ReLU non-gated MLP (up_proj -> relu^2 ->
+    down_proj), partial rotary (partial_rotary_factor=0.5 — handled
+    generically by the narrow rope table in layers/rotary.py), and no
+    projection biases.  Role model: reference
+    `python/sglang/srt/models/nemotron.py` (family coverage)."""
+
+    qkv_bias: bool = False
+
+    def merge_schema(self) -> Dict[str, tuple]:
+        return {
+            "qkv": (["self_attn.q_proj", "self_attn.k_proj",
+                     "self_attn.v_proj"], "n"),
+            "o": (["self_attn.o_proj"], "n"),
+            "fc": (["mlp.up_proj"], "n"),
+            "cproj": (["mlp.down_proj"], "n"),
+        }
+
+    def postprocess_params(self, params: Dict[str, Any]) -> Dict[str, Any]:
+        """LayerNorm1P: fold the (1 + w) convention into the weights."""
+        lp = params["layers"]
+        for key in list(lp):
+            if key.endswith("norm"):
+                lp[key] = lp[key] + 1.0
+        params["final_norm"] = params["final_norm"] + 1.0
+        return params
+
+    def _mlp(self, lp: Dict[str, Any], h2: jax.Array, l, lora=None,
+             lora_idx=None) -> jax.Array:
+        del lora, lora_idx
+        a = linear_apply(self.specs["fc"], lp["fc"], h2, l)
+        if "bias" in lp["fc"]:
+            a = a + lp["fc"]["bias"][l]
+        a = jnp.square(jax.nn.relu(a.astype(jnp.float32))).astype(jnp.bfloat16)
+        return linear_apply(self.specs["cproj"], lp["cproj"], a, l)

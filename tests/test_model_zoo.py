@@ -363,3 +363,28 @@ def test_starcoder2_matches_hf():
     ).eval()
     rng = np.random.default_rng(8)
     _check_vs_hf(hf, cfg, rng.integers(3, 500, 24).tolist())
+
+
+def test_nemotron_matches_hf():
+    """Nemotron: LayerNorm1P, squared-ReLU MLP, partial rotary (0.5)."""
+    import torch
+    from transformers import NemotronConfig
+    from transformers import NemotronForCausalLM as HFNemotron
+
+    cfg = dict(
+        architectures=["NemotronForCausalLM"],
+        vocab_size=512, hidden_size=256, num_hidden_layers=2,
+        num_attention_heads=8, num_key_value_heads=4,
+        intermediate_size=448, hidden_act="relu2",
+        norm_eps=1e-5, rope_theta=10000.0, partial_rotary_factor=0.5,
+        mlp_bias=False, attention_bias=False,
+        max_position_embeddings=256, tie_word_embeddings=False,
+        bos_token_id=1, eos_token_id=2, pad_token_id=0,
+    )
+    torch.manual_seed(0)
+    hf = HFNemotron(
+        NemotronConfig(**{k: v for k, v in cfg.items()
+                          if k != "architectures"})
+    ).eval()
+    rng = np.random.default_rng(9)
+    _check_vs_hf(hf, cfg, rng.integers(3, 500, 17).tolist(), atol=0.05)
