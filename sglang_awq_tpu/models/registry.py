@@ -25,6 +25,8 @@ def get_model_class(architecture: str):
     from sglang_awq_tpu.models.qwen2 import Qwen2ForCausalLM, Qwen3ForCausalLM
     from sglang_awq_tpu.models.starcoder2 import (
         NemotronForCausalLM,
+        PhiForCausalLM,
+        StableLmForCausalLM,
         Starcoder2ForCausalLM,
     )
     from sglang_awq_tpu.models.qwen2_moe import (
@@ -45,6 +47,8 @@ def get_model_class(architecture: str):
         "Olmo2ForCausalLM": Olmo2ForCausalLM,
         "Starcoder2ForCausalLM": Starcoder2ForCausalLM,
         "NemotronForCausalLM": NemotronForCausalLM,
+        "PhiForCausalLM": PhiForCausalLM,
+        "StableLmForCausalLM": StableLmForCausalLM,
         "CohereForCausalLM": CohereForCausalLM,
         "GraniteForCausalLM": GraniteForCausalLM,
         "GemmaForCausalLM": GemmaForCausalLM,

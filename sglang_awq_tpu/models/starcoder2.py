@@ -169,3 +169,174 @@ class NemotronForCausalLM(Starcoder2ForCausalLM):
             a = a + lp["fc"]["bias"][l]
         a = jnp.square(jax.nn.relu(a.astype(jnp.float32))).astype(jnp.bfloat16)
         return linear_apply(self.specs["cproj"], lp["cproj"], a, l)
+
+
+@dataclasses.dataclass
+class PhiForCausalLM(Starcoder2ForCausalLM):
+    """Phi-1.5 / Phi-2.  Role model: reference
+    `python/sglang/srt/models/phi.py`.  PARALLEL residual like Command-R
+    (one biased input LayerNorm feeds attention AND MLP, single combined
+    psum) but with Llama-style half-split PARTIAL rotary
+    (partial_rotary_factor, generic in layers/rotary.py), biases on every
+    projection including lm_head, and gelu_new fc1/fc2 MLP.  Checkpoint
+    quirks handled in pretranslate: `self_attn.dense` is o_proj,
+    `final_layernorm` is the final norm, and the missing
+    post_attention_layernorm slot gets unit/zero weights."""
+
+    def __post_init__(self):
+        super().__post_init__()
+        assert not self.config.hf_config.get("qk_layernorm", False), (
+            "phi qk_layernorm variant not wired"
+        )
+
+    def merge_schema(self) -> Dict[str, tuple]:
+        return {
+            "qkv": (["self_attn.q_proj", "self_attn.k_proj",
+                     "self_attn.v_proj"], "n"),
+            "o": (["self_attn.dense"], "n"),
+            "fc": (["mlp.fc1"], "n"),
+            "cproj": (["mlp.fc2"], "n"),
+        }
+
+    def pretranslate_tensors(
+        self, tensors: Dict[str, np.ndarray]
+    ) -> Dict[str, np.ndarray]:
+        c = self.config
+        out = {}
+        for name, arr in tensors.items():
+            out[name.replace("model.final_layernorm.", "model.norm.")] = arr
+        for l in range(c.num_layers):
+            out[f"model.layers.{l}.post_attention_layernorm.weight"] = (
+                np.ones(c.hidden_size, np.float32)
+            )
+            out[f"model.layers.{l}.post_attention_layernorm.bias"] = (
+                np.zeros(c.hidden_size, np.float32)
+            )
+        return out
+
+    def extra_layer_params(self, t, L: int) -> Dict[str, jax.Array]:
+        out = super().extra_layer_params(t, L)
+        out["lm_head_bias"] = jnp.asarray(t("lm_head.bias"), jnp.float32)
+        return out
+
+    def _logits(self, params, h: jax.Array) -> jax.Array:
+        return super()._logits(params, h) + params["layers"]["lm_head_bias"]
+
+    def _layer(
+        self,
+        params: Dict[str, Any],
+        x: jax.Array,
+        l: jax.Array,
+        positions: jax.Array,
+        rope_tab: jax.Array,
+        attn_fn,
+        lora_idx: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        c = self.config
+        lp = params["layers"]
+        T = x.shape[0]
+        D = self.head_dim
+
+        h = layer_norm_bias(x, lp["input_norm"][l], lp["input_norm_bias"][l],
+                            c.rms_norm_eps)
+        qkv = linear_apply(self.specs["qkv"], lp["qkv"], h, l)
+        if "bias" in lp["qkv"]:
+            qkv = qkv + lp["qkv"]["bias"][l]
+        q, k, v = jnp.split(
+            qkv, [self.qh * D, (self.qh + self.kvh) * D], axis=-1
+        )
+        q = q.reshape(T, self.qh, D)
+        k = k.reshape(T, self.kvh, D)
+        v = v.reshape(T, self.kvh, D)
+        q, k = apply_rope(q, k, positions, rope_tab)
+
+        attn = attn_fn(q, k, v, l)
+        attn = attn.reshape(T, self.qh * D).astype(jnp.bfloat16)
+        o = linear_apply(self.specs["o"], lp["o"], attn, l)
+        d = self._mlp(lp, h, l)
+
+        both = self._maybe_psum(o.astype(jnp.float32) + d.astype(jnp.float32))
+        if "bias" in lp["o"]:  # row-parallel biases once, after the psum
+            both = both + lp["o"]["bias"][l].astype(jnp.float32)
+        if "bias" in lp["cproj"]:
+            both = both + lp["cproj"]["bias"][l].astype(jnp.float32)
+        return x + both.astype(x.dtype)
+
+
+@dataclasses.dataclass
+class StableLmForCausalLM(LlamaForCausalLM):
+    """StableLM (3B/2-1.6B base variants).  Role model: reference
+    `python/sglang/srt/models/stablelm.py`.  The Llama graph with biased
+    LayerNorms (weights + biases ride the StarCoder2 loading pattern),
+    partial rotary (partial_rotary_factor, e.g. 0.25), gated silu MLP,
+    and optional qkv biases (use_qkv_bias).  The parallel-residual and
+    qk_layernorm variants are asserted off for v1."""
+
+    def __post_init__(self):
+        hf = self.config.hf_config
+        self.qkv_bias = bool(hf.get("use_qkv_bias", False))
+        super().__post_init__()
+        assert not hf.get("use_parallel_residual", False), (
+            "stablelm parallel-residual variant not wired"
+        )
+        assert not hf.get("qk_layernorm", False), (
+            "stablelm qk_layernorm variant not wired"
+        )
+
+    def extra_layer_params(self, t, L: int) -> Dict[str, jax.Array]:
+        def stack(name):
+            return jnp.asarray(
+                np.stack([t(f"model.layers.{l}.{name}") for l in range(L)]),
+                jnp.float32,
+            )
+
+        return {
+            "input_norm_bias": stack("input_layernorm.bias"),
+            "post_norm_bias": stack("post_attention_layernorm.bias"),
+            "final_norm_bias": jnp.asarray(t("model.norm.bias"), jnp.float32),
+        }
+
+    def _final_norm(self, params, h: jax.Array) -> jax.Array:
+        return layer_norm_bias(
+            h, params["final_norm"], params["layers"]["final_norm_bias"],
+            self.config.rms_norm_eps,
+        )
+
+    def _layer(
+        self,
+        params: Dict[str, Any],
+        x: jax.Array,
+        l: jax.Array,
+        positions: jax.Array,
+        rope_tab: jax.Array,
+        attn_fn,
+        lora_idx: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        c = self.config
+        lp = params["layers"]
+        T = x.shape[0]
+        D = self.head_dim
+
+        h = layer_norm_bias(x, lp["input_norm"][l], lp["input_norm_bias"][l],
+                            c.rms_norm_eps)
+        qkv = linear_apply(self.specs["qkv"], lp["qkv"], h, l)
+        if "bias" in lp["qkv"]:
+            qkv = qkv + lp["qkv"]["bias"][l]
+        q, k, v = jnp.split(
+            qkv, [self.qh * D, (self.qh + self.kvh) * D], axis=-1
+        )
+        q = q.reshape(T, self.qh, D)
+        k = k.reshape(T, self.kvh, D)
+        v = v.reshape(T, self.kvh, D)
+        q, k = apply_rope(q, k, positions, rope_tab)
+
+        attn = attn_fn(q, k, v, l)
+        attn = attn.reshape(T, self.qh * D).astype(jnp.bfloat16)
+        o = linear_apply(self.specs["o"], lp["o"], attn, l)
+        x = x + self._maybe_psum(o.astype(jnp.float32)).astype(x.dtype)
+
+        h2 = layer_norm_bias(x, lp["post_norm"][l], lp["post_norm_bias"][l],
+                             c.rms_norm_eps)
+        d = self._mlp(lp, h2, l)
+        x = x + self._maybe_psum(d.astype(jnp.float32)).astype(x.dtype)
+        return x

@@ -388,3 +388,55 @@ def test_nemotron_matches_hf():
     ).eval()
     rng = np.random.default_rng(9)
     _check_vs_hf(hf, cfg, rng.integers(3, 500, 17).tolist(), atol=0.05)
+
+
+def test_phi2_matches_hf():
+    """Phi-1.5/2: parallel residual + partial rotary + lm_head bias."""
+    import torch
+    from transformers import PhiConfig
+    from transformers import PhiForCausalLM as HFPhi
+
+    cfg = dict(
+        architectures=["PhiForCausalLM"],
+        vocab_size=512, hidden_size=256, num_hidden_layers=2,
+        num_attention_heads=8, num_key_value_heads=4,
+        intermediate_size=448, hidden_act="gelu_new",
+        layer_norm_eps=1e-5, rope_theta=10000.0,
+        partial_rotary_factor=0.5, qk_layernorm=False,
+        resid_pdrop=0.0, embd_pdrop=0.0, attention_dropout=0.0,
+        max_position_embeddings=256, tie_word_embeddings=False,
+        bos_token_id=1, eos_token_id=2, pad_token_id=0,
+    )
+    torch.manual_seed(0)
+    hf = HFPhi(
+        PhiConfig(**{k: v for k, v in cfg.items() if k != "architectures"})
+    ).eval()
+    rng = np.random.default_rng(10)
+    _check_vs_hf(hf, cfg, rng.integers(3, 500, 17).tolist(), atol=0.05)
+
+
+def test_stablelm_matches_hf():
+    """StableLM: biased LayerNorms + 0.25 partial rotary + qkv biases."""
+    import torch
+    from transformers import StableLmConfig
+    from transformers import StableLmForCausalLM as HFStableLm
+
+    cfg = dict(
+        architectures=["StableLmForCausalLM"],
+        vocab_size=512, hidden_size=256, num_hidden_layers=2,
+        num_attention_heads=8, num_key_value_heads=4,
+        intermediate_size=448, hidden_act="silu",
+        layer_norm_eps=1e-5, rope_theta=10000.0,
+        partial_rotary_factor=0.25, use_qkv_bias=True,
+        use_parallel_residual=False, qk_layernorm=False,
+        attention_dropout=0.0, hidden_dropout=0.0,
+        max_position_embeddings=256, tie_word_embeddings=False,
+        bos_token_id=1, eos_token_id=2, pad_token_id=0,
+    )
+    torch.manual_seed(0)
+    hf = HFStableLm(
+        StableLmConfig(**{k: v for k, v in cfg.items()
+                          if k != "architectures"})
+    ).eval()
+    rng = np.random.default_rng(11)
+    _check_vs_hf(hf, cfg, rng.integers(3, 500, 17).tolist(), atol=0.05)
