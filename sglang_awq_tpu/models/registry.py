@@ -19,7 +19,10 @@ def get_model_class(architecture: str):
     from sglang_awq_tpu.models.llama import LlamaForCausalLM
     from sglang_awq_tpu.models.mixtral import MixtralForCausalLM
     from sglang_awq_tpu.models.cohere import CohereForCausalLM
-    from sglang_awq_tpu.models.granite import GraniteForCausalLM
+    from sglang_awq_tpu.models.granite import (
+        GraniteForCausalLM,
+        GraniteMoeForCausalLM,
+    )
     from sglang_awq_tpu.models.olmo2 import Olmo2ForCausalLM
     from sglang_awq_tpu.models.phi3 import Phi3ForCausalLM
     from sglang_awq_tpu.models.qwen2 import Qwen2ForCausalLM, Qwen3ForCausalLM
@@ -51,6 +54,7 @@ def get_model_class(architecture: str):
         "StableLmForCausalLM": StableLmForCausalLM,
         "CohereForCausalLM": CohereForCausalLM,
         "GraniteForCausalLM": GraniteForCausalLM,
+        "GraniteMoeForCausalLM": GraniteMoeForCausalLM,
         "GemmaForCausalLM": GemmaForCausalLM,
         "Gemma2ForCausalLM": Gemma2ForCausalLM,
         "Gemma3ForCausalLM": Gemma3ForCausalLM,

@@ -440,3 +440,31 @@ def test_stablelm_matches_hf():
     ).eval()
     rng = np.random.default_rng(11)
     _check_vs_hf(hf, cfg, rng.integers(3, 500, 17).tolist(), atol=0.05)
+
+
+def test_granitemoe_matches_hf():
+    """GraniteMoe: fused 3D expert tensors + post-topk-softmax router +
+    the Granite multipliers."""
+    import torch
+    from transformers import GraniteMoeConfig
+    from transformers import GraniteMoeForCausalLM as HFGraniteMoe
+
+    cfg = dict(
+        architectures=["GraniteMoeForCausalLM"],
+        vocab_size=512, hidden_size=256, num_hidden_layers=2,
+        num_attention_heads=8, num_key_value_heads=4,
+        intermediate_size=128, num_local_experts=4, num_experts_per_tok=2,
+        hidden_act="silu", rms_norm_eps=1e-5, rope_theta=10000.0,
+        embedding_multiplier=12.0, attention_multiplier=0.0078125,
+        residual_multiplier=0.22, logits_scaling=8.0,
+        attention_bias=False, max_position_embeddings=256,
+        tie_word_embeddings=True, bos_token_id=1, eos_token_id=2,
+        pad_token_id=0,
+    )
+    torch.manual_seed(0)
+    hf = HFGraniteMoe(
+        GraniteMoeConfig(**{k: v for k, v in cfg.items()
+                            if k != "architectures"})
+    ).eval()
+    rng = np.random.default_rng(12)
+    _check_vs_hf(hf, cfg, rng.integers(3, 500, 15).tolist())
