@@ -27,6 +27,7 @@ def get_model_class(architecture: str):
     from sglang_awq_tpu.models.phi3 import Phi3ForCausalLM
     from sglang_awq_tpu.models.qwen2 import Qwen2ForCausalLM, Qwen3ForCausalLM
     from sglang_awq_tpu.models.starcoder2 import (
+        GPTNeoXForCausalLM,
         NemotronForCausalLM,
         PhiForCausalLM,
         StableLmForCausalLM,
@@ -52,6 +53,7 @@ def get_model_class(architecture: str):
         "NemotronForCausalLM": NemotronForCausalLM,
         "PhiForCausalLM": PhiForCausalLM,
         "StableLmForCausalLM": StableLmForCausalLM,
+        "GPTNeoXForCausalLM": GPTNeoXForCausalLM,
         "CohereForCausalLM": CohereForCausalLM,
         "GraniteForCausalLM": GraniteForCausalLM,
         "GraniteMoeForCausalLM": GraniteMoeForCausalLM,

@@ -41,6 +41,8 @@ class Starcoder2ForCausalLM(LlamaForCausalLM):
             self.layer_windows = tuple(sw for _ in range(c.num_layers))
         q = c.quant_config
         H, I = c.hidden_size, c.intermediate_size
+        # "gelu" = exact erf form; gelu_new / gelu_pytorch_tanh = tanh approx
+        self.gelu_approx = hf.get("hidden_act", "gelu_pytorch_tanh") != "gelu"
         del self.specs["gate_up"], self.specs["down"]
         self.specs["fc"] = LinearSpec.make("fc", H, I, q, "column",
                                            self.tp_size)
@@ -81,9 +83,9 @@ class Starcoder2ForCausalLM(LlamaForCausalLM):
         a = linear_apply(self.specs["fc"], lp["fc"], h2, l)
         if "bias" in lp["fc"]:
             a = a + lp["fc"]["bias"][l]
-        a = jax.nn.gelu(a.astype(jnp.float32), approximate=True).astype(
-            jnp.bfloat16
-        )
+        a = jax.nn.gelu(
+            a.astype(jnp.float32), approximate=self.gelu_approx
+        ).astype(jnp.bfloat16)
         return linear_apply(self.specs["cproj"], lp["cproj"], a, l)
 
     def _layer(
@@ -340,3 +342,109 @@ class StableLmForCausalLM(LlamaForCausalLM):
         d = self._mlp(lp, h2, l)
         x = x + self._maybe_psum(d.astype(jnp.float32)).astype(x.dtype)
         return x
+
+
+@dataclasses.dataclass
+class GPTNeoXForCausalLM(Starcoder2ForCausalLM):
+    """GPT-NeoX / Pythia.  Role model: reference
+    `python/sglang/srt/models/gpt_neox.py`.  PARALLEL residual with TWO
+    norms — `x + attn(ln1(x)) + mlp(ln2(x))` (post_attention_layernorm
+    feeds the MLP, unlike Cohere/Phi's shared norm) — partial rotary
+    (rotary_pct), exact-erf gelu, biases everywhere.  The checkpoint's
+    own naming (gpt_neox.*, embed_in/embed_out, fused per-head-interleaved
+    query_key_value) is translated to canonical names up front, including
+    the [heads, 3, D] de-interleave of the fused qkv."""
+
+    def __post_init__(self):
+        hf = self.config.hf_config
+        hf.setdefault("partial_rotary_factor", hf.get("rotary_pct", 1.0))
+        super().__post_init__()
+        self.parallel_residual = bool(hf.get("use_parallel_residual", True))
+
+    def pretranslate_tensors(
+        self, tensors: Dict[str, np.ndarray]
+    ) -> Dict[str, np.ndarray]:
+        c = self.config
+        nh, D = c.num_attention_heads, self.head_dim
+        ren = {
+            "gpt_neox.embed_in.weight": "model.embed_tokens.weight",
+            "gpt_neox.final_layer_norm.weight": "model.norm.weight",
+            "gpt_neox.final_layer_norm.bias": "model.norm.bias",
+            "embed_out.weight": "lm_head.weight",
+        }
+        out = {}
+        for name, arr in tensors.items():
+            if name in ren:
+                out[ren[name]] = arr
+                continue
+            name = name.replace("gpt_neox.layers.", "model.layers.")
+            if name.endswith("attention.query_key_value.weight"):
+                base = name[: -len("attention.query_key_value.weight")]
+                w = arr.reshape(nh, 3, D, -1)  # per-head [q|k|v] rows
+                out[base + "self_attn.q_proj.weight"] = w[:, 0].reshape(
+                    nh * D, -1
+                )
+                out[base + "self_attn.k_proj.weight"] = w[:, 1].reshape(
+                    nh * D, -1
+                )
+                out[base + "self_attn.v_proj.weight"] = w[:, 2].reshape(
+                    nh * D, -1
+                )
+            elif name.endswith("attention.query_key_value.bias"):
+                base = name[: -len("attention.query_key_value.bias")]
+                b = arr.reshape(nh, 3, D)
+                out[base + "self_attn.q_proj.bias"] = b[:, 0].reshape(-1)
+                out[base + "self_attn.k_proj.bias"] = b[:, 1].reshape(-1)
+                out[base + "self_attn.v_proj.bias"] = b[:, 2].reshape(-1)
+            else:
+                name = (
+                    name.replace(".attention.dense.", ".self_attn.o_proj.")
+                    .replace(".mlp.dense_h_to_4h.", ".mlp.c_fc.")
+                    .replace(".mlp.dense_4h_to_h.", ".mlp.c_proj.")
+                )
+                out[name] = arr
+        return out
+
+    def _layer(
+        self,
+        params: Dict[str, Any],
+        x: jax.Array,
+        l: jax.Array,
+        positions: jax.Array,
+        rope_tab: jax.Array,
+        attn_fn,
+        lora_idx: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        if not self.parallel_residual:
+            return super()._layer(params, x, l, positions, rope_tab, attn_fn)
+        c = self.config
+        lp = params["layers"]
+        T = x.shape[0]
+        D = self.head_dim
+
+        h1 = layer_norm_bias(x, lp["input_norm"][l], lp["input_norm_bias"][l],
+                             c.rms_norm_eps)
+        qkv = linear_apply(self.specs["qkv"], lp["qkv"], h1, l)
+        if "bias" in lp["qkv"]:
+            qkv = qkv + lp["qkv"]["bias"][l]
+        q, k, v = jnp.split(
+            qkv, [self.qh * D, (self.qh + self.kvh) * D], axis=-1
+        )
+        q = q.reshape(T, self.qh, D)
+        k = k.reshape(T, self.kvh, D)
+        v = v.reshape(T, self.kvh, D)
+        q, k = apply_rope(q, k, positions, rope_tab)
+        attn = attn_fn(q, k, v, l)
+        attn = attn.reshape(T, self.qh * D).astype(jnp.bfloat16)
+        o = linear_apply(self.specs["o"], lp["o"], attn, l)
+
+        h2 = layer_norm_bias(x, lp["post_norm"][l], lp["post_norm_bias"][l],
+                             c.rms_norm_eps)
+        d = self._mlp(lp, h2, l)
+
+        both = self._maybe_psum(o.astype(jnp.float32) + d.astype(jnp.float32))
+        if "bias" in lp["o"]:
+            both = both + lp["o"]["bias"][l].astype(jnp.float32)
+        if "bias" in lp["cproj"]:
+            both = both + lp["cproj"]["bias"][l].astype(jnp.float32)
+        return x + both.astype(x.dtype)

@@ -468,3 +468,29 @@ def test_granitemoe_matches_hf():
     ).eval()
     rng = np.random.default_rng(12)
     _check_vs_hf(hf, cfg, rng.integers(3, 500, 15).tolist())
+
+
+def test_gpt_neox_matches_hf():
+    """GPT-NeoX/Pythia: dual-norm parallel residual, per-head-interleaved
+    fused qkv de-interleave, 0.25 partial rotary, exact gelu."""
+    import torch
+    from transformers import GPTNeoXConfig
+    from transformers import GPTNeoXForCausalLM as HFNeoX
+
+    cfg = dict(
+        architectures=["GPTNeoXForCausalLM"],
+        vocab_size=512, hidden_size=256, num_hidden_layers=2,
+        num_attention_heads=8, intermediate_size=448, hidden_act="gelu",
+        layer_norm_eps=1e-5, rotary_pct=0.25, rotary_emb_base=10000,
+        use_parallel_residual=True, attention_dropout=0.0,
+        hidden_dropout=0.0, max_position_embeddings=256,
+        tie_word_embeddings=False, bos_token_id=1, eos_token_id=2,
+        pad_token_id=0,
+    )
+    torch.manual_seed(0)
+    hf = HFNeoX(
+        GPTNeoXConfig(**{k: v for k, v in cfg.items()
+                         if k != "architectures"})
+    ).eval()
+    rng = np.random.default_rng(13)
+    _check_vs_hf(hf, cfg, rng.integers(3, 500, 17).tolist(), atol=0.05)
