@@ -29,6 +29,7 @@ def get_model_class(architecture: str):
     from sglang_awq_tpu.models.starcoder2 import (
         GPTNeoXForCausalLM,
         NemotronForCausalLM,
+        OlmoForCausalLM,
         PhiForCausalLM,
         StableLmForCausalLM,
         Starcoder2ForCausalLM,
@@ -49,6 +50,7 @@ def get_model_class(architecture: str):
         "Qwen3MoeForCausalLM": Qwen3MoeForCausalLM,
         "Phi3ForCausalLM": Phi3ForCausalLM,
         "Olmo2ForCausalLM": Olmo2ForCausalLM,
+        "OlmoForCausalLM": OlmoForCausalLM,
         "Starcoder2ForCausalLM": Starcoder2ForCausalLM,
         "NemotronForCausalLM": NemotronForCausalLM,
         "PhiForCausalLM": PhiForCausalLM,

@@ -448,3 +448,78 @@ class GPTNeoXForCausalLM(Starcoder2ForCausalLM):
         if "bias" in lp["cproj"]:
             both = both + lp["cproj"]["bias"][l].astype(jnp.float32)
         return x + both.astype(x.dtype)
+
+
+def _nonparametric_ln(x: jax.Array) -> jax.Array:
+    """OLMo v1's LayerNorm: mean-centered, NO weight/bias, eps pinned to
+    1e-5 regardless of config (HF OlmoLayerNorm)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    xc = xf - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    return (xc * jax.lax.rsqrt(var + 1e-5)).astype(x.dtype)
+
+
+@dataclasses.dataclass
+class OlmoForCausalLM(LlamaForCausalLM):
+    """OLMo v1.  Role model: reference `python/sglang/srt/models/olmo.py`.
+    The Llama graph with NON-PARAMETRIC LayerNorms (no weight/bias, eps
+    1e-5) and optional clip_qkv clamping of the fused projection; the
+    loader's norm slots are satisfied with unit weights that the layer
+    body never reads."""
+
+    def __post_init__(self):
+        super().__post_init__()
+        cq = self.config.hf_config.get("clip_qkv")
+        self.clip_qkv = float(cq) if cq is not None else 0.0
+
+    def pretranslate_tensors(
+        self, tensors: Dict[str, np.ndarray]
+    ) -> Dict[str, np.ndarray]:
+        c = self.config
+        out = dict(tensors)
+        ones = np.ones(c.hidden_size, np.float32)
+        for l in range(c.num_layers):
+            out[f"model.layers.{l}.input_layernorm.weight"] = ones
+            out[f"model.layers.{l}.post_attention_layernorm.weight"] = ones
+        out["model.norm.weight"] = ones
+        return out
+
+    def _final_norm(self, params, h: jax.Array) -> jax.Array:
+        return _nonparametric_ln(h)
+
+    def _layer(
+        self,
+        params: Dict[str, Any],
+        x: jax.Array,
+        l: jax.Array,
+        positions: jax.Array,
+        rope_tab: jax.Array,
+        attn_fn,
+        lora_idx: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        lp = params["layers"]
+        T = x.shape[0]
+        D = self.head_dim
+
+        h = _nonparametric_ln(x)
+        qkv = linear_apply(self.specs["qkv"], lp["qkv"], h, l)
+        if self.clip_qkv:
+            qkv = jnp.clip(qkv, -self.clip_qkv, self.clip_qkv)
+        q, k, v = jnp.split(
+            qkv, [self.qh * D, (self.qh + self.kvh) * D], axis=-1
+        )
+        q = q.reshape(T, self.qh, D)
+        k = k.reshape(T, self.kvh, D)
+        v = v.reshape(T, self.kvh, D)
+        q, k = apply_rope(q, k, positions, rope_tab)
+
+        attn = attn_fn(q, k, v, l)
+        attn = attn.reshape(T, self.qh * D).astype(jnp.bfloat16)
+        o = linear_apply(self.specs["o"], lp["o"], attn, l)
+        x = x + self._maybe_psum(o.astype(jnp.float32)).astype(x.dtype)
+
+        h2 = _nonparametric_ln(x)
+        d = self._mlp(lp, h2, l)
+        x = x + self._maybe_psum(d.astype(jnp.float32)).astype(x.dtype)
+        return x

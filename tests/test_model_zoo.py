@@ -494,3 +494,26 @@ def test_gpt_neox_matches_hf():
     ).eval()
     rng = np.random.default_rng(13)
     _check_vs_hf(hf, cfg, rng.integers(3, 500, 17).tolist(), atol=0.05)
+
+
+def test_olmo_v1_matches_hf():
+    """OLMo v1: non-parametric LayerNorms + clip_qkv."""
+    import torch
+    from transformers import OlmoConfig
+    from transformers import OlmoForCausalLM as HFOlmo
+
+    cfg = dict(
+        architectures=["OlmoForCausalLM"],
+        vocab_size=512, hidden_size=256, num_hidden_layers=2,
+        num_attention_heads=8, num_key_value_heads=4,
+        intermediate_size=448, hidden_act="silu", clip_qkv=0.2,
+        rope_theta=10000.0, max_position_embeddings=256,
+        tie_word_embeddings=False, attention_bias=False,
+        bos_token_id=1, eos_token_id=2, pad_token_id=0,
+    )
+    torch.manual_seed(0)
+    hf = HFOlmo(
+        OlmoConfig(**{k: v for k, v in cfg.items() if k != "architectures"})
+    ).eval()
+    rng = np.random.default_rng(14)
+    _check_vs_hf(hf, cfg, rng.integers(3, 500, 17).tolist(), atol=0.05)
