@@ -50,6 +50,7 @@ class LlamaForCausalLM:
     qk_norm: bool = False  # Qwen3: per-head RMSNorm on q and k before RoPE
     embed_multiplier: float = 1.0  # Gemma scales embeddings by sqrt(H)
     residual_multiplier: float = 1.0  # Granite scales sub-block outputs
+    rope_interleaved: bool = False  # Helium/Cohere-style (2i, 2i+1) pairs
     mlp_act: str = "silu"  # "silu" | "gelu" (Gemma GeGLU)
     layer_windows: tuple = None  # per-layer sliding window (0/None = full)
     attn_softcap: float = 0.0  # Gemma2 attn-logit softcapping
@@ -63,6 +64,14 @@ class LlamaForCausalLM:
                 c.num_layers, self.pp_size)
             assert not self.layer_windows, (
                 "per-layer windows + pp need global-layer bookkeeping"
+            )
+        if self.rope_interleaved:
+            # permute features (even indices first) so interleaved rotation
+            # becomes the standard half-split one; q and k share the
+            # permutation, so attention dots and the cached K are unchanged
+            D0 = c.head_dim
+            self._rope_perm = np.concatenate(
+                [np.arange(0, D0, 2), np.arange(1, D0, 2)]
             )
         assert c.num_attention_heads % self.tp_size == 0
         assert c.num_kv_heads % self.tp_size == 0 or self.tp_size % c.num_kv_heads == 0
@@ -263,6 +272,9 @@ class LlamaForCausalLM:
         if self.qk_norm:
             q = rms_norm(q, lp["q_norm"][l], c.rms_norm_eps)
             k = rms_norm(k, lp["k_norm"][l], c.rms_norm_eps)
+        if self.rope_interleaved:
+            perm = jnp.asarray(self._rope_perm)
+            q, k = q[..., perm], k[..., perm]
         q, k = apply_rope(q, k, positions, rope_tab)
 
         attn = attn_fn(q, k, v, l)  # [T, QH, D] f32

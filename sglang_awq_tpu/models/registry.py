@@ -28,6 +28,7 @@ def get_model_class(architecture: str):
     from sglang_awq_tpu.models.qwen2 import Qwen2ForCausalLM, Qwen3ForCausalLM
     from sglang_awq_tpu.models.starcoder2 import (
         GPTNeoXForCausalLM,
+        HeliumForCausalLM,
         NemotronForCausalLM,
         OlmoForCausalLM,
         PhiForCausalLM,
@@ -51,6 +52,7 @@ def get_model_class(architecture: str):
         "Phi3ForCausalLM": Phi3ForCausalLM,
         "Olmo2ForCausalLM": Olmo2ForCausalLM,
         "OlmoForCausalLM": OlmoForCausalLM,
+        "HeliumForCausalLM": HeliumForCausalLM,
         "Starcoder2ForCausalLM": Starcoder2ForCausalLM,
         "NemotronForCausalLM": NemotronForCausalLM,
         "PhiForCausalLM": PhiForCausalLM,

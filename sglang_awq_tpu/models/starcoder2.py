@@ -523,3 +523,13 @@ class OlmoForCausalLM(LlamaForCausalLM):
         d = self._mlp(lp, h2, l)
         x = x + self._maybe_psum(d.astype(jnp.float32)).astype(x.dtype)
         return x
+
+
+@dataclasses.dataclass
+class HeliumForCausalLM(LlamaForCausalLM):
+    """Kyutai Helium.  Role model: reference model-zoo coverage.  The
+    Llama graph verbatim except the rotary rotates INTERLEAVED (2i, 2i+1)
+    feature pairs — handled by the base class's rope_interleaved
+    permutation (dot-product-invariant, cache-safe)."""
+
+    rope_interleaved: bool = True

@@ -517,3 +517,27 @@ def test_olmo_v1_matches_hf():
     ).eval()
     rng = np.random.default_rng(14)
     _check_vs_hf(hf, cfg, rng.integers(3, 500, 17).tolist(), atol=0.05)
+
+
+def test_helium_matches_hf():
+    """Helium: Llama graph with interleaved rotary pairs."""
+    import torch
+    from transformers import HeliumConfig
+    from transformers import HeliumForCausalLM as HFHelium
+
+    cfg = dict(
+        architectures=["HeliumForCausalLM"],
+        vocab_size=512, hidden_size=256, num_hidden_layers=2,
+        num_attention_heads=8, num_key_value_heads=4, head_dim=32,
+        intermediate_size=448, hidden_act="silu", rms_norm_eps=1e-8,
+        rope_theta=10000.0, attention_bias=False, mlp_bias=False,
+        max_position_embeddings=256, tie_word_embeddings=False,
+        bos_token_id=1, eos_token_id=2, pad_token_id=0,
+    )
+    torch.manual_seed(0)
+    hf = HFHelium(
+        HeliumConfig(**{k: v for k, v in cfg.items()
+                        if k != "architectures"})
+    ).eval()
+    rng = np.random.default_rng(15)
+    _check_vs_hf(hf, cfg, rng.integers(3, 500, 17).tolist(), atol=0.05)
