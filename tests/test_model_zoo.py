@@ -541,3 +541,83 @@ def test_helium_matches_hf():
     ).eval()
     rng = np.random.default_rng(15)
     _check_vs_hf(hf, cfg, rng.integers(3, 500, 17).tolist(), atol=0.05)
+
+
+def _engine_vs_hf_generate(hf, cfg, prompt, n=6):
+    """Greedy engine decode must be token-identical to HF generate."""
+    import torch
+
+    from sglang_awq_tpu.entrypoints.engine import Engine
+    from sglang_awq_tpu.server_args import ServerArgs
+
+    tensors = _torch_state_dict_to_np(hf.state_dict())
+    mc = ModelConfig(model_path="", hf_config=dict(cfg))
+    sa = ServerArgs(model_path="tiny", page_size=8, max_total_tokens=512,
+                    chunked_prefill_size=32)
+    eng = Engine(server_args=sa, model_config=mc, tensors=tensors,
+                 tokenizer=None)
+    try:
+        out = eng.generate(
+            input_ids=prompt,
+            sampling_params={"max_new_tokens": n, "temperature": 0.0,
+                             "ignore_eos": True},
+        )["output_ids"]
+        with torch.no_grad():
+            ref = hf.generate(
+                torch.tensor([prompt]), max_new_tokens=n, do_sample=False
+            )[0, len(prompt):].tolist()
+        assert out == ref, (out, ref)
+    finally:
+        eng.shutdown()
+
+
+def test_starcoder2_engine_decode():
+    """SWA + biases + non-gated MLP through the DECODE path."""
+    import torch
+    from transformers import Starcoder2Config
+    from transformers import Starcoder2ForCausalLM as HFStarcoder2
+
+    cfg = dict(
+        architectures=["Starcoder2ForCausalLM"],
+        vocab_size=512, hidden_size=256, num_hidden_layers=2,
+        num_attention_heads=8, num_key_value_heads=4,
+        intermediate_size=448, hidden_act="gelu_pytorch_tanh",
+        norm_epsilon=1e-5, rope_theta=10000.0, use_bias=True,
+        sliding_window=8, max_position_embeddings=256,
+        tie_word_embeddings=True, residual_dropout=0.0,
+        embedding_dropout=0.0, attention_dropout=0.0,
+        bos_token_id=1, eos_token_id=2, pad_token_id=0,
+    )
+    torch.manual_seed(0)
+    hf = HFStarcoder2(
+        Starcoder2Config(
+            **{k: v for k, v in cfg.items() if k != "architectures"}
+        )
+    ).eval()
+    prompt = np.random.default_rng(20).integers(3, 500, 21).tolist()
+    _engine_vs_hf_generate(hf, cfg, prompt)
+
+
+def test_gpt_neox_engine_decode():
+    """Dual-norm parallel residual + partial rotary through DECODE."""
+    import torch
+    from transformers import GPTNeoXConfig
+    from transformers import GPTNeoXForCausalLM as HFNeoX
+
+    cfg = dict(
+        architectures=["GPTNeoXForCausalLM"],
+        vocab_size=512, hidden_size=256, num_hidden_layers=2,
+        num_attention_heads=8, intermediate_size=448, hidden_act="gelu",
+        layer_norm_eps=1e-5, rotary_pct=0.25, rotary_emb_base=10000,
+        use_parallel_residual=True, attention_dropout=0.0,
+        hidden_dropout=0.0, max_position_embeddings=256,
+        tie_word_embeddings=False, bos_token_id=1, eos_token_id=2,
+        pad_token_id=0,
+    )
+    torch.manual_seed(0)
+    hf = HFNeoX(
+        GPTNeoXConfig(**{k: v for k, v in cfg.items()
+                         if k != "architectures"})
+    ).eval()
+    prompt = np.random.default_rng(21).integers(3, 500, 17).tolist()
+    _engine_vs_hf_generate(hf, cfg, prompt)
