@@ -217,6 +217,11 @@ class LlamaForCausalLM:
         ).astype(x.dtype)
         return x, kv
 
+    def _rope_for_layer(self, rope_tab, l):
+        """Hook: per-layer rope-table selection (SmolLM3 NoPE, Gemma3
+        dual tables use it); default = one table for every layer."""
+        return rope_tab
+
     def _win(self, l):
         """Per-layer sliding window as a traced scalar (0 = full)."""
         if not self.layer_windows:
@@ -275,7 +280,7 @@ class LlamaForCausalLM:
         if self.rope_interleaved:
             perm = jnp.asarray(self._rope_perm)
             q, k = q[..., perm], k[..., perm]
-        q, k = apply_rope(q, k, positions, rope_tab)
+        q, k = apply_rope(q, k, positions, self._rope_for_layer(rope_tab, l))
 
         attn = attn_fn(q, k, v, l)  # [T, QH, D] f32
         attn = attn.reshape(T, self.qh * D).astype(jnp.bfloat16)
@@ -284,6 +289,8 @@ class LlamaForCausalLM:
             o = o + self._lora_delta(lora, "o", attn, l, lora_idx)
         rm = self.residual_multiplier
         oc = self._maybe_psum(o.astype(jnp.float32))
+        if "bias" in lp["o"]:  # row-parallel: bias once, after the psum
+            oc = oc + lp["o"]["bias"][l].astype(jnp.float32)
         x = x + (oc * rm if rm != 1.0 else oc).astype(x.dtype)
 
         h2 = rms_norm(x, lp["post_norm"][l], c.rms_norm_eps)

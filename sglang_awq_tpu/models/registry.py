@@ -26,11 +26,14 @@ def get_model_class(architecture: str):
     from sglang_awq_tpu.models.olmo2 import Olmo2ForCausalLM
     from sglang_awq_tpu.models.phi3 import Phi3ForCausalLM
     from sglang_awq_tpu.models.qwen2 import Qwen2ForCausalLM, Qwen3ForCausalLM
+    from sglang_awq_tpu.models.smollm3 import SmolLM3ForCausalLM
     from sglang_awq_tpu.models.starcoder2 import (
+        ArceeForCausalLM,
         GPTNeoXForCausalLM,
         HeliumForCausalLM,
         NemotronForCausalLM,
         OlmoForCausalLM,
+        SeedOssForCausalLM,
         PhiForCausalLM,
         StableLmForCausalLM,
         Starcoder2ForCausalLM,
@@ -53,6 +56,9 @@ def get_model_class(architecture: str):
         "Olmo2ForCausalLM": Olmo2ForCausalLM,
         "OlmoForCausalLM": OlmoForCausalLM,
         "HeliumForCausalLM": HeliumForCausalLM,
+        "SmolLM3ForCausalLM": SmolLM3ForCausalLM,
+        "ArceeForCausalLM": ArceeForCausalLM,
+        "SeedOssForCausalLM": SeedOssForCausalLM,
         "Starcoder2ForCausalLM": Starcoder2ForCausalLM,
         "NemotronForCausalLM": NemotronForCausalLM,
         "PhiForCausalLM": PhiForCausalLM,

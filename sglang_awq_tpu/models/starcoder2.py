@@ -533,3 +533,50 @@ class HeliumForCausalLM(LlamaForCausalLM):
     permutation (dot-product-invariant, cache-safe)."""
 
     rope_interleaved: bool = True
+
+
+@dataclasses.dataclass
+class ArceeForCausalLM(LlamaForCausalLM):
+    """Arcee AFM.  Role model: reference model-zoo coverage.  The Llama
+    RMSNorm graph with a NON-gated squared-ReLU MLP (up_proj -> relu^2 ->
+    down_proj), no biases."""
+
+    def __post_init__(self):
+        super().__post_init__()
+        c = self.config
+        q = c.quant_config
+        del self.specs["gate_up"], self.specs["down"]
+        self.specs["fc"] = LinearSpec.make(
+            "fc", c.hidden_size, c.intermediate_size, q, "column",
+            self.tp_size,
+        )
+        self.specs["cproj"] = LinearSpec.make(
+            "cproj", c.intermediate_size, c.hidden_size, q, "row",
+            self.tp_size,
+        )
+
+    def merge_schema(self) -> Dict[str, tuple]:
+        return {
+            "qkv": (["self_attn.q_proj", "self_attn.k_proj",
+                     "self_attn.v_proj"], "n"),
+            "o": (["self_attn.o_proj"], "n"),
+            "fc": (["mlp.up_proj"], "n"),
+            "cproj": (["mlp.down_proj"], "n"),
+        }
+
+    def _mlp(self, lp: Dict[str, Any], h2: jax.Array, l, lora=None,
+             lora_idx=None) -> jax.Array:
+        del lora, lora_idx
+        a = linear_apply(self.specs["fc"], lp["fc"], h2, l)
+        a = jnp.square(jax.nn.relu(a.astype(jnp.float32))).astype(jnp.bfloat16)
+        return linear_apply(self.specs["cproj"], lp["cproj"], a, l)
+
+
+@dataclasses.dataclass
+class SeedOssForCausalLM(LlamaForCausalLM):
+    """ByteDance Seed-OSS.  Role model: reference model-zoo coverage.
+    The Llama graph with qkv biases (attention_bias) and an o_proj bias
+    (attention_out_bias) — the latter handled generically by the base
+    layer (added once, after the TP psum)."""
+
+    qkv_bias: bool = True

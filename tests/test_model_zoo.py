@@ -621,3 +621,77 @@ def test_gpt_neox_engine_decode():
     ).eval()
     prompt = np.random.default_rng(21).integers(3, 500, 17).tolist()
     _engine_vs_hf_generate(hf, cfg, prompt)
+
+
+def test_smollm3_matches_hf():
+    """SmolLM3: NoPE layers (identity rope table selected per layer)."""
+    import torch
+    from transformers import SmolLM3Config
+    from transformers import SmolLM3ForCausalLM as HFSmolLM3
+
+    cfg = dict(
+        architectures=["SmolLM3ForCausalLM"],
+        vocab_size=512, hidden_size=256, num_hidden_layers=4,
+        num_attention_heads=8, num_key_value_heads=4,
+        intermediate_size=448, hidden_act="silu", rms_norm_eps=1e-5,
+        rope_theta=10000.0, no_rope_layers=[1, 0, 1, 0],
+        use_sliding_window=False, max_position_embeddings=256,
+        tie_word_embeddings=True, attention_bias=False, mlp_bias=False,
+        bos_token_id=1, eos_token_id=2, pad_token_id=0,
+    )
+    torch.manual_seed(0)
+    hf = HFSmolLM3(
+        SmolLM3Config(**{k: v for k, v in cfg.items()
+                         if k != "architectures"})
+    ).eval()
+    rng = np.random.default_rng(16)
+    _check_vs_hf(hf, cfg, rng.integers(3, 500, 17).tolist(), atol=0.05)
+
+
+def test_arcee_matches_hf():
+    """Arcee AFM: non-gated squared-ReLU MLP on the Llama graph."""
+    import torch
+    from transformers import ArceeConfig
+    from transformers import ArceeForCausalLM as HFArcee
+
+    cfg = dict(
+        architectures=["ArceeForCausalLM"],
+        vocab_size=512, hidden_size=256, num_hidden_layers=2,
+        num_attention_heads=8, num_key_value_heads=4,
+        intermediate_size=448, hidden_act="relu2", rms_norm_eps=1e-5,
+        rope_theta=10000.0, attention_bias=False, mlp_bias=False,
+        max_position_embeddings=256, tie_word_embeddings=False,
+        bos_token_id=1, eos_token_id=2, pad_token_id=0,
+    )
+    torch.manual_seed(0)
+    hf = HFArcee(
+        ArceeConfig(**{k: v for k, v in cfg.items()
+                       if k != "architectures"})
+    ).eval()
+    rng = np.random.default_rng(17)
+    _check_vs_hf(hf, cfg, rng.integers(3, 500, 17).tolist(), atol=0.05)
+
+
+def test_seed_oss_matches_hf():
+    """Seed-OSS: qkv biases + o_proj bias on the Llama graph."""
+    import torch
+    from transformers import SeedOssConfig
+    from transformers import SeedOssForCausalLM as HFSeedOss
+
+    cfg = dict(
+        architectures=["SeedOssForCausalLM"],
+        vocab_size=512, hidden_size=256, num_hidden_layers=2,
+        num_attention_heads=8, num_key_value_heads=4, head_dim=32,
+        intermediate_size=448, hidden_act="silu", rms_norm_eps=1e-5,
+        rope_theta=10000.0, attention_bias=True, attention_out_bias=True,
+        mlp_bias=False, attention_dropout=0.0, residual_dropout=0.0,
+        max_position_embeddings=256, tie_word_embeddings=False,
+        bos_token_id=1, eos_token_id=2, pad_token_id=0,
+    )
+    torch.manual_seed(0)
+    hf = HFSeedOss(
+        SeedOssConfig(**{k: v for k, v in cfg.items()
+                         if k != "architectures"})
+    ).eval()
+    rng = np.random.default_rng(18)
+    _check_vs_hf(hf, cfg, rng.integers(3, 500, 17).tolist(), atol=0.05)
