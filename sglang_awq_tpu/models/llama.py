@@ -68,10 +68,15 @@ class LlamaForCausalLM:
         if self.rope_interleaved:
             # permute features (even indices first) so interleaved rotation
             # becomes the standard half-split one; q and k share the
-            # permutation, so attention dots and the cached K are unchanged
+            # permutation, so attention dots and the cached K are unchanged.
+            # With partial rotary (GLM) only the rotated prefix interleaves.
             D0 = c.head_dim
+            rot = int(D0 * float(
+                c.hf_config.get("partial_rotary_factor", 1.0)
+            ))
             self._rope_perm = np.concatenate(
-                [np.arange(0, D0, 2), np.arange(1, D0, 2)]
+                [np.arange(0, rot, 2), np.arange(1, rot, 2),
+                 np.arange(rot, D0)]
             )
         assert c.num_attention_heads % self.tp_size == 0
         assert c.num_kv_heads % self.tp_size == 0 or self.tp_size % c.num_kv_heads == 0

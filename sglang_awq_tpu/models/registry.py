@@ -19,6 +19,7 @@ def get_model_class(architecture: str):
     from sglang_awq_tpu.models.llama import LlamaForCausalLM
     from sglang_awq_tpu.models.mixtral import MixtralForCausalLM
     from sglang_awq_tpu.models.cohere import CohereForCausalLM
+    from sglang_awq_tpu.models.glm import Glm4ForCausalLM, GlmForCausalLM
     from sglang_awq_tpu.models.granite import (
         GraniteForCausalLM,
         GraniteMoeForCausalLM,
@@ -59,6 +60,8 @@ def get_model_class(architecture: str):
         "SmolLM3ForCausalLM": SmolLM3ForCausalLM,
         "ArceeForCausalLM": ArceeForCausalLM,
         "SeedOssForCausalLM": SeedOssForCausalLM,
+        "GlmForCausalLM": GlmForCausalLM,
+        "Glm4ForCausalLM": Glm4ForCausalLM,
         "Starcoder2ForCausalLM": Starcoder2ForCausalLM,
         "NemotronForCausalLM": NemotronForCausalLM,
         "PhiForCausalLM": PhiForCausalLM,

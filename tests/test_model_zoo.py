@@ -695,3 +695,51 @@ def test_seed_oss_matches_hf():
     ).eval()
     rng = np.random.default_rng(18)
     _check_vs_hf(hf, cfg, rng.integers(3, 500, 17).tolist(), atol=0.05)
+
+
+def test_glm_matches_hf():
+    """GLM: partial-INTERLEAVED rotary + fused gate_up + qkv biases."""
+    import torch
+    from transformers import GlmConfig
+    from transformers import GlmForCausalLM as HFGlm
+
+    cfg = dict(
+        architectures=["GlmForCausalLM"],
+        vocab_size=512, hidden_size=256, num_hidden_layers=2,
+        num_attention_heads=8, num_key_value_heads=4, head_dim=32,
+        intermediate_size=448, hidden_act="silu", rms_norm_eps=1e-5,
+        rope_theta=10000.0, partial_rotary_factor=0.5,
+        attention_bias=True, attention_dropout=0.0,
+        max_position_embeddings=256, tie_word_embeddings=False,
+        bos_token_id=1, eos_token_id=2, pad_token_id=0,
+    )
+    torch.manual_seed(0)
+    hf = HFGlm(
+        GlmConfig(**{k: v for k, v in cfg.items() if k != "architectures"})
+    ).eval()
+    rng = np.random.default_rng(19)
+    _check_vs_hf(hf, cfg, rng.integers(3, 500, 17).tolist(), atol=0.05)
+
+
+def test_glm4_matches_hf():
+    """GLM-4-0414: GLM plus sandwich output norms."""
+    import torch
+    from transformers import Glm4Config
+    from transformers import Glm4ForCausalLM as HFGlm4
+
+    cfg = dict(
+        architectures=["Glm4ForCausalLM"],
+        vocab_size=512, hidden_size=256, num_hidden_layers=2,
+        num_attention_heads=8, num_key_value_heads=4, head_dim=32,
+        intermediate_size=448, hidden_act="silu", rms_norm_eps=1e-5,
+        rope_theta=10000.0, partial_rotary_factor=0.5,
+        attention_bias=False, attention_dropout=0.0,
+        max_position_embeddings=256, tie_word_embeddings=False,
+        bos_token_id=1, eos_token_id=2, pad_token_id=0,
+    )
+    torch.manual_seed(0)
+    hf = HFGlm4(
+        Glm4Config(**{k: v for k, v in cfg.items() if k != "architectures"})
+    ).eval()
+    rng = np.random.default_rng(20)
+    _check_vs_hf(hf, cfg, rng.integers(3, 500, 17).tolist(), atol=0.05)
