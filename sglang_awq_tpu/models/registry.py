@@ -30,6 +30,7 @@ def get_model_class(architecture: str):
     from sglang_awq_tpu.models.smollm3 import SmolLM3ForCausalLM
     from sglang_awq_tpu.models.starcoder2 import (
         ArceeForCausalLM,
+        Ernie4_5ForCausalLM,
         GPTNeoXForCausalLM,
         HeliumForCausalLM,
         NemotronForCausalLM,
@@ -62,6 +63,7 @@ def get_model_class(architecture: str):
         "SeedOssForCausalLM": SeedOssForCausalLM,
         "GlmForCausalLM": GlmForCausalLM,
         "Glm4ForCausalLM": Glm4ForCausalLM,
+        "Ernie4_5ForCausalLM": Ernie4_5ForCausalLM,
         "Starcoder2ForCausalLM": Starcoder2ForCausalLM,
         "NemotronForCausalLM": NemotronForCausalLM,
         "PhiForCausalLM": PhiForCausalLM,

@@ -580,3 +580,17 @@ class SeedOssForCausalLM(LlamaForCausalLM):
     layer (added once, after the TP psum)."""
 
     qkv_bias: bool = True
+
+
+@dataclasses.dataclass
+class Ernie4_5ForCausalLM(LlamaForCausalLM):
+    """Baidu ERNIE 4.5 (dense).  Role model: reference model-zoo
+    coverage.  The Llama graph with INTERLEAVED rotary pairs (the
+    base-class rope_interleaved permutation) and optional use_bias on
+    the projections; embeddings tied."""
+
+    rope_interleaved: bool = True
+
+    def __post_init__(self):
+        self.qkv_bias = bool(self.config.hf_config.get("use_bias", False))
+        super().__post_init__()

@@ -743,3 +743,27 @@ def test_glm4_matches_hf():
     ).eval()
     rng = np.random.default_rng(20)
     _check_vs_hf(hf, cfg, rng.integers(3, 500, 17).tolist(), atol=0.05)
+
+
+def test_ernie45_matches_hf():
+    """ERNIE 4.5: interleaved rotary + use_bias on the Llama graph."""
+    import torch
+    from transformers import Ernie4_5Config
+    from transformers import Ernie4_5ForCausalLM as HFErnie
+
+    cfg = dict(
+        architectures=["Ernie4_5ForCausalLM"],
+        vocab_size=512, hidden_size=256, num_hidden_layers=2,
+        num_attention_heads=8, num_key_value_heads=4, head_dim=32,
+        intermediate_size=448, hidden_act="silu", rms_norm_eps=1e-5,
+        rope_theta=10000.0, use_bias=True,
+        max_position_embeddings=256, tie_word_embeddings=True,
+        bos_token_id=1, eos_token_id=2, pad_token_id=0,
+    )
+    torch.manual_seed(0)
+    hf = HFErnie(
+        Ernie4_5Config(**{k: v for k, v in cfg.items()
+                          if k != "architectures"})
+    ).eval()
+    rng = np.random.default_rng(21)
+    _check_vs_hf(hf, cfg, rng.integers(3, 500, 17).tolist(), atol=0.05)
