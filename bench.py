@@ -31,7 +31,17 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+BOOTED = {"v": False}
+
+
 def main():
+    import jax.numpy as _jnp
+
+    # touching the device proves the relay is alive; a wedged relay hangs
+    # right here, which the watchdog's early boot check detects
+    float(np.asarray(_jnp.zeros(())))
+    BOOTED["v"] = True
+
     from sglang_awq_tpu.configs.model_config import ModelConfig
     from sglang_awq_tpu.model_executor.forward_batch import DecodeInput, SamplingRow
     from sglang_awq_tpu.model_executor.model_runner import ModelRunner
@@ -172,7 +182,15 @@ if __name__ == "__main__":
         )
 
     def _watchdog():
-        time.sleep(_deadline)
+        # early check: backend init takes <60s when the relay is healthy;
+        # 300s without a live device means the relay is wedged — report
+        # before any external timeout can kill us silently
+        time.sleep(min(300.0, _deadline))
+        if not BOOTED["v"]:
+            _fail_line("TPU backend failed to initialize within 300s "
+                       "(relay wedged)")
+            os._exit(2)
+        time.sleep(max(_deadline - 300.0, 0.0))
         _fail_line(f"bench exceeded {_deadline:.0f}s (TPU relay hang?)")
         os._exit(2)
 
