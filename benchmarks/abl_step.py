@@ -89,6 +89,7 @@ def main():
         seeds=jnp.zeros(B, jnp.uint32),
         frequency_penalties=jnp.zeros(B), presence_penalties=jnp.zeros(B),
         repetition_penalties=jnp.ones(B),
+        min_new_tokens=jnp.zeros(B, jnp.int32),
     )
 
     def steps_fn(variant):
