@@ -58,6 +58,14 @@ class Engine:
         configure_logger(server_args.log_level)
         self.server_args = server_args
 
+        from sglang_awq_tpu.tracing import trace_init
+
+        trace_init(
+            server_args.enable_trace,
+            server_args.oltp_traces_endpoint,
+            service_name=server_args.served_model_name or "sglang_awq_tpu",
+        )
+
         self._multihost = False
         if server_args.nnodes > 1:
             from sglang_awq_tpu.parallel.multihost import initialize_multihost

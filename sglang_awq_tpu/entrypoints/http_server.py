@@ -78,6 +78,7 @@ class HttpServer:
         r.add_post("/v1/embeddings", self.v1_embeddings)
         r.add_post("/encode", self.encode)
         r.add_get("/metrics", self.metrics)
+        r.add_get("/get_trace", self.get_trace)
         r.add_post("/start_profile", self.start_profile)
         r.add_post("/stop_profile", self.stop_profile)
         r.add_post("/save_weights_snapshot", self.save_weights_snapshot)
@@ -152,6 +153,18 @@ class HttpServer:
             body=self.engine.scheduler.metrics.render(),
             content_type="text/plain",
         )
+
+    async def get_trace(self, request: web.Request) -> web.Response:
+        """Recent finished request traces (requires --enable-trace)."""
+        from sglang_awq_tpu.tracing import tracing_enabled
+        from sglang_awq_tpu.tracing.trace import trace_recent
+
+        if not tracing_enabled():
+            return web.json_response(
+                {"error": "tracing disabled (--enable-trace)"}, status=400
+            )
+        n = int(request.query.get("n", "32"))
+        return web.json_response({"traces": trace_recent(n)})
 
     async def health_generate(self, request: web.Request) -> web.Response:
         """Schedules a REAL 1-token generation (reference http_server.py:442)."""

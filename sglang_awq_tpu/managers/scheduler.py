@@ -55,6 +55,12 @@ from sglang_awq_tpu.model_executor.forward_batch import (
 )
 from sglang_awq_tpu.model_executor.model_runner import ModelRunner
 from sglang_awq_tpu.server_args import ServerArgs
+from sglang_awq_tpu.tracing import (
+    trace_req_finish,
+    trace_slice_end,
+    trace_slice_start,
+    tracing_enabled,
+)
 from sglang_awq_tpu.utils import cdiv
 
 logger = logging.getLogger(__name__)
@@ -495,6 +501,14 @@ class Scheduler:
         if not admitted:
             return False
         reqs = admitted
+        if tracing_enabled():
+            for req in reqs:
+                trace_slice_end(req.rid, "queue")
+                trace_slice_start(
+                    req.rid, "prefill",
+                    prompt_tokens=len(req.input_ids),
+                    cached_tokens=req.prefix_len,
+                )
 
         # --- acquire device sampling-state rows at admission ---
         st = self.runner.sampling_state
@@ -892,6 +906,9 @@ class Scheduler:
                     self._record_logprobs(r, lp, i)
                 if r.first_token_time is None:
                     r.first_token_time = now
+                    if tracing_enabled():
+                        trace_slice_end(r.rid, "prefill")
+                        trace_slice_start(r.rid, "decode")
                 r.check_finished(next_id)
                 self._advance_grammar(r, next_id)
                 self._out_buffer.append(ReqOutput(r, [next_id]))
@@ -1299,6 +1316,17 @@ class Scheduler:
         req.prefix_pages = 0
         req.last_node = None
         self.metrics.observe_finish(req)
+        if tracing_enabled():
+            trace_req_finish(
+                req.rid,
+                prompt_tokens=len(req.input_ids),
+                completion_tokens=len(req.output_ids),
+                finish_reason=(
+                    req.finish_info.to_finish_reason_str()
+                    if req.finish_info else ""
+                ),
+                retractions=req.retractions,
+            )
 
     def _process_aborts(self):
         if not self.abort_rids:

@@ -119,6 +119,16 @@ class TokenizerManager:
                 )
                 children.append(self.create_request(child))
             return ReqStateGroup(children)
+        from sglang_awq_tpu.tracing import (
+            trace_req_start,
+            trace_slice_end,
+            trace_slice_start,
+            tracing_enabled,
+        )
+
+        if tracing_enabled():
+            trace_req_start(gin.rid, stream=bool(gin.stream))
+            trace_slice_start(gin.rid, "tokenize")
         sp = SamplingParams.from_dict(gin.sampling_params)
         # the top-level flag mirrors the reference API; the scheduler reads
         # it from sampling_params, so fold it in here
@@ -190,7 +200,11 @@ class TokenizerManager:
         state.session_ctx_len = session_ctx_len
         with self.lock:
             self.states[gin.rid] = state
+        if tracing_enabled():
+            trace_slice_end(gin.rid, "tokenize", prompt_tokens=len(ids))
         if submit:
+            if tracing_enabled():
+                trace_slice_start(gin.rid, "queue")
             self._submit(req)
         return state
 

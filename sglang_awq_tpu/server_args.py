@@ -73,6 +73,11 @@ class ServerArgs:
     log_level: str = "info"
     enable_metrics: bool = False
     skip_server_warmup: bool = False
+    # request tracing (reference srt/tracing/trace.py): per-request root
+    # span + stage slices, exported over OTLP/HTTP JSON when an endpoint
+    # is set (flag spelling matches the reference's --oltp-traces-endpoint)
+    enable_trace: bool = False
+    oltp_traces_endpoint: Optional[str] = None
 
     # --- kv cache dtype: auto | bfloat16 | int8 | fp8_e4m3 ---
     kv_cache_dtype: str = "auto"
