@@ -39,6 +39,13 @@ class ModelConfig:
     tie_word_embeddings: bool = False
     bos_token_id: Optional[int] = None
     eos_token_id: Any = None  # int or list
+    # MLA (DeepSeek V2/V3): compressed KV latent dims.  When set, the
+    # KV-pool geometry fields (num_kv_heads / head_dim) describe the
+    # LATENT cache rows, not per-head K/V (reference MLATokenToKVPool,
+    # memory_pool.py:1396).
+    is_mla: bool = False
+    kv_lora_rank: int = 0
+    qk_rope_head_dim: int = 0
 
     @classmethod
     def from_model_path(
@@ -75,6 +82,15 @@ class ModelConfig:
         self.num_attention_heads = int(c["num_attention_heads"])
         self.num_kv_heads = int(c.get("num_key_value_heads", self.num_attention_heads))
         self.head_dim = int(c.get("head_dim") or self.hidden_size // self.num_attention_heads)
+        if c.get("kv_lora_rank"):  # MLA (DeepSeek V2/V3)
+            self.is_mla = True
+            self.kv_lora_rank = int(c["kv_lora_rank"])
+            self.qk_rope_head_dim = int(c["qk_rope_head_dim"])
+            # the cache stores ONE latent row [c_kv | k_pe] per token,
+            # padded to a 128-lane multiple for the Pallas kernels
+            self.num_kv_heads = 1
+            lat = self.kv_lora_rank + self.qk_rope_head_dim
+            self.head_dim = (lat + 127) // 128 * 128
         self.intermediate_size = int(c["intermediate_size"])
         self.rms_norm_eps = float(
             c.get("rms_norm_eps",

@@ -141,7 +141,12 @@ def load_params_from_tensors(
         merges = model.merge_schema()
     else:
         merges = {tgt: (srcs, "n") for tgt, srcs in MERGES.items()}
-    for target, (sources, kind) in merges.items():
+    for target, entry in merges.items():
+        # entry = (sources, kind) or (sources, kind, (start, stop)) — the
+        # optional layer range supports heterogeneous stacks (DeepSeek's
+        # first_k_dense_replace: dense MLPs on layers [0, k), MoE beyond)
+        sources, kind = entry[0], entry[1]
+        lo, hi = entry[2] if len(entry) > 2 else (0, L)
         spec: LinearSpec = model.specs[target]
         quant_here = spec.quantized
 
@@ -158,7 +163,7 @@ def load_params_from_tensors(
 
         per_layer = []
         biases = []
-        for l in range(L):
+        for l in range(lo, hi):
             names = [f"model.layers.{l}.{s}" for s in sources]
             if quant_here:
                 qw = merge([t(n + ".qweight") for n in names])
@@ -187,7 +192,7 @@ def load_params_from_tensors(
             for key in per_layer[0]
         }
         if biases:
-            assert len(biases) == L
+            assert len(biases) == hi - lo
             stacked["bias"] = jnp.asarray(np.stack(biases), dtype)
         params["layers"][target] = stacked
     if hasattr(model, "extra_layer_params"):  # e.g. MoE router gates

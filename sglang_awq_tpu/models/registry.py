@@ -44,6 +44,10 @@ def get_model_class(architecture: str):
         Qwen2MoeForCausalLM,
         Qwen3MoeForCausalLM,
     )
+    from sglang_awq_tpu.models.deepseek_v2 import (
+        DeepseekV2ForCausalLM,
+        DeepseekV3ForCausalLM,
+    )
 
     registry: Dict[str, Type] = {
         "LlamaForCausalLM": LlamaForCausalLM,
@@ -75,6 +79,8 @@ def get_model_class(architecture: str):
         "GemmaForCausalLM": GemmaForCausalLM,
         "Gemma2ForCausalLM": Gemma2ForCausalLM,
         "Gemma3ForCausalLM": Gemma3ForCausalLM,
+        "DeepseekV2ForCausalLM": DeepseekV2ForCausalLM,
+        "DeepseekV3ForCausalLM": DeepseekV3ForCausalLM,
     }
     if architecture not in registry:
         raise ValueError(
