@@ -208,11 +208,26 @@ def compile_grammar(
     vocab_size: int,
     eos_token_ids,
 ) -> CompiledGrammar:
+    import json as _json
+
+    if not isinstance(spec, str):
+        spec = _json.dumps(spec, sort_keys=True)
     key = (id(tokenizer), kind, spec)
     with _GRAMMAR_LOCK:
         hit = _GRAMMAR_CACHE.get(key)
     if hit is not None:
         return hit
+    if kind == "structural_tag":
+        from sglang_awq_tpu.constrained.structural_tag import (
+            compile_structural_tag,
+        )
+
+        dfa = compile_structural_tag(spec)
+        trie = token_trie_for(tokenizer, vocab_size)
+        compiled = CompiledGrammar(dfa, trie, eos_token_ids)
+        with _GRAMMAR_LOCK:
+            _GRAMMAR_CACHE[key] = compiled
+        return compiled
     if kind == "regex":
         pattern = spec
     elif kind in ("json_schema", "json"):

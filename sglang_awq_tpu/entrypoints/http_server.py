@@ -996,6 +996,10 @@ class HttpServer:
             sp.setdefault(
                 "json_schema", '{"type": "object", "properties": {}}'
             )
+        elif rf.get("type") == "structural_tag":
+            import json as _json
+
+            sp["structural_tag"] = _json.dumps(rf)
 
         if tok is not None and getattr(tok, "chat_template", None):
             try:

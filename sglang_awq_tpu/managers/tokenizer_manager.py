@@ -170,7 +170,7 @@ class TokenizerManager:
             stream=gin.stream,
             eos_token_ids=self.eos_token_ids,
         )
-        if sp.regex or sp.json_schema or sp.ebnf:
+        if sp.regex or sp.json_schema or sp.ebnf or sp.structural_tag:
             if self.tokenizer is None:
                 raise ValueError("structured output requires a tokenizer")
             from sglang_awq_tpu.constrained import GrammarMatcher, compile_grammar
@@ -179,6 +179,8 @@ class TokenizerManager:
                 kind, spec_src = "regex", sp.regex
             elif sp.json_schema:
                 kind, spec_src = "json_schema", sp.json_schema
+            elif sp.structural_tag:
+                kind, spec_src = "structural_tag", sp.structural_tag
             else:
                 kind, spec_src = "ebnf", sp.ebnf
             compiled = compile_grammar(

@@ -35,6 +35,9 @@ class SamplingParams:
     json_schema: Optional[str] = None
     regex: Optional[str] = None
     ebnf: Optional[str] = None
+    # xgrammar-style structural tags: free text with trigger-forced
+    # tagged structures (JSON string or dict; constrained/structural_tag.py)
+    structural_tag: Optional[Any] = None
     # logprobs
     return_logprob: bool = False
     top_logprobs_num: int = 0

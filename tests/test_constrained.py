@@ -225,3 +225,95 @@ def test_engine_jump_forward_same_string_fewer_steps(eng):
     # same grammar-forced skeleton -> same string shape; far fewer steps
     assert json.loads(out_plain["text"]).keys() == doc.keys()
     assert steps_jf < steps_plain * 0.7, (steps_jf, steps_plain)
+
+
+# ---------------------------------------------------------------------------
+# structural tags (reference xgrammar structural_tag,
+# constrained/xgrammar_backend.py:94-138)
+# ---------------------------------------------------------------------------
+
+
+def test_structural_tag_dfa_semantics():
+    from sglang_awq_tpu.constrained.structural_tag import compile_structural_tag
+
+    spec = {
+        "type": "structural_tag",
+        "structures": [
+            {
+                "begin": "<f=a>",
+                "schema": {"type": "object",
+                           "properties": {"x": {"enum": ["1", "2"]}},
+                           "required": ["x"]},
+                "end": "</f>",
+            }
+        ],
+        "triggers": ["<f="],
+    }
+    dfa = compile_structural_tag(spec)
+
+    def matches(s: str) -> bool:
+        st = 0
+        for b in s.encode():
+            st = dfa.step(st, b)
+            if st < 0:
+                return False
+        return dfa.accept[st]
+
+    assert matches("plain text, no tags at all")
+    assert matches('hi <f=a>{"x": "1"}</f> bye')
+    assert matches('<f=a>{"x": "2"}</f><f=a>{"x": "1"}</f>')
+    # trigger forces the structure: cannot stop or diverge inside it
+    assert not matches("oops <f=")
+    assert not matches("oops <f=b>")
+    assert not matches('<f=a>{"x": "3"}</f>')
+    assert not matches('<f=a>{"x": "1"}')  # missing end
+
+
+def test_structural_tag_matcher_forces_structure():
+    tok = ByteTokenizer()
+    spec = json.dumps({
+        "type": "structural_tag",
+        "structures": [{"begin": "<t>", "schema": {"enum": ["ok"]},
+                        "end": "</t>"}],
+        "triggers": ["<t>"],
+    })
+    compiled = compile_grammar("structural_tag", spec, tok, 512, {2})
+    m = GrammarMatcher(compiled)
+    mask = m.vocab_mask()
+    assert mask[2]  # free text: EOS allowed immediately
+    assert mask[ord("z") + 3]  # arbitrary text allowed
+    # walk into the tag: "<t>" one byte-token at a time
+    for ch in "<t>":
+        assert m.accept_token(ord(ch) + 3), ch
+    mask = m.vocab_mask()
+    # inside the structure: only the schema continuation ("ok" -> '"'... no,
+    # enum "ok" compiles to the literal string "ok" with quotes) is legal
+    assert not mask[2]  # no EOS inside a structure
+    legal = [i for i in range(512) if mask[i]]
+    # every legal token must decode to the forced '"' (the ByteTokenizer
+    # aliases ids mod 256, so several ids map to the same byte)
+    assert legal and all((i - 3) % 256 == ord('"') for i in legal), legal
+    # jump-forward completes the forced region deterministically
+    forced = m.jump_forward_bytes()
+    assert forced == b'"ok"</t>', forced
+
+
+def test_engine_structural_tag(eng):
+    spec = json.dumps({
+        "type": "structural_tag",
+        "structures": [{"begin": "<t>", "schema": {"enum": ["ok"]},
+                        "end": "</t>"}],
+        "triggers": ["<t>"],
+    })
+    out = eng.generate(
+        prompt="The answer is",
+        sampling_params={
+            "max_new_tokens": 24,
+            "temperature": 0.0,
+            "structural_tag": spec,
+        },
+    )
+    # free text is legal; if a tag opens it must be complete and valid
+    text = out["text"]
+    n_open = text.count("<t>")
+    assert text.count('<t>"ok"</t>') == n_open, text
