@@ -24,8 +24,10 @@ from sglang_awq_tpu.entrypoints.engine import Engine
 from sglang_awq_tpu.entrypoints.openai.protocol import (
     ChatCompletionRequest,
     CompletionRequest,
+    ResponsesRequest,
     chat_response,
     completion_response,
+    responses_response,
     usage_dict,
 )
 from sglang_awq_tpu.managers.tokenizer_manager import GenerateReqInput
@@ -82,6 +84,7 @@ class HttpServer:
         r.add_post("/start_profile", self.start_profile)
         r.add_post("/stop_profile", self.stop_profile)
         r.add_post("/save_weights_snapshot", self.save_weights_snapshot)
+        r.add_post("/v1/responses", self.v1_responses)
         r.add_post("/v1/score", self.v1_score)
         r.add_post("/v1/rerank", self.v1_rerank)
         r.add_post("/tokenize", self.tokenize)
@@ -852,6 +855,83 @@ class HttpServer:
                 )
             await resp.write(f"data: {json.dumps(data)}\n\n".encode())
         await resp.write(b"data: [DONE]\n\n")
+        await resp.write_eof()
+        return resp
+
+    async def v1_responses(self, request: web.Request) -> web.StreamResponse:
+        """OpenAI Responses API subset (reference http_server.py:1329):
+        string/message-list input, instructions, max_output_tokens,
+        streaming via response.output_text.delta events."""
+        try:
+            req = ResponsesRequest(**await request.json())
+        except Exception as e:
+            return self._openai_error(str(e))
+        if req.previous_response_id:
+            return self._openai_error(
+                "previous_response_id is not supported (responses are "
+                "not persisted)"
+            )
+        chat = ChatCompletionRequest(
+            model=req.model,
+            messages=req.to_messages(),
+            max_tokens=req.max_output_tokens,
+            temperature=req.temperature,
+            top_p=req.top_p,
+            stream=req.stream,
+            tools=req.tools,
+            tool_choice=req.tool_choice,
+        )
+        gin = self._chat_to_gin(chat)
+        state = self._submit(gin)
+        model = req.model or self.engine.server_args.served_model_name
+        rid = uuid.uuid4().hex
+
+        if not req.stream:
+            out = await self._collect(state)
+            usage = usage_dict(
+                out["meta_info"]["prompt_tokens"],
+                out["meta_info"]["completion_tokens"],
+            )
+            return web.json_response(
+                responses_response(rid, model, out["text"], "completed", usage)
+            )
+
+        resp = web.StreamResponse(
+            headers={"Content-Type": "text/event-stream",
+                     "Cache-Control": "no-cache"}
+        )
+        await resp.prepare(request)
+
+        async def emit(event: str, data: dict):
+            await resp.write(
+                f"event: {event}\ndata: {json.dumps(data)}\n\n".encode()
+            )
+
+        await emit("response.created",
+                   {"type": "response.created",
+                    "response": {"id": f"resp_{rid}", "status": "in_progress"}})
+        text = ""
+        usage = usage_dict(0, 0)
+        async for chunk in self._iter_chunks(state):
+            if chunk["delta"]:
+                text += chunk["delta"]
+                await emit(
+                    "response.output_text.delta",
+                    {"type": "response.output_text.delta",
+                     "item_id": f"msg_{rid}", "output_index": 0,
+                     "content_index": 0, "delta": chunk["delta"]},
+                )
+            if chunk["finished"]:
+                usage = usage_dict(
+                    chunk["meta_info"]["prompt_tokens"],
+                    chunk["meta_info"]["completion_tokens"],
+                )
+        await emit(
+            "response.completed",
+            {"type": "response.completed",
+             "response": responses_response(rid, model, text, "completed",
+                                            usage)},
+        )
         await resp.write_eof()
         return resp
 

@@ -152,6 +152,74 @@ def completion_response(rid, model, text, finish_reason, usage, echo_prompt=""):
     }
 
 
+class ResponsesRequest(BaseModel):
+    """OpenAI Responses API subset (reference /v1/responses,
+    http_server.py:1329).  `input` is a string or a list of message items;
+    `instructions` maps to a system message."""
+
+    model: str = ""
+    input: Union[str, List[Dict[str, Any]]] = ""
+    instructions: Optional[str] = None
+    max_output_tokens: Optional[int] = None
+    temperature: float = 1.0
+    top_p: float = 1.0
+    stream: bool = False
+    store: bool = True  # accepted; responses are not persisted
+    metadata: Optional[Dict[str, Any]] = None
+    previous_response_id: Optional[str] = None  # not supported (rejected)
+    tools: Optional[List[Dict[str, Any]]] = None
+    tool_choice: Union[str, Dict[str, Any], None] = "auto"
+
+    def to_messages(self) -> List[ChatMessage]:
+        msgs: List[ChatMessage] = []
+        if self.instructions:
+            msgs.append(ChatMessage(role="system", content=self.instructions))
+        if isinstance(self.input, str):
+            msgs.append(ChatMessage(role="user", content=self.input))
+        else:
+            for item in self.input:
+                if item.get("type") not in (None, "message"):
+                    continue  # function_call_output etc.: unsupported items
+                content = item.get("content")
+                if isinstance(content, list):
+                    content = "".join(
+                        p.get("text", "") for p in content
+                        if p.get("type") in ("input_text", "output_text",
+                                             "text")
+                    )
+                msgs.append(ChatMessage(
+                    role=item.get("role", "user"), content=content or ""))
+        return msgs
+
+
+def responses_response(rid, model, text, status, usage):
+    return {
+        "id": f"resp_{rid}",
+        "object": "response",
+        "created_at": int(time.time()),
+        "model": model,
+        "status": status,
+        "output": [
+            {
+                "id": f"msg_{rid}",
+                "type": "message",
+                "role": "assistant",
+                "status": "completed",
+                "content": [
+                    {"type": "output_text", "text": text, "annotations": []}
+                ],
+            }
+        ],
+        "output_text": text,
+        "usage": {
+            "input_tokens": usage["prompt_tokens"],
+            "output_tokens": usage["completion_tokens"],
+            "total_tokens": usage["total_tokens"],
+        },
+        "metadata": {},
+    }
+
+
 def chat_response(rid, model, text, finish_reason, usage):
     return {
         "id": f"chatcmpl-{rid}",

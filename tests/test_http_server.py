@@ -676,3 +676,67 @@ def test_ollama_compat(server_url):
 
     tags = httpx.get(f"{server_url}/api/tags", timeout=30).json()
     assert tags["models"][0]["name"]
+
+
+def test_v1_responses(server_url):
+    """OpenAI Responses API subset: string input, non-stream."""
+    r = httpx.post(
+        f"{server_url}/v1/responses",
+        json={"input": "say hi", "max_output_tokens": 6, "temperature": 0.0},
+        timeout=120,
+    )
+    assert r.status_code == 200
+    out = r.json()
+    assert out["object"] == "response"
+    assert out["status"] == "completed"
+    msg = out["output"][0]
+    assert msg["type"] == "message" and msg["role"] == "assistant"
+    assert msg["content"][0]["type"] == "output_text"
+    assert out["output_text"] == msg["content"][0]["text"]
+    assert out["usage"]["output_tokens"] == 6
+
+
+def test_v1_responses_messages_and_stream(server_url):
+    """Message-list input + instructions; streaming event protocol."""
+    with httpx.stream(
+        "POST",
+        f"{server_url}/v1/responses",
+        json={
+            "instructions": "be brief",
+            "input": [
+                {"type": "message", "role": "user",
+                 "content": [{"type": "input_text", "text": "hello"}]},
+            ],
+            "max_output_tokens": 5,
+            "temperature": 0.0,
+            "stream": True,
+        },
+        timeout=120,
+    ) as r:
+        assert r.status_code == 200
+        events = []
+        data = []
+        for line in r.iter_lines():
+            if line.startswith("event: "):
+                events.append(line[7:])
+            elif line.startswith("data: "):
+                data.append(json.loads(line[6:]))
+    assert events[0] == "response.created"
+    assert events[-1] == "response.completed"
+    final = data[-1]["response"]
+    deltas = "".join(d["delta"] for d in data
+                     if d.get("type") == "response.output_text.delta")
+    assert final["output_text"] == deltas
+    # delta events appear exactly when visible text was produced (special
+    # tokens from the random model may detokenize to "")
+    assert ("response.output_text.delta" in events) == (deltas != "")
+    assert final["usage"]["output_tokens"] == 5
+
+
+def test_v1_responses_rejects_previous_id(server_url):
+    r = httpx.post(
+        f"{server_url}/v1/responses",
+        json={"input": "x", "previous_response_id": "resp_123"},
+        timeout=30,
+    )
+    assert r.status_code == 400
