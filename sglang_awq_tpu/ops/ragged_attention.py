@@ -90,6 +90,9 @@ def _decode_kernel(
     m_ref,  # [KVH*R, 128] f32
     l_ref,  # [KVH*R, 128] f32
     acc_ref,  # [KVH*R, Xr] f32
+    cb_ref,  # [KVH*R, fc*ck] f32 class bias (0 / MASK), built once
+    tj_ref,  # [8, fc*ck] i32 token index per column, built once
+    tr_ref,  # [KVH*R, 128] i32 per-row causal offset (QS > 1), built once
     kv_buf,  # [2, ppc, ps, fc, Xr]
     sem,  # [2]
     *,
@@ -101,6 +104,7 @@ def _decode_kernel(
     gp: int,
     kvh: int,
     softcap: float,
+    has_window: bool,
     interpret: bool,
 ):
     """Megakernel: grid=(1,); a dynamic-bound fori_loop walks the GLOBAL
@@ -149,6 +153,23 @@ def _decode_kernel(
         b0 = nlive_ref[0]
         start_copy(b0, 0, 0)
 
+        # Chunk-invariant mask components, built ONCE per call (overlapped
+        # with the first chunk's DMA).  The per-chunk body then pays one
+        # add + one broadcast compare + one select instead of rebuilding
+        # iota/div/mod masks for every chunk (measured ~0.5 us/chunk).
+        jc = lax.broadcasted_iota(jnp.int32, cb_ref.shape, 1)
+        if half == 1:
+            right_class = (jc % fc) == 0
+        else:
+            chc = lax.broadcasted_iota(jnp.int32, cb_ref.shape, 0) // (r * hph)
+            right_class = (jc % fc) == chc
+        cb_ref[...] = jnp.where(right_class, 0.0, MASK_VALUE)
+        tj_ref[...] = lax.broadcasted_iota(jnp.int32, tj_ref.shape, 1) // fc
+        if q_span > 1:
+            tr_ref[...] = (
+                lax.broadcasted_iota(jnp.int32, tr_ref.shape, 0) % r
+            ) // gp
+
         def body(i, carry):
             b, c, nb, nc, slot = carry
 
@@ -194,26 +215,20 @@ def _decode_kernel(
             )
             if softcap:  # Gemma2 attn-logit softcapping
                 qk = softcap * jnp.tanh(qk / softcap)
-            j = lax.broadcasted_iota(jnp.int32, qk.shape, 1)
-            pos = (s0_ref[b] + c) * ck + j // fc
-            if half == 1:
-                right_class = (j % fc) == 0
-            else:
-                # head h's K lives in class row h // hph; other classes'
-                # scores are cross-class garbage
-                ch = lax.broadcasted_iota(jnp.int32, qk.shape, 0) // (r * hph)
-                right_class = (j % fc) == ch
+            qk = qk + cb_ref[...]  # wrong-class columns -> ~MASK_VALUE
+            base = (s0_ref[b] + c) * ck  # first token of this chunk
+            tj = tj_ref[:1]  # [1, fc*ck] in-chunk token index
             if q_span == 1:
-                limit = length
+                limit = length - base  # same causal limit for every row
             else:
-                # row h*R + r scores query token t = r // gp whose causal
+                # row h*R + t*gp + g scores query token t whose causal
                 # limit is length - (q_span - 1 - t); same for every head
-                t = (lax.broadcasted_iota(jnp.int32, qk.shape, 0) % r) // gp
-                limit = length - (q_span - 1) + t
-            mask = jnp.logical_and(pos < limit, right_class)
-            win = window_ref[0]
-            low = jnp.where(win > 0, limit - win, -(1 << 30))
-            mask = jnp.logical_and(mask, pos >= low)
+                limit = (length - (q_span - 1) - base) + tr_ref[:, :1]
+            mask = tj < limit
+            if has_window:
+                win = window_ref[0]
+                low = jnp.where(win > 0, limit - win, -(1 << 30))
+                mask = jnp.logical_and(mask, tj >= low)
             qk = jnp.where(mask, qk, MASK_VALUE)
 
             m_prev = m_ref[:, :1]  # [KVH*R, 1]
@@ -296,10 +311,11 @@ def ragged_decode(
     _ppc_env = _os.environ.get("SGLT_DECODE_PPC")
     if _ppc_env:
         pages_per_chunk = int(_ppc_env)
-    elif pages_per_chunk == 8 and kv_cache.shape[2] * 8 > 128:
-        # measured sweet spot on v5e: ~128-token chunks (256 KB bf16 faces);
-        # larger chunks lengthen the DMA critical path, smaller ones starve it
-        pages_per_chunk = max(1, 128 // kv_cache.shape[2])
+    elif pages_per_chunk == 8 and kv_cache.shape[2] * 8 > 256:
+        # measured sweet spot on v5e: ~256-token chunks (1 MB bf16 faces)
+        # saturate the DMA pipeline (1040 GB/s pure-DMA vs 668 at 128);
+        # smaller chunks starve it, larger ones lengthen the critical path
+        pages_per_chunk = max(1, 256 // kv_cache.shape[2])
     L, P, ps, fc, Xr = kv_cache.shape
     if raw_layout:
         B, KVH_, R_, D = q.shape
@@ -309,7 +325,16 @@ def ragged_decode(
     KVH = fc * Xr // (2 * D)
     assert fc in (2, 4) and Xr * fc == 2 * KVH * D and QH % KVH == 0
     G = QH // KVH
-    gp = G if QS * G >= 8 else 8 // QS  # sublane-fill the row dim
+    # Row grouping: real head rows only (gp = G) once the total row count
+    # gives Mosaic enough sublanes — every dot/softmax op scales with the
+    # row count, and padding G=4 up to 8 rows doubled all of them.  The
+    # old sublane-fill rule remains as an env A/B escape hatch.
+    if _os.environ.get("SGLT_DECODE_GP") == "old":
+        gp = G if QS * G >= 8 else 8 // QS
+    elif QS * G * KVH >= 32:
+        gp = G
+    else:
+        gp = G if QS * G >= 8 else 8 // QS  # sublane-fill the row dim
     if raw_layout:
         gp = q.shape[2]
         qg = q
@@ -361,10 +386,15 @@ def ragged_decode(
             pltpu.VMEM((KVH * R, 128), jnp.float32),
             pltpu.VMEM((KVH * R, 128), jnp.float32),
             pltpu.VMEM((KVH * R, Xr), jnp.float32),
+            pltpu.VMEM((KVH * R, fc * ck), jnp.float32),
+            pltpu.VMEM((8, fc * ck), jnp.int32),
+            pltpu.VMEM((KVH * R, 128), jnp.int32),
             pltpu.VMEM((2, ppc, ps, fc, Xr), kv_cache.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    # static window=0 (no SWA layer) drops the window mask ops entirely
+    has_window = not (isinstance(window, (int, np.integer)) and window == 0)
     kernel = functools.partial(
         _decode_kernel,
         batch_size=B,
@@ -375,6 +405,7 @@ def ragged_decode(
         gp=gp,
         kvh=KVH,
         softcap=float(softcap),
+        has_window=has_window,
         interpret=bool(interpret),
     )
     out = pl.pallas_call(
