@@ -22,7 +22,7 @@ from sglang_awq_tpu.ops.ragged_attention import ragged_decode, ragged_decode_xla
 
 
 def check(name, B, ctx, ps, QH, KVH, D, QS=1, window=0, softcap=0.0,
-          varlen=True):
+          varlen=True, sinks=False):
     pages_per_seq = (ctx + ps - 1) // ps
     P = B * pages_per_seq + 8
     L = 2
@@ -49,6 +49,10 @@ def check(name, B, ctx, ps, QH, KVH, D, QS=1, window=0, softcap=0.0,
         lengths = np.full(B, ctx, np.int32)
     args = (q, kv, jnp.asarray(pt), jnp.asarray(lengths), 1)
     kw = dict(sm_scale=1.0 / np.sqrt(D), window=window, softcap=softcap)
+    if sinks:
+        kw["sinks"] = jnp.asarray(
+            np.random.default_rng(5).normal(size=(QH,)) * 2.0, jnp.float32
+        )
     got = np.asarray(ragged_decode(*args, interpret=False, **kw))
     want = np.asarray(ragged_decode_xla(*args, **kw))
     live = lengths > 0
@@ -68,6 +72,11 @@ def main():
     ok &= check("swa window 128", 32, 512, 64, 32, 8, 128, window=128)
     ok &= check("softcap 50", 16, 256, 64, 32, 8, 128, softcap=50.0)
     ok &= check("mla kvh1 d640", 16, 256, 64, 16, 1, 640)
+    ok &= check("sinks gqa", 32, 384, 64, 32, 8, 128, sinks=True)
+    ok &= check("sinks + swa (gpt-oss)", 32, 384, 64, 32, 8, 128,
+                window=128, sinks=True)
+    ok &= check("partial tail chunk ctx=530", 64, 530, 64, 32, 8, 128,
+                varlen=False)
     print("ALL OK" if ok else "FAILURES", flush=True)
     sys.exit(0 if ok else 1)
 

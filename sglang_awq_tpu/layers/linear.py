@@ -41,6 +41,7 @@ class LinearSpec:
     pack_block: int = 0
     shard_axis: Optional[str] = None  # "column" (shard N) | "row" (shard K) | None
     unpack: str = "cast"  # "cast" | "magic" (fp32-exponent trick, wide-N wins)
+    block_n: int = 0  # AWQ kernel n-block (0 = kernel default)
 
     @classmethod
     def make(
@@ -69,7 +70,22 @@ class LinearSpec:
                 unpack = mode if pb % 8 == 0 or mode == "cast" else "cast"
             else:
                 unpack = "magic" if n_local >= 16384 and pb % 8 == 0 else "cast"
-            return cls(name, K, N, True, g, pb, shard_axis, unpack)
+            # Per-projection kernel overrides for perf A/Bs:
+            #   SGLT_AWQ_TUNE="qkv=cast:1024:2048,down=magic:2048:1024"
+            # (name=unpack:pack_block:block_n; 0 keeps the heuristic value).
+            bn = 0
+            tune = os.environ.get("SGLT_AWQ_TUNE", "")
+            for ent in filter(None, tune.split(",")):
+                tname, _, rest = ent.partition("=")
+                if tname != name:
+                    continue
+                up, spb, sbn = (rest.split(":") + ["0", "0"])[:3]
+                if up in ("cast", "magic"):
+                    unpack = up
+                if int(spb):
+                    pb = int(spb)
+                bn = int(sbn)
+            return cls(name, K, N, True, g, pb, shard_axis, unpack, bn)
         return cls(name, K, N, False, shard_axis=shard_axis)
 
     def param_shapes(self, num_layers: int, tp_size: int = 1) -> Dict[str, tuple]:
@@ -113,6 +129,7 @@ def linear_apply(
             pack_block=spec.pack_block,
             out_dtype=jnp.bfloat16,
             unpack=spec.unpack,
+            **({"block_n": spec.block_n} if spec.block_n and not use_xla else {}),
         )
     w = jax.lax.dynamic_index_in_dim(params["weight"], jnp.asarray(layer, jnp.int32), 0, keepdims=False)
     return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(jnp.bfloat16)

@@ -54,6 +54,7 @@ class LlamaForCausalLM:
     mlp_act: str = "silu"  # "silu" | "gelu" (Gemma GeGLU)
     layer_windows: tuple = None  # per-layer sliding window (0/None = full)
     attn_softcap: float = 0.0  # Gemma2 attn-logit softcapping
+    attn_sinks: bool = False  # GPT-OSS learned per-head sink logits
     pp_size: int = 1  # pipeline stages over the "stage" mesh axis
     stage_axis: Optional[str] = None
 
@@ -233,6 +234,17 @@ class LlamaForCausalLM:
             return 0
         return jnp.asarray(np.asarray(self.layer_windows, np.int32))[l]
 
+    def _sinks(self, params, l):
+        """Per-head learned sink logits [QH_local] (GPT-OSS), or None."""
+        if not self.attn_sinks:
+            return None
+        sk = params["layers"]["sinks"][l]  # [QH global]
+        if self.tp_axis is not None:
+            sk = jax.lax.dynamic_slice_in_dim(
+                sk, jax.lax.axis_index(self.tp_axis) * self.qh, self.qh
+            )
+        return sk
+
     def _embed(self, params, tokens):
         x = params["embed"]["weight"][tokens]
         if self.embed_multiplier != 1.0:
@@ -371,6 +383,7 @@ class LlamaForCausalLM:
                         q[:, None], state["kv"], page_table, lengths, l,
                         sm_scale=self.sm_scale, window=self._win(l),
                         softcap=self.attn_softcap,
+                        sinks=self._sinks(params, l),
                     )  # [B, 1, QH, D]
                     return out[:, 0]
 
@@ -431,6 +444,7 @@ class LlamaForCausalLM:
                         qs, state["kv"], page_table, lengths, l,
                         sm_scale=self.sm_scale, window=self._win(l),
                         softcap=self.attn_softcap,
+                        sinks=self._sinks(params, l),
                     )
                     return out.reshape(B * QS, self.qh, self.head_dim)
 
@@ -506,6 +520,7 @@ class LlamaForCausalLM:
                         q, state["kv"], page_table, kv_lens, q_lens, qb_base,
                         l, sm_scale=self.sm_scale, block_q=block_q,
                         window=self._win(l), softcap=self.attn_softcap,
+                        sinks=self._sinks(params, l),
                     )
 
                 state = {"kv": kv}

@@ -48,6 +48,7 @@ def get_model_class(architecture: str):
         DeepseekV2ForCausalLM,
         DeepseekV3ForCausalLM,
     )
+    from sglang_awq_tpu.models.gpt_oss import GptOssForCausalLM
 
     registry: Dict[str, Type] = {
         "LlamaForCausalLM": LlamaForCausalLM,
@@ -81,6 +82,7 @@ def get_model_class(architecture: str):
         "Gemma3ForCausalLM": Gemma3ForCausalLM,
         "DeepseekV2ForCausalLM": DeepseekV2ForCausalLM,
         "DeepseekV3ForCausalLM": DeepseekV3ForCausalLM,
+        "GptOssForCausalLM": GptOssForCausalLM,
     }
     if architecture not in registry:
         raise ValueError(

@@ -83,6 +83,7 @@ def _decode_kernel(
     # inputs
     q_ref,  # [B, KVH, R, D] with R = QS * gp (whole batch resident)
     kv_hbm_ref,  # [L, P, ps, fc, 2*KVH*D/fc] (ANY)
+    sink_ref,  # [KVH*R or 8, 128] f32 per-row sink logits (dummy when off)
     # output
     o_ref,  # [B, KVH, R, D] f32 (whole batch resident)
     # scratch
@@ -105,6 +106,7 @@ def _decode_kernel(
     kvh: int,
     softcap: float,
     has_window: bool,
+    has_sinks: bool,
     interpret: bool,
 ):
     """Megakernel: grid=(1,); a dynamic-bound fori_loop walks the GLOBAL
@@ -126,19 +128,36 @@ def _decode_kernel(
     layer = layer_ref[0]
     total = total_ref[0]
 
+    def live_pages(bb, cc):
+        """Pages of chunk cc holding tokens < lengths[bb] (the tail chunk is
+        usually partial: at ck=256/ps=64 a 513-token row's 3rd chunk has one
+        live page, not 4 — skipping the dead pages cuts ~25% of KV DMA at
+        ctx just past a chunk boundary)."""
+        base = (s0_ref[bb] + cc) * ck
+        n = lengths_ref[bb] - base + (ps - 1)
+        return lax.div(jnp.maximum(n, 0), ps)
+
     def start_copy(bb, cc, slot):
         base = s0_ref[bb] + cc  # absolute chunk (window skips the head)
+        npg = live_pages(bb, cc)
         for i in range(pages_per_chunk):
-            page = pt_ref[bb * pmax + base * pages_per_chunk + i]
-            pltpu.make_async_copy(
-                kv_hbm_ref.at[layer, page], kv_buf.at[slot, i], sem.at[slot]
-            ).start()
 
-    def wait_copy(slot):
+            @pl.when(i < npg)
+            def _():
+                page = pt_ref[bb * pmax + base * pages_per_chunk + i]
+                pltpu.make_async_copy(
+                    kv_hbm_ref.at[layer, page], kv_buf.at[slot, i], sem.at[slot]
+                ).start()
+
+    def wait_copy(bb, cc, slot):
+        npg = live_pages(bb, cc)
         for i in range(pages_per_chunk):
-            pltpu.make_async_copy(
-                kv_hbm_ref.at[0, 0], kv_buf.at[slot, i], sem.at[slot]
-            ).wait()
+
+            @pl.when(i < npg)
+            def _():
+                pltpu.make_async_copy(
+                    kv_hbm_ref.at[0, 0], kv_buf.at[slot, i], sem.at[slot]
+                ).wait()
 
     def advance(bb, cc):
         """Next live (b, c) after (bb, cc); (B, 0) when exhausted."""
@@ -151,6 +170,12 @@ def _decode_kernel(
     @pl.when(total > 0)
     def _run():
         b0 = nlive_ref[0]
+        # Scratch VMEM starts uninitialized; pages this call never DMAs
+        # (partial tail chunks) would otherwise feed arbitrary bits — a
+        # bf16 NaN there turns the PV dot's exact-zero probability into
+        # NaN (0 * NaN).  One-time zero fill; later chunks only ever leave
+        # behind finite pool bytes.
+        kv_buf[...] = jnp.zeros_like(kv_buf)
         start_copy(b0, 0, 0)
 
         # Chunk-invariant mask components, built ONCE per call (overlapped
@@ -177,7 +202,7 @@ def _decode_kernel(
             def _prefetch():
                 start_copy(nb, nc, 1 - slot)
 
-            wait_copy(slot)
+            wait_copy(b, c, slot)
             length = lengths_ref[b]
 
             @pl.when(c == 0)
@@ -260,6 +285,12 @@ def _decode_kernel(
             @pl.when(c + 1 == nck_ref[b])
             def _emit():
                 lh = l_ref[:, :1]
+                if has_sinks:
+                    # learned per-head sink logit joins the softmax
+                    # denominator only (GPT-OSS attention sinks; reference
+                    # sgl-kernel sink support).  Fully-masked rows have
+                    # m = -inf -> exp(sink + inf) = inf -> acc/inf = 0.
+                    lh = lh + jnp.exp(sink_ref[:, :1] - m_ref[:, :1])
                 lh = jnp.where(lh == 0.0, 1.0, lh)
                 on = acc_ref[...] / lh
                 for h in range(kvh):
@@ -295,6 +326,7 @@ def ragged_decode(
     raw_layout: bool = False,  # q/out already [B, KVH, R, D] grouped
     window: jax.Array | int = 0,  # sliding window (0 = full); may be traced
     softcap: float = 0.0,  # attn-logit softcapping (Gemma2); 0 = off
+    sinks: Optional[jax.Array] = None,  # [QH] f32 per-head sink logits
 ) -> jax.Array:
     """Decode / spec-verify attention -> [B, QS, QH, D] f32.
 
@@ -373,12 +405,26 @@ def ragged_decode(
         [lax.cummin(vals[::-1])[::-1], jnp.full((1,), B, jnp.int32)]
     )
 
+    # per-row sink logits: row h*R + t*gp + g holds sinks[h*G + g]
+    # (edge-padded over the gp-G filler rows, tiled over the QS spans)
+    if sinks is not None:
+        assert not raw_layout, "sinks + raw_layout not supported"
+        sk = jnp.asarray(sinks, jnp.float32).reshape(KVH, G)
+        if gp != G:
+            sk = jnp.pad(sk, ((0, 0), (0, gp - G)), mode="edge")
+        sk = jnp.tile(sk[:, None, :], (1, QS, 1)).reshape(KVH * R)
+        sink_arr = jnp.broadcast_to(sk[:, None], (KVH * R, 128))
+    else:
+        sink_arr = jnp.zeros((8, 128), jnp.float32)
+    srows = sink_arr.shape[0]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=8,
         grid=(1,),
         in_specs=[
             pl.BlockSpec((B, KVH, R, D), lambda g, *_: (0, 0, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((srows, 128), lambda g, *_: (0, 0)),
         ],
         out_specs=pl.BlockSpec((B, KVH, R, D), lambda g, *_: (0, 0, 0, 0)),
         scratch_shapes=[
@@ -406,6 +452,7 @@ def ragged_decode(
         kvh=KVH,
         softcap=float(softcap),
         has_window=has_window,
+        has_sinks=sinks is not None,
         interpret=bool(interpret),
     )
     out = pl.pallas_call(
@@ -428,6 +475,7 @@ def ragged_decode(
         pt_flat,
         qg,
         kv_cache,
+        sink_arr,
     )
     if raw_layout:
         return out
@@ -453,6 +501,7 @@ def _extend_kernel(
     # inputs
     q_ref,  # [BQ, QH, D]
     kv_hbm_ref,  # [L, P, ps, 2, KVH*D] (ANY)
+    sink_ref,  # [KVH*G or 8, 128] f32 per-head sink logits (dummy when off)
     # output
     o_ref,  # [BQ, QH, D] f32
     # scratch
@@ -470,6 +519,7 @@ def _extend_kernel(
     kvh: int,
     g: int,
     softcap: float,
+    has_sinks: bool,
     interpret: bool,
 ):
     b, qb, c = pl.program_id(0), pl.program_id(1), pl.program_id(2)
@@ -520,19 +570,33 @@ def _extend_kernel(
 
         return lax.cond(c * ck < limit_of(b, qb), lambda: (b, qb, c), advance_qb)
 
-    def start_copy(bb, cc, slot):
-        layer = layer_ref[0]
-        for i in range(pages_per_chunk):
-            page = pt_ref[bb * pmax + cc * pages_per_chunk + i]
-            pltpu.make_async_copy(
-                kv_hbm_ref.at[layer, page], kv_buf.at[slot, i], sem.at[slot]
-            ).start()
+    def live_pages(bb, qbb, cc):
+        """Pages of chunk cc this q block can attend to (causal limit):
+        the tail chunk is usually partial — skip its dead pages' DMAs."""
+        n = limit_of(bb, qbb) - cc * ck + (ps - 1)
+        return lax.div(jnp.maximum(n, 0), ps)
 
-    def wait_copy(slot):
+    def start_copy(bb, qbb, cc, slot):
+        layer = layer_ref[0]
+        npg = live_pages(bb, qbb, cc)
         for i in range(pages_per_chunk):
-            pltpu.make_async_copy(
-                kv_hbm_ref.at[0, 0], kv_buf.at[slot, i], sem.at[slot]
-            ).wait()
+
+            @pl.when(i < npg)
+            def _():
+                page = pt_ref[bb * pmax + cc * pages_per_chunk + i]
+                pltpu.make_async_copy(
+                    kv_hbm_ref.at[layer, page], kv_buf.at[slot, i], sem.at[slot]
+                ).start()
+
+    def wait_copy(bb, qbb, cc, slot):
+        npg = live_pages(bb, qbb, cc)
+        for i in range(pages_per_chunk):
+
+            @pl.when(i < npg)
+            def _():
+                pltpu.make_async_copy(
+                    kv_hbm_ref.at[0, 0], kv_buf.at[slot, i], sem.at[slot]
+                ).wait()
 
     @pl.when(live)
     def _live():
@@ -540,7 +604,10 @@ def _extend_kernel(
 
         @pl.when(init_ref[0] == 1)
         def _first():
-            start_copy(b, c, slot)
+            # see _decode_kernel: skipped tail pages must not read
+            # uninitialized VMEM (NaN * 0 = NaN in the PV dot)
+            kv_buf[...] = jnp.zeros_like(kv_buf)
+            start_copy(b, qb, c, slot)
 
         init_ref[0] = 0
 
@@ -555,10 +622,10 @@ def _extend_kernel(
         @pl.when(nb < batch_size)
         def _prefetch():
             nslot = 1 - slot
-            start_copy(nb, nc, nslot)
+            start_copy(nb, nqb, nc, nslot)
             buf_idx_ref[0] = nslot
 
-        wait_copy(slot)
+        wait_copy(b, qb, c, slot)
         d = q_ref.shape[-1]
         kvc = kv_buf[slot].reshape(fc * ck, kv_buf.shape[-1])  # [fc*ck, Xr]
         if kvc.dtype != jnp.bfloat16:
@@ -611,6 +678,14 @@ def _extend_kernel(
             @pl.when((c + 1) * ck >= limit)
             def _emit():
                 lh = l_ref[h, :, :1]
+                if has_sinks:
+                    # per-head sink logit joins the denominator (GPT-OSS);
+                    # row t*g + gi of head h uses sinks[h*G + gi]
+                    sl = sink_ref[h * g : (h + 1) * g, :1]  # [g, 1]
+                    sl = jnp.broadcast_to(
+                        sl.reshape(1, g, 1), (bq, g, 1)
+                    ).reshape(bq * g, 1)
+                    lh = lh + jnp.exp(sl - m_ref[h, :, :1])
                 lh = jnp.where(lh == 0.0, 1.0, lh)
                 o_ref[:, h * g : (h + 1) * g, :] = (
                     (acc_ref[h] / lh).reshape(bq, g, d).astype(o_ref.dtype)
@@ -638,6 +713,7 @@ def ragged_extend(
     interpret: Optional[bool] = None,
     window: jax.Array | int = 0,  # sliding window (0 = full)
     softcap: float = 0.0,  # attn-logit softcapping (Gemma2); 0 = off
+    sinks: Optional[jax.Array] = None,  # [QH] f32 per-head sink logits
 ) -> jax.Array:
     """Batched ragged extend attention -> [TQ, QH, D] f32.
 
@@ -681,12 +757,20 @@ def ragged_extend(
         idx = jnp.where(live, qbbase_r[b] + qb, n_qblocks)
         return (jnp.minimum(idx, n_qblocks), 0, 0)
 
+    if sinks is not None:
+        sk = jnp.asarray(sinks, jnp.float32).reshape(KVH * G)
+        sink_arr = jnp.broadcast_to(sk[:, None], (KVH * G, 128))
+    else:
+        sink_arr = jnp.zeros((8, 128), jnp.float32)
+    srows = sink_arr.shape[0]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=8,
         grid=(B, n_qblocks, n_chunks),
         in_specs=[
             pl.BlockSpec((BQ, QH, D), q_index),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((srows, 128), lambda *a: (0, 0)),
         ],
         out_specs=pl.BlockSpec((BQ, QH, D), q_index),
         scratch_shapes=[
@@ -707,6 +791,7 @@ def ragged_extend(
         kvh=KVH,
         g=G,
         softcap=float(softcap),
+        has_sinks=sinks is not None,
         interpret=bool(interpret),
     )
     out = pl.pallas_call(
@@ -729,6 +814,7 @@ def ragged_extend(
         jnp.ones((1,), jnp.int32),
         q,
         kv_cache,
+        sink_arr,
     )
     return out[:TQ]
 
@@ -763,6 +849,7 @@ def ragged_decode_xla(
     sm_scale: float,
     window: jax.Array | int = 0,
     softcap: float = 0.0,
+    sinks: Optional[jax.Array] = None,
 ) -> jax.Array:
     B, QS, QH, D = q.shape
     fc = kv_cache.shape[-2]
@@ -783,7 +870,15 @@ def ragged_decode_xla(
     win = jnp.asarray(window, jnp.int32)
     mask = mask & jnp.where(win > 0, key_pos >= limit - win, True)
     s = jnp.where(mask[:, :, None, None, :], s, MASK_VALUE)
-    p = jax.nn.softmax(s, axis=-1)
+    if sinks is not None:
+        # learned per-head sink logit joins the denominator only
+        sk = jnp.asarray(sinks, jnp.float32).reshape(KVH, G)
+        sk = jnp.broadcast_to(
+            sk[None, None, :, :, None], (B, QS, KVH, G, 1)
+        )
+        p = jax.nn.softmax(jnp.concatenate([s, sk], axis=-1), axis=-1)[..., :-1]
+    else:
+        p = jax.nn.softmax(s, axis=-1)
     o = jnp.einsum("btkgs,bskd->btkgd", p, vg.astype(jnp.float32))
     return o.reshape(B, QS, QH, D)
 
@@ -801,6 +896,7 @@ def ragged_extend_xla(
     block_q: int = 128,
     window: jax.Array | int = 0,
     softcap: float = 0.0,
+    sinks: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Per-sequence gather + masked softmax (test oracle; also the CPU
     serving path — jit-compatible, no python data-dependent control flow)."""
@@ -839,7 +935,12 @@ def ragged_extend_xla(
     win = jnp.asarray(window, jnp.int32)
     mask = mask & jnp.where(win > 0, key_pos >= qp - win + 1, True)
     s = jnp.where(mask, s, MASK_VALUE)
-    p = jax.nn.softmax(s, axis=-1)
+    if sinks is not None:
+        sk = jnp.asarray(sinks, jnp.float32).reshape(KVH, G)
+        sk = jnp.broadcast_to(sk[None, :, :, None], (TQ, KVH, G, 1))
+        p = jax.nn.softmax(jnp.concatenate([s, sk], axis=-1), axis=-1)[..., :-1]
+    else:
+        p = jax.nn.softmax(s, axis=-1)
     o = jnp.einsum("tkgs,tskd->tkgd", p, vr.astype(jnp.float32))
     o = jnp.where(live_row[:, None, None, None], o, 0.0)
     return o.reshape(TQ, QH, D)

@@ -767,3 +767,36 @@ def test_ernie45_matches_hf():
     ).eval()
     rng = np.random.default_rng(21)
     _check_vs_hf(hf, cfg, rng.integers(3, 500, 17).tolist(), atol=0.05)
+
+
+def test_gpt_oss_matches_hf():
+    """GPT-OSS: sinks + alternating SWA + clamped-SwiGLU MoE with
+    softmax-after-top-k routing (models/gpt_oss.py)."""
+    import torch
+    from transformers import GptOssConfig, GptOssForCausalLM
+
+    cfg = dict(
+        architectures=["GptOssForCausalLM"],
+        vocab_size=512, hidden_size=128, num_hidden_layers=4,
+        num_attention_heads=8, num_key_value_heads=4, head_dim=32,
+        intermediate_size=96, num_local_experts=4, num_experts_per_tok=2,
+        sliding_window=8,
+        layer_types=["sliding_attention", "full_attention"] * 2,
+        attention_bias=True, rms_norm_eps=1e-5, rope_theta=10000.0,
+        rope_scaling=None,
+        max_position_embeddings=256, tie_word_embeddings=False,
+        bos_token_id=1, eos_token_id=2,
+    )
+    torch.manual_seed(0)
+    hf = GptOssForCausalLM(
+        GptOssConfig(**{k: v for k, v in cfg.items()
+                        if k != "architectures"})
+    ).eval()
+    # HF inits sinks/biases as empty -> randomize them deterministically
+    with torch.no_grad():
+        g = torch.Generator().manual_seed(1)
+        for name, p in hf.named_parameters():
+            if "sinks" in name or "bias" in name:
+                p.copy_(torch.randn(p.shape, generator=g) * 0.5)
+    rng = np.random.default_rng(0)
+    _check_vs_hf(hf, cfg, rng.integers(3, 500, 21).tolist())

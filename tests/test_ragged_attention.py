@@ -394,3 +394,70 @@ def test_ragged_extend_sliding_window():
             np.asarray(out)[live], np.asarray(ref)[live],
             rtol=2e-2, atol=2e-2, err_msg=f"W={W}",
         )
+
+
+@pytest.mark.parametrize("qs", [1, 3])
+def test_ragged_decode_attention_sinks(qs):
+    """GPT-OSS learned sinks: a per-q-head logit joins the softmax
+    denominator only (reference gpt_oss sink support in sgl-kernel)."""
+    kv = _pool(9)
+    rng = np.random.default_rng(9)
+    B, pmax = 4, 4
+    lengths = np.array([11, qs, 0, 29], np.int32)
+    page_table = rng.integers(0, PAGES, size=(B, pmax)).astype(np.int32)
+    q = jnp.asarray(rng.normal(size=(B, qs, QH, D)), jnp.bfloat16)
+    sinks = jnp.asarray(rng.normal(size=(QH,)) * 2.0, jnp.float32)
+    out = ragged_decode(
+        q, kv, jnp.asarray(page_table), jnp.asarray(lengths), 1,
+        sm_scale=0.125, pages_per_chunk=2, interpret=True, sinks=sinks,
+    )
+    ref = ragged_decode_xla(
+        q, kv, jnp.asarray(page_table), jnp.asarray(lengths), 1,
+        sm_scale=0.125, sinks=sinks,
+    )
+    live = lengths > 0
+    np.testing.assert_allclose(
+        np.asarray(out)[live], np.asarray(ref)[live], rtol=2e-2, atol=2e-2
+    )
+    # sinks shrink every output vs the sink-free run (denominator grows)
+    base = ragged_decode_xla(
+        q, kv, jnp.asarray(page_table), jnp.asarray(lengths), 1,
+        sm_scale=0.125,
+    )
+    n_with = np.linalg.norm(np.asarray(ref)[live])
+    n_base = np.linalg.norm(np.asarray(base)[live])
+    assert n_with < n_base
+
+
+def test_ragged_extend_attention_sinks():
+    kv = _pool(10)
+    rng = np.random.default_rng(10)
+    BQ = 16
+    q_lens = np.array([5, 16, 3, 0], np.int32)
+    prefixes = np.array([8, 0, 16, 0], np.int32)
+    kv_lens = q_lens + prefixes
+    B, pmax = 4, 8
+    page_table = rng.integers(0, PAGES, size=(B, pmax)).astype(np.int32)
+    qb_base = np.zeros(B, np.int32)
+    off = 0
+    for i in range(B):
+        qb_base[i] = off // BQ
+        off += (int(q_lens[i]) + BQ - 1) // BQ * BQ
+    TQ = max(off, BQ)
+    q = jnp.asarray(rng.normal(size=(TQ, QH, D)), jnp.bfloat16)
+    sinks = jnp.asarray(rng.normal(size=(QH,)) * 2.0, jnp.float32)
+    args = (
+        jnp.asarray(page_table), jnp.asarray(kv_lens),
+        jnp.asarray(q_lens), jnp.asarray(qb_base), 0,
+    )
+    out = ragged_extend(q, kv, *args, sm_scale=0.125, block_q=BQ,
+                        pages_per_chunk=2, interpret=True, sinks=sinks)
+    ref = ragged_extend_xla(q, kv, *args, sm_scale=0.125, block_q=BQ,
+                            sinks=sinks)
+    live = np.zeros(TQ, bool)
+    for i in range(B):
+        s = int(qb_base[i]) * BQ
+        live[s : s + int(q_lens[i])] = True
+    np.testing.assert_allclose(
+        np.asarray(out)[live], np.asarray(ref)[live], rtol=2e-2, atol=2e-2
+    )
