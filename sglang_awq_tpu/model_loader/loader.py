@@ -127,7 +127,7 @@ def load_params_from_tensors(
         ),
         jnp.float32,
     )
-    if getattr(model, "qk_norm", False):
+    if getattr(model, "qk_norm", False) or getattr(model, "qk_norm_full", False):
         for which in ("q_norm", "k_norm"):
             params["layers"][which] = jnp.asarray(
                 np.stack(

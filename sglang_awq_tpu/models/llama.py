@@ -48,6 +48,7 @@ class LlamaForCausalLM:
     tp_axis: Optional[str] = None  # mesh axis name when running under shard_map
     qkv_bias: bool = False  # Qwen2 sets True
     qk_norm: bool = False  # Qwen3: per-head RMSNorm on q and k before RoPE
+    qk_norm_full: bool = False  # OLMoE: RMSNorm over the FLAT q / k vectors
     embed_multiplier: float = 1.0  # Gemma scales embeddings by sqrt(H)
     residual_multiplier: float = 1.0  # Granite scales sub-block outputs
     rope_interleaved: bool = False  # Helium/Cohere-style (2i, 2i+1) pairs
@@ -127,6 +128,14 @@ class LlamaForCausalLM:
         if self.qk_norm:
             shapes["layers"]["q_norm"] = ((L, self.head_dim), jnp.float32)
             shapes["layers"]["k_norm"] = ((L, self.head_dim), jnp.float32)
+        if self.qk_norm_full:
+            D = self.head_dim
+            shapes["layers"]["q_norm"] = (
+                (L, self.qh * D * self.tp_size), jnp.float32
+            )
+            shapes["layers"]["k_norm"] = (
+                (L, self.kvh * D * self.tp_size), jnp.float32
+            )
         return shapes
 
     def random_params(self, seed: int = 0) -> Dict[str, Any]:
@@ -234,6 +243,22 @@ class LlamaForCausalLM:
             return 0
         return jnp.asarray(np.asarray(self.layer_windows, np.int32))[l]
 
+    def _rms_full(self, x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
+        """RMSNorm over a flat head-sharded vector (OLMoE q/k norms): the
+        mean square crosses TP shards, so psum the local sum of squares;
+        the stored weight is global — slice this shard's strip."""
+        xf = x.astype(jnp.float32)
+        ss = jnp.sum(xf * xf, axis=-1, keepdims=True)
+        denom = x.shape[-1]
+        if self.tp_axis is not None:
+            ss = jax.lax.psum(ss, self.tp_axis)
+            denom = denom * self.tp_size
+            w = jax.lax.dynamic_slice_in_dim(
+                w, jax.lax.axis_index(self.tp_axis) * x.shape[-1], x.shape[-1]
+            )
+        xf = xf * jax.lax.rsqrt(ss / denom + eps)
+        return (xf * w).astype(x.dtype)
+
     def _sinks(self, params, l):
         """Per-head learned sink logits [QH_local] (GPT-OSS), or None."""
         if not self.attn_sinks:
@@ -288,6 +313,12 @@ class LlamaForCausalLM:
         q, k, v = jnp.split(
             qkv, [self.qh * D, (self.qh + self.kvh) * D], axis=-1
         )
+        if self.qk_norm_full:
+            # OLMoE: RMSNorm over the whole flat q / k projections.  Under
+            # TP the mean square spans every shard's heads: psum the local
+            # sum of squares and slice this shard's weight strip.
+            q = self._rms_full(q, lp["q_norm"][l], c.rms_norm_eps)
+            k = self._rms_full(k, lp["k_norm"][l], c.rms_norm_eps)
         q = q.reshape(T, self.qh, D)
         k = k.reshape(T, self.kvh, D)
         v = v.reshape(T, self.kvh, D)

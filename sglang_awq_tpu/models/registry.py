@@ -49,6 +49,8 @@ def get_model_class(architecture: str):
         DeepseekV3ForCausalLM,
     )
     from sglang_awq_tpu.models.gpt_oss import GptOssForCausalLM
+    from sglang_awq_tpu.models.olmoe import OlmoeForCausalLM
+    from sglang_awq_tpu.models.exaone4 import Exaone4ForCausalLM
 
     registry: Dict[str, Type] = {
         "LlamaForCausalLM": LlamaForCausalLM,
@@ -83,6 +85,8 @@ def get_model_class(architecture: str):
         "DeepseekV2ForCausalLM": DeepseekV2ForCausalLM,
         "DeepseekV3ForCausalLM": DeepseekV3ForCausalLM,
         "GptOssForCausalLM": GptOssForCausalLM,
+        "OlmoeForCausalLM": OlmoeForCausalLM,
+        "Exaone4ForCausalLM": Exaone4ForCausalLM,
     }
     if architecture not in registry:
         raise ValueError(

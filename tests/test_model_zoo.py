@@ -800,3 +800,52 @@ def test_gpt_oss_matches_hf():
                 p.copy_(torch.randn(p.shape, generator=g) * 0.5)
     rng = np.random.default_rng(0)
     _check_vs_hf(hf, cfg, rng.integers(3, 500, 21).tolist())
+
+
+def test_olmoe_matches_hf():
+    """OLMoE: full-width q/k RMSNorm + softmax-then-top-k MoE
+    (models/olmoe.py)."""
+    import torch
+    from transformers import OlmoeConfig, OlmoeForCausalLM
+
+    cfg = dict(
+        architectures=["OlmoeForCausalLM"],
+        vocab_size=512, hidden_size=256, num_hidden_layers=2,
+        num_attention_heads=8, num_key_value_heads=4,
+        intermediate_size=128, num_experts=4, num_experts_per_tok=2,
+        norm_topk_prob=True,
+        rms_norm_eps=1e-5, rope_theta=10000.0,
+        max_position_embeddings=256, tie_word_embeddings=False,
+        bos_token_id=1, eos_token_id=2,
+    )
+    torch.manual_seed(0)
+    hf = OlmoeForCausalLM(
+        OlmoeConfig(**{k: v for k, v in cfg.items() if k != "architectures"})
+    ).eval()
+    rng = np.random.default_rng(0)
+    _check_vs_hf(hf, cfg, rng.integers(3, 500, 17).tolist())
+
+
+def test_exaone4_matches_hf():
+    """EXAONE 4.0: post-norm residuals + qk-norm + hybrid SWA with global
+    NoPE (models/exaone4.py)."""
+    import torch
+    from transformers import Exaone4Config, Exaone4ForCausalLM
+
+    cfg = dict(
+        architectures=["Exaone4ForCausalLM"],
+        vocab_size=512, hidden_size=256, num_hidden_layers=4,
+        num_attention_heads=8, num_key_value_heads=4,
+        intermediate_size=448, sliding_window=8, sliding_window_pattern=4,
+        layer_types=["sliding_attention"] * 3 + ["full_attention"],
+        rms_norm_eps=1e-5, rope_theta=10000.0,
+        max_position_embeddings=256, tie_word_embeddings=False,
+        bos_token_id=1, eos_token_id=2,
+    )
+    torch.manual_seed(0)
+    hf = Exaone4ForCausalLM(
+        Exaone4Config(**{k: v for k, v in cfg.items()
+                         if k != "architectures"})
+    ).eval()
+    rng = np.random.default_rng(0)
+    _check_vs_hf(hf, cfg, rng.integers(3, 500, 19).tolist())
