@@ -47,10 +47,13 @@ def main():
           f"pool pages={P}", flush=True)
 
     # build everything on-device inside one jit (host alloc is pathological)
+    split = KVH % 2 == 0  # engine default: split K/V pool for KVH >= 2
+
     @jax.jit
     def build():
         key = jax.random.PRNGKey(0)
-        kv = jax.random.normal(key, (1, P, PS, 2, X), jnp.bfloat16) * 0.1
+        shape = (1, P, 2, PS, 2, X // 2) if split else (1, P, PS, 2, X)
+        kv = jax.random.normal(key, shape, jnp.bfloat16) * 0.1
         q = jax.random.normal(key, (B, QS, QH, D), jnp.bfloat16)
         return kv, q
 

@@ -22,17 +22,20 @@ from sglang_awq_tpu.ops.ragged_attention import ragged_decode, ragged_decode_xla
 
 
 def check(name, B, ctx, ps, QH, KVH, D, QS=1, window=0, softcap=0.0,
-          varlen=True, sinks=False):
+          varlen=True, sinks=False, split=None):
     pages_per_seq = (ctx + ps - 1) // ps
     P = B * pages_per_seq + 8
     L = 2
     Xr = KVH * D
+    if split is None:
+        split = KVH % 2 == 0  # engine default: split layout for KVH >= 2
     key = jax.random.PRNGKey(0)
 
     @jax.jit
     def mk(key):
         kq, kk = jax.random.split(key)
-        kv = jax.random.normal(kk, (L, P, ps, 2, Xr), jnp.bfloat16) * 0.3
+        shape = (L, P, 2, ps, 2, Xr // 2) if split else (L, P, ps, 2, Xr)
+        kv = jax.random.normal(kk, shape, jnp.bfloat16) * 0.3
         q = jax.random.normal(kq, (B, QS, QH, D), jnp.bfloat16) * 0.3
         return kv, q
 
@@ -77,6 +80,7 @@ def main():
                 window=128, sinks=True)
     ok &= check("partial tail chunk ctx=530", 64, 530, 64, 32, 8, 128,
                 varlen=False)
+    ok &= check("combined-layout gqa", 32, 384, 64, 32, 8, 128, split=False)
     print("ALL OK" if ok else "FAILURES", flush=True)
     sys.exit(0 if ok else 1)
 

@@ -42,10 +42,12 @@ class HostKVCache:
     """Bounded host pool of whole-prefix-page KV entries (LRU)."""
 
     def __init__(self, kv_spec, capacity_bytes: int):
-        L, _, ps, fc, Xr = kv_spec.shape
-        self.page_shape = (L, ps, fc, Xr)
+        # page dims: [ps, fc, Xr] (combined) or [2, ps, fcK, XrK] (split)
+        shape = kv_spec.shape
+        L = shape[0]
+        self.page_shape = (L,) + shape[2:]
         itemsize = np.dtype(kv_spec.jdtype).itemsize
-        self.page_bytes = L * ps * fc * Xr * itemsize
+        self.page_bytes = int(np.prod(self.page_shape)) * itemsize
         self.capacity = max(int(capacity_bytes // self.page_bytes), 1)
         self.store = np.empty((self.capacity,) + self.page_shape,
                               kv_spec.jdtype)
@@ -186,11 +188,25 @@ class HiCacheController:
         self.restore_raw(data, device_pages)
 
     def restore_raw(self, data, device_pages: List[int]):
-        """data [n, L, ps, fc, Xr] -> device pages (PD transfer reuses
-        this without a host tier)."""
+        """data [n, L, <page dims>] -> device pages (PD transfer reuses
+        this without a host tier).  Page dims are [ps, fc, Xr] (combined
+        pool) or [2, ps, fcK, XrK] (split pool)."""
         data = np.ascontiguousarray(np.moveaxis(np.asarray(data), 1, 0))
-        L = data.shape[0]
-        n, ps = data.shape[1], data.shape[2]
+        L, n = data.shape[0], data.shape[1]
+        if data.ndim == 6:  # split layout
+            ps = data.shape[3]
+            k = np.ascontiguousarray(data[:, :, 0]).reshape(
+                L, n * ps, *data.shape[4:]
+            )
+            v = np.ascontiguousarray(data[:, :, 1]).reshape(
+                L, n * ps, *data.shape[4:]
+            )
+            self.runner.kv_cache = self._restore_fn(n)(
+                self.runner.kv_cache, k, v,
+                np.asarray(device_pages, np.int32),
+            )
+            return
+        ps = data.shape[2]
         self.runner.kv_cache = self._restore_fn(n)(
             self.runner.kv_cache,
             data.reshape(L, n * ps, *data.shape[3:]),
@@ -198,23 +214,41 @@ class HiCacheController:
         )
 
     def _restore_fn(self, n_pages: int):
-        key = ("hicache_restore", n_pages)
+        split = self.runner.kv_cache.ndim == 6
+        key = ("hicache_restore", n_pages, split)
         fns = self.runner._fns
         if key not in fns:
             import jax
             import jax.numpy as jnp
 
-            from sglang_awq_tpu.ops.kv_write import kv_write_prefill
+            from sglang_awq_tpu.ops.kv_write import (
+                kv_write_prefill,
+                kv_write_prefill_split,
+            )
 
-            def raw(kv, data, pages):
-                def body(kv, args):
-                    l, layer_data = args
-                    return kv_write_prefill(kv, layer_data, pages, l), None
+            if split:
 
-                kv, _ = jax.lax.scan(
-                    body, kv, (jnp.arange(kv.shape[0]), data)
-                )
-                return kv
+                def raw(kv, k, v, pages):
+                    def body(kv, args):
+                        l, lk, lv = args
+                        return kv_write_prefill_split(kv, lk, lv, pages, l), None
+
+                    kv, _ = jax.lax.scan(
+                        body, kv, (jnp.arange(kv.shape[0]), k, v)
+                    )
+                    return kv
+
+            else:
+
+                def raw(kv, data, pages):
+                    def body(kv, args):
+                        l, layer_data = args
+                        return kv_write_prefill(kv, layer_data, pages, l), None
+
+                    kv, _ = jax.lax.scan(
+                        body, kv, (jnp.arange(kv.shape[0]), data)
+                    )
+                    return kv
 
             fns[key] = jax.jit(raw, donate_argnums=(0,))
         return fns[key]

@@ -1,32 +1,41 @@
-"""Device-resident paged KV pool — combined token-major layout (round 2, v4).
+"""Device-resident paged KV pool — split K/V page faces (round 2, v5).
 
 Role model: reference `MHATokenToKVPool`
 (`python/sglang/srt/mem_cache/memory_pool.py:605` — per-layer K/V buffers +
-`set_kv_buffer`).  TPU layout (v4, KV-interleaved token faces):
+`set_kv_buffer`).  Two TPU layouts:
 
-    kv_cache : [num_layers, num_pages, page_size, 2, kv_heads * head_dim]
+SPLIT (default, KVH >= 2):
 
-Each token owns one (2, KVH*D) face: sublane row 0 holds its K for all
-heads (head h at lanes [h*D, (h+1)*D)), row 1 its V.  Why this layout
-(v1 head-major -> v2 [ps, 2*KVH, D] -> v3 [ps, 2*KVH*D] history):
+    kv_cache : [L, num_pages, 2, page_size, fcK, KVH * D / fcK]
 
-* one page slice [ps, 2, KVH*D] is contiguous — the attention kernel
-  fetches K+V for ALL heads of a page in ONE ~256 KB DMA instead of
-  2*KVH separate 16 KB (page, head) DMAs (the round-1 283 GB/s ceiling);
+K lives on page face 0, V on face 1; within a face each token owns fcK
+whole sublane rows (2 for bf16, 4 for fp8/int8 — the Mosaic second-minor
+slice alignment), class row c holding heads [c*KVH/fcK, (c+1)*KVH/fcK) at
+lane offsets.  The attention kernels DMA the K and V faces of a page
+separately and each dot contracts ONLY its half of the chunk — HALF the
+MXU traffic of the combined layout and no lane-parity shift (734 vs 542
+GB/s decode attention measured on v5e, benchmarks/spike_split_pool.py).
+
+COMBINED (v4, kept for KVH == 1 — MLA latent rows must span the whole
+face width — and 1-byte pools with KVH % 4 != 0):
+
+    kv_cache : [L, num_pages, page_size, fc, 2 * KVH * D / fc]
+
+K/V-interleaved token faces; kernels score Q against K AND V rows in one
+dot, mask the V columns out of the softmax, and lane-roll the
+probabilities onto the V columns for the PV dot.
+
+Both layouts share the invariants that shaped them (v1 head-major ->
+v2 [ps, 2*KVH, D] -> v3 flat -> v4 combined -> v5 split history):
+
+* one page face is contiguous — whole-page DMAs, never per-head ones
+  (the round-1 283 GB/s ceiling);
 * per-head access in-kernel is a LANE slice at a 128-multiple offset
-  (free), never a second-minor index — the v2 layout's per-head
-  sublane-strided gather relayout-copied every chunk (189 GB/s measured);
-* a token's K/V is a whole (2, KVH*D) last-two-dims face, so decode
-  writes slice only the page_size dim — Mosaic requires second-minor
-  slices to be even-aligned for bf16 (tiling (2, 128)), which killed the
-  v3 flat layout's [1, 2*KVH*D] row writes on real hardware
-  ("Slice shape along dimension 0 must be aligned to tiling (2)").
-
-The attention kernels view a chunk as [2*ck, KVH*D] (sublane-merge, layout
-preserving), score Q against K AND V rows in one dot (2x FLOPs, free —
-decode attention is bandwidth-bound), mask odd (V) columns out of the
-softmax, then lane-roll the probabilities by one so they line up with the
-V rows for the PV dot (validated on v5e hardware, see ops/ragged_attention).
+  (free), never a second-minor index (189 GB/s relayout measured);
+* a token's face is a whole last-two-dims block, so decode writes slice
+  only the page_size dim — Mosaic requires second-minor slices aligned
+  to the tile ("Slice shape along dimension 0 must be aligned to tiling
+  (2)" killed v3's flat [1, 2*KVH*D] row writes on real hardware).
 
 All mutation is functional: `write_kv` returns the updated array and is
 called inside the jitted model step with a donated buffer, so XLA updates in
@@ -67,16 +76,53 @@ class KVPoolSpec:
 
     @property
     def face_rows(self) -> int:
-        """Sublane rows per token face.  Mosaic tiles 1-byte dtypes at
-        (4, 128) sublanes x lanes, so an fp8/int8 face must be 4 rows:
-        (K heads 0..KVH/2-1, K heads KVH/2.., V lo-heads, V hi-heads),
-        each row 2*KVH*D/4 lanes.  A head never straddles rows, so the
-        attention kernels keep their one-dot-per-chunk structure (the
-        column-class mask generalizes the 2-row K/V parity mask)."""
+        """Sublane rows per token face (combined layout).  Mosaic tiles
+        1-byte dtypes at (4, 128) sublanes x lanes, so an fp8/int8 face
+        must be 4 rows: (K heads 0..KVH/2-1, K heads KVH/2.., V lo-heads,
+        V hi-heads), each row 2*KVH*D/4 lanes.  A head never straddles
+        rows, so the attention kernels keep their one-dot-per-chunk
+        structure (the column-class mask generalizes the 2-row K/V parity
+        mask)."""
+        return 4 if jnp.dtype(self.jdtype).itemsize == 1 else 2
+
+    @property
+    def layout(self) -> str:
+        """"split" (round-2 v5): K and V live on separate page faces
+        [L, P, 2, ps, fcK, XrK] so each attention dot contracts only its
+        half of the chunk — HALF the MXU traffic of the combined layout
+        and no lane-parity shift (measured 734 vs 542 GB/s on v5e,
+        benchmarks/spike_split_pool.py).  Token writes stay legal: a K (or
+        V) face is fcK whole sublane rows, fcK-aligned.
+
+        "combined" ([L, P, ps, fc, Xr], K/V-interleaved token faces)
+        remains for KVH == 1 (MLA latent rows: the head must span the
+        whole face width) and for 1-byte pools whose per-shard head count
+        can't fill 4 K-rows."""
+        itemsize = jnp.dtype(self.jdtype).itemsize
+        fck = 4 if itemsize == 1 else 2
+        if self.kv_heads % fck != 0:
+            return "combined"
+        return "split"
+
+    @property
+    def split_faces(self) -> int:
+        """K (or V) sublane rows per token in the split layout: Mosaic
+        second-minor slices must align to the tile (2 rows bf16, 4 rows
+        1-byte), so single-token face writes need this many rows."""
         return 4 if jnp.dtype(self.jdtype).itemsize == 1 else 2
 
     @property
     def shape(self):
+        if self.layout == "split":
+            fck = self.split_faces
+            return (
+                self.num_layers,
+                self.num_pages,
+                2,  # 0 = K, 1 = V
+                self.page_size,
+                fck,
+                self.kv_heads * self.head_dim // fck,
+            )
         fr = self.face_rows
         if fr == 4 and self.kv_heads % 2 != 0:
             raise ValueError(
@@ -119,6 +165,30 @@ def write_kv(
     from sglang_awq_tpu.utils import is_tpu_backend
 
     T = k_new.shape[0]
+    if kv_cache.ndim == 6:  # split layout [L, P, 2, ps, fcK, XrK]
+        L, P, _, ps, fck, XrK = kv_cache.shape
+        kf = k_new.astype(kv_cache.dtype).reshape(T, fck, XrK)
+        vf = v_new.astype(kv_cache.dtype).reshape(T, fck, XrK)
+        if is_tpu_backend():
+            from sglang_awq_tpu.ops.kv_write import (
+                kv_write_prefill_split,
+                kv_write_tokens_split,
+            )
+
+            if mode == "prefill":
+                num_slots = P * ps
+                group_slots = slots.reshape(T // ps, ps)[:, 0]
+                valid = (group_slots >= 0) & (group_slots < num_slots)
+                pages = jnp.where(valid, group_slots // ps, -1)
+                return kv_write_prefill_split(kv_cache, kf, vf, pages, layer)
+            return kv_write_tokens_split(kv_cache, kf, vf, slots, layer)
+        layer = jnp.asarray(layer, jnp.int32)
+        pages = slots // ps
+        offs = slots % ps
+        kv_cache = kv_cache.at[layer, pages, 0, offs].set(kf, mode="drop")
+        kv_cache = kv_cache.at[layer, pages, 1, offs].set(vf, mode="drop")
+        return kv_cache
+
     fr = kv_cache.shape[-2]
     kf = k_new.astype(kv_cache.dtype).reshape(T, -1)
     vf = v_new.astype(kv_cache.dtype).reshape(T, -1)

@@ -298,7 +298,7 @@ class ModelRunner:
 
         if self.mesh is None:
             return fn
-        kvp = kv_pspec()
+        kvp = kv_pspec(len(self.kv_spec.shape))
         in_specs = (
             self._param_specs,
             kvp,
@@ -394,7 +394,7 @@ class ModelRunner:
 
         from sglang_awq_tpu.parallel.sharding import kv_pspec
 
-        sh = NamedSharding(self.mesh, kv_pspec())
+        sh = NamedSharding(self.mesh, kv_pspec(len(self.kv_spec.shape)))
         shape, dt = self.kv_spec.shape, self.kv_spec.jdtype
         alloc = jax.jit(lambda: jnp.zeros(shape, dt), out_shardings=sh)
         return alloc()

@@ -198,3 +198,192 @@ def kv_write_prefill(
         kv_new.astype(kv_cache.dtype),
         kv_cache,
     )
+
+
+# ---------------------------------------------------------------------------
+# split-layout kernels (pool [L, P, 2, ps, fcK, XrK]; K face 0, V face 1)
+# ---------------------------------------------------------------------------
+
+
+def _kv_write_tokens_split_kernel(
+    layer_ref,  # [1]
+    slots_ref,  # [T]
+    k_new_ref,  # [T, fcK, XrK] VMEM
+    v_new_ref,  # [T, fcK, XrK] VMEM
+    kv_in,  # aliased
+    kv_hbm,  # aliased out [L, P, 2, ps, fcK, XrK]
+    sem,
+    *,
+    num_slots: int,
+):
+    layer = layer_ref[0]
+    ps = kv_hbm.shape[3]
+    T = k_new_ref.shape[0]
+
+    def live(i):
+        s = slots_ref[i]
+        return (s >= 0) & (s < num_slots)
+
+    def start(i, _):
+        @pl.when(live(i))
+        def _():
+            s = slots_ref[i]
+            pltpu.make_async_copy(
+                k_new_ref.at[i],
+                kv_hbm.at[layer, s // ps, 0, s % ps],
+                sem,
+            ).start()
+            pltpu.make_async_copy(
+                v_new_ref.at[i],
+                kv_hbm.at[layer, s // ps, 1, s % ps],
+                sem,
+            ).start()
+
+        return 0
+
+    def wait(i, _):
+        @pl.when(live(i))
+        def _():
+            for _ in range(2):
+                pltpu.make_async_copy(
+                    k_new_ref.at[0], kv_hbm.at[0, 0, 0, 0], sem
+                ).wait()
+
+        return 0
+
+    lax.fori_loop(0, T, start, 0)
+    lax.fori_loop(0, T, wait, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def kv_write_tokens_split(
+    kv_cache: jax.Array,  # [L, P, 2, ps, fcK, XrK]
+    k_new: jax.Array,  # [T, fcK, XrK]
+    v_new: jax.Array,  # [T, fcK, XrK]
+    slots: jax.Array,  # [T] int32 (PAD_SLOT / out-of-range -> skipped)
+    layer: jax.Array | int,
+    *,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    if interpret is None:
+        interpret = pallas_interpret_default()
+    L, P, _, ps, fck, XrK = kv_cache.shape
+    layer = jnp.clip(jnp.asarray(layer, jnp.int32).reshape(1), 0, L - 1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[pltpu.SemaphoreType.DMA],
+    )
+    kernel = functools.partial(_kv_write_tokens_split_kernel, num_slots=P * ps)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(kv_cache.shape, kv_cache.dtype),
+        input_output_aliases={4: 0},  # indices include scalar prefetch
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(
+        layer,
+        jnp.asarray(slots, jnp.int32),
+        k_new.astype(kv_cache.dtype),
+        v_new.astype(kv_cache.dtype),
+        kv_cache,
+    )
+
+
+def _kv_write_prefill_split_kernel(
+    layer_ref,  # [1]
+    pages_ref,  # [n_groups]
+    k_new_ref,  # [T, fcK, XrK] VMEM, page-aligned groups
+    v_new_ref,
+    kv_in,
+    kv_hbm,  # aliased out [L, P, 2, ps, fcK, XrK]
+    sem,
+    *,
+    num_pages: int,
+):
+    layer = layer_ref[0]
+    ps = kv_hbm.shape[3]
+
+    def live(j):
+        p = pages_ref[j]
+        return (p >= 0) & (p < num_pages)
+
+    def start(j, _):
+        @pl.when(live(j))
+        def _():
+            pltpu.make_async_copy(
+                k_new_ref.at[pl.ds(j * ps, ps)],
+                kv_hbm.at[layer, pages_ref[j], 0],
+                sem,
+            ).start()
+            pltpu.make_async_copy(
+                v_new_ref.at[pl.ds(j * ps, ps)],
+                kv_hbm.at[layer, pages_ref[j], 1],
+                sem,
+            ).start()
+
+        return 0
+
+    def wait(j, _):
+        @pl.when(live(j))
+        def _():
+            for _ in range(2):
+                pltpu.make_async_copy(
+                    k_new_ref.at[pl.ds(0, ps)], kv_hbm.at[0, 0, 0], sem
+                ).wait()
+
+        return 0
+
+    lax.fori_loop(0, pages_ref.shape[0], start, 0)
+    lax.fori_loop(0, pages_ref.shape[0], wait, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def kv_write_prefill_split(
+    kv_cache: jax.Array,  # [L, P, 2, ps, fcK, XrK]
+    k_new: jax.Array,  # [T, fcK, XrK]; every ps-token group page-aligned
+    v_new: jax.Array,
+    pages: jax.Array,  # [T // ps] page id per group (< 0 skips the group)
+    layer: jax.Array | int,
+    *,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    if interpret is None:
+        interpret = pallas_interpret_default()
+    L, P, _, ps, fck, XrK = kv_cache.shape
+    T = k_new.shape[0]
+    assert T % ps == 0, (T, ps)
+    layer = jnp.clip(jnp.asarray(layer, jnp.int32).reshape(1), 0, L - 1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[pltpu.SemaphoreType.DMA],
+    )
+    kernel = functools.partial(_kv_write_prefill_split_kernel, num_pages=P)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(kv_cache.shape, kv_cache.dtype),
+        input_output_aliases={4: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(
+        layer,
+        jnp.asarray(pages, jnp.int32),
+        k_new.astype(kv_cache.dtype),
+        v_new.astype(kv_cache.dtype),
+        kv_cache,
+    )

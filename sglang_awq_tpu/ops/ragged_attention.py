@@ -66,8 +66,221 @@ def _shiftk(x: jax.Array, k: int) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
-# uniform-span kernel: decode (QS=1) and speculative verify (QS>1)
+# uniform-span kernels: decode (QS=1) and speculative verify (QS>1)
+#
+# Two pool layouts (mem_cache/kv_pool.py):
+#   split    [L, P, 2, ps, fcK, XrK] — K and V on separate page faces; each
+#            dot contracts only its half of the chunk (half the MXU traffic
+#            of combined, no parity shift; 734 vs 542 GB/s measured, see
+#            benchmarks/spike_split_pool.py).  Default for KVH >= 2.
+#   combined [L, P, ps, fc, Xr] — K/V-interleaved token faces; kept for
+#            KVH == 1 (MLA latent rows span the whole face width).
 # ---------------------------------------------------------------------------
+
+
+def _decode_kernel_split(
+    # scalar prefetch
+    layer_ref,  # [1]
+    window_ref,  # [1] sliding window (0 = full attention)
+    lengths_ref,  # [B]
+    s0_ref,  # [B] first live chunk per row (window skips earlier ones)
+    nck_ref,  # [B] live chunks per row (0 for pads)
+    nlive_ref,  # [B + 1] first live row index >= b (B if none)
+    total_ref,  # [1] total live chunks across the batch
+    pt_ref,  # [B * pmax]
+    # inputs
+    q_ref,  # [B, KVH, R, D] with R = QS * gp (whole batch resident)
+    kv_hbm_ref,  # [L, P, 2, ps, fcK, XrK] (ANY)
+    sink_ref,  # [KVH*R or 8, 128] f32 per-row sink logits (dummy when off)
+    # output
+    o_ref,  # [B, KVH, R, D] f32 (whole batch resident)
+    # scratch
+    qbd_ref,  # [KVH*R, XrK] bf16 block-diagonal q
+    m_ref,  # [KVH*R, 128] f32
+    l_ref,  # [KVH*R, 128] f32
+    acc_ref,  # [KVH*R, XrK] f32
+    cb_ref,  # [KVH*R, fcK*ck] f32 class bias (0 / MASK), built once
+    tj_ref,  # [8, fcK*ck] i32 token index per column, built once
+    tr_ref,  # [KVH*R, 128] i32 per-row causal offset (QS > 1), built once
+    k_buf,  # [2, ppc, ps, fcK, XrK]
+    v_buf,  # [2, ppc, ps, fcK, XrK]
+    sem,  # [2, 2]
+    *,
+    batch_size: int,
+    pages_per_chunk: int,
+    pmax: int,
+    sm_scale: float,
+    q_span: int,
+    gp: int,
+    kvh: int,
+    softcap: float,
+    has_window: bool,
+    has_sinks: bool,
+    interpret: bool,
+):
+    """Split-pool megakernel: the _decode_kernel walk with per-half dots.
+    The qk dot contracts q [KVH*R, XrK] against the K chunk only
+    ([fcK*ck, XrK]); the PV dot multiplies the probabilities straight into
+    the V chunk (columns (t, class) align with V rows — no lane shift)."""
+    ps = k_buf.shape[2]
+    ck = pages_per_chunk * ps
+    fck = k_buf.shape[3]  # K sublane rows per token (2 bf16 / 4 fp8-int8)
+    hph = kvh // fck  # heads per class row
+    d = q_ref.shape[-1]
+    r = q_ref.shape[2]
+    layer = layer_ref[0]
+    total = total_ref[0]
+
+    def live_pages(bb, cc):
+        base = (s0_ref[bb] + cc) * ck
+        n = lengths_ref[bb] - base + (ps - 1)
+        return lax.div(jnp.maximum(n, 0), ps)
+
+    def start_copy(bb, cc, slot):
+        base = s0_ref[bb] + cc
+        npg = live_pages(bb, cc)
+        for i in range(pages_per_chunk):
+
+            @pl.when(i < npg)
+            def _():
+                page = pt_ref[bb * pmax + base * pages_per_chunk + i]
+                pltpu.make_async_copy(
+                    kv_hbm_ref.at[layer, page, 0], k_buf.at[slot, i],
+                    sem.at[slot, 0],
+                ).start()
+                pltpu.make_async_copy(
+                    kv_hbm_ref.at[layer, page, 1], v_buf.at[slot, i],
+                    sem.at[slot, 1],
+                ).start()
+
+    def wait_copy(bb, cc, slot):
+        npg = live_pages(bb, cc)
+        for i in range(pages_per_chunk):
+
+            @pl.when(i < npg)
+            def _():
+                pltpu.make_async_copy(
+                    kv_hbm_ref.at[0, 0, 0], k_buf.at[slot, i], sem.at[slot, 0]
+                ).wait()
+                pltpu.make_async_copy(
+                    kv_hbm_ref.at[0, 0, 0], v_buf.at[slot, i], sem.at[slot, 1]
+                ).wait()
+
+    def advance(bb, cc):
+        return lax.cond(
+            cc + 1 < nck_ref[jnp.minimum(bb, batch_size - 1)],
+            lambda: (bb, cc + 1),
+            lambda: (nlive_ref[jnp.minimum(bb + 1, batch_size)], 0),
+        )
+
+    @pl.when(total > 0)
+    def _run():
+        b0 = nlive_ref[0]
+        # skipped tail pages must not feed uninitialized VMEM into the dots
+        k_buf[...] = jnp.zeros_like(k_buf)
+        v_buf[...] = jnp.zeros_like(v_buf)
+        start_copy(b0, 0, 0)
+
+        # chunk-invariant mask components, built once (overlapped with the
+        # first chunk's DMA)
+        jc = lax.broadcasted_iota(jnp.int32, cb_ref.shape, 1)
+        chc = lax.broadcasted_iota(jnp.int32, cb_ref.shape, 0) // (r * hph)
+        cb_ref[...] = jnp.where((jc % fck) == chc, 0.0, MASK_VALUE)
+        tj_ref[...] = lax.broadcasted_iota(jnp.int32, tj_ref.shape, 1) // fck
+        if q_span > 1:
+            tr_ref[...] = (
+                lax.broadcasted_iota(jnp.int32, tr_ref.shape, 0) % r
+            ) // gp
+
+        def body(i, carry):
+            b, c, nb, nc, slot = carry
+
+            @pl.when(nb < batch_size)
+            def _prefetch():
+                start_copy(nb, nc, 1 - slot)
+
+            wait_copy(b, c, slot)
+            length = lengths_ref[b]
+
+            @pl.when(c == 0)
+            def _init_state():
+                m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+                l_ref[...] = jnp.zeros_like(l_ref)
+                acc_ref[...] = jnp.zeros_like(acc_ref)
+                qbd_ref[...] = jnp.zeros_like(qbd_ref)
+                for h in range(kvh):
+                    hl = (h % hph) * d
+                    qbd_ref[h * r : (h + 1) * r, hl : hl + d] = (
+                        q_ref[b, h] * jnp.asarray(sm_scale, q_ref.dtype)
+                    )
+
+            kc = k_buf[slot].reshape(fck * ck, k_buf.shape[-1])
+            vc = v_buf[slot].reshape(fck * ck, v_buf.shape[-1])
+            if kc.dtype != jnp.bfloat16:
+                kc = kc.astype(jnp.bfloat16)
+                vc = vc.astype(jnp.bfloat16)
+
+            qk = lax.dot_general(
+                qbd_ref[...], kc, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [KVH*R, fcK*ck]
+            if softcap:
+                qk = softcap * jnp.tanh(qk / softcap)
+            qk = qk + cb_ref[...]
+            base = (s0_ref[b] + c) * ck
+            tj = tj_ref[:1]
+            if q_span == 1:
+                limit = length - base
+            else:
+                limit = (length - (q_span - 1) - base) + tr_ref[:, :1]
+            mask = tj < limit
+            if has_window:
+                win = window_ref[0]
+                low = jnp.where(win > 0, limit - win, -(1 << 30))
+                mask = jnp.logical_and(mask, tj >= low)
+            qk = jnp.where(mask, qk, MASK_VALUE)
+
+            m_prev = m_ref[:, :1]
+            l_prev = l_ref[:, :1]
+            m_cur = jnp.max(qk, axis=-1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_cur)
+            p = jnp.exp(qk - m_next)
+            l_cur = jnp.sum(p, axis=-1, keepdims=True)
+            alpha = jnp.exp(m_prev - m_next)
+            m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
+            l_ref[...] = jnp.broadcast_to(alpha * l_prev + l_cur, l_ref.shape)
+
+            # probabilities hit V rows directly: column (t, class c) is V
+            # row fcK*t + c, which holds class-c heads' V — row (h, ...) of
+            # p is nonzero only at class h//hph columns, so the dot picks
+            # exactly head h's V lanes.  Off-class output lanes are garbage
+            # and never read at emit.
+            pv = lax.dot_general(
+                p.astype(jnp.bfloat16), vc, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_ref[...] = acc_ref[...] * alpha + pv
+
+            @pl.when(c + 1 == nck_ref[b])
+            def _emit():
+                lh = l_ref[:, :1]
+                if has_sinks:
+                    lh = lh + jnp.exp(sink_ref[:, :1] - m_ref[:, :1])
+                lh = jnp.where(lh == 0.0, 1.0, lh)
+                on = acc_ref[...] / lh
+                for h in range(kvh):
+                    hl = (h % hph) * d
+                    o_ref[b, h] = on[h * r : (h + 1) * r, hl : hl + d].astype(
+                        o_ref.dtype
+                    )
+
+            nb2, nc2 = advance(nb, nc)
+            return (nb, nc, nb2, nc2, 1 - slot)
+
+        nb0, nc0 = advance(b0, 0)
+        lax.fori_loop(
+            0, total, body, (b0, jnp.int32(0), nb0, nc0, jnp.int32(0)),
+        )
 
 
 def _decode_kernel(
@@ -341,21 +554,31 @@ def ragged_decode(
     import os as _os
 
     _ppc_env = _os.environ.get("SGLT_DECODE_PPC")
+    split = kv_cache.ndim == 6
+    ps_ = kv_cache.shape[3] if split else kv_cache.shape[2]
     if _ppc_env:
         pages_per_chunk = int(_ppc_env)
-    elif pages_per_chunk == 8 and kv_cache.shape[2] * 8 > 256:
+    elif pages_per_chunk == 8 and ps_ * 8 > 256:
         # measured sweet spot on v5e: ~256-token chunks (1 MB bf16 faces)
         # saturate the DMA pipeline (1040 GB/s pure-DMA vs 668 at 128);
         # smaller chunks starve it, larger ones lengthen the critical path
-        pages_per_chunk = max(1, 256 // kv_cache.shape[2])
-    L, P, ps, fc, Xr = kv_cache.shape
+        pages_per_chunk = max(1, 256 // ps_)
+    if split:
+        L, P, _, ps, fc, Xr = kv_cache.shape  # fc = fcK, Xr = XrK
+    else:
+        L, P, ps, fc, Xr = kv_cache.shape
     if raw_layout:
         B, KVH_, R_, D = q.shape
         QS, QH = 1, KVH_ * R_
     else:
         B, QS, QH, D = q.shape
-    KVH = fc * Xr // (2 * D)
-    assert fc in (2, 4) and Xr * fc == 2 * KVH * D and QH % KVH == 0
+    if split:
+        KVH = fc * Xr // D
+        assert fc in (2, 4) and Xr * fc == KVH * D and QH % KVH == 0
+        assert KVH % fc == 0, (KVH, fc)  # a head must not straddle classes
+    else:
+        KVH = fc * Xr // (2 * D)
+        assert fc in (2, 4) and Xr * fc == 2 * KVH * D and QH % KVH == 0
     G = QH // KVH
     # Row grouping: real head rows only (gp = G) once the total row count
     # gives Mosaic enough sublanes — every dot/softmax op scales with the
@@ -418,6 +641,26 @@ def ragged_decode(
         sink_arr = jnp.zeros((8, 128), jnp.float32)
     srows = sink_arr.shape[0]
 
+    common_scratch = [
+        pltpu.VMEM((KVH * R, Xr), jnp.bfloat16),
+        pltpu.VMEM((KVH * R, 128), jnp.float32),
+        pltpu.VMEM((KVH * R, 128), jnp.float32),
+        pltpu.VMEM((KVH * R, Xr), jnp.float32),
+        pltpu.VMEM((KVH * R, fc * ck), jnp.float32),
+        pltpu.VMEM((8, fc * ck), jnp.int32),
+        pltpu.VMEM((KVH * R, 128), jnp.int32),
+    ]
+    if split:
+        scratch = common_scratch + [
+            pltpu.VMEM((2, ppc, ps, fc, Xr), kv_cache.dtype),
+            pltpu.VMEM((2, ppc, ps, fc, Xr), kv_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ]
+    else:
+        scratch = common_scratch + [
+            pltpu.VMEM((2, ppc, ps, fc, Xr), kv_cache.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=8,
         grid=(1,),
@@ -427,22 +670,12 @@ def ragged_decode(
             pl.BlockSpec((srows, 128), lambda g, *_: (0, 0)),
         ],
         out_specs=pl.BlockSpec((B, KVH, R, D), lambda g, *_: (0, 0, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((KVH * R, Xr), jnp.bfloat16),
-            pltpu.VMEM((KVH * R, 128), jnp.float32),
-            pltpu.VMEM((KVH * R, 128), jnp.float32),
-            pltpu.VMEM((KVH * R, Xr), jnp.float32),
-            pltpu.VMEM((KVH * R, fc * ck), jnp.float32),
-            pltpu.VMEM((8, fc * ck), jnp.int32),
-            pltpu.VMEM((KVH * R, 128), jnp.int32),
-            pltpu.VMEM((2, ppc, ps, fc, Xr), kv_cache.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
     )
     # static window=0 (no SWA layer) drops the window mask ops entirely
     has_window = not (isinstance(window, (int, np.integer)) and window == 0)
     kernel = functools.partial(
-        _decode_kernel,
+        _decode_kernel_split if split else _decode_kernel,
         batch_size=B,
         pages_per_chunk=ppc,
         pmax=pmax,
@@ -484,8 +717,217 @@ def ragged_decode(
 
 
 # ---------------------------------------------------------------------------
-# ragged extend kernel: batched multi-request prefill / mixed batches
+# ragged extend kernels: batched multi-request prefill / mixed batches
 # ---------------------------------------------------------------------------
+
+
+def _extend_kernel_split(
+    # scalar prefetch
+    layer_ref,  # [1]
+    window_ref,  # [1] sliding window (0 = full attention)
+    kvlens_ref,  # [B] total kv length (prefix + new)
+    qlens_ref,  # [B] live new tokens (0 = padded row)
+    qbbase_ref,  # [B] first q block of each sequence (cu_qpad // BQ)
+    pt_ref,  # [B * pmax]
+    buf_idx_ref,  # [1] mutable
+    init_ref,  # [1] mutable
+    # inputs
+    q_ref,  # [BQ, QH, D]
+    kv_hbm_ref,  # [L, P, 2, ps, fcK, XrK] (ANY)
+    sink_ref,  # [KVH*G or 8, 128] f32 per-head sink logits (dummy when off)
+    # output
+    o_ref,  # [BQ, QH, D] f32
+    # scratch
+    m_ref,  # [KVH, BQ*G, 128] f32
+    l_ref,
+    acc_ref,  # [KVH, BQ*G, D] f32
+    k_buf,  # [2, ppc, ps, fcK, XrK]
+    v_buf,
+    sem,  # [2, 2]
+    *,
+    batch_size: int,
+    bq: int,
+    pages_per_chunk: int,
+    pmax: int,
+    sm_scale: float,
+    kvh: int,
+    g: int,
+    softcap: float,
+    has_sinks: bool,
+    interpret: bool,
+):
+    """Split-pool ragged extend: the _extend_kernel walk, but each head's
+    qk dot contracts only the K chunk's lane slice and the PV dot hits the
+    V chunk directly (no parity shift)."""
+    b, qb, c = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    ps = k_buf.shape[2]
+    ck = pages_per_chunk * ps
+    fck = k_buf.shape[3]
+    hph = kvh // fck  # heads per class row
+
+    def limit_of(bb, qbb):
+        q_len = qlens_ref[bb]
+        kv_len = kvlens_ref[bb]
+        return jnp.minimum(kv_len, kv_len - q_len + (qbb + 1) * bq)
+
+    q_len = qlens_ref[b]
+    limit = limit_of(b, qb)
+    live = jnp.logical_and(qb * bq < q_len, c * ck < limit)
+
+    def next_block(b, qb, c):
+        def advance_qb():
+            nqb = qb + 1
+
+            def advance_b():
+                nb = b + 1
+                nb = lax.fori_loop(
+                    0,
+                    batch_size,
+                    lambda _, x: jnp.where(
+                        jnp.logical_and(
+                            x < batch_size,
+                            qlens_ref[lax.clamp(0, x, batch_size - 1)] == 0,
+                        ),
+                        x + 1,
+                        x,
+                    ),
+                    nb,
+                )
+                return (nb, 0, 0)
+
+            return lax.cond(
+                nqb * bq < qlens_ref[b], lambda: (b, nqb, 0), advance_b
+            )
+
+        return lax.cond(c * ck < limit_of(b, qb), lambda: (b, qb, c), advance_qb)
+
+    def live_pages(bb, qbb, cc):
+        n = limit_of(bb, qbb) - cc * ck + (ps - 1)
+        return lax.div(jnp.maximum(n, 0), ps)
+
+    def start_copy(bb, qbb, cc, slot):
+        layer = layer_ref[0]
+        npg = live_pages(bb, qbb, cc)
+        for i in range(pages_per_chunk):
+
+            @pl.when(i < npg)
+            def _():
+                page = pt_ref[bb * pmax + cc * pages_per_chunk + i]
+                pltpu.make_async_copy(
+                    kv_hbm_ref.at[layer, page, 0], k_buf.at[slot, i],
+                    sem.at[slot, 0],
+                ).start()
+                pltpu.make_async_copy(
+                    kv_hbm_ref.at[layer, page, 1], v_buf.at[slot, i],
+                    sem.at[slot, 1],
+                ).start()
+
+    def wait_copy(bb, qbb, cc, slot):
+        npg = live_pages(bb, qbb, cc)
+        for i in range(pages_per_chunk):
+
+            @pl.when(i < npg)
+            def _():
+                pltpu.make_async_copy(
+                    kv_hbm_ref.at[0, 0, 0], k_buf.at[slot, i], sem.at[slot, 0]
+                ).wait()
+                pltpu.make_async_copy(
+                    kv_hbm_ref.at[0, 0, 0], v_buf.at[slot, i], sem.at[slot, 1]
+                ).wait()
+
+    @pl.when(live)
+    def _live():
+        slot = buf_idx_ref[0]
+
+        @pl.when(init_ref[0] == 1)
+        def _first():
+            k_buf[...] = jnp.zeros_like(k_buf)
+            v_buf[...] = jnp.zeros_like(v_buf)
+            start_copy(b, qb, c, slot)
+
+        init_ref[0] = 0
+
+        @pl.when(c == 0)
+        def _init_state():
+            m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+            l_ref[...] = jnp.zeros_like(l_ref)
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        nb, nqb, nc = next_block(b, qb, c + 1)
+
+        @pl.when(nb < batch_size)
+        def _prefetch():
+            nslot = 1 - slot
+            start_copy(nb, nqb, nc, nslot)
+            buf_idx_ref[0] = nslot
+
+        wait_copy(b, qb, c, slot)
+        d = q_ref.shape[-1]
+        kc = k_buf[slot].reshape(fck * ck, k_buf.shape[-1])
+        vc = v_buf[slot].reshape(fck * ck, v_buf.shape[-1])
+        if kc.dtype != jnp.bfloat16:
+            kc = kc.astype(jnp.bfloat16)
+            vc = vc.astype(jnp.bfloat16)
+        prefix = kvlens_ref[b] - q_len
+        masks = [None] * fck  # one per class row (heads share within class)
+        for h in range(kvh):
+            ch = h // hph  # class row holding this head's K/V
+            qh = q_ref[:, h * g : (h + 1) * g, :].reshape(bq * g, d)
+            hl = (h % hph) * d
+            kh = kc[:, hl : hl + d]  # [fcK*ck, D] lane slice
+            qk = lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [BQ*G, fcK*ck]
+            qk = qk * sm_scale
+            if softcap:
+                qk = softcap * jnp.tanh(qk / softcap)
+            if masks[ch] is None:
+                j = lax.broadcasted_iota(jnp.int32, qk.shape, 1)
+                pos = c * ck + j // fck
+                right_class = (j % fck) == ch
+                t = lax.broadcasted_iota(jnp.int32, qk.shape, 0) // g
+                q_pos = prefix + qb * bq + t
+                win = window_ref[0]
+                low = jnp.where(win > 0, q_pos - win + 1, -(1 << 30))
+                masks[ch] = jnp.logical_and(
+                    jnp.logical_and(pos <= q_pos, pos >= low), right_class
+                )
+            qk = jnp.where(masks[ch], qk, MASK_VALUE)
+
+            m_prev = m_ref[h, :, :1]
+            l_prev = l_ref[h, :, :1]
+            m_cur = jnp.max(qk, axis=-1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_cur)
+            p = jnp.exp(qk - m_next)
+            l_cur = jnp.sum(p, axis=-1, keepdims=True)
+            alpha = jnp.exp(m_prev - m_next)
+            m_ref[h] = jnp.broadcast_to(m_next, m_ref.shape[1:])
+            l_ref[h] = jnp.broadcast_to(alpha * l_prev + l_cur, l_ref.shape[1:])
+
+            # probabilities are nonzero only at this head's class columns,
+            # so the dot picks exactly the matching V rows — no lane shift
+            pv = lax.dot_general(
+                p.astype(jnp.bfloat16),
+                vc[:, hl : hl + d],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_ref[h] = acc_ref[h] * alpha + pv
+
+            @pl.when((c + 1) * ck >= limit)
+            def _emit():
+                lh = l_ref[h, :, :1]
+                if has_sinks:
+                    sl = sink_ref[h * g : (h + 1) * g, :1]  # [g, 1]
+                    sl = jnp.broadcast_to(
+                        sl.reshape(1, g, 1), (bq, g, 1)
+                    ).reshape(bq * g, 1)
+                    lh = lh + jnp.exp(sl - m_ref[h, :, :1])
+                lh = jnp.where(lh == 0.0, 1.0, lh)
+                o_ref[:, h * g : (h + 1) * g, :] = (
+                    (acc_ref[h] / lh).reshape(bq, g, d).astype(o_ref.dtype)
+                )
 
 
 def _extend_kernel(
@@ -725,9 +1167,16 @@ def ragged_extend(
     if interpret is None:
         interpret = pallas_interpret_default()
     TQ, QH, D = q.shape
-    L, P, ps, fc, Xr = kv_cache.shape
-    KVH = fc * Xr // (2 * D)
-    assert fc in (2, 4) and Xr * fc == 2 * KVH * D and QH % KVH == 0
+    split = kv_cache.ndim == 6
+    if split:
+        L, P, _, ps, fc, Xr = kv_cache.shape  # fc = fcK, Xr = XrK
+        KVH = fc * Xr // D
+        assert fc in (2, 4) and Xr * fc == KVH * D and QH % KVH == 0
+        assert KVH % fc == 0, (KVH, fc)
+    else:
+        L, P, ps, fc, Xr = kv_cache.shape
+        KVH = fc * Xr // (2 * D)
+        assert fc in (2, 4) and Xr * fc == 2 * KVH * D and QH % KVH == 0
     G = QH // KVH
     BQ = block_q
     assert TQ % BQ == 0, (TQ, BQ)
@@ -777,12 +1226,21 @@ def ragged_extend(
             pltpu.VMEM((KVH, BQ * G, 128), jnp.float32),
             pltpu.VMEM((KVH, BQ * G, 128), jnp.float32),
             pltpu.VMEM((KVH, BQ * G, D), jnp.float32),
-            pltpu.VMEM((2, ppc, ps, fc, Xr), kv_cache.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        ] + (
+            [
+                pltpu.VMEM((2, ppc, ps, fc, Xr), kv_cache.dtype),
+                pltpu.VMEM((2, ppc, ps, fc, Xr), kv_cache.dtype),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ]
+            if split
+            else [
+                pltpu.VMEM((2, ppc, ps, fc, Xr), kv_cache.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]
+        ),
     )
     kernel = functools.partial(
-        _extend_kernel,
+        _extend_kernel_split if split else _extend_kernel,
         batch_size=B,
         bq=BQ,
         pages_per_chunk=ppc,
@@ -825,13 +1283,19 @@ def ragged_extend(
 
 
 def _gather_seq(kv_cache, page_table, layer, head_dim):
-    """[B, S, KVH, D] x2 from the v4 pool (S = pmax * ps)."""
-    L, P, ps, fc, Xr = kv_cache.shape
-    KVH = fc * Xr // (2 * head_dim)
+    """[B, S, KVH, D] x2 from the pool (S = pmax * ps), either layout."""
     layer = jnp.asarray(layer, jnp.int32)
     kvl = jax.lax.dynamic_index_in_dim(kv_cache, layer, 0, keepdims=False)
-    g = kvl[page_table]  # [B, pmax, ps, fc, Xr]
+    g = kvl[page_table]
     B = page_table.shape[0]
+    if kv_cache.ndim == 6:  # split [L, P, 2, ps, fcK, XrK]
+        _, _, _, ps, fck, XrK = kv_cache.shape
+        KVH = fck * XrK // head_dim
+        g = jnp.moveaxis(g, 2, 3)  # [B, pmax, ps, 2, fcK, XrK]
+        g = g.reshape(B, -1, 2, KVH, head_dim)
+        return g[:, :, 0], g[:, :, 1]
+    L, P, ps, fc, Xr = kv_cache.shape
+    KVH = fc * Xr // (2 * head_dim)
     half = fc // 2
     # classes: K rows first, V rows second; concat class lanes -> KVH*D
     g = g.reshape(B, -1, 2, half * Xr)
@@ -853,7 +1317,9 @@ def ragged_decode_xla(
 ) -> jax.Array:
     B, QS, QH, D = q.shape
     fc = kv_cache.shape[-2]
-    KVH = fc * kv_cache.shape[-1] // (2 * D)
+    KVH = fc * kv_cache.shape[-1] // (
+        D if kv_cache.ndim == 6 else 2 * D
+    )
     G = QH // KVH
     kg, vg = _gather_seq(kv_cache, page_table, layer, D)  # [B, S, KVH, D]
     qg = q.reshape(B, QS, KVH, G, D)
@@ -902,7 +1368,9 @@ def ragged_extend_xla(
     serving path — jit-compatible, no python data-dependent control flow)."""
     TQ, QH, D = q.shape
     fc = kv_cache.shape[-2]
-    KVH = fc * kv_cache.shape[-1] // (2 * D)
+    KVH = fc * kv_cache.shape[-1] // (
+        D if kv_cache.ndim == 6 else 2 * D
+    )
     G = QH // KVH
     B = page_table.shape[0]
     kg, vg = _gather_seq(kv_cache, page_table, layer, D)  # [B, S, KVH, D]

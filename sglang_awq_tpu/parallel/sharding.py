@@ -78,10 +78,13 @@ def param_pspecs(model, params: Dict[str, Any]) -> Dict[str, Any]:
     return specs
 
 
-def kv_pspec() -> P:
-    # v4 pool [L, pages, ps, 2, KVH*D]: shard the trailing lane dim (the
-    # per-head lanes).  Each shard's local [.., 2, KVH*D/s] block is a
-    # self-consistent v4 pool over its own KVH/s heads: writes come from
-    # the same shard's column-sharded qkv projection, reads stay local to
-    # the shard inside shard_map.
-    return P(STAGE_AXIS, None, None, None, MODEL_AXIS)
+def kv_pspec(ndim: int = 5) -> P:
+    # Shard the trailing lane dim (the per-head lanes): each shard's local
+    # block is a self-consistent pool over its own KVH/s heads — writes
+    # come from the same shard's column-sharded qkv projection, reads stay
+    # local to the shard inside shard_map.
+    #   combined (5D) [L, pages, ps, fc, KVH*D/(fc/2)]
+    #   split    (6D) [L, pages, 2, ps, fcK, KVH*D/fcK] — slicing XrK
+    #   slices each class row's heads, so the local pool keeps the
+    #   class-block head order the local qkv projection produces.
+    return P(*([STAGE_AXIS] + [None] * (ndim - 2) + [MODEL_AXIS]))

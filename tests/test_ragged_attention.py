@@ -461,3 +461,142 @@ def test_ragged_extend_attention_sinks():
     np.testing.assert_allclose(
         np.asarray(out)[live], np.asarray(ref)[live], rtol=2e-2, atol=2e-2
     )
+
+
+# ---------------------------------------------------------------------------
+# split K/V pool layout (round-2 v5): [L, P, 2, ps, fcK, XrK]
+# ---------------------------------------------------------------------------
+
+
+def _split_pool(seed=0):
+    k = jax.random.PRNGKey(seed)
+    return jax.random.normal(
+        k, (L, PAGES, 2, PS, 2, KVH * D // 2), jnp.float32
+    ).astype(jnp.bfloat16)
+
+
+def test_split_pool_spec_shape():
+    spec = KVPoolSpec(L, KVH, PAGES, PS, D)
+    assert spec.layout == "split"
+    assert spec.shape == (L, PAGES, 2, PS, 2, KVH * D // 2)
+    mla = KVPoolSpec(L, 1, PAGES, PS, 8 * D)
+    assert mla.layout == "combined"
+
+
+def test_split_write_kv_roundtrip():
+    spec = KVPoolSpec(L, KVH, PAGES, PS, D)
+    kv = spec.alloc()
+    rng = np.random.default_rng(11)
+    T = 6
+    k_new = jnp.asarray(rng.normal(size=(T, KVH, D)), jnp.bfloat16)
+    v_new = jnp.asarray(rng.normal(size=(T, KVH, D)), jnp.bfloat16)
+    slots = np.array([3, 9, 17, PAD_SLOT, 40, 70], np.int32)
+    kv = write_kv(kv, k_new, v_new, jnp.asarray(slots), 1, mode="decode")
+    got_k, got_v = np.asarray(kv[1, :, 0]), np.asarray(kv[1, :, 1])
+    for i, s in enumerate(slots):
+        if s == PAD_SLOT:
+            continue
+        page, off = s // PS, s % PS
+        np.testing.assert_array_equal(
+            got_k[page, off].reshape(KVH, D),
+            np.asarray(k_new[i], np.float32).astype(np.float32).astype(
+                got_k.dtype
+            ),
+        )
+        np.testing.assert_array_equal(
+            got_v[page, off].reshape(KVH, D), np.asarray(v_new[i])
+        )
+    assert not np.any(np.asarray(kv[0]))  # other layer untouched
+
+
+@pytest.mark.parametrize("qs", [1, 3])
+def test_split_ragged_decode_matches_xla(qs):
+    kv = _split_pool(12)
+    rng = np.random.default_rng(12)
+    B, pmax = 4, 4
+    lengths = np.array([11, qs, 0, 32], np.int32)
+    page_table = rng.integers(0, PAGES, size=(B, pmax)).astype(np.int32)
+    q = jnp.asarray(rng.normal(size=(B, qs, QH, D)), jnp.bfloat16)
+    for W, sinks in ((0, None), (9, None),
+                     (0, jnp.asarray(rng.normal(size=(QH,)), jnp.float32))):
+        out = ragged_decode(
+            q, kv, jnp.asarray(page_table), jnp.asarray(lengths), 1,
+            sm_scale=0.125, pages_per_chunk=2, interpret=True, window=W,
+            sinks=sinks,
+        )
+        ref = ragged_decode_xla(
+            q, kv, jnp.asarray(page_table), jnp.asarray(lengths), 1,
+            sm_scale=0.125, window=W, sinks=sinks,
+        )
+        live = lengths > 0
+        np.testing.assert_allclose(
+            np.asarray(out)[live], np.asarray(ref)[live],
+            rtol=2e-2, atol=2e-2, err_msg=f"W={W}",
+        )
+
+
+def test_split_ragged_extend_matches_xla():
+    kv = _split_pool(13)
+    rng = np.random.default_rng(13)
+    BQ = 16
+    q_lens = np.array([5, 16, 3, 0], np.int32)
+    prefixes = np.array([8, 0, 16, 0], np.int32)
+    kv_lens = q_lens + prefixes
+    B, pmax = 4, 8
+    page_table = rng.integers(0, PAGES, size=(B, pmax)).astype(np.int32)
+    qb_base = np.zeros(B, np.int32)
+    off = 0
+    for i in range(B):
+        qb_base[i] = off // BQ
+        off += (int(q_lens[i]) + BQ - 1) // BQ * BQ
+    TQ = max(off, BQ)
+    q = jnp.asarray(rng.normal(size=(TQ, QH, D)), jnp.bfloat16)
+    args = (
+        jnp.asarray(page_table), jnp.asarray(kv_lens),
+        jnp.asarray(q_lens), jnp.asarray(qb_base), 0,
+    )
+    for W, sinks in ((0, None), (7, None),
+                     (0, jnp.asarray(rng.normal(size=(QH,)), jnp.float32))):
+        out = ragged_extend(q, kv, *args, sm_scale=0.125, block_q=BQ,
+                            pages_per_chunk=2, interpret=True, window=W,
+                            sinks=sinks)
+        ref = ragged_extend_xla(q, kv, *args, sm_scale=0.125, block_q=BQ,
+                                window=W, sinks=sinks)
+        live = np.zeros(TQ, bool)
+        for i in range(B):
+            s = int(qb_base[i]) * BQ
+            live[s : s + int(q_lens[i])] = True
+        np.testing.assert_allclose(
+            np.asarray(out)[live], np.asarray(ref)[live],
+            rtol=2e-2, atol=2e-2, err_msg=f"W={W}",
+        )
+
+
+def test_split_extend_then_decode_consistency():
+    """Write a prefix through write_kv(prefill), extend over it, then a
+    decode step — all on the split pool."""
+    spec = KVPoolSpec(L, KVH, PAGES, PS, D)
+    kv = spec.alloc()
+    rng = np.random.default_rng(14)
+    S0 = PS * 2  # two full pages of prefix
+    k0 = jnp.asarray(rng.normal(size=(S0, KVH, D)), jnp.bfloat16)
+    v0 = jnp.asarray(rng.normal(size=(S0, KVH, D)), jnp.bfloat16)
+    pages = [2, 5]
+    slots = np.concatenate(
+        [np.arange(PS) + p * PS for p in pages]
+    ).astype(np.int32)
+    kv = write_kv(kv, k0, v0, jnp.asarray(slots), 0, mode="prefill")
+    # decode one more token at page 7 slot 0
+    k1 = jnp.asarray(rng.normal(size=(1, KVH, D)), jnp.bfloat16)
+    v1 = jnp.asarray(rng.normal(size=(1, KVH, D)), jnp.bfloat16)
+    kv = write_kv(kv, k1, v1, jnp.asarray([7 * PS], np.int32), 0,
+                  mode="decode")
+    pt = jnp.asarray(np.array([[2, 5, 7]], np.int32))
+    lengths = jnp.asarray([S0 + 1], jnp.int32)
+    q = jnp.asarray(rng.normal(size=(1, 1, QH, D)), jnp.bfloat16)
+    out = ragged_decode(q, kv, pt, lengths, 0, sm_scale=0.125,
+                        pages_per_chunk=2, interpret=True)
+    ref = ragged_decode_xla(q, kv, pt, lengths, 0, sm_scale=0.125)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-2, atol=2e-2
+    )
