@@ -51,6 +51,7 @@ def get_model_class(architecture: str):
     from sglang_awq_tpu.models.gpt_oss import GptOssForCausalLM
     from sglang_awq_tpu.models.olmoe import OlmoeForCausalLM
     from sglang_awq_tpu.models.exaone4 import Exaone4ForCausalLM
+    from sglang_awq_tpu.models.glm4_moe import Glm4MoeForCausalLM
 
     registry: Dict[str, Type] = {
         "LlamaForCausalLM": LlamaForCausalLM,
@@ -87,6 +88,7 @@ def get_model_class(architecture: str):
         "GptOssForCausalLM": GptOssForCausalLM,
         "OlmoeForCausalLM": OlmoeForCausalLM,
         "Exaone4ForCausalLM": Exaone4ForCausalLM,
+        "Glm4MoeForCausalLM": Glm4MoeForCausalLM,
     }
     if architecture not in registry:
         raise ValueError(

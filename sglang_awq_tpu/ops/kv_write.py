@@ -44,6 +44,7 @@ def _kv_write_tokens_kernel(
     sem,
     *,
     num_slots: int,
+    unroll: bool,
 ):
     layer = layer_ref[0]
     ps = kv_hbm.shape[2]
@@ -53,7 +54,7 @@ def _kv_write_tokens_kernel(
         s = slots_ref[i]
         return (s >= 0) & (s < num_slots)
 
-    def start(i, _):
+    def start(i, _=None):
         @pl.when(live(i))
         def _():
             s = slots_ref[i]
@@ -65,7 +66,7 @@ def _kv_write_tokens_kernel(
 
         return 0
 
-    def wait(i, _):
+    def wait(i, _=None):
         @pl.when(live(i))
         def _():
             pltpu.make_async_copy(
@@ -74,8 +75,16 @@ def _kv_write_tokens_kernel(
 
         return 0
 
-    lax.fori_loop(0, T, start, 0)
-    lax.fori_loop(0, T, wait, 0)
+    if unroll:
+        # static unroll: fori_loop machinery cost ~0.7 us per scattered row
+        # copy (41x the unrolled form, measured on v5e)
+        for i in range(T):
+            start(i)
+        for i in range(T):
+            wait(i)
+    else:
+        lax.fori_loop(0, T, start, 0)
+        lax.fori_loop(0, T, wait, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -101,7 +110,14 @@ def kv_write_tokens(
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[pltpu.SemaphoreType.DMA],
     )
-    kernel = functools.partial(_kv_write_tokens_kernel, num_slots=P * ps)
+    import os
+
+    kernel = functools.partial(
+        _kv_write_tokens_kernel,
+        num_slots=P * ps,
+        unroll=kv_new.shape[0] <= 128
+        and os.environ.get("SGLT_KVW_UNROLL", "1") != "0",
+    )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -134,7 +150,7 @@ def _kv_write_prefill_kernel(
         p = pages_ref[j]
         return (p >= 0) & (p < num_pages)
 
-    def start(j, _):
+    def start(j, _=None):
         @pl.when(live(j))
         def _():
             pltpu.make_async_copy(
@@ -145,7 +161,7 @@ def _kv_write_prefill_kernel(
 
         return 0
 
-    def wait(j, _):
+    def wait(j, _=None):
         @pl.when(live(j))
         def _():
             pltpu.make_async_copy(
@@ -154,8 +170,14 @@ def _kv_write_prefill_kernel(
 
         return 0
 
-    lax.fori_loop(0, pages_ref.shape[0], start, 0)
-    lax.fori_loop(0, pages_ref.shape[0], wait, 0)
+    if pages_ref.shape[0] <= 64:
+        for j in range(pages_ref.shape[0]):
+            start(j)
+        for j in range(pages_ref.shape[0]):
+            wait(j)
+    else:
+        lax.fori_loop(0, pages_ref.shape[0], start, 0)
+        lax.fori_loop(0, pages_ref.shape[0], wait, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -215,6 +237,7 @@ def _kv_write_tokens_split_kernel(
     sem,
     *,
     num_slots: int,
+    unroll: bool,
 ):
     layer = layer_ref[0]
     ps = kv_hbm.shape[3]
@@ -224,7 +247,7 @@ def _kv_write_tokens_split_kernel(
         s = slots_ref[i]
         return (s >= 0) & (s < num_slots)
 
-    def start(i, _):
+    def start(i, _=None):
         @pl.when(live(i))
         def _():
             s = slots_ref[i]
@@ -241,7 +264,7 @@ def _kv_write_tokens_split_kernel(
 
         return 0
 
-    def wait(i, _):
+    def wait(i, _=None):
         @pl.when(live(i))
         def _():
             for _ in range(2):
@@ -251,8 +274,17 @@ def _kv_write_tokens_split_kernel(
 
         return 0
 
-    lax.fori_loop(0, T, start, 0)
-    lax.fori_loop(0, T, wait, 0)
+    if unroll:
+        # static unroll: issue cost dominates scattered row writes (~0.7 us
+        # per copy measured inside the fori_loop form — loop + dynamic-src
+        # machinery); static src indices cut the scalar work per copy
+        for i in range(T):
+            start(i)
+        for i in range(T):
+            wait(i)
+    else:
+        lax.fori_loop(0, T, start, 0)
+        lax.fori_loop(0, T, wait, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -280,7 +312,14 @@ def kv_write_tokens_split(
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[pltpu.SemaphoreType.DMA],
     )
-    kernel = functools.partial(_kv_write_tokens_split_kernel, num_slots=P * ps)
+    import os
+
+    kernel = functools.partial(
+        _kv_write_tokens_split_kernel,
+        num_slots=P * ps,
+        unroll=k_new.shape[0] <= 128
+        and os.environ.get("SGLT_KVW_UNROLL", "1") != "0",
+    )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -315,7 +354,7 @@ def _kv_write_prefill_split_kernel(
         p = pages_ref[j]
         return (p >= 0) & (p < num_pages)
 
-    def start(j, _):
+    def start(j, _=None):
         @pl.when(live(j))
         def _():
             pltpu.make_async_copy(
@@ -331,7 +370,7 @@ def _kv_write_prefill_split_kernel(
 
         return 0
 
-    def wait(j, _):
+    def wait(j, _=None):
         @pl.when(live(j))
         def _():
             for _ in range(2):
@@ -341,8 +380,14 @@ def _kv_write_prefill_split_kernel(
 
         return 0
 
-    lax.fori_loop(0, pages_ref.shape[0], start, 0)
-    lax.fori_loop(0, pages_ref.shape[0], wait, 0)
+    if pages_ref.shape[0] <= 64:
+        for j in range(pages_ref.shape[0]):
+            start(j)
+        for j in range(pages_ref.shape[0]):
+            wait(j)
+    else:
+        lax.fori_loop(0, pages_ref.shape[0], start, 0)
+        lax.fori_loop(0, pages_ref.shape[0], wait, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

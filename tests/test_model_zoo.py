@@ -849,3 +849,37 @@ def test_exaone4_matches_hf():
     ).eval()
     rng = np.random.default_rng(0)
     _check_vs_hf(hf, cfg, rng.integers(3, 500, 19).tolist())
+
+
+def test_glm4_moe_matches_hf():
+    """GLM-4.5/4.6 MoE: GLM attention (interleaved partial rotary) +
+    DeepSeek-V3 noaux-tc routing with shared experts and first-k-dense
+    (models/glm4_moe.py)."""
+    import torch
+    from transformers import Glm4MoeConfig, Glm4MoeForCausalLM
+
+    cfg = dict(
+        architectures=["Glm4MoeForCausalLM"],
+        vocab_size=512, hidden_size=256, num_hidden_layers=3,
+        num_attention_heads=8, num_key_value_heads=4, head_dim=32,
+        intermediate_size=384, moe_intermediate_size=96,
+        n_routed_experts=4, n_shared_experts=1, num_experts_per_tok=2,
+        first_k_dense_replace=1, n_group=2, topk_group=1,
+        norm_topk_prob=True, routed_scaling_factor=1.5,
+        partial_rotary_factor=0.5, use_qk_norm=True, attention_bias=True,
+        rms_norm_eps=1e-5, rope_theta=10000.0,
+        max_position_embeddings=256, tie_word_embeddings=False,
+        bos_token_id=1, eos_token_id=2,
+    )
+    torch.manual_seed(0)
+    hf = Glm4MoeForCausalLM(
+        Glm4MoeConfig(**{k: v for k, v in cfg.items()
+                         if k != "architectures"})
+    ).eval()
+    with torch.no_grad():
+        g = torch.Generator().manual_seed(1)
+        for name, b in hf.named_buffers():
+            if "e_score_correction_bias" in name:
+                b.copy_(torch.randn(b.shape, generator=g) * 0.5)
+    rng = np.random.default_rng(0)
+    _check_vs_hf(hf, cfg, rng.integers(3, 500, 21).tolist())
