@@ -396,6 +396,9 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         if self.topk_method == "noaux_tc":  # DeepSeek-V3
             scores = jax.nn.sigmoid(logits)
             choice = scores + lp["router_bias"][li][None, :]
+        elif self.topk_method == "noaux_softmax":  # ERNIE 4.5 MoE
+            scores = jax.nn.softmax(logits, axis=-1)
+            choice = scores + lp["router_bias"][li][None, :]
         else:
             scores = jax.nn.softmax(logits, axis=-1)
             choice = scores

@@ -144,3 +144,17 @@ class Glm4MoeForCausalLM(LlamaForCausalLM):
                     for l in range(k, L)
                 ]), jnp.float32)
         return out
+
+
+@dataclasses.dataclass
+class Dots1ForCausalLM(Glm4MoeForCausalLM):
+    """rednote-hilab dots.llm1.  Role model: reference
+    `python/sglang/srt/models/dots_vlm.py` text stack / model-zoo coverage.
+    The GLM-4-MoE graph with Qwen3-style ALWAYS-ON per-head q/k RMSNorm and
+    full (non-partial) standard rotary."""
+
+    def __post_init__(self):
+        hf = self.config.hf_config
+        hf.setdefault("partial_rotary_factor", 1.0)
+        hf["use_qk_norm"] = True
+        super().__post_init__()

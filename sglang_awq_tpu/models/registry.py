@@ -51,7 +51,11 @@ def get_model_class(architecture: str):
     from sglang_awq_tpu.models.gpt_oss import GptOssForCausalLM
     from sglang_awq_tpu.models.olmoe import OlmoeForCausalLM
     from sglang_awq_tpu.models.exaone4 import Exaone4ForCausalLM
-    from sglang_awq_tpu.models.glm4_moe import Glm4MoeForCausalLM
+    from sglang_awq_tpu.models.glm4_moe import (
+        Dots1ForCausalLM,
+        Glm4MoeForCausalLM,
+    )
+    from sglang_awq_tpu.models.ernie45_moe import Ernie45MoeForCausalLM
 
     registry: Dict[str, Type] = {
         "LlamaForCausalLM": LlamaForCausalLM,
@@ -89,6 +93,8 @@ def get_model_class(architecture: str):
         "OlmoeForCausalLM": OlmoeForCausalLM,
         "Exaone4ForCausalLM": Exaone4ForCausalLM,
         "Glm4MoeForCausalLM": Glm4MoeForCausalLM,
+        "Ernie4_5_MoeForCausalLM": Ernie45MoeForCausalLM,
+        "Dots1ForCausalLM": Dots1ForCausalLM,
     }
     if architecture not in registry:
         raise ValueError(

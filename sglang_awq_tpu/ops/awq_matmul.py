@@ -255,24 +255,40 @@ def _awq_matmul_kernel(
         o_ref[:] = acc
         return
 
-    # Unpack: [1, PB/2, BN] uint8 -> [PB, BN] bf16 in original row order.
-    w8 = qw_ref[0].astype(jnp.int32)
-    w = jnp.concatenate([w8 & 0xF, w8 >> 4], axis=0)
-    wb = w.astype(jnp.bfloat16)  # nibble values 0..15, exact in bf16
-
-    if pack_block >= group_size:
+    if pack_block >= group_size and sr >= 2:
+        # Unpack PER GROUP, interleaved with the dots: group i's dot only
+        # depends on group i's unpack, so Mosaic's scheduler overlaps the
+        # VPU dequant of group i+1 with the MXU dot of group i.  (The
+        # previous whole-tile unpack -> all-dots structure serialized the
+        # two units: ~265 us/layer vs ~150 at max(DMA, MXU) floor.)
+        # Byte row r packs logical rows r (lo nibble) and r + PB/2 (hi).
         g = group_size
-        acc = o_ref[:]
+        sr2 = sr // 2
+        # two accumulators break the serial add chain (more MXU/VPU ILP)
+        acc = [o_ref[:], None]
         for i in range(sr):
+            if i < sr2:
+                w8 = qw_ref[0, i * g : (i + 1) * g, :].astype(jnp.int32)
+                wb = (w8 & 0xF).astype(jnp.bfloat16)
+            else:
+                w8 = qw_ref[0, (i - sr2) * g : (i - sr2 + 1) * g, :].astype(
+                    jnp.int32
+                )
+                wb = (w8 >> 4).astype(jnp.bfloat16)
             part = jnp.dot(
                 x[:, i * g : (i + 1) * g],
-                wb[i * g : (i + 1) * g, :],
+                wb,
                 preferred_element_type=jnp.float32,
             )
-            acc = acc + part * s_ref[0, i : i + 1, :]
-        o_ref[:] = acc
+            term = part * s_ref[0, i : i + 1, :]
+            j = i % 2
+            acc[j] = term if acc[j] is None else acc[j] + term
+        o_ref[:] = acc[0] if acc[1] is None else acc[0] + acc[1]
     else:
-        # whole k-tile lies inside one quantization group
+        # whole k-tile inside one group (pack_block <= group_size, or the
+        # sr == 1 edge where a single group needs both nibble halves)
+        w8 = qw_ref[0].astype(jnp.int32)
+        wb = jnp.concatenate([w8 & 0xF, w8 >> 4], axis=0).astype(jnp.bfloat16)
         part = jnp.dot(x, wb, preferred_element_type=jnp.float32)
         o_ref[:] += part * s_ref[0, :1, :]
 

@@ -883,3 +883,65 @@ def test_glm4_moe_matches_hf():
                 b.copy_(torch.randn(b.shape, generator=g) * 0.5)
     rng = np.random.default_rng(0)
     _check_vs_hf(hf, cfg, rng.integers(3, 500, 21).tolist())
+
+
+def test_ernie45_moe_matches_hf():
+    """ERNIE 4.5 MoE: softmax noaux routing with correction bias, shared
+    experts, dense layer 0, interleaved rotary (models/ernie45_moe.py)."""
+    import torch
+    from transformers import Ernie4_5_MoeConfig, Ernie4_5_MoeForCausalLM
+
+    cfg = dict(
+        architectures=["Ernie4_5_MoeForCausalLM"],
+        vocab_size=512, hidden_size=256, num_hidden_layers=3,
+        num_attention_heads=8, num_key_value_heads=4,
+        intermediate_size=384, moe_intermediate_size=96,
+        moe_num_experts=4, moe_k=2, moe_num_shared_experts=1,
+        moe_layer_start_index=1, moe_layer_end_index=2,
+        use_bias=False, rms_norm_eps=1e-5, rope_theta=10000.0,
+        max_position_embeddings=256, tie_word_embeddings=False,
+        bos_token_id=1, eos_token_id=2,
+    )
+    torch.manual_seed(0)
+    hf = Ernie4_5_MoeForCausalLM(
+        Ernie4_5_MoeConfig(**{k: v for k, v in cfg.items()
+                              if k != "architectures"})
+    ).eval()
+    with torch.no_grad():
+        g = torch.Generator().manual_seed(1)
+        for name, p in hf.named_parameters():
+            if "e_score_correction_bias" in name:
+                p.copy_(torch.randn(p.shape, generator=g) * 0.5)
+    rng = np.random.default_rng(0)
+    _check_vs_hf(hf, cfg, rng.integers(3, 500, 21).tolist())
+
+
+def test_dots1_matches_hf():
+    """dots.llm1: Qwen3-style qk-norm attention + DeepSeek-V3 noaux MoE
+    (models/glm4_moe.py Dots1ForCausalLM)."""
+    import torch
+    from transformers import Dots1Config, Dots1ForCausalLM
+
+    cfg = dict(
+        architectures=["Dots1ForCausalLM"],
+        vocab_size=512, hidden_size=256, num_hidden_layers=3,
+        num_attention_heads=8, num_key_value_heads=4, head_dim=32,
+        intermediate_size=384, moe_intermediate_size=96,
+        n_routed_experts=4, n_shared_experts=1, num_experts_per_tok=2,
+        first_k_dense_replace=1, n_group=2, topk_group=1,
+        norm_topk_prob=True, routed_scaling_factor=2.0,
+        attention_bias=False, rms_norm_eps=1e-5, rope_theta=10000.0,
+        max_position_embeddings=256, tie_word_embeddings=False,
+        bos_token_id=1, eos_token_id=2,
+    )
+    torch.manual_seed(0)
+    hf = Dots1ForCausalLM(
+        Dots1Config(**{k: v for k, v in cfg.items() if k != "architectures"})
+    ).eval()
+    with torch.no_grad():
+        g = torch.Generator().manual_seed(1)
+        for name, b in hf.named_buffers():
+            if "e_score_correction_bias" in name:
+                b.copy_(torch.randn(b.shape, generator=g) * 0.5)
+    rng = np.random.default_rng(0)
+    _check_vs_hf(hf, cfg, rng.integers(3, 500, 21).tolist())
