@@ -71,6 +71,25 @@ class ModelConfig:
 
     def __post_init__(self):
         c = self.hf_config
+        if "d_model" in c and "hidden_size" not in c:
+            # DBRX-style naming (d_model / n_heads / nested sub-configs)
+            c = self.hf_config = dict(c)
+            ac = c.get("attn_config") or {}
+            fc = c.get("ffn_config") or {}
+            ac = ac.to_dict() if hasattr(ac, "to_dict") else dict(ac)
+            fc = fc.to_dict() if hasattr(fc, "to_dict") else dict(fc)
+            c["attn_config"], c["ffn_config"] = ac, fc
+            c["hidden_size"] = c["d_model"]
+            c.setdefault("num_hidden_layers", c.get("n_layers"))
+            c["num_attention_heads"] = c["n_heads"]
+            c["num_key_value_heads"] = ac.get("kv_n_heads", c["n_heads"])
+            c["rope_theta"] = ac.get("rope_theta", 10000.0)
+            if ac.get("clip_qkv"):
+                c["clip_qkv"] = ac["clip_qkv"]
+            c["intermediate_size"] = fc.get("ffn_hidden_size")
+            c.setdefault(
+                "max_position_embeddings", c.get("max_seq_len", 4096)
+            )
         if self.quant_config is None and c.get("quantization_config"):
             # direct construction path (tests/bench) — detect inline config
             self.quant_config = detect_quant_config("", c)

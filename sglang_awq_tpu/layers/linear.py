@@ -69,7 +69,11 @@ class LinearSpec:
             if mode in ("cast", "magic"):
                 unpack = mode if pb % 8 == 0 or mode == "cast" else "cast"
             else:
-                unpack = "magic" if n_local >= 16384 and pb % 8 == 0 else "cast"
+                # interleaved per-group cast unpack beats magic everywhere
+                # now (gate_up 9.08 vs 9.21 ms/step in-context A/B); magic
+                # stays available via SGLT_AWQ_UNPACK / SGLT_AWQ_TUNE
+                unpack = "cast"
+            del n_local
             # Per-projection kernel overrides for perf A/Bs:
             #   SGLT_AWQ_TUNE="qkv=cast:1024:2048,down=magic:2048:1024"
             # (name=unpack:pack_block:block_n; 0 keeps the heuristic value).

@@ -49,6 +49,7 @@ class LlamaForCausalLM:
     qkv_bias: bool = False  # Qwen2 sets True
     qk_norm: bool = False  # Qwen3: per-head RMSNorm on q and k before RoPE
     qk_norm_full: bool = False  # OLMoE: RMSNorm over the FLAT q / k vectors
+    qk_norm_post_rope: bool = False  # HunYuan: per-head norm AFTER RoPE
     embed_multiplier: float = 1.0  # Gemma scales embeddings by sqrt(H)
     residual_multiplier: float = 1.0  # Granite scales sub-block outputs
     rope_interleaved: bool = False  # Helium/Cohere-style (2i, 2i+1) pairs
@@ -56,6 +57,7 @@ class LlamaForCausalLM:
     layer_windows: tuple = None  # per-layer sliding window (0/None = full)
     attn_softcap: float = 0.0  # Gemma2 attn-logit softcapping
     attn_sinks: bool = False  # GPT-OSS learned per-head sink logits
+    qkv_clip: float = 0.0  # clamp fused qkv outputs (OLMo/DBRX clip_qkv)
     pp_size: int = 1  # pipeline stages over the "stage" mesh axis
     stage_axis: Optional[str] = None
 
@@ -243,6 +245,10 @@ class LlamaForCausalLM:
             return 0
         return jnp.asarray(np.asarray(self.layer_windows, np.int32))[l]
 
+    def _norm(self, x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
+        """Pre/post-attention norm; DBRX overrides with LayerNorm."""
+        return rms_norm(x, w, eps)
+
     def _rms_full(self, x: jax.Array, w: jax.Array, eps: float) -> jax.Array:
         """RMSNorm over a flat head-sharded vector (OLMoE q/k norms): the
         mean square crosses TP shards, so psum the local sum of squares;
@@ -304,12 +310,14 @@ class LlamaForCausalLM:
         T = x.shape[0]
         D = self.head_dim
 
-        h = rms_norm(x, lp["input_norm"][l], c.rms_norm_eps)
+        h = self._norm(x, lp["input_norm"][l], c.rms_norm_eps)
         qkv = linear_apply(self.specs["qkv"], lp["qkv"], h, l)
         if lora is not None:
             qkv = qkv + self._lora_delta(lora, "qkv", h, l, lora_idx)
         if "bias" in lp["qkv"]:
             qkv = qkv + lp["qkv"]["bias"][l]
+        if self.qkv_clip:
+            qkv = jnp.clip(qkv, -self.qkv_clip, self.qkv_clip)
         q, k, v = jnp.split(
             qkv, [self.qh * D, (self.qh + self.kvh) * D], axis=-1
         )
@@ -322,13 +330,16 @@ class LlamaForCausalLM:
         q = q.reshape(T, self.qh, D)
         k = k.reshape(T, self.kvh, D)
         v = v.reshape(T, self.kvh, D)
-        if self.qk_norm:
+        if self.qk_norm and not self.qk_norm_post_rope:
             q = rms_norm(q, lp["q_norm"][l], c.rms_norm_eps)
             k = rms_norm(k, lp["k_norm"][l], c.rms_norm_eps)
         if self.rope_interleaved:
             perm = jnp.asarray(self._rope_perm)
             q, k = q[..., perm], k[..., perm]
         q, k = apply_rope(q, k, positions, self._rope_for_layer(rope_tab, l))
+        if self.qk_norm and self.qk_norm_post_rope:
+            q = rms_norm(q, lp["q_norm"][l], c.rms_norm_eps)
+            k = rms_norm(k, lp["k_norm"][l], c.rms_norm_eps)
 
         attn = attn_fn(q, k, v, l)  # [T, QH, D] f32
         attn = attn.reshape(T, self.qh * D).astype(jnp.bfloat16)
@@ -341,7 +352,7 @@ class LlamaForCausalLM:
             oc = oc + lp["o"]["bias"][l].astype(jnp.float32)
         x = x + (oc * rm if rm != 1.0 else oc).astype(x.dtype)
 
-        h2 = rms_norm(x, lp["post_norm"][l], c.rms_norm_eps)
+        h2 = self._norm(x, lp["post_norm"][l], c.rms_norm_eps)
         d = self._mlp(lp, h2, l, lora=lora, lora_idx=lora_idx)
         dc = self._maybe_psum(d.astype(jnp.float32))
         x = x + (dc * rm if rm != 1.0 else dc).astype(x.dtype)
@@ -361,7 +372,7 @@ class LlamaForCausalLM:
         return d
 
     def _final_norm(self, params, h: jax.Array) -> jax.Array:
-        return rms_norm(h, params["final_norm"], self.config.rms_norm_eps)
+        return self._norm(h, params["final_norm"], self.config.rms_norm_eps)
 
     def _logits(self, params, h: jax.Array) -> jax.Array:
         h = self._final_norm(params, h)

@@ -119,7 +119,8 @@ class Olmo2ForCausalLM(LlamaForCausalLM):
         q = q.reshape(T, self.qh, D)
         k = k.reshape(T, self.kvh, D)
         v = v.reshape(T, self.kvh, D)
-        q, k = apply_rope(q, k, positions, rope_tab)
+        q, k = apply_rope(q, k, positions,
+                          self._rope_for_layer(rope_tab, l))
 
         attn = attn_fn(q, k, v, l)
         attn = attn.reshape(T, self.qh * D).astype(jnp.bfloat16)
@@ -135,3 +136,45 @@ class Olmo2ForCausalLM(LlamaForCausalLM):
         d = rms_norm(d, lp["post_ffw_norm"][l], c.rms_norm_eps)
         x = x + d.astype(x.dtype)
         return x
+
+
+@dataclasses.dataclass
+class Olmo3ForCausalLM(Olmo2ForCausalLM):
+    """OLMo 3.  Role model: reference model-zoo coverage (olmo lineage).
+    The OLMo-2 post-norm / full-width-qk-norm graph with 3-of-4 sliding-
+    window layers; when rope_scaling is set it applies to the GLOBAL
+    (full-attention) layers only — sliding layers keep default rope
+    (dual rope tables selected per layer)."""
+
+    def __post_init__(self):
+        super().__post_init__()
+        c = self.config
+        hf = c.hf_config
+        sw = int(hf.get("sliding_window") or 0)
+        lt = hf.get("layer_types") or [
+            "full_attention" if (i + 1) % 4 == 0 else "sliding_attention"
+            for i in range(c.num_layers)
+        ]
+        if sw:
+            self.layer_windows = tuple(
+                sw if t == "sliding_attention" else 0 for t in lt
+            )
+        # table 0 = scaled rope (global layers), table 1 = default rope
+        self._rope_idx = tuple(
+            0 if t == "full_attention" else 1 for t in lt
+        )
+
+    def rope(self):
+        from sglang_awq_tpu.layers.rotary import rope_table
+
+        c = self.config
+        scaled = super().rope()
+        plain = rope_table(
+            c.context_length, self.head_dim, c.rope_theta, None,
+            trained_max=c.max_position_embeddings,
+        )
+        return jnp.stack([scaled, plain])
+
+    def _rope_for_layer(self, rope_tab, l):
+        idx = jnp.asarray(np.asarray(self._rope_idx, np.int32))[l]
+        return rope_tab[idx]

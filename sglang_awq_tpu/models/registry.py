@@ -24,7 +24,10 @@ def get_model_class(architecture: str):
         GraniteForCausalLM,
         GraniteMoeForCausalLM,
     )
-    from sglang_awq_tpu.models.olmo2 import Olmo2ForCausalLM
+    from sglang_awq_tpu.models.olmo2 import (
+        Olmo2ForCausalLM,
+        Olmo3ForCausalLM,
+    )
     from sglang_awq_tpu.models.phi3 import Phi3ForCausalLM
     from sglang_awq_tpu.models.qwen2 import Qwen2ForCausalLM, Qwen3ForCausalLM
     from sglang_awq_tpu.models.smollm3 import SmolLM3ForCausalLM
@@ -56,6 +59,9 @@ def get_model_class(architecture: str):
         Glm4MoeForCausalLM,
     )
     from sglang_awq_tpu.models.ernie45_moe import Ernie45MoeForCausalLM
+    from sglang_awq_tpu.models.dbrx import DbrxForCausalLM
+    from sglang_awq_tpu.models.hunyuan import HunYuanDenseV1ForCausalLM
+    from sglang_awq_tpu.models.apertus import ApertusForCausalLM
 
     registry: Dict[str, Type] = {
         "LlamaForCausalLM": LlamaForCausalLM,
@@ -68,6 +74,7 @@ def get_model_class(architecture: str):
         "Qwen3MoeForCausalLM": Qwen3MoeForCausalLM,
         "Phi3ForCausalLM": Phi3ForCausalLM,
         "Olmo2ForCausalLM": Olmo2ForCausalLM,
+        "Olmo3ForCausalLM": Olmo3ForCausalLM,
         "OlmoForCausalLM": OlmoForCausalLM,
         "HeliumForCausalLM": HeliumForCausalLM,
         "SmolLM3ForCausalLM": SmolLM3ForCausalLM,
@@ -95,6 +102,9 @@ def get_model_class(architecture: str):
         "Glm4MoeForCausalLM": Glm4MoeForCausalLM,
         "Ernie4_5_MoeForCausalLM": Ernie45MoeForCausalLM,
         "Dots1ForCausalLM": Dots1ForCausalLM,
+        "DbrxForCausalLM": DbrxForCausalLM,
+        "HunYuanDenseV1ForCausalLM": HunYuanDenseV1ForCausalLM,
+        "ApertusForCausalLM": ApertusForCausalLM,
     }
     if architecture not in registry:
         raise ValueError(

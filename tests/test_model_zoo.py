@@ -945,3 +945,103 @@ def test_dots1_matches_hf():
                 b.copy_(torch.randn(b.shape, generator=g) * 0.5)
     rng = np.random.default_rng(0)
     _check_vs_hf(hf, cfg, rng.integers(3, 500, 21).tolist())
+
+
+def test_dbrx_matches_hf():
+    """DBRX: weight-only LayerNorm, fused clipped Wqkv, stacked-param
+    experts with L1-renormalized top-k (models/dbrx.py)."""
+    import torch
+    from transformers import DbrxConfig, DbrxForCausalLM
+
+    cfg = dict(
+        architectures=["DbrxForCausalLM"],
+        vocab_size=512, d_model=256, n_layers=2, n_heads=8,
+        max_seq_len=256,
+        attn_config={"kv_n_heads": 4, "clip_qkv": 8.0,
+                     "rope_theta": 10000.0},
+        ffn_config={"ffn_hidden_size": 96, "moe_num_experts": 4,
+                    "moe_top_k": 2, "moe_normalize_expert_weights": 1.0,
+                    "moe_jitter_eps": None},
+        tie_word_embeddings=False, bos_token_id=1, eos_token_id=2,
+    )
+    torch.manual_seed(0)
+    hf = DbrxForCausalLM(
+        DbrxConfig(**{k: v for k, v in cfg.items() if k != "architectures"})
+    ).eval()
+    rng = np.random.default_rng(0)
+    _check_vs_hf(hf, cfg, rng.integers(3, 500, 17).tolist())
+
+
+def test_olmo3_matches_hf():
+    """OLMo 3: OLMo-2 post-norm graph + hybrid sliding windows with
+    global-layer-only rope scaling (models/olmo2.py Olmo3ForCausalLM)."""
+    import torch
+    from transformers import Olmo3Config, Olmo3ForCausalLM
+
+    cfg = dict(
+        architectures=["Olmo3ForCausalLM"],
+        vocab_size=512, hidden_size=256, num_hidden_layers=4,
+        num_attention_heads=8, num_key_value_heads=4,
+        intermediate_size=448, sliding_window=8,
+        layer_types=["sliding_attention"] * 3 + ["full_attention"],
+        rope_scaling={"rope_type": "yarn", "factor": 2.0,
+                      "original_max_position_embeddings": 128},
+        rms_norm_eps=1e-5, rope_theta=10000.0,
+        max_position_embeddings=256, tie_word_embeddings=False,
+        bos_token_id=1, eos_token_id=2,
+    )
+    torch.manual_seed(0)
+    hf = Olmo3ForCausalLM(
+        Olmo3Config(**{k: v for k, v in cfg.items() if k != "architectures"})
+    ).eval()
+    rng = np.random.default_rng(0)
+    _check_vs_hf(hf, cfg, rng.integers(3, 500, 19).tolist())
+
+
+def test_hunyuan_dense_matches_hf():
+    """HunYuan v1 dense: per-head q/k RMSNorm AFTER RoPE
+    (models/hunyuan.py)."""
+    import torch
+    from transformers import HunYuanDenseV1Config, HunYuanDenseV1ForCausalLM
+
+    cfg = dict(
+        architectures=["HunYuanDenseV1ForCausalLM"],
+        vocab_size=512, hidden_size=256, num_hidden_layers=2,
+        num_attention_heads=8, num_key_value_heads=4, head_dim=32,
+        intermediate_size=448, rms_norm_eps=1e-5, rope_theta=10000.0,
+        max_position_embeddings=256, tie_word_embeddings=False,
+        bos_token_id=1, eos_token_id=2,
+    )
+    torch.manual_seed(0)
+    hf = HunYuanDenseV1ForCausalLM(
+        HunYuanDenseV1Config(**{k: v for k, v in cfg.items()
+                                if k != "architectures"})
+    ).eval()
+    rng = np.random.default_rng(0)
+    _check_vs_hf(hf, cfg, rng.integers(3, 500, 15).tolist())
+
+
+def test_apertus_matches_hf():
+    """Apertus: non-gated xIELU MLP with learnable per-layer alphas,
+    qk-norm, llama3 rope (models/apertus.py)."""
+    import torch
+    from transformers import ApertusConfig, ApertusForCausalLM
+
+    cfg = dict(
+        architectures=["ApertusForCausalLM"],
+        vocab_size=512, hidden_size=256, num_hidden_layers=2,
+        num_attention_heads=8, num_key_value_heads=4,
+        intermediate_size=448, rms_norm_eps=1e-5, rope_theta=10000.0,
+        rope_scaling={"rope_type": "llama3", "factor": 4.0,
+                      "original_max_position_embeddings": 64,
+                      "low_freq_factor": 1.0, "high_freq_factor": 4.0},
+        max_position_embeddings=256, tie_word_embeddings=False,
+        bos_token_id=1, eos_token_id=2,
+    )
+    torch.manual_seed(0)
+    hf = ApertusForCausalLM(
+        ApertusConfig(**{k: v for k, v in cfg.items()
+                         if k != "architectures"})
+    ).eval()
+    rng = np.random.default_rng(0)
+    _check_vs_hf(hf, cfg, rng.integers(3, 500, 15).tolist())
