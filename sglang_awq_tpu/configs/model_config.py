@@ -90,6 +90,16 @@ class ModelConfig:
             c.setdefault(
                 "max_position_embeddings", c.get("max_seq_len", 4096)
             )
+        if "n_embd" in c and "hidden_size" not in c:
+            # GPT-2 / GPTBigCode-style naming
+            c = self.hf_config = dict(c)
+            c["hidden_size"] = c["n_embd"]
+            c.setdefault("num_hidden_layers", c.get("n_layer"))
+            c["num_attention_heads"] = c["n_head"]
+            c["intermediate_size"] = c.get("n_inner") or 4 * c["n_embd"]
+            c.setdefault("max_position_embeddings", c.get("n_positions", 1024))
+            if c.get("multi_query"):  # GPTBigCode MQA
+                c["num_key_value_heads"] = 1
         if self.quant_config is None and c.get("quantization_config"):
             # direct construction path (tests/bench) — detect inline config
             self.quant_config = detect_quant_config("", c)
@@ -110,12 +120,16 @@ class ModelConfig:
             self.num_kv_heads = 1
             lat = self.kv_lora_rank + self.qk_rope_head_dim
             self.head_dim = (lat + 127) // 128 * 128
-        self.intermediate_size = int(c["intermediate_size"])
+        self.intermediate_size = int(
+            c.get("intermediate_size") or c.get("ffn_dim")  # OPT: ffn_dim
+        )
         self.rms_norm_eps = float(
             c.get("rms_norm_eps",
                   c.get("layer_norm_eps",
-                        c.get("norm_epsilon", c.get("norm_eps", 1e-6))))
-        )  # Cohere: layer_norm_eps; StarCoder2: norm_epsilon; Nemotron: norm_eps
+                        c.get("norm_epsilon",
+                              c.get("norm_eps",
+                                    c.get("layer_norm_epsilon", 1e-6)))))
+        )  # Cohere: layer_norm_eps; StarCoder2: norm_epsilon; GPT-2: layer_norm_epsilon
         self.rope_theta = float(c.get("rope_theta", 10000.0))
         self.rope_scaling = c.get("rope_scaling")
         self.max_position_embeddings = int(c.get("max_position_embeddings", 4096))

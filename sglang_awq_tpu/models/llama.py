@@ -282,6 +282,11 @@ class LlamaForCausalLM:
             x = (x.astype(jnp.float32) * self.embed_multiplier).astype(x.dtype)
         return x
 
+    def _pos_embed(self, params, x, positions):
+        """Hook: learned ABSOLUTE position embeddings added to the token
+        embeddings (GPT-2 wpe / OPT offset table).  Rope models: identity."""
+        return x
+
     def _lora_delta(self, pool, name: str, x: jax.Array, l, lora_idx):
         """Dense-over-slots LoRA: contract x against every adapter slot and
         select with the per-token one-hot (idx -1 -> zeros -> exact base
@@ -404,7 +409,7 @@ class LlamaForCausalLM:
     ) -> Tuple[jax.Array, jax.Array]:
         """One decode step for a padded batch -> (logits [B, V], kv)."""
         B = tokens.shape[0]
-        x = self._embed(params, tokens)
+        x = self._pos_embed(params, self._embed(params, tokens), positions)
         use_xla_attn = not is_tpu_backend()
 
         def per_tick(x, kv, live):
@@ -461,9 +466,11 @@ class LlamaForCausalLM:
         TARGET_VERIFY forward mode (forward_batch_info.py:70); hidden
         capture feeds the EAGLE draft (CaptureHiddenMode.FULL role)."""
         B, QS = tokens.shape
-        x = self._embed(params, tokens.reshape(-1))  # [B*QS, H]
-        use_xla_attn = not is_tpu_backend()
         flat_pos = positions.reshape(-1)
+        x = self._pos_embed(
+            params, self._embed(params, tokens.reshape(-1)), flat_pos
+        )  # [B*QS, H]
+        use_xla_attn = not is_tpu_backend()
         flat_slots = slots.reshape(-1)
         flat_lora = jnp.repeat(lora_idx, QS) if lora_idx is not None else None
 
@@ -541,6 +548,7 @@ class LlamaForCausalLM:
             x = input_embeds.astype(jnp.bfloat16)
         else:
             x = self._embed(params, tokens)
+        x = self._pos_embed(params, x, positions)
         use_xla_attn = not is_tpu_backend()
 
         def per_tick(x, kv, live):

@@ -62,6 +62,11 @@ def get_model_class(architecture: str):
     from sglang_awq_tpu.models.dbrx import DbrxForCausalLM
     from sglang_awq_tpu.models.hunyuan import HunYuanDenseV1ForCausalLM
     from sglang_awq_tpu.models.apertus import ApertusForCausalLM
+    from sglang_awq_tpu.models.gpt2 import (
+        GPT2LMHeadModel,
+        GPTBigCodeForCausalLM,
+        OPTForCausalLM,
+    )
 
     registry: Dict[str, Type] = {
         "LlamaForCausalLM": LlamaForCausalLM,
@@ -105,6 +110,9 @@ def get_model_class(architecture: str):
         "DbrxForCausalLM": DbrxForCausalLM,
         "HunYuanDenseV1ForCausalLM": HunYuanDenseV1ForCausalLM,
         "ApertusForCausalLM": ApertusForCausalLM,
+        "GPT2LMHeadModel": GPT2LMHeadModel,
+        "GPTBigCodeForCausalLM": GPTBigCodeForCausalLM,
+        "OPTForCausalLM": OPTForCausalLM,
     }
     if architecture not in registry:
         raise ValueError(

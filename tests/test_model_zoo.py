@@ -1045,3 +1045,66 @@ def test_apertus_matches_hf():
     ).eval()
     rng = np.random.default_rng(0)
     _check_vs_hf(hf, cfg, rng.integers(3, 500, 15).tolist())
+
+
+def test_gpt2_matches_hf():
+    """GPT-2: learned wpe positions (NoPE rope), Conv1D transposed
+    weights, fused biased c_attn, gelu_new MLP (models/gpt2.py)."""
+    import torch
+    from transformers import GPT2Config, GPT2LMHeadModel
+
+    cfg = dict(
+        architectures=["GPT2LMHeadModel"],
+        vocab_size=512, n_positions=256, n_embd=256, n_layer=2, n_head=8,
+        n_inner=448, activation_function="gelu_new",
+        layer_norm_epsilon=1e-5, bos_token_id=1, eos_token_id=2,
+    )
+    torch.manual_seed(0)
+    hf = GPT2LMHeadModel(
+        GPT2Config(**{k: v for k, v in cfg.items() if k != "architectures"})
+    ).eval()
+    rng = np.random.default_rng(0)
+    _check_vs_hf(hf, cfg, rng.integers(3, 500, 15).tolist())
+
+
+def test_gpt_bigcode_matches_hf():
+    """GPTBigCode (StarCoder v1): GPT-2 graph, nn.Linear layout, MQA
+    single K/V head, gelu_pytorch_tanh (models/gpt2.py)."""
+    import torch
+    from transformers import GPTBigCodeConfig, GPTBigCodeForCausalLM
+
+    cfg = dict(
+        architectures=["GPTBigCodeForCausalLM"],
+        vocab_size=512, n_positions=256, n_embd=256, n_layer=2, n_head=8,
+        n_inner=448, activation_function="gelu_pytorch_tanh",
+        multi_query=True, layer_norm_epsilon=1e-5,
+        bos_token_id=1, eos_token_id=2,
+    )
+    torch.manual_seed(0)
+    hf = GPTBigCodeForCausalLM(
+        GPTBigCodeConfig(**{k: v for k, v in cfg.items()
+                            if k != "architectures"})
+    ).eval()
+    rng = np.random.default_rng(1)
+    _check_vs_hf(hf, cfg, rng.integers(3, 500, 15).tolist())
+
+
+def test_opt_matches_hf():
+    """OPT: decoder.* names, offset-by-2 learned positions, relu MLP,
+    per-layer final_layer_norm as the post norm (models/gpt2.py)."""
+    import torch
+    from transformers import OPTConfig, OPTForCausalLM
+
+    cfg = dict(
+        architectures=["OPTForCausalLM"],
+        vocab_size=512, hidden_size=256, num_hidden_layers=2,
+        num_attention_heads=8, ffn_dim=448, max_position_embeddings=256,
+        do_layer_norm_before=True, activation_function="relu",
+        word_embed_proj_dim=256, bos_token_id=1, eos_token_id=2,
+    )
+    torch.manual_seed(0)
+    hf = OPTForCausalLM(
+        OPTConfig(**{k: v for k, v in cfg.items() if k != "architectures"})
+    ).eval()
+    rng = np.random.default_rng(2)
+    _check_vs_hf(hf, cfg, rng.integers(3, 500, 15).tolist())
