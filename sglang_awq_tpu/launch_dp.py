@@ -24,7 +24,22 @@ import sys
 import time
 
 
+def _child_preexec():
+    """Best-effort: kill the replica if this launcher dies (even SIGKILL)."""
+    try:
+        import ctypes
+
+        PR_SET_PDEATHSIG = 1
+        ctypes.CDLL("libc.so.6").prctl(PR_SET_PDEATHSIG, signal.SIGTERM)
+    except Exception:  # noqa: BLE001
+        pass
+
+
 def main(argv=None):
+    # SIGTERM's default action skips the finally clause below and leaks the
+    # replica processes (observed: stranded test servers across CI runs);
+    # route it through SystemExit so teardown runs.
+    signal.signal(signal.SIGTERM, lambda s, f: sys.exit(0))
     ap = argparse.ArgumentParser()
     ap.add_argument("--dp-size", type=int, required=True)
     ap.add_argument("--port", type=int, default=8080)
@@ -43,7 +58,7 @@ def main(argv=None):
             ] + rest
             env = dict(os.environ)
             env["SGLT_DP_RANK"] = str(i)
-            procs.append(subprocess.Popen(cmd, env=env))
+            procs.append(subprocess.Popen(cmd, env=env, preexec_fn=_child_preexec))
             workers.append(f"127.0.0.1:{port}")
             time.sleep(0.2)
 
@@ -51,7 +66,8 @@ def main(argv=None):
 
         gw = subprocess.Popen(
             [ensure_binary(), "--port", str(args.port),
-             "--workers", ",".join(workers)]
+             "--workers", ",".join(workers)],
+            preexec_fn=_child_preexec,
         )
         procs.append(gw)
         print(

@@ -58,33 +58,36 @@ class LinearSpec:
             # row-parallel shards K: the pack block must tile the PER-SHARD K
             # so NamedSharding splits land on superblock boundaries
             k_local = K // tp_size if shard_axis == "row" else K
-            pb = choose_pack_block(k_local, g)
+            n_local = N // tp_size if shard_axis == "column" else N
+            # wide-N shapes amortize per-k-step costs over more lanes; 2
+            # k-tiles + 4096-wide n-blocks measured fastest in-context
+            wide = n_local >= 16384
+            pb = choose_pack_block(k_local, g, min_tiles=2 if wide else 4)
             # magic unpack (fp32-exponent trick) measured 770 GB/s vs 390 on
             # wide-N projections but regresses narrow-N ones; per-shard N.
             # SGLT_AWQ_UNPACK=cast|magic overrides the heuristic (perf A/B).
             import os
 
             mode = os.environ.get("SGLT_AWQ_UNPACK", "auto")
-            n_local = N // tp_size if shard_axis == "column" else N
-            if mode in ("cast", "magic"):
+            if mode in ("cast", "magic", "pair"):
                 unpack = mode if pb % 8 == 0 or mode == "cast" else "cast"
             else:
-                # interleaved per-group cast unpack beats magic everywhere
-                # now (gate_up 9.08 vs 9.21 ms/step in-context A/B); magic
-                # stays available via SGLT_AWQ_UNPACK / SGLT_AWQ_TUNE
-                unpack = "cast"
-            del n_local
+                # round 3: pair unpack (two bf16 weights per VPU op triple,
+                # in-kernel zero-correction, bf16 output) replaces cast/magic
+                # — it removes the per-projection [M, N] f32 round trip the
+                # XLA-side correction cost, on every shape
+                unpack = "pair" if pb % 8 == 0 else "cast"
             # Per-projection kernel overrides for perf A/Bs:
             #   SGLT_AWQ_TUNE="qkv=cast:1024:2048,down=magic:2048:1024"
             # (name=unpack:pack_block:block_n; 0 keeps the heuristic value).
-            bn = 0
+            bn = 4096 if wide and unpack == "pair" and n_local % 4096 == 0 else 0
             tune = os.environ.get("SGLT_AWQ_TUNE", "")
             for ent in filter(None, tune.split(",")):
                 tname, _, rest = ent.partition("=")
                 if tname != name:
                     continue
                 up, spb, sbn = (rest.split(":") + ["0", "0"])[:3]
-                if up in ("cast", "magic"):
+                if up in ("cast", "magic", "pair"):
                     unpack = up
                 if int(spb):
                     pb = int(spb)
@@ -103,10 +106,13 @@ class LinearSpec:
             return {"weight": ((num_layers, K, N), jnp.bfloat16)}
         kt = K // self.pack_block
         _, sr_pad = scale_rows_per_tile(self.pack_block, self.group_size)
+        # pair layout carries the zero bias in the same per-k-tile strip
+        # layout as the scales (consumed by the in-kernel correction)
+        zb_rows = kt * sr_pad if self.unpack == "pair" else K // self.group_size
         return {
             "qweight": ((num_layers, K // 2, N), jnp.uint8),
             "scales": ((num_layers, kt * sr_pad, N), jnp.float32),
-            "zbias": ((num_layers, K // self.group_size, N), jnp.float32),
+            "zbias": ((num_layers, zb_rows, N), jnp.float32),
         }
 
 

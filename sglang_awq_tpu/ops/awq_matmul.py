@@ -50,7 +50,7 @@ from sglang_awq_tpu.quantization.awq_config import unpack_awq_int32
 from sglang_awq_tpu.utils import cdiv, pallas_interpret_default, round_up
 
 
-def choose_pack_block(K: int, group_size: int) -> int:
+def choose_pack_block(K: int, group_size: int, min_tiles: int = 4) -> int:
     """Pack block that keeps groups tile-aligned with a healthy k-grid.
 
     Either G | PB (tile spans whole groups) or PB | G (tile inside one
@@ -69,9 +69,11 @@ def choose_pack_block(K: int, group_size: int) -> int:
             candidates.append(pb)
     if not candidates:
         raise ValueError(f"cannot choose pack block for K={K}, G={group_size}")
-    # largest pack block that still leaves >= 4 k-tiles; else the smallest
+    # largest pack block that still leaves >= min_tiles k-tiles; else the
+    # smallest (wide-N shapes measured fastest at min_tiles=2 in-context:
+    # gate_up pb 1024 -> 2048 took the 32-layer gemm scan 9.2 -> 7.4 ms)
     for pb in candidates:
-        if K // pb >= 4:
+        if K // pb >= min_tiles:
             return pb
     return candidates[-1]
 
@@ -116,6 +118,57 @@ def pack_rows_tpu_magic(w_nibbles: np.ndarray, pack_block: int) -> np.ndarray:
     for j in range(4):
         out[:, :, j, :] = (w[:, 2 * j] & 0xF) | (w[:, 2 * j + 1] << 4)
     return out.reshape(K // 2, N)
+
+
+def pack_rows_tpu_pair(w_nibbles: np.ndarray, pack_block: int) -> np.ndarray:
+    """Pair-unpack layout: two bf16 weights per extraction op.
+
+    The kernel computes `((x32 >> 4i) & 0x000F000F) | 0x43004300` and
+    bitcasts the i32 lanes to bf16 pairs — 0x4300|nib is exactly `128 + nib`
+    in bf16, and the i32→bf16 bitcast unpacks the LOW half to the even
+    sublane, HIGH half to the odd (probed on v5e, spike_pair_unpack.py).
+    Each pass i ∈ 0..3 must therefore yield the contiguous logical quarter
+    block [i·PB/4, (i+1)·PB/4) with even rows from nibble position i and odd
+    rows from position i+4:
+
+        i32[r, c] = Σ_i  w[i·PB/4 + 2r, c] << 4i  |  w[i·PB/4 + 2r+1, c] << 4(i+4)
+
+    ~1.5 VPU ops per weight (shift+and+or → 2 outputs, bitcasts free) vs
+    ~4 for the round-2 "magic" path — the unpack leaves the VPU critical
+    path and the kernel returns to the DMA roofline.
+    """
+    K, N = w_nibbles.shape
+    pb = pack_block
+    assert K % pb == 0 and pb % 8 == 0, (K, pb)
+    q4 = pb // 4
+    R = pb // 8  # i32 rows per superblock
+    w = w_nibbles.reshape(K // pb, 4, q4, N).astype(np.uint32)  # [t, i, row, n]
+    i32 = np.zeros((K // pb, R, N), np.uint32)
+    for i in range(4):
+        i32 |= w[:, i, 0::2, :] << (4 * i)
+        i32 |= w[:, i, 1::2, :] << (4 * (i + 4))
+    # u8 row 4r+j = byte j (bits 8j..8j+7) of i32 row r (little-endian order
+    # of the u8→i32 bitcast, probed in pack_rows_tpu_magic's docstring)
+    u8 = np.zeros((K // pb, R, 4, N), np.uint8)
+    for j in range(4):
+        u8[:, :, j, :] = ((i32 >> (8 * j)) & 0xFF).astype(np.uint8)
+    return u8.reshape(K // 2, N)
+
+
+def unpack_rows_tpu_pair(packed: np.ndarray, pack_block: int) -> np.ndarray:
+    """Inverse of pack_rows_tpu_pair -> int32 [K, N] (tests)."""
+    K2, N = packed.shape
+    pb = pack_block
+    R = pb // 8
+    q4 = pb // 4
+    T = K2 // (pb // 2)
+    p = packed.reshape(T, R, 4, N).astype(np.uint32)
+    i32 = p[:, :, 0] | (p[:, :, 1] << 8) | (p[:, :, 2] << 16) | (p[:, :, 3] << 24)
+    out = np.zeros((T, 4, q4, N), np.int32)
+    for i in range(4):
+        out[:, i, 0::2, :] = ((i32 >> (4 * i)) & 0xF).astype(np.int32)
+        out[:, i, 1::2, :] = ((i32 >> (4 * (i + 4))) & 0xF).astype(np.int32)
+    return out.reshape(K2 * 2, N)
 
 
 def unpack_rows_tpu_magic(packed: np.ndarray, pack_block: int) -> np.ndarray:
@@ -194,6 +247,14 @@ def convert_awq_tensor(
     if unpack == "magic":
         bias_f32 = (z_nib + 128.0) * scales_f32
         qweight_u8 = pack_rows_tpu_magic(w_nib, pack_block)
+    elif unpack == "pair":
+        # kernel reconstructs 128 + nibble (bf16 0x4300 exponent trick);
+        # the zero-correction runs IN the kernel epilogue, so the bias ships
+        # in the same per-k-tile strip layout as the scales
+        bias_f32 = tile_scale_layout(
+            (z_nib + 128.0) * scales_f32, K, group_size, pack_block
+        )
+        qweight_u8 = pack_rows_tpu_pair(w_nib, pack_block)
     else:
         bias_f32 = z_nib * scales_f32
         qweight_u8 = pack_rows_tpu(w_nib, pack_block)
@@ -217,6 +278,42 @@ def _awq_matmul_kernel(
 
     x = x_ref[:]
     sr, _ = scale_rows_per_tile(pack_block, group_size)
+
+    if unpack == "pair":
+        # Two bf16 weights per extraction: ((x32 >> 4i) & 0x000F000F) |
+        # 0x43004300 holds (128+nib_i, 128+nib_{i+4}) in its two halves;
+        # the i32→bf16 bitcast (low→even sublane) then yields the contiguous
+        # logical quarter block [i·PB/4, (i+1)·PB/4) by converter layout.
+        # The +128 is folded into the zero bias at conversion.
+        x32 = pltpu.bitcast(qw_ref[0], jnp.int32)  # [PB/8, BN]
+        q4 = pack_block // 4
+        acc = [o_ref[:], None]
+        for i in range(4):
+            y = (x32 >> (4 * i)) if i else x32
+            y = (y & 0x000F000F) | 0x43004300
+            wb = pltpu.bitcast(y, jnp.bfloat16)  # [PB/4, BN]
+            gpp = q4 // group_size if q4 >= group_size else 0
+            if gpp >= 1:
+                for g in range(gpp):
+                    part = jnp.dot(
+                        x[:, i * q4 + g * group_size : i * q4 + (g + 1) * group_size],
+                        wb[g * group_size : (g + 1) * group_size, :],
+                        preferred_element_type=jnp.float32,
+                    )
+                    term = part * s_ref[0, i * gpp + g : i * gpp + g + 1, :]
+                    j = (i * gpp + g) % 2
+                    acc[j] = term if acc[j] is None else acc[j] + term
+            else:
+                # quarter block inside one group
+                part = jnp.dot(
+                    x[:, i * q4 : (i + 1) * q4], wb,
+                    preferred_element_type=jnp.float32,
+                )
+                srow = (i * q4) // group_size
+                term = part * s_ref[0, srow : srow + 1, :]
+                acc[i % 2] = term if acc[i % 2] is None else acc[i % 2] + term
+        o_ref[:] = acc[0] if acc[1] is None else acc[0] + acc[1]
+        return
 
     if unpack == "magic":
         # fp32 exponent trick: 0x4300|nib in the top f32 halfword = 128+nib
@@ -382,6 +479,161 @@ def awq_matmul_raw(
     return out.astype(out_dtype)
 
 
+def _awq_pair_fused_kernel(
+    layer_ref, x_ref, qw_ref, s_ref, b_ref, o_ref, acc_ref,
+    *, pack_block, group_size, k_tiles,
+):
+    """Pair unpack + in-kernel zero-correction + bf16 output.
+
+    The round-2 design hoisted the zero term into an XLA matmul over the f32
+    kernel output — an extra [M, N] f32 round trip per projection (~27 MB/
+    layer at bs=64) plus an optimization_barrier to keep both sides reading
+    bit-identical x.  Here the correction's per-group sums of x come from the
+    SAME VMEM block the dots consume (bit-identical by construction), the
+    accumulator lives in f32 VMEM scratch, and the HBM output is bf16.
+    """
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[:]
+    sr, _ = scale_rows_per_tile(pack_block, group_size)
+    q4 = pack_block // 4
+    x32 = pltpu.bitcast(qw_ref[0], jnp.int32)  # [PB/8, BN]
+    acc = [None, None]
+    for i in range(4):
+        y = (x32 >> (4 * i)) if i else x32
+        y = (y & 0x000F000F) | 0x43004300
+        wb = pltpu.bitcast(y, jnp.bfloat16)  # quarter block [PB/4, BN]
+        gpp = q4 // group_size if q4 >= group_size else 0
+        if gpp >= 1:
+            for g in range(gpp):
+                part = jnp.dot(
+                    x[:, i * q4 + g * group_size : i * q4 + (g + 1) * group_size],
+                    wb[g * group_size : (g + 1) * group_size, :],
+                    preferred_element_type=jnp.float32,
+                )
+                term = part * s_ref[0, i * gpp + g : i * gpp + g + 1, :]
+                j = (i * gpp + g) % 2
+                acc[j] = term if acc[j] is None else acc[j] + term
+        else:
+            part = jnp.dot(
+                x[:, i * q4 : (i + 1) * q4], wb,
+                preferred_element_type=jnp.float32,
+            )
+            srow = (i * q4) // group_size
+            term = part * s_ref[0, srow : srow + 1, :]
+            acc[i % 2] = term if acc[i % 2] is None else acc[i % 2] + term
+
+    # zero-point correction: (128+zero)*scale per group, dotted with the
+    # per-group sums of x (computed from the same VMEM x the dots read)
+    gs = pack_block // sr  # rows covered by one scale/bias strip row
+    xs = jnp.concatenate(
+        [
+            jnp.sum(x[:, t * gs : (t + 1) * gs].astype(jnp.float32),
+                    axis=1, keepdims=True)
+            for t in range(sr)
+        ],
+        axis=1,
+    )  # [BM, sr] f32
+    # HIGHEST: the MXU otherwise truncates the f32 operands to bf16 passes,
+    # and the folded +128*scale bias amplifies that rounding (same pitfall
+    # the old XLA-side correction documented)
+    corr = jnp.dot(
+        xs, b_ref[0, :sr, :], preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    total = acc[0] if acc[1] is None else acc[0] + acc[1]
+    acc_ref[:] += total - corr
+
+    @pl.when(k == k_tiles - 1)
+    def _done():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "group_size", "pack_block", "block_m", "block_n", "out_dtype",
+        "interpret",
+    ),
+)
+def awq_matmul_pair_fused(
+    x: jax.Array,  # [M, K] bf16
+    qweight: jax.Array,  # [L, K/2, N] uint8 (pair layout)
+    scales: jax.Array,  # [L, k_tiles * sr_pad, N] f32
+    bias: jax.Array,  # [L, k_tiles * sr_pad, N] f32 ((zero+128)*scale strips)
+    layer: jax.Array,
+    *,
+    group_size: int,
+    pack_block: int,
+    block_m: int = 512,
+    block_n: int = 2048,
+    out_dtype=jnp.bfloat16,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Full AWQ linear (pair layout): Y = X @ ((W_int4 - zero) * scale)."""
+    if interpret is None:
+        interpret = pallas_interpret_default()
+    M, K = x.shape
+    L, K2, N = qweight.shape
+    assert K2 == K // 2, (qweight.shape, x.shape)
+    assert K % pack_block == 0
+
+    bm = min(block_m, round_up(M, 8))
+    bn = min(block_n, N)
+    assert N % bn == 0, (N, bn)
+
+    m_pad = round_up(M, bm)
+    if m_pad != M:
+        x = jnp.pad(x, ((0, m_pad - M), (0, 0)))
+
+    k_tiles = K // pack_block
+    _, sr_pad = scale_rows_per_tile(pack_block, group_size)
+    assert scales.shape == (L, k_tiles * sr_pad, N), (scales.shape, k_tiles, sr_pad)
+    assert bias.shape == scales.shape, (bias.shape, scales.shape)
+
+    layer = jnp.clip(jnp.asarray(layer, jnp.int32).reshape(1), 0, L - 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(m_pad // bm, N // bn, k_tiles),
+        in_specs=[
+            pl.BlockSpec((bm, pack_block), lambda m, n, k, lr: (m, k)),
+            pl.BlockSpec((1, pack_block // 2, bn), lambda m, n, k, lr: (lr[0], k, n)),
+            pl.BlockSpec((1, sr_pad, bn), lambda m, n, k, lr: (lr[0], k, n)),
+            pl.BlockSpec((1, sr_pad, bn), lambda m, n, k, lr: (lr[0], k, n)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda m, n, k, lr: (m, n)),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _awq_pair_fused_kernel,
+            pack_block=pack_block,
+            group_size=group_size,
+            k_tiles=k_tiles,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((m_pad, N), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * K * N,
+            bytes_accessed=K * N // 2 + m_pad * K * 2 + m_pad * N * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(layer, x, qweight, scales, bias)
+    if m_pad != M:
+        out = out[:M]
+    return out
+
+
 def awq_group_sums(x: jax.Array, group_size: int) -> jax.Array:
     """Per-group sums of x along K: [M, K] -> [M, K/G] f32."""
     M, K = x.shape
@@ -434,6 +686,13 @@ def awq_matmul(
     unpack: str = "cast",
 ) -> jax.Array:
     """Full AWQ linear: Y = X @ ((W_int4 - zero) * scale) for one layer."""
+    if unpack == "pair":
+        return awq_matmul_pair_fused(
+            x, qweight, scales, bias, layer,
+            group_size=group_size, pack_block=pack_block,
+            block_m=block_m, block_n=block_n, out_dtype=out_dtype,
+            interpret=interpret,
+        )
     # The zero correction MUST see bit-identical x to what the kernel reads:
     # without the barrier XLA fuses x's producer (e.g. rms_norm) into the
     # groupsum branch and recomputes it in f32, so the correction's sum(x)
@@ -482,7 +741,18 @@ def dequantize_xla(
     hb = pack_block // 2
     k_tiles = K // pack_block
     sr, sr_pad = scale_rows_per_tile(pack_block, group_size)
-    if unpack == "magic":
+    if unpack == "pair":
+        R = pack_block // 8
+        q4 = pack_block // 4
+        p = qweight.reshape(k_tiles, R, 4, N).astype(jnp.uint32)
+        i32 = p[:, :, 0] | (p[:, :, 1] << 8) | (p[:, :, 2] << 16) | (p[:, :, 3] << 24)
+        blocks = []
+        for i in range(4):
+            lo = (i32 >> (4 * i)) & 0xF  # even rows of quarter block i
+            hi = (i32 >> (4 * (i + 4))) & 0xF  # odd rows
+            blocks.append(jnp.stack([lo, hi], axis=2).reshape(k_tiles, q4, N))
+        w = jnp.concatenate(blocks, axis=1).astype(jnp.float32) + 128.0
+    elif unpack == "magic":
         rpc = pack_block // 8
         p = qweight.reshape(k_tiles, rpc, 4, N).astype(jnp.int32)
         classes = []
@@ -498,8 +768,13 @@ def dequantize_xla(
     rep = min(group_size, pack_block)
     s = scales.reshape(k_tiles, sr_pad, N)[:, :sr, :]
     s = jnp.repeat(s, rep, axis=1)  # [kt, PB, N]
-    g = min(group_size, K)
-    b = jnp.repeat(bias, g, axis=0).reshape(k_tiles, pack_block, N)
+    if unpack == "pair":
+        # pair bias ships in the same per-k-tile strip layout as the scales
+        b = bias.reshape(k_tiles, sr_pad, N)[:, :sr, :]
+        b = jnp.repeat(b, rep, axis=1)  # [kt, PB, N]
+    else:
+        g = min(group_size, K)
+        b = jnp.repeat(bias, g, axis=0).reshape(k_tiles, pack_block, N)
     return ((w * s).reshape(K, N) - b.reshape(K, N)).astype(out_dtype)
 
 

@@ -24,8 +24,10 @@ from sglang_awq_tpu.ops.awq_matmul import (
     convert_awq_tensor,
     dequantize_xla,
     pack_rows_tpu_magic,
+    pack_rows_tpu_pair,
     unpack_rows_tpu,
     unpack_rows_tpu_magic,
+    unpack_rows_tpu_pair,
 )
 
 
@@ -169,6 +171,51 @@ def test_magic_matmul_xla_matches_reference():
         awq_matmul_xla(
             x, qw3, s3, b3, 0, group_size=G, pack_block=pb,
             out_dtype=jnp.float32, unpack="magic",
+        )
+    )
+    scale = np.abs(y_ref).max() + 1e-9
+    assert np.abs(y - y_ref).max() / scale < 0.02
+
+
+def test_pair_pack_roundtrip():
+    rng = np.random.default_rng(11)
+    wq = rng.integers(0, 16, (512, 128)).astype(np.int32)
+    for pb in (256, 512):
+        pk = pack_rows_tpu_pair(wq, pb)
+        assert pk.shape == (256, 128)
+        assert (unpack_rows_tpu_pair(pk, pb) == wq).all(), pb
+
+
+@pytest.mark.parametrize("K,N,G", [(512, 256, 128), (1024, 128, 64), (256, 128, 256)])
+def test_pair_layout_dequant_exact(K, N, G):
+    """The pair (bf16-pair-extraction) device layout dequantizes identically."""
+    rng = np.random.default_rng(12)
+    qweight, qzeros, scales, wq = make_awq_layer(rng, K, N, G)
+    W_ref = awq_dequantize_ref(qweight, scales, qzeros, G)
+    qw, st, bt, pb = convert_awq_tensor(qweight, qzeros, scales, G, unpack="pair")
+    assert (unpack_rows_tpu_pair(qw, pb) == wq).all()
+    W = np.asarray(
+        dequantize_xla(
+            jnp.asarray(qw), jnp.asarray(st), jnp.asarray(bt),
+            group_size=G, pack_block=pb, out_dtype=jnp.float32, unpack="pair",
+        )
+    )
+    np.testing.assert_allclose(W, W_ref, atol=1e-3)
+
+
+def test_pair_matmul_xla_matches_reference():
+    rng = np.random.default_rng(13)
+    K, N, G, M = 512, 256, 128, 5
+    qweight, qzeros, scales, _ = make_awq_layer(rng, K, N, G)
+    W_ref = awq_dequantize_ref(qweight, scales, qzeros, G)
+    qw, st, bt, pb = convert_awq_tensor(qweight, qzeros, scales, G, unpack="pair")
+    x = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
+    y_ref = np.asarray(x, np.float32) @ W_ref
+    qw3, s3, b3 = (jnp.asarray(a)[None] for a in (qw, st, bt))
+    y = np.asarray(
+        awq_matmul_xla(
+            x, qw3, s3, b3, 0, group_size=G, pack_block=pb,
+            out_dtype=jnp.float32, unpack="pair",
         )
     )
     scale = np.abs(y_ref).max() + 1e-9

@@ -82,6 +82,10 @@ def test_two_process_lockstep_serving(tmp_path):
     port = _free_port()
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    # The worker runs script-by-path, which puts the script dir (tmp), not
+    # cwd, on sys.path — the package must be injected explicitly.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
             [sys.executable, str(script), str(r), str(port)],
