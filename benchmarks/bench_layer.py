@@ -39,7 +39,7 @@ def main():
     from sglang_awq_tpu.configs.model_config import ModelConfig
     from sglang_awq_tpu.model_executor.model_runner import ModelRunner
     from sglang_awq_tpu.server_args import ServerArgs
-    from sglang_awq_tpu.layers.linear import linear_apply
+    from sglang_awq_tpu.layers.linear import linear_apply, mlp_apply
     from sglang_awq_tpu.layers.norm import rms_norm
     from sglang_awq_tpu.layers.activation import silu_and_mul
     from sglang_awq_tpu.layers.rotary import apply_rope
@@ -126,9 +126,10 @@ def main():
                 o = linear_apply(lp_specs["o"], lp["o"], attn, l)
                 x = x + o
                 h2 = rms_norm(x, lp["post_norm"][l], c.rms_norm_eps)
-                gu = linear_apply(lp_specs["gate_up"], lp["gate_up"], h2, l)
-                act = silu_and_mul(gu)
-                d = linear_apply(lp_specs["down"], lp["down"], act, l)
+                d = mlp_apply(
+                    lp_specs["gate_up"], lp["gate_up"],
+                    lp_specs["down"], lp["down"], h2, l,
+                )
                 x = x + d
             else:
                 x = x + attn.astype(x.dtype) * 1e-3

@@ -145,6 +145,69 @@ def linear_apply(
     return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(jnp.bfloat16)
 
 
+def mlp_apply(
+    spec_gu: LinearSpec,
+    p_gu: Dict[str, jax.Array],
+    spec_d: LinearSpec,
+    p_d: Dict[str, jax.Array],
+    x: jax.Array,  # [T, K] bf16
+    layer: jax.Array | int,
+    act: str = "silu",
+) -> jax.Array:
+    """down(act(gate(x)) * up(x)) — fused megakernel when eligible.
+
+    Falls back to the two-dispatch path (linear_apply + act) off-TPU, for
+    non-pair layouts, biased/LoRA'd layers (callers keep those on the
+    fallback), or shapes the fused kernel cannot chunk.
+    """
+    from sglang_awq_tpu.layers.activation import gelu_and_mul, silu_and_mul
+
+    import os
+
+    I2 = spec_gu.out_features
+    # At bf16 MXU rates the fused megakernel is ~neutral-to-slightly-worse
+    # (the step is MXU-bound, fusion saves only the intermediate round trip);
+    # it wins once the dots are int8 (W4A8) and DMA becomes the floor.
+    fused_ok = (
+        os.environ.get("SGLT_MLP_FUSED", "0") == "1"
+        and is_tpu_backend()
+        and spec_gu.quantized
+        and spec_d.quantized
+        and spec_gu.unpack == "pair"
+        and spec_d.unpack == "pair"
+        and act in ("silu", "gelu")
+        and spec_gu.group_size == spec_d.group_size
+        and "bias" not in p_gu
+        and "bias" not in p_d
+        and x.shape[0] <= 1024
+    )
+    if fused_ok:
+        I_local = p_d.get("qweight").shape[1] * 2  # per-shard intermediate
+        pb_d = spec_d.pack_block
+        ci = 0
+        for c in (4096, 3584, 2048, 1792, 1024, 512, 256, 128):
+            if I_local % c == 0 and c % pb_d == 0:
+                ci = c
+                break
+        if ci:
+            from sglang_awq_tpu.ops.awq_mlp import awq_mlp_fused
+
+            return awq_mlp_fused(
+                x,
+                p_gu["qweight"], p_gu["scales"], p_gu["zbias"],
+                p_d["qweight"], p_d["scales"], p_d["zbias"],
+                layer,
+                group_size=spec_gu.group_size,
+                pb_gu=spec_gu.pack_block,
+                pb_d=pb_d,
+                chunk_i=ci,
+                act=act,
+            )
+    gu = linear_apply(spec_gu, p_gu, x, layer)
+    a = silu_and_mul(gu) if act == "silu" else gelu_and_mul(gu)
+    return linear_apply(spec_d, p_d, a, layer)
+
+
 def convert_awq_weights_np(
     spec: LinearSpec,
     qweight_i32: np.ndarray,  # [K, N/8] AWQ checkpoint layout (possibly merged)

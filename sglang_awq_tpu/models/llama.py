@@ -28,7 +28,7 @@ import numpy as np
 
 from sglang_awq_tpu.configs.model_config import ModelConfig
 from sglang_awq_tpu.layers.activation import gelu_and_mul, silu_and_mul
-from sglang_awq_tpu.layers.linear import LinearSpec, linear_apply
+from sglang_awq_tpu.layers.linear import LinearSpec, linear_apply, mlp_apply
 from sglang_awq_tpu.layers.norm import rms_norm
 from sglang_awq_tpu.layers.rotary import apply_rope, rope_table
 from sglang_awq_tpu.mem_cache.kv_pool import PAD_SLOT, write_kv
@@ -366,6 +366,14 @@ class LlamaForCausalLM:
     def _mlp(self, lp: Dict[str, Any], h2: jax.Array, l, lora=None,
              lora_idx=None) -> jax.Array:
         """Dense SwiGLU MLP; MoE models override (models/mixtral.py)."""
+        if lora is None and self.mlp_act in ("silu", "gelu"):
+            # fused megakernel when eligible (gate_up + act + down in one
+            # dispatch; falls back to the two-dispatch path internally)
+            return mlp_apply(
+                self.specs["gate_up"], lp["gate_up"],
+                self.specs["down"], lp["down"],
+                h2, l, act=self.mlp_act,
+            )
         gu = linear_apply(self.specs["gate_up"], lp["gate_up"], h2, l)
         if lora is not None:
             gu = gu + self._lora_delta(lora, "gate_up", h2, l, lora_idx)

@@ -479,6 +479,94 @@ def awq_matmul_raw(
     return out.astype(out_dtype)
 
 
+def pair_tile_matmul(x, qw_u8, s_rows, b_rows, *, pack_block, group_size):
+    """One K-superblock of the pair-layout AWQ matmul, inside a kernel.
+
+    x [BM, PB] bf16, qw_u8 [PB/2, BN] (pair layout), s_rows/b_rows
+    [>=sr, BN] f32 strip rows for this tile -> [BM, BN] f32 including the
+    zero-point correction (group sums taken from the same x).
+    """
+    sr, _ = scale_rows_per_tile(pack_block, group_size)
+    q4 = pack_block // 4
+    if qw_u8.dtype == jnp.int32:
+        x32 = qw_u8  # caller pre-bitcast the whole block (see pair_proj_chunk)
+    else:
+        x32 = pltpu.bitcast(qw_u8, jnp.int32)  # [PB/8, BN]
+    acc = [None, None]
+    for i in range(4):
+        y = (x32 >> (4 * i)) if i else x32
+        y = (y & 0x000F000F) | 0x43004300
+        wb = pltpu.bitcast(y, jnp.bfloat16)  # quarter block [PB/4, BN]
+        gpp = q4 // group_size if q4 >= group_size else 0
+        if gpp >= 1:
+            for g in range(gpp):
+                part = jnp.dot(
+                    x[:, i * q4 + g * group_size : i * q4 + (g + 1) * group_size],
+                    wb[g * group_size : (g + 1) * group_size, :],
+                    preferred_element_type=jnp.float32,
+                )
+                term = part * s_rows[i * gpp + g : i * gpp + g + 1, :]
+                j = (i * gpp + g) % 2
+                acc[j] = term if acc[j] is None else acc[j] + term
+        else:
+            part = jnp.dot(
+                x[:, i * q4 : (i + 1) * q4], wb,
+                preferred_element_type=jnp.float32,
+            )
+            srow = (i * q4) // group_size
+            term = part * s_rows[srow : srow + 1, :]
+            acc[i % 2] = term if acc[i % 2] is None else acc[i % 2] + term
+
+    # zero-point correction: (128+zero)*scale strips dotted with per-group
+    # sums of the same VMEM x the dots read
+    gs = pack_block // sr
+    xs = jnp.concatenate(
+        [
+            jnp.sum(x[:, t * gs : (t + 1) * gs].astype(jnp.float32),
+                    axis=1, keepdims=True)
+            for t in range(sr)
+        ],
+        axis=1,
+    )  # [BM, sr] f32
+    # HIGHEST: the MXU otherwise truncates the f32 operands to bf16 passes,
+    # and the folded +128*scale bias amplifies that rounding
+    corr = jnp.dot(
+        xs, b_rows[:sr, :], preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    total = acc[0] if acc[1] is None else acc[0] + acc[1]
+    return total - corr
+
+
+def pair_proj_chunk(x, qw_u8, s_strip, b_strip, *, pack_block, group_size):
+    """Multi-superblock pair-layout projection inside a kernel.
+
+    x [BM, Kc] bf16, qw_u8 [Kc/2, BN], strips [(Kc/PB)*sr_pad, BN] f32
+    -> [BM, BN] f32 (zero-corrected).
+    """
+    Kc = x.shape[1]
+    kt = Kc // pack_block
+    _, sr_pad = scale_rows_per_tile(pack_block, group_size)
+    # Bitcast the WHOLE block once, slice int32 rows per superblock: Mosaic
+    # miscompiles bitcast applied to sublane-offset slices of a loaded block
+    # (NaN/crash observed on-chip; whole-block bitcast is the proven path in
+    # _awq_pair_fused_kernel).
+    x32_full = pltpu.bitcast(qw_u8, jnp.int32)  # [Kc/8, BN]
+    r8 = pack_block // 8
+    total = None
+    for t in range(kt):
+        term = pair_tile_matmul(
+            x[:, t * pack_block : (t + 1) * pack_block],
+            x32_full[t * r8 : (t + 1) * r8, :],
+            s_strip[t * sr_pad : (t + 1) * sr_pad, :],
+            b_strip[t * sr_pad : (t + 1) * sr_pad, :],
+            pack_block=pack_block,
+            group_size=group_size,
+        )
+        total = term if total is None else total + term
+    return total
+
+
 def _awq_pair_fused_kernel(
     layer_ref, x_ref, qw_ref, s_ref, b_ref, o_ref, acc_ref,
     *, pack_block, group_size, k_tiles,
@@ -498,55 +586,10 @@ def _awq_pair_fused_kernel(
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    x = x_ref[:]
-    sr, _ = scale_rows_per_tile(pack_block, group_size)
-    q4 = pack_block // 4
-    x32 = pltpu.bitcast(qw_ref[0], jnp.int32)  # [PB/8, BN]
-    acc = [None, None]
-    for i in range(4):
-        y = (x32 >> (4 * i)) if i else x32
-        y = (y & 0x000F000F) | 0x43004300
-        wb = pltpu.bitcast(y, jnp.bfloat16)  # quarter block [PB/4, BN]
-        gpp = q4 // group_size if q4 >= group_size else 0
-        if gpp >= 1:
-            for g in range(gpp):
-                part = jnp.dot(
-                    x[:, i * q4 + g * group_size : i * q4 + (g + 1) * group_size],
-                    wb[g * group_size : (g + 1) * group_size, :],
-                    preferred_element_type=jnp.float32,
-                )
-                term = part * s_ref[0, i * gpp + g : i * gpp + g + 1, :]
-                j = (i * gpp + g) % 2
-                acc[j] = term if acc[j] is None else acc[j] + term
-        else:
-            part = jnp.dot(
-                x[:, i * q4 : (i + 1) * q4], wb,
-                preferred_element_type=jnp.float32,
-            )
-            srow = (i * q4) // group_size
-            term = part * s_ref[0, srow : srow + 1, :]
-            acc[i % 2] = term if acc[i % 2] is None else acc[i % 2] + term
-
-    # zero-point correction: (128+zero)*scale per group, dotted with the
-    # per-group sums of x (computed from the same VMEM x the dots read)
-    gs = pack_block // sr  # rows covered by one scale/bias strip row
-    xs = jnp.concatenate(
-        [
-            jnp.sum(x[:, t * gs : (t + 1) * gs].astype(jnp.float32),
-                    axis=1, keepdims=True)
-            for t in range(sr)
-        ],
-        axis=1,
-    )  # [BM, sr] f32
-    # HIGHEST: the MXU otherwise truncates the f32 operands to bf16 passes,
-    # and the folded +128*scale bias amplifies that rounding (same pitfall
-    # the old XLA-side correction documented)
-    corr = jnp.dot(
-        xs, b_ref[0, :sr, :], preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+    acc_ref[:] += pair_tile_matmul(
+        x_ref[:], qw_ref[0], s_ref[0], b_ref[0],
+        pack_block=pack_block, group_size=group_size,
     )
-    total = acc[0] if acc[1] is None else acc[0] + acc[1]
-    acc_ref[:] += total - corr
 
     @pl.when(k == k_tiles - 1)
     def _done():
