@@ -52,6 +52,7 @@ class LinearSpec:
         quant: Optional[AWQConfig],
         shard_axis: Optional[str],
         tp_size: int = 1,
+        k_align: int = 0,
     ) -> "LinearSpec":
         if quant is not None:
             g = quant.group_size if quant.group_size != -1 else K
@@ -63,6 +64,11 @@ class LinearSpec:
             # k-tiles + 4096-wide n-blocks measured fastest in-context
             wide = n_local >= 16384
             pb = choose_pack_block(k_local, g, min_tiles=2 if wide else 4)
+            # k_align (MoE expert-merged K): superblocks must tile each
+            # expert's K slice so the grouped kernel (ops/moe_grouped.py)
+            # can address whole expert blocks
+            if k_align and k_align % pb:
+                pb = choose_pack_block(k_align, g, min_tiles=2)
             # magic unpack (fp32-exponent trick) measured 770 GB/s vs 390 on
             # wide-N projections but regresses narrow-N ones; per-shard N.
             # SGLT_AWQ_UNPACK=cast|magic overrides the heuristic (perf A/B).

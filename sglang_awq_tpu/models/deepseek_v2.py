@@ -105,6 +105,9 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
             self.n_group = int(hf.get("n_group") or 1)
             self.topk_group = int(hf.get("topk_group") or 1)
             self.norm_topk = bool(hf.get("norm_topk_prob", False))
+            # MLA shards attention only; experts are tp=1-local (for now)
+            self.expert_inter = self.moe_inter
+            self.experts_local = self.num_experts
         self.expert_dist_sink = None  # EPLB observability (mixtral parity)
 
         # --- specs: replace the llama qkv/o/mlp set ---
@@ -138,7 +141,8 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
             E, I = self.num_experts, self.moe_inter
             self.specs["gate_up"] = LinearSpec.make(
                 "gate_up", H, E * 2 * I, q, None)
-            self.specs["down"] = LinearSpec.make("down", E * I, H, q, None)
+            self.specs["down"] = LinearSpec.make(
+                "down", E * I, H, q, None, k_align=I)
             if self.n_shared:
                 si = self.n_shared * I
                 self.specs["shared_gate_up"] = LinearSpec.make(
@@ -385,6 +389,11 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         jax.experimental.io_callback(self.expert_dist_sink, None, l, cnt,
                                      ordered=False)
 
+    def _experts_apply(self, lp, h2, topi, topv, li):
+        from sglang_awq_tpu.models.mixtral import MixtralForCausalLM
+
+        return MixtralForCausalLM._experts_apply(self, lp, h2, topi, topv, li)
+
     def _moe_mlp(self, lp, h2, l):
         E, K, I = self.num_experts, self.top_k, self.moe_inter
         T = h2.shape[0]
@@ -424,13 +433,7 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         if self.norm_topk:
             w_sel = w_sel / (jnp.sum(w_sel, axis=-1, keepdims=True) + 1e-20)
         w_sel = w_sel * self.routed_scale
-        w = jnp.sum(sel * w_sel[..., None], axis=1)  # [T, E] dense weights
-
-        gu = linear_apply(self.specs["gate_up"], lp["gate_up"], h2, li)
-        act = silu_and_mul(gu.reshape(T, E, 2 * I))
-        act = (act.astype(jnp.float32) * w[..., None]).astype(gu.dtype)
-        out = linear_apply(
-            self.specs["down"], lp["down"], act.reshape(T, E * I), li)
+        out = self._experts_apply(lp, h2, topi, w_sel, li)
         if self.n_shared:
             sgu = linear_apply(
                 self.specs["shared_gate_up"], lp["shared_gate_up"], h2, li)

@@ -54,6 +54,13 @@ class Glm4MoeForCausalLM(LlamaForCausalLM):
         self.topk_group = int(hf.get("topk_group") or 1)
         self.norm_topk = bool(hf.get("norm_topk_prob", True))
         self.expert_dist_sink = None
+        self.expert_inter = self.moe_inter
+        if self.num_experts:
+            assert self.num_experts % self.tp_size == 0, (
+                self.num_experts, self.tp_size)
+        self.experts_local = (
+            self.num_experts // self.tp_size if self.num_experts else 0
+        )
 
         q = c.quant_config
         H = c.hidden_size
@@ -70,7 +77,7 @@ class Glm4MoeForCausalLM(LlamaForCausalLM):
             self.specs["gate_up"] = LinearSpec.make(
                 "gate_up", H, E * 2 * I, q, "column", self.tp_size)
             self.specs["down"] = LinearSpec.make(
-                "down", E * I, H, q, "row", self.tp_size)
+                "down", E * I, H, q, "row", self.tp_size, k_align=I)
             if self.n_shared:
                 si = self.n_shared * I
                 self.specs["shared_gate_up"] = LinearSpec.make(
@@ -82,6 +89,7 @@ class Glm4MoeForCausalLM(LlamaForCausalLM):
     _seg_layers = DeepseekV2ForCausalLM._seg_layers
     _dense_mlp = DeepseekV2ForCausalLM._dense_mlp
     _moe_mlp = DeepseekV2ForCausalLM._moe_mlp
+    _experts_apply = DeepseekV2ForCausalLM._experts_apply
     _record_experts = DeepseekV2ForCausalLM._record_experts
     _mlp = DeepseekV2ForCausalLM._mlp
 

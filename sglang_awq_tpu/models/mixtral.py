@@ -64,7 +64,7 @@ class MixtralForCausalLM(LlamaForCausalLM):
             "gate_up", H, E * 2 * I, q, "column", self.tp_size
         )
         self.specs["down"] = LinearSpec.make(
-            "down", E * I, H, q, "row", self.tp_size
+            "down", E * I, H, q, "row", self.tp_size, k_align=I
         )
 
     # ------------------------------------------------------------------
@@ -173,13 +173,44 @@ class MixtralForCausalLM(LlamaForCausalLM):
         }
         return out
 
+    def _experts_apply(self, lp: Dict[str, Any], h2: jax.Array,
+                       topi: jax.Array, topv: jax.Array, li) -> jax.Array:
+        """Routed-experts MLP given per-assignment weights topv [T, K].
+
+        Dense all-expert formulation at decode sizes (every expert's weights
+        are read anyway — FLOPs ride free on the MXU); grouped megablocks-
+        style dispatch (ops/moe_grouped.py) at prefill sizes for large E,
+        where dense would be E/topk x the reference FLOPs.
+        """
+        from sglang_awq_tpu.ops.moe_grouped import (
+            moe_grouped_enabled,
+            moe_grouped_mlp,
+        )
+
+        T = h2.shape[0]
+        E, I, El = self.num_experts, self.expert_inter, self.experts_local
+        spec_gu, spec_d = self.specs["gate_up"], self.specs["down"]
+        e0 = (lax.axis_index(self.tp_axis) * El
+              if self.tp_axis is not None else 0)
+        if moe_grouped_enabled(T, E, spec_gu, spec_d, I):
+            return moe_grouped_mlp(
+                spec_gu, lp["gate_up"], spec_d, lp["down"], h2, topi, topv,
+                li, e0=e0, n_local=El, inter=I,
+            )
+        w = jnp.sum(
+            jax.nn.one_hot(topi, E, dtype=topv.dtype) * topv[..., None], axis=1
+        )  # [T, E]
+        if self.tp_axis is not None:
+            w = lax.dynamic_slice_in_dim(w, e0, El, axis=1)
+        gu = linear_apply(spec_gu, lp["gate_up"], h2, li)
+        act = silu_and_mul(gu.reshape(T, El, 2 * I))  # [T, El, I]
+        act = (act.astype(jnp.float32) * w[..., None]).astype(gu.dtype)
+        return linear_apply(spec_d, lp["down"], act.reshape(T, El * I), li)
+
     def _mlp(self, lp: Dict[str, Any], h2: jax.Array, l, lora=None,
              lora_idx=None) -> jax.Array:
         del lora, lora_idx  # LoRA-on-MoE: not supported (reference parity)
-        c = self.config
-        T = h2.shape[0]
-        E, K, I = self.num_experts, self.top_k, c.intermediate_size
-        El = self.experts_local
+        K = self.top_k
 
         router_logits = jnp.dot(
             h2, lp["router"][l], preferred_element_type=jnp.float32
@@ -188,17 +219,4 @@ class MixtralForCausalLM(LlamaForCausalLM):
         topv, topi = lax.top_k(probs, K)  # [T, K]
         self._record_experts(topi, l)
         topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
-        # dense per-expert weights, zero off the top-k (HF renormalized gate)
-        w = jnp.sum(
-            jax.nn.one_hot(topi, E, dtype=topv.dtype) * topv[..., None], axis=1
-        )  # [T, E]
-        if self.tp_axis is not None:
-            e0 = lax.axis_index(self.tp_axis) * El
-            w = lax.dynamic_slice_in_dim(w, e0, El, axis=1)
-
-        gu = linear_apply(self.specs["gate_up"], lp["gate_up"], h2, l)
-        act = silu_and_mul(gu.reshape(T, El, 2 * I))  # [T, El, I]
-        act = (act.astype(jnp.float32) * w[..., None]).astype(gu.dtype)
-        return linear_apply(
-            self.specs["down"], lp["down"], act.reshape(T, El * I), l
-        )
+        return self._experts_apply(lp, h2, topi, topv, l)

@@ -55,7 +55,8 @@ class Qwen2MoeForCausalLM(MixtralForCausalLM):
             "gate_up", H, E * 2 * self.moe_inter, q, "column", self.tp_size
         )
         self.specs["down"] = LinearSpec.make(
-            "down", E * self.moe_inter, H, q, "row", self.tp_size
+            "down", E * self.moe_inter, H, q, "row", self.tp_size,
+            k_align=self.moe_inter,
         )
         if self.shared_inter:
             self.specs["shared_gate_up"] = LinearSpec.make(
@@ -121,31 +122,15 @@ class Qwen2MoeForCausalLM(MixtralForCausalLM):
     def _mlp(self, lp: Dict[str, Any], h2: jax.Array, l, lora=None,
              lora_idx=None) -> jax.Array:
         del lora, lora_idx
-        T = h2.shape[0]
-        E, K, I = self.num_experts, self.top_k, self.moe_inter
-        El = self.experts_local
-
         router_logits = jnp.dot(
             h2, lp["router"][l], preferred_element_type=jnp.float32
         )
         probs = jax.nn.softmax(router_logits, axis=-1)
-        topv, topi = lax.top_k(probs, K)
+        topv, topi = lax.top_k(probs, self.top_k)
         self._record_experts(topi, l)
         if self.norm_topk:
             topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
-        w = jnp.sum(
-            jax.nn.one_hot(topi, E, dtype=topv.dtype) * topv[..., None], axis=1
-        )
-        if self.tp_axis is not None:
-            e0 = lax.axis_index(self.tp_axis) * El
-            w = lax.dynamic_slice_in_dim(w, e0, El, axis=1)
-
-        gu = linear_apply(self.specs["gate_up"], lp["gate_up"], h2, l)
-        act = silu_and_mul(gu.reshape(T, El, 2 * I))
-        act = (act.astype(jnp.float32) * w[..., None]).astype(gu.dtype)
-        out = linear_apply(
-            self.specs["down"], lp["down"], act.reshape(T, El * I), l
-        )
+        out = self._experts_apply(lp, h2, topi, topv, l)
         if self.shared_inter:
             sg = jax.nn.sigmoid(
                 jnp.dot(h2, lp["shared_gate"][l],
