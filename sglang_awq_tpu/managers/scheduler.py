@@ -32,6 +32,7 @@ Correctness notes:
 from __future__ import annotations
 
 import logging
+import os
 import time
 from collections import deque
 from typing import Deque, List, Optional
@@ -287,11 +288,18 @@ class Scheduler:
                 r.grammar is not None or r.sampling_params.has_logit_bias
                 for r in self.running
             ):
-                # grammar masks / logit_bias matrices need last step's token
-                # before the next dispatch — stay synchronous
-                self._drain_pending()
-                self._out_buffer += self._run_decode_step()
-                self._rows_dirty = True
+                if os.environ.get("SGLT_GRAMMAR_OVERLAP", "1") == "1":
+                    # two-phase overlap: dispatch the forward first, build
+                    # this step's masks while it runs (fetching last step's
+                    # token overlaps the in-flight forward), then dispatch
+                    # the masked sample
+                    dispatched = self._dispatch_decode_constrained()
+                else:
+                    # grammar masks / logit_bias matrices need last step's
+                    # token before the next dispatch — stay synchronous
+                    self._drain_pending()
+                    self._out_buffer += self._run_decode_step()
+                    self._rows_dirty = True
             else:
                 dispatched = self._dispatch_decode()
 
@@ -866,6 +874,80 @@ class Scheduler:
         self.pending.append(("decode", list(self.running), ids, lp, want_lp))
         return True
 
+    def _dispatch_decode_constrained(self) -> bool:
+        """Two-phase overlap decode for grammar / logit_bias batches.
+
+        Phase A (forward -> device logits) dispatches immediately with
+        device-resident input tokens; the blocking fetch of the PREVIOUS
+        step's ids then overlaps the in-flight forward, the grammar DFAs
+        advance, and phase B (bit-packed mask + sample) dispatches.  One
+        constrained request no longer forces co-residents synchronous —
+        TPU analogue of the reference's same-stream bitmask pipelining
+        (`srt/constrained/xgrammar_backend.py:94-117`)."""
+        self._ensure_decode_memory()
+        if not self.running:
+            return False
+        if self._rows_dirty:
+            self._sync_device_rows()
+        ps = self.page_size
+        items = list(self.running)
+        B = len(items)
+        positions = np.zeros(B, np.int32)
+        slots = np.zeros(B, np.int32)
+        lengths = np.zeros(B, np.int32)
+        steps = np.zeros(B, np.int32)
+        row_ids = np.zeros(B, np.int32)
+        pmax = max(len(r.pages) for r in items)
+        page_table = np.zeros((B, pmax), np.int32)
+        rows = []
+        for i, r in enumerate(items):
+            pos = r.fill_len
+            positions[i] = pos
+            slots[i] = r.pages[pos // ps] * ps + pos % ps
+            lengths[i] = pos + 1
+            steps[i] = pos - len(r.input_ids) + 1
+            row_ids[i] = r.row
+            page_table[i, : len(r.pages)] = r.pages
+            rows.append(r.sampling_row())
+        want_lp = any(r.sampling_params.return_logprob for r in items)
+        want_pen = any(r.sampling_params.has_penalties for r in items)
+        d = DecodeInput(
+            tokens=np.zeros(B, np.int32),  # unused: device rows feed inputs
+            positions=positions,
+            slots=slots,
+            page_table=page_table,
+            lengths=lengths,
+            sample_steps=steps,
+            sampling=rows,
+            row_ids=row_ids,
+            lora_idx=np.asarray(
+                [getattr(r, "lora_slot", -1) for r in items], np.int32
+            ),
+        )
+        ctx = self.runner.forward_decode_logits(d, update_counts=want_pen)
+        for r in items:
+            r.fill_len += 1
+        # the forward is in flight: fetch last step's ids now (overlapped)
+        # so the grammar states — and therefore this step's masks — are exact
+        self._inflight_snapshot = items
+        self._drain_pending()
+        self._inflight_snapshot = None
+        V = self.runner.model_config.vocab_size
+        vocab_mask = None
+        if any(r.grammar is not None for r in items):
+            vocab_mask = np.ones((B, V), bool)
+            for i, r in enumerate(items):
+                if r.grammar is not None and not r.finished() \
+                        and not getattr(r, "inflight_discard", 0):
+                    vocab_mask[i] = r.grammar.vocab_mask()
+        logit_bias = self._logit_bias_matrix(items, V)
+        ids, lp = self.runner.sample_constrained(
+            ctx, vocab_mask=vocab_mask, logit_bias=logit_bias,
+            want_logprobs=want_lp,
+        )
+        self.pending.append(("decode", items, ids, lp, want_lp))
+        return True
+
     def _process_one_pending(self):
         """Fetch + post-process the oldest in-flight batch (the only sync
         point of the pipeline)."""
@@ -878,16 +960,44 @@ class Scheduler:
             for i, r in enumerate(items):
                 if r.finished():  # finished/aborted while this was in flight
                     continue
+                if getattr(r, "inflight_discard", 0):
+                    # sampled id orphaned by a jump-forward (its KV write —
+                    # the INPUT token's — remains valid; only the sample is
+                    # discarded)
+                    r.inflight_discard -= 1
+                    continue
                 new_id = int(ids[i])
                 r.output_ids.append(new_id)
                 if want_lp and r.sampling_params.return_logprob:
                     self._record_logprobs(r, lp, i)
                 r.check_finished(new_id)
-                self._out_buffer.append(ReqOutput(r, [new_id]))
+                jf = []
+                if r.grammar is not None:
+                    self._advance_grammar(r, new_id)
+                    if not r.finished() and \
+                            not self.server_args.disable_jump_forward:
+                        jf = self._try_jump_forward(r)
+                self._out_buffer.append(ReqOutput(r, [new_id] + jf))
                 if r.finished():
                     if r in self.running:
                         self.running.remove(r)
                     self._finish_req(r)
+                elif jf:
+                    # forced tokens have no KV: re-extend through prefill;
+                    # discard the sampled ids of any in-flight decode steps
+                    if r in self.running:
+                        self.running.remove(r)
+                    n_if = sum(
+                        1 for e in self.pending
+                        if e[0] == "decode" and r in e[1]
+                    )
+                    snap = getattr(self, "_inflight_snapshot", None)
+                    if snap is not None and r in snap:
+                        n_if += 1
+                    r.inflight_discard = (
+                        getattr(r, "inflight_discard", 0) + n_if
+                    )
+                    self.waiting.appendleft(r)
             self.new_token_ratio = max(
                 self.new_token_ratio - self.new_token_ratio_decay,
                 self.base_new_token_ratio,

@@ -549,6 +549,153 @@ class ModelRunner:
         self._fns[key] = fn
         return fn
 
+    def _decode_logits_fn(self, bs: int, pt_w: int, want_pen: bool):
+        """Phase A of the two-phase constrained-overlap decode: forward to
+        logits only (device-resident input tokens), penalties applied.
+        The host builds grammar masks while this runs — the TPU analogue of
+        the reference's same-stream bitmask pipelining
+        (`srt/constrained/xgrammar_backend.py:94`)."""
+        key = ("decode_logits", bs, pt_w, want_pen)
+        if key in self._fns:
+            return self._fns[key]
+        model = self.model
+        vocab = self.model_config.vocab_size
+        lora_on = self.lora is not None
+
+        def raw(params, kv, rope, last_ids, *rest):
+            rest = list(rest)
+            counts = rest.pop(0) if want_pen else None
+            lidx = rest.pop() if lora_on else None
+            row_ids, positions, slots, page_table, lengths, info = rest
+            tokens = last_ids[row_ids]
+            logits, kv = model.decode_step(
+                params, kv, rope, tokens, positions, slots, page_table,
+                lengths, lora_idx=lidx,
+            )
+            if want_pen:
+                logits = apply_penalties(logits, counts[row_ids], info, vocab)
+            return logits, kv
+
+        fn = jax.jit(
+            self._wrap_step(
+                raw,
+                7 + (1 if want_pen else 0) + (1 if lora_on else 0),
+                n_replicated_out=1,
+                n_state_out=0,
+            ),
+            donate_argnums=(1,),
+        )
+        self._fns[key] = fn
+        return fn
+
+    def _sample_masked_fn(self, bs: int, all_greedy: bool, want_lp: bool,
+                          want_pen: bool, want_bias: bool):
+        """Phase B: bit-packed vocab mask (+ logit_bias) -> sample -> row
+        publish.  Plain jit (replicated data only — no params/KV)."""
+        key = ("sample_masked", bs, all_greedy, want_lp, want_pen, want_bias)
+        if key in self._fns:
+            return self._fns[key]
+        vocab = self.model_config.vocab_size
+        eos_ids = self._eos_ids
+
+        def raw(last_ids, logits, *rest):
+            rest = list(rest)
+            counts = rest.pop(0) if want_pen else None
+            row_ids, info, steps, mask_u8 = rest[:4]
+            if want_bias:
+                logits = logits + rest[4]
+            bits = (mask_u8[:, :, None] >> jnp.arange(8, dtype=jnp.uint8)) & 1
+            vm = bits.reshape(mask_u8.shape[0], -1)[:, :vocab].astype(bool)
+            ids = sample(logits, info, steps, all_greedy=all_greedy,
+                         vocab_mask=vm, eos_ids=eos_ids)
+            last_ids = last_ids.at[row_ids].set(ids, mode="drop")
+            outs = (ids,)
+            if want_lp:
+                lp, top_ids, top_vals = logprob_outputs(logits, ids)
+                outs = (ids, lp, top_ids, top_vals)
+            outs = outs + (last_ids,)
+            if want_pen:
+                counts = counts.at[row_ids, ids].add(1, mode="drop")
+                outs = outs + (counts,)
+            return outs
+
+        fn = jax.jit(raw, donate_argnums=(0, 2) if want_pen else (0,))
+        self._fns[key] = fn
+        return fn
+
+    def forward_decode_logits(self, d: DecodeInput, update_counts: bool = False):
+        """Dispatch phase A (forward -> device logits).  Returns an opaque
+        context consumed by `sample_constrained` after the host has the
+        grammar masks for this step."""
+        bs = len(d.lengths)
+        bs_pad = pick_bucket(bs, self.decode_bs_buckets)
+        pt_w = pick_bucket(d.page_table.shape[1], self.pmax_buckets)
+        st = self.sampling_state
+        fn = self._decode_logits_fn(bs_pad, pt_w, update_counts)
+        _, positions, slots, pt, lengths = self._pad_decode(d, bs_pad, pt_w)
+        info = _sampling_info(d.sampling_padded(bs_pad))
+        steps = np.zeros(bs_pad, np.int32)
+        if d.sample_steps is not None:
+            steps[: bs] = d.sample_steps
+        rows = self._pad_rows(d.row_ids, bs, bs_pad)
+        self.decode_steps_counter += 1
+        args = (
+            self.params, self.kv_cache, self.rope_tab, st.last_ids,
+            *((st.ensure_counts(),) if update_counts else ()),
+            rows, positions, slots, pt, lengths, info,
+        )
+        if self.lora is not None:
+            args = args + (jnp.asarray(self._pad_i32(
+                d.lora_idx if d.lora_idx is not None else [], bs_pad, fill=-1
+            )),)
+        logits, kv = fn(*args)
+        self.kv_cache = kv
+        return {
+            "logits": logits, "rows": rows, "info": info,
+            "steps": jnp.asarray(steps), "bs_pad": bs_pad,
+            "all_greedy": d.all_greedy(), "want_pen": update_counts,
+        }
+
+    def sample_constrained(
+        self,
+        ctx: dict,
+        vocab_mask: Optional[np.ndarray] = None,  # [B, V] bool
+        logit_bias: Optional[np.ndarray] = None,  # [B, V] f32
+        want_logprobs: bool = False,
+    ):
+        """Dispatch phase B on a phase-A context -> (ids, lp) device arrays."""
+        bs_pad = ctx["bs_pad"]
+        st = self.sampling_state
+        V = self.model_config.vocab_size
+        vm = np.ones((bs_pad, V), bool)
+        if vocab_mask is not None:
+            vm[: vocab_mask.shape[0]] = vocab_mask
+        mask_u8 = np.packbits(vm, axis=1, bitorder="little")
+        fn = self._sample_masked_fn(
+            bs_pad, ctx["all_greedy"], want_logprobs, ctx["want_pen"],
+            logit_bias is not None,
+        )
+        args = [st.last_ids, ctx["logits"]]
+        if ctx["want_pen"]:
+            args.append(st.ensure_counts())
+        args += [ctx["rows"], ctx["info"], ctx["steps"], jnp.asarray(mask_u8)]
+        if logit_bias is not None:
+            lb = np.zeros((bs_pad, V), np.float32)
+            lb[: logit_bias.shape[0]] = logit_bias
+            args.append(jnp.asarray(lb))
+        outs = list(fn(*args))
+        if ctx["want_pen"]:
+            st.out_counts = outs.pop()
+        st.last_ids = outs.pop()
+        lp = None
+        if want_logprobs:
+            lp = {
+                "logprobs": outs[1],
+                "top_ids": outs[2],
+                "top_logprobs": outs[3],
+            }
+        return outs[0], lp
+
     def _decode_fn(
         self, bs: int, pt_w: int, all_greedy: bool, want_lp: bool,
         want_mask: bool = False, want_pen: bool = False,

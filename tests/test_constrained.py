@@ -317,3 +317,60 @@ def test_engine_structural_tag(eng):
     text = out["text"]
     n_open = text.count("<t>")
     assert text.count('<t>"ok"</t>') == n_open, text
+
+
+# ---------------------------------------------------------------------------
+# overlap-compatible constrained decoding (two-phase dispatch)
+# ---------------------------------------------------------------------------
+
+
+def test_grammar_overlap_matches_sync(eng, monkeypatch):
+    """The two-phase overlap path and the synchronous fallback must emit
+    identical grammar-legal text (reference parity: overlap scheduler with
+    xgrammar bitmask, srt/constrained/xgrammar_backend.py:94)."""
+    outs = {}
+    for mode in ("0", "1"):
+        monkeypatch.setenv("SGLT_GRAMMAR_OVERLAP", mode)
+        outs[mode] = eng.generate(
+            prompt="The answer is",
+            sampling_params={
+                "max_new_tokens": 12,
+                "temperature": 0.0,
+                "regex": r"(yes|no)!",
+            },
+        )["text"]
+    assert outs["0"] == outs["1"]
+
+
+def test_grammar_overlap_mixed_batch(eng, monkeypatch):
+    """One constrained request must not corrupt (or de-overlap) co-resident
+    unconstrained requests: run both concurrently, compare the plain
+    request's text with its solo run."""
+    import threading
+
+    monkeypatch.setenv("SGLT_GRAMMAR_OVERLAP", "1")
+    plain_sp = {"max_new_tokens": 24, "temperature": 0.0}
+    solo = eng.generate(prompt="tell me a story", sampling_params=plain_sp)
+
+    results = {}
+
+    def run(name, prompt, sp):
+        results[name] = eng.generate(prompt=prompt, sampling_params=sp)
+
+    ts = [
+        threading.Thread(
+            target=run,
+            args=("grammar", "The answer is",
+                  {"max_new_tokens": 12, "temperature": 0.0,
+                   "regex": r"(yes|no)!"}),
+        ),
+        threading.Thread(
+            target=run, args=("plain", "tell me a story", plain_sp)
+        ),
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=120)
+    assert results["grammar"]["text"] in ("yes!", "no!")
+    assert results["plain"]["text"] == solo["text"]
