@@ -1126,6 +1126,9 @@ def _warmup(engine: Engine):
          "return_logprob": True},
         {"max_new_tokens": 2, "temperature": 0.8, "top_p": 0.9,
          "frequency_penalty": 0.1, "ignore_eos": True},
+        # grammar path: compiles the two-phase constrained-overlap pair
+        # (_decode_logits_fn + _sample_masked_fn)
+        {"max_new_tokens": 2, "temperature": 0.0, "regex": r"[ab]+"},
     ]
     for sp in variants:
         try:

@@ -56,17 +56,21 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         super().__post_init__()
         c = self.config
         hf = c.hf_config
-        assert self.tp_size == 1 and self.pp_size == 1, (
-            "MLA v1 runs tp=1/pp=1 (the KVH=1 latent cache cannot shard "
-            "over heads; TP via replicated cache + sharded q heads is the "
-            "listed next step)"
-        )
+        assert self.pp_size == 1, "MLA + PP: not supported yet"
+        # MLA TP (reference deepseek_v2.py absorbed-MLA TP): q heads shard
+        # over the model axis; the latent projections (kv_a) stay replicated
+        # so every shard computes the same latent row, and the KVH=1 cache
+        # is replicated per shard (the pool's kv_heads=1-per-shard geometry
+        # gives each shard its own full-width latent copy).  o is
+        # row-parallel over heads; the psum after o is the head combine.
         self.q_lora_rank = hf.get("q_lora_rank")
         self.kv_lora_rank = int(hf["kv_lora_rank"])
         self.qk_nope = int(hf["qk_nope_head_dim"])
         self.qk_rope = int(hf["qk_rope_head_dim"])
         self.v_dim = int(hf["v_head_dim"])
         self.n_heads = int(hf["num_attention_heads"])
+        assert self.n_heads % self.tp_size == 0, (self.n_heads, self.tp_size)
+        self.n_local = self.n_heads // self.tp_size
         # HF DeepseekV2Attention.scaling = qk_head_dim ** -0.5
         self.sm_scale = float((self.qk_nope + self.qk_rope) ** -0.5)
         rs = c.rope_scaling
@@ -105,9 +109,10 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
             self.n_group = int(hf.get("n_group") or 1)
             self.topk_group = int(hf.get("topk_group") or 1)
             self.norm_topk = bool(hf.get("norm_topk_prob", False))
-            # MLA shards attention only; experts are tp=1-local (for now)
             self.expert_inter = self.moe_inter
-            self.experts_local = self.num_experts
+            assert self.num_experts % self.tp_size == 0, (
+                self.num_experts, self.tp_size)
+            self.experts_local = self.num_experts // self.tp_size
         self.expert_dist_sink = None  # EPLB observability (mixtral parity)
 
         # --- specs: replace the llama qkv/o/mlp set ---
@@ -119,36 +124,38 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
             self.specs["q_a"] = LinearSpec.make(
                 "q_a", H, int(self.q_lora_rank), q, None)
             self.specs["q_b"] = LinearSpec.make(
-                "q_b", int(self.q_lora_rank), self.n_heads * qk_head, q, None)
+                "q_b", int(self.q_lora_rank), self.n_heads * qk_head, q,
+                "column", self.tp_size)
         else:
             self.specs["q"] = LinearSpec.make(
-                "q", H, self.n_heads * qk_head, q, None)
+                "q", H, self.n_heads * qk_head, q, "column", self.tp_size)
         self.specs["kv_a"] = LinearSpec.make(
             "kv_a", H, self.kv_lora_rank + self.qk_rope, q, None)
         # kv_b stays bf16 (absorb einsums need the plain [rank, H*(nope+v)])
         self.specs["kv_b"] = LinearSpec.make(
             "kv_b", self.kv_lora_rank, self.n_heads * (self.qk_nope + self.v_dim),
-            None, None)
+            None, "column", self.tp_size)
         self.specs["o"] = LinearSpec.make(
-            "o", self.n_heads * self.v_dim, H, q, None)
+            "o", self.n_heads * self.v_dim, H, q, "row", self.tp_size)
         k = self.first_k_dense
+        tp = self.tp_size
         if k > 0:
             self.specs["dense_gate_up"] = LinearSpec.make(
-                "dense_gate_up", H, 2 * c.intermediate_size, q, None)
+                "dense_gate_up", H, 2 * c.intermediate_size, q, "column", tp)
             self.specs["dense_down"] = LinearSpec.make(
-                "dense_down", c.intermediate_size, H, q, None)
+                "dense_down", c.intermediate_size, H, q, "row", tp)
         if self.num_experts:
             E, I = self.num_experts, self.moe_inter
             self.specs["gate_up"] = LinearSpec.make(
-                "gate_up", H, E * 2 * I, q, None)
+                "gate_up", H, E * 2 * I, q, "column", tp)
             self.specs["down"] = LinearSpec.make(
-                "down", E * I, H, q, None, k_align=I)
+                "down", E * I, H, q, "row", tp, k_align=I)
             if self.n_shared:
                 si = self.n_shared * I
                 self.specs["shared_gate_up"] = LinearSpec.make(
-                    "shared_gate_up", H, 2 * si, q, None)
+                    "shared_gate_up", H, 2 * si, q, "column", tp)
                 self.specs["shared_down"] = LinearSpec.make(
-                    "shared_down", si, H, q, None)
+                    "shared_down", si, H, q, "row", tp)
 
     # ------------------------------------------------------------------
     # params
@@ -299,7 +306,7 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         lp = params["layers"]
         T = x.shape[0]
         rank, rope_d = self.kv_lora_rank, self.qk_rope
-        nope, vd, n = self.qk_nope, self.v_dim, self.n_heads
+        nope, vd, n = self.qk_nope, self.v_dim, self.n_local
         Dp = self.head_dim  # padded latent row width (pool lane dim)
 
         h = rms_norm(x, lp["input_norm"][l], c.rms_norm_eps)
@@ -362,11 +369,11 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         o = linear_apply(
             self.specs["o"], lp["o"], o_h.reshape(T, n * vd).astype(jnp.bfloat16), l
         )
-        x = x + o.astype(jnp.float32).astype(x.dtype)
+        x = x + self._maybe_psum(o.astype(jnp.float32)).astype(x.dtype)
 
         h2 = rms_norm(x, lp["post_norm"][l], c.rms_norm_eps)
         d = self._mlp(lp, h2, l)
-        x = x + d.astype(jnp.float32).astype(x.dtype)
+        x = x + self._maybe_psum(d.astype(jnp.float32)).astype(x.dtype)
         return x
 
     # ------------------------------------------------------------------

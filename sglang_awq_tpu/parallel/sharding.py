@@ -26,10 +26,16 @@ from jax.sharding import PartitionSpec as P
 from sglang_awq_tpu.parallel.mesh import MODEL_AXIS, STAGE_AXIS
 
 
-def _linear_pspecs(shard_axis: str, quantized: bool, has_bias: bool) -> Dict[str, P]:
+def _linear_pspecs(shard_axis, quantized: bool, has_bias: bool) -> Dict[str, P]:
     # leading dim is the LAYER stack: pipeline stages slice it ("stage"
     # spans size 1 without pp, so these specs serve both topologies)
     m, st = MODEL_AXIS, STAGE_AXIS
+    if shard_axis is None:  # replicated linear (e.g. MLA latent projections)
+        keys = ("qweight", "scales", "zbias") if quantized else ("weight",)
+        out = {k: P(st, None, None) for k in keys}
+        if has_bias:
+            out["bias"] = P(st, None)
+        return out
     if quantized:
         if shard_axis == "column":
             out = {

@@ -6,6 +6,9 @@
 import numpy as np
 import pytest
 
+# HF-equivalence tests load torch reference models: slow tier
+pytestmark = pytest.mark.slow
+
 import jax.numpy as jnp
 
 from sglang_awq_tpu.configs.model_config import ModelConfig

@@ -297,3 +297,77 @@ def test_pp_engine_serving_matches_single():
         finally:
             eng.shutdown()
     assert outs[2] == outs[1], outs
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+def test_deepseek_mla_tp4_matches_tp1():
+    """MLA TP: q heads shard over the model axis with a replicated latent
+    cache (reference srt/models/deepseek_v2.py absorbed-MLA TP)."""
+    import torch
+    from transformers import DeepseekV2Config
+    from transformers.models.deepseek_v2 import DeepseekV2ForCausalLM as HFV2
+
+    from sglang_awq_tpu.model_loader.loader import _torch_state_dict_to_np
+
+    cfg = dict(
+        architectures=["DeepseekV2ForCausalLM"],
+        vocab_size=512, hidden_size=128, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=4,
+        intermediate_size=224, kv_lora_rank=64, qk_rope_head_dim=16,
+        qk_nope_head_dim=32, v_head_dim=32, q_lora_rank=None,
+        rms_norm_eps=1e-5, rope_theta=10000.0, max_position_embeddings=256,
+        tie_word_embeddings=False, bos_token_id=1, eos_token_id=2,
+        attention_bias=False, attention_dropout=0.0,
+        n_routed_experts=8, moe_intermediate_size=96, num_experts_per_tok=2,
+        first_k_dense_replace=1, n_shared_experts=1,
+    )
+    torch.manual_seed(0)
+    hf = HFV2(
+        DeepseekV2Config(**{k: v for k, v in cfg.items() if k != "architectures"})
+    ).eval()
+    tensors = _torch_state_dict_to_np(hf.state_dict())
+
+    rng = np.random.default_rng(2)
+    prompt = rng.integers(3, 500, 29).tolist()
+    T = len(prompt)
+    ps = 8
+    results = {}
+    for tp in (1, 4):
+        mc = ModelConfig(model_path="", hf_config=dict(cfg))
+        sa = ServerArgs(model_path="tiny", page_size=ps,
+                        max_total_tokens=1024, chunked_prefill_size=64,
+                        tp_size=tp)
+        r = ModelRunner(sa, model_config=mc, tensors=tensors)
+        pages = np.arange(8, dtype=np.int32)
+        pos = np.arange(T, dtype=np.int32)
+        slots = pages[pos // ps] * ps + pos % ps
+        ids0, lg = r.forward_extend_batch(
+            ExtendBatchInput(
+                tokens=np.asarray(prompt, np.int32),
+                positions=pos,
+                slots=slots,
+                page_table=pages[None, :],
+                kv_lens=np.asarray([T], np.int32),
+                q_lens=np.asarray([T], np.int32),
+                qb_base=np.asarray([0], np.int32),
+                sampling=[SamplingRow()],
+            ),
+            want_logprobs=True,
+        )
+        d = DecodeInput(
+            tokens=np.asarray([int(ids0[0])], np.int32),
+            positions=np.asarray([T], np.int32),
+            slots=np.asarray([pages[T // ps] * ps + T % ps], np.int32),
+            page_table=pages[None, :],
+            lengths=np.asarray([T + 1], np.int32),
+            sample_steps=np.asarray([1], np.int32),
+            sampling=[SamplingRow()],
+        )
+        ids, _ = r.forward_decode(d)
+        results[tp] = (lg["top_ids"][0], lg["top_logprobs"][0], int(ids[0]))
+
+    ti1, tv1, dec1 = results[1]
+    ti4, tv4, dec4 = results[4]
+    assert ti1[0] == ti4[0]
+    np.testing.assert_allclose(tv1[:5], tv4[:5], atol=5e-2)
+    assert dec1 == dec4
