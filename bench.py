@@ -84,6 +84,7 @@ def main():
         max_running_requests=bs,
         mem_fraction_static=0.80,
         kv_cache_dtype=os.environ.get("SGLT_BENCH_KV", "auto"),
+        lm_head_dtype=os.environ.get("SGLT_BENCH_LMHEAD", "auto"),
     )
     log(f"bench: building {model_kind} runner (bs={bs}, ctx={ctx})...")
     t0 = time.time()

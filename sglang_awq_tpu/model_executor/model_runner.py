@@ -138,7 +138,20 @@ class ModelRunner:
             random_weights=server_args.random_weights,
             pp_size=self.pp_size,
             stage_axis=stage_axis,
+            pp_microbatches=server_args.pp_microbatches,
         )
+        if server_args.lm_head_dtype == "int8" and \
+                "weight" in self.params.get("lm_head", {}):
+            # per-column symmetric int8: halves the largest non-AWQ decode
+            # stream (reference lm-head stays bf16; this is the TPU DMA
+            # trade — opt-in via --lm-head-dtype int8)
+            w = self.params["lm_head"].pop("weight")  # [H, V] bf16
+            scale = (jnp.max(jnp.abs(w.astype(jnp.float32)), axis=0)
+                     / 127.0 + 1e-30)
+            wq = jnp.clip(
+                jnp.round(w.astype(jnp.float32) / scale[None, :]),
+                -127, 127).astype(jnp.int8)
+            self.params["lm_head"] = {"weight_q": wq, "scale": scale}
         if self.mesh is not None:
             self._shard_state()
         self.rope_tab = jax.device_put(self.model.rope())

@@ -210,11 +210,13 @@ def load_model(
     random_weights: bool = False,
     pp_size: int = 1,
     stage_axis: Optional[str] = None,
+    pp_microbatches: int = 0,
 ):
     """Returns (model, params). tensors overrides disk reading (tests/RL)."""
     cls = get_model_class(model_config.architecture)
     model = cls(config=model_config, tp_size=tp_size, tp_axis=tp_axis,
-                pp_size=pp_size, stage_axis=stage_axis)
+                pp_size=pp_size, stage_axis=stage_axis,
+                pp_microbatches=pp_microbatches)
     if random_weights:
         params = model.random_params()
         return model, params

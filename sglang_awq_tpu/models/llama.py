@@ -60,6 +60,7 @@ class LlamaForCausalLM:
     qkv_clip: float = 0.0  # clamp fused qkv outputs (OLMo/DBRX clip_qkv)
     pp_size: int = 1  # pipeline stages over the "stage" mesh axis
     stage_axis: Optional[str] = None
+    pp_microbatches: int = 0  # decode microbatches per step (0 = 2*pp)
 
     def __post_init__(self):
         c = self.config
@@ -202,6 +203,15 @@ class LlamaForCausalLM:
     def layers_local(self) -> int:
         return self.config.num_layers // self.pp_size
 
+    def _pp_mb(self, B: int) -> int:
+        """Decode microbatch count: the largest configured M dividing B."""
+        if self.pp_size == 1:
+            return 1
+        M = self.pp_microbatches or 2 * self.pp_size
+        while M > 1 and B % M:
+            M //= 2
+        return max(M, 1)
+
     def _run_layers(self, params, x, kv, per_tick):
         """Run all layers: direct local scan (pp=1) or PIPELINE rotation.
 
@@ -233,6 +243,64 @@ class LlamaForCausalLM:
             jnp.where(keep, x.astype(jnp.float32), 0.0), self.stage_axis
         ).astype(x.dtype)
         return x, kv
+
+    def _run_layers_mb(self, params, xs, kv, per_tick, metas):
+        """Microbatched pipeline rotation (GPipe schedule, SPMD form).
+
+        Reference role: `srt/managers/scheduler_pp_mixin.py` microbatch
+        event loop + PPProxyTensors — collapsed into ONE jitted rotation:
+
+        xs    [M, Bm, H]  microbatch activations
+        metas pytree of [M, ...] per-microbatch step metadata
+        per_tick(x, kv, live, meta) runs this stage's local layers.
+
+        Tick t: stage s processes microbatch m = t - s (warm stages all do
+        REAL work — the un-microbatched rotation ran one live stage per
+        tick).  Stage 0 ingests microbatch t; stage S-1 banks its finished
+        microbatch.  M + S - 1 ticks total; per-device compute drops from
+        S*(L/S)*B to (M+S-1)*(L/S)*(B/M) — the pipeline actually pipelines.
+        """
+        S = self.pp_size
+        M = xs.shape[0]
+        perm = [(i, (i + 1) % S) for i in range(S)]
+        s_idx = jax.lax.axis_index(self.stage_axis)
+
+        def tick(carry, t):
+            x_cur, kv, out = carry
+            m = t - s_idx
+            live = (m >= 0) & (m < M)
+            mc = jnp.clip(m, 0, M - 1)
+            meta = jax.tree.map(
+                lambda a: jax.lax.dynamic_index_in_dim(
+                    a, mc, 0, keepdims=False), metas)
+            # stage 0 ingests microbatch t at the start of its tick
+            x_in = jnp.where(
+                s_idx == 0,
+                jax.lax.dynamic_index_in_dim(
+                    xs, jnp.clip(t, 0, M - 1), 0, keepdims=False),
+                x_cur,
+            )
+            x_out, kv = per_tick(x_in, kv, live, meta)
+            # last stage banks its finished microbatch
+            bank = jnp.where(
+                (s_idx == S - 1) & live,
+                x_out,
+                jax.lax.dynamic_index_in_dim(out, mc, 0, keepdims=False),
+            )
+            out = jax.lax.dynamic_update_index_in_dim(out, bank, mc, 0)
+            x_next = jax.lax.ppermute(x_out, self.stage_axis, perm)
+            return (x_next, kv, out), None
+
+        out0 = jnp.zeros_like(xs)
+        (x_cur, kv, out), _ = jax.lax.scan(
+            tick, (xs[0], kv, out0), jnp.arange(M + S - 1)
+        )
+        # the banked outputs are valid only on stage S-1: re-replicate
+        keep = jnp.equal(s_idx, S - 1)
+        out = jax.lax.psum(
+            jnp.where(keep, out.astype(jnp.float32), 0.0), self.stage_axis
+        ).astype(xs.dtype)
+        return out, kv
 
     def _rope_for_layer(self, rope_tab, l):
         """Hook: per-layer rope-table selection (SmolLM3 NoPE, Gemma3
@@ -389,9 +457,21 @@ class LlamaForCausalLM:
 
     def _logits(self, params, h: jax.Array) -> jax.Array:
         h = self._final_norm(params, h)
-        logits = jnp.dot(
-            h, params["lm_head"]["weight"], preferred_element_type=jnp.float32
-        )
+        head = params["lm_head"]
+        if "weight_q" in head:
+            # int8 per-column lm_head (--lm-head-dtype int8): the [H, V]
+            # stream is the single biggest decode tensor after the AWQ
+            # weights (~1 GB bf16/step at V=128k); int8 halves it.  The
+            # convert fuses into the dot's operand read; the column scale
+            # rides the f32 epilogue.
+            logits = jnp.dot(
+                h, head["weight_q"].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            ) * head["scale"][None, :]
+        else:
+            logits = jnp.dot(
+                h, head["weight"], preferred_element_type=jnp.float32
+            )
         # vocab-parallel lm_head: gather shards along vocab dim
         if self.tp_axis is not None:
             logits = jax.lax.all_gather(
@@ -420,12 +500,8 @@ class LlamaForCausalLM:
         x = self._pos_embed(params, self._embed(params, tokens), positions)
         use_xla_attn = not is_tpu_backend()
 
-        def per_tick(x, kv, live):
-            slots_t = (
-                slots if live is None
-                else jnp.where(live, slots, PAD_SLOT)
-            )
-
+        def run_tick(x, kv, slots_t, positions_t, page_table_t, lengths_t,
+                     lora_t):
             def body(carry, l):
                 x, kv = carry
 
@@ -435,7 +511,7 @@ class LlamaForCausalLM:
                     )
                     fn = ragged_decode_xla if use_xla_attn else ragged_decode
                     out = fn(
-                        q[:, None], state["kv"], page_table, lengths, l,
+                        q[:, None], state["kv"], page_table_t, lengths_t, l,
                         sm_scale=self.sm_scale, window=self._win(l),
                         softcap=self.attn_softcap,
                         sinks=self._sinks(params, l),
@@ -443,8 +519,8 @@ class LlamaForCausalLM:
                     return out[:, 0]
 
                 state = {"kv": kv}
-                x = self._layer(params, x, l, positions, rope_tab, attn,
-                                lora_idx=lora_idx)
+                x = self._layer(params, x, l, positions_t, rope_tab, attn,
+                                lora_idx=lora_t)
                 return (x, state["kv"]), None
 
             (x, kv), _ = jax.lax.scan(
@@ -452,7 +528,39 @@ class LlamaForCausalLM:
             )
             return x, kv
 
-        x, kv_cache = self._run_layers(params, x, kv_cache, per_tick)
+        M = self._pp_mb(B)
+        if M > 1:
+            Bm = B // M
+            xs = x.reshape(M, Bm, -1)
+            metas = dict(
+                slots=slots.reshape(M, Bm),
+                positions=positions.reshape(M, Bm),
+                page_table=page_table.reshape(M, Bm, -1),
+                lengths=lengths.reshape(M, Bm),
+            )
+            if lora_idx is not None:
+                metas["lora"] = lora_idx.reshape(M, Bm)
+
+            def per_tick_mb(x, kv, live, meta):
+                slots_t = jnp.where(live, meta["slots"], PAD_SLOT)
+                return run_tick(x, kv, slots_t, meta["positions"],
+                                meta["page_table"], meta["lengths"],
+                                meta.get("lora"))
+
+            out, kv_cache = self._run_layers_mb(
+                params, xs, kv_cache, per_tick_mb, metas
+            )
+            x = out.reshape(B, -1)
+        else:
+            def per_tick(x, kv, live):
+                slots_t = (
+                    slots if live is None
+                    else jnp.where(live, slots, PAD_SLOT)
+                )
+                return run_tick(x, kv, slots_t, positions, page_table,
+                                lengths, lora_idx)
+
+            x, kv_cache = self._run_layers(params, x, kv_cache, per_tick)
         logits = self._logits(params, x)
         return logits, kv_cache
 

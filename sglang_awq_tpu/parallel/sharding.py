@@ -69,8 +69,12 @@ def param_pspecs(model, params: Dict[str, Any]) -> Dict[str, Any]:
             "post_norm": P(STAGE_AXIS, None),
         },
         "final_norm": P(None),
-        "lm_head": {"weight": P(None, MODEL_AXIS)},
+        "lm_head": {},
     }
+    for k, arr in params["lm_head"].items():
+        specs["lm_head"][k] = (
+            P(MODEL_AXIS) if arr.ndim == 1 else P(None, MODEL_AXIS)
+        )
     for name, spec in model.specs.items():
         has_bias = "bias" in params["layers"][name]
         specs["layers"][name] = _linear_pspecs(

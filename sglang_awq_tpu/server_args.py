@@ -99,6 +99,8 @@ class ServerArgs:
     disable_jump_forward: bool = False  # grammar forced-string fast path
     grpc_port: Optional[int] = None  # also serve gRPC (sglang.Engine)
     pp_size: int = 1  # pipeline-parallel stages (layer ranges)
+    pp_microbatches: int = 0  # decode microbatches per step (0 = 2*pp)
+    lm_head_dtype: str = "auto"  # "auto" (bf16) | "int8" (per-column scales)
     hicache_size_gb: float = 4.0
     grammar_backend: str = "none"
     lora_paths: Optional[List[str]] = None

@@ -392,3 +392,50 @@ def test_logit_bias_forces_token():
         assert out2["output_ids"][0] != base
     finally:
         eng.shutdown()
+
+
+def test_lm_head_int8_logits_close():
+    """--lm-head-dtype int8: per-column scales keep logits within ~1% and
+    the greedy token stable on the tiny model."""
+    import numpy as np
+
+    from sglang_awq_tpu.configs.model_config import ModelConfig
+    from sglang_awq_tpu.model_executor.forward_batch import (
+        ExtendBatchInput,
+        SamplingRow,
+    )
+    from sglang_awq_tpu.model_executor.model_runner import ModelRunner
+    from sglang_awq_tpu.server_args import ServerArgs
+
+    from .utils import TINY_LLAMA_CFG, tiny_hf_model_and_tensors
+
+    _, tensors = tiny_hf_model_and_tensors()
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(3, 200, 17).tolist()
+    T = len(prompt)
+    ps = 8
+    outs = {}
+    for mode in ("auto", "int8"):
+        mc = ModelConfig(model_path="", hf_config=dict(TINY_LLAMA_CFG))
+        sa = ServerArgs(model_path="tiny", page_size=ps,
+                        max_total_tokens=512, chunked_prefill_size=64,
+                        lm_head_dtype=mode)
+        r = ModelRunner(sa, model_config=mc, tensors=tensors)
+        pages = np.arange(8, dtype=np.int32)
+        pos = np.arange(T, dtype=np.int32)
+        ids0, lg = r.forward_extend_batch(
+            ExtendBatchInput(
+                tokens=np.asarray(prompt, np.int32),
+                positions=pos,
+                slots=pages[pos // ps] * ps + pos % ps,
+                page_table=pages[None, :],
+                kv_lens=np.asarray([T], np.int32),
+                q_lens=np.asarray([T], np.int32),
+                qb_base=np.asarray([0], np.int32),
+                sampling=[SamplingRow()],
+            ),
+            want_logprobs=True,
+        )
+        outs[mode] = (int(ids0[0]), np.asarray(lg["top_logprobs"][0][:5]))
+    assert outs["auto"][0] == outs["int8"][0]
+    np.testing.assert_allclose(outs["auto"][1], outs["int8"][1], atol=0.05)

@@ -371,3 +371,63 @@ def test_deepseek_mla_tp4_matches_tp1():
     assert ti1[0] == ti4[0]
     np.testing.assert_allclose(tv1[:5], tv4[:5], atol=5e-2)
     assert dec1 == dec4
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+def test_pp2_microbatched_decode_matches_single():
+    """Microbatched PP decode (GPipe rotation, M=4 over 2 stages): every
+    stage computes real work each warm tick; tokens must equal pp=1."""
+    tensors = make_tensors()
+    rng = np.random.default_rng(7)
+    ps = 8
+    B = 4
+    prompts = [rng.integers(3, 500, 9 + 4 * i).tolist() for i in range(B)]
+
+    out = {}
+    for pp in (1, 2):
+        mc = ModelConfig(model_path="", hf_config=dict(TINY_CFG))
+        sa = ServerArgs(
+            model_path="tiny", page_size=ps, max_total_tokens=1024,
+            chunked_prefill_size=128, pp_size=pp, pp_microbatches=4,
+        )
+        r = ModelRunner(sa, model_config=mc, tensors=tensors)
+        toks = []
+        page_rows = []
+        lens = []
+        for i, prompt in enumerate(prompts):
+            T = len(prompt)
+            pages = np.arange(i * 8, i * 8 + 8, dtype=np.int32)
+            pos = np.arange(T, dtype=np.int32)
+            slots = pages[pos // ps] * ps + pos % ps
+            ids0, _ = r.forward_extend_batch(
+                ExtendBatchInput(
+                    tokens=np.asarray(prompt, np.int32),
+                    positions=pos,
+                    slots=slots,
+                    page_table=pages[None, :],
+                    kv_lens=np.asarray([T], np.int32),
+                    q_lens=np.asarray([T], np.int32),
+                    qb_base=np.asarray([0], np.int32),
+                    sampling=[SamplingRow()],
+                ),
+            )
+            toks.append(int(ids0[0]))
+            page_rows.append(pages)
+            lens.append(T)
+        # one batched decode step over all four sequences
+        d = DecodeInput(
+            tokens=np.asarray(toks, np.int32),
+            positions=np.asarray(lens, np.int32),
+            slots=np.asarray(
+                [page_rows[i][lens[i] // ps] * ps + lens[i] % ps
+                 for i in range(B)], np.int32),
+            page_table=np.stack(page_rows),
+            lengths=np.asarray([t + 1 for t in lens], np.int32),
+            sample_steps=np.ones(B, np.int32),
+            sampling=[SamplingRow() for _ in range(B)],
+        )
+        ids1, _ = r.forward_decode(d)
+        out[pp] = (toks, [int(x) for x in np.asarray(ids1)[:B]])
+
+    assert out[2][0] == out[1][0], out
+    assert out[2][1] == out[1][1], out
