@@ -47,13 +47,19 @@ def main():
           f"pool pages={P}", flush=True)
 
     # build everything on-device inside one jit (host alloc is pathological)
-    split = KVH % 2 == 0  # engine default: split K/V pool for KVH >= 2
+    import os
+    dt = os.environ.get("SGLT_BENCH_KV", "bfloat16")
+    jdt = {"bfloat16": jnp.bfloat16, "fp8_e4m3": jnp.float8_e4m3fn,
+           "int8": jnp.int8}[dt]
+    fck = 2 if dt == "bfloat16" else 4
+    split = KVH % 2 == 0 and (X // fck) % 128 == 0
 
     @jax.jit
     def build():
         key = jax.random.PRNGKey(0)
-        shape = (1, P, 2, PS, 2, X // 2) if split else (1, P, PS, 2, X)
-        kv = jax.random.normal(key, shape, jnp.bfloat16) * 0.1
+        shape = (1, P, 2, PS, fck, X // fck) if split else (
+            1, P, PS, 2 * fck, 2 * X // (2 * fck))
+        kv = (jax.random.normal(key, shape, jnp.bfloat16) * 0.1).astype(jdt)
         q = jax.random.normal(key, (B, QS, QH, D), jnp.bfloat16)
         return kv, q
 

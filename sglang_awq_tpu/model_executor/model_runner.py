@@ -1303,7 +1303,7 @@ class ModelRunner:
             draft = self.draft
             ps = self.page_size
 
-            def raw(dp, dkv, drope, embed_w, lm_head_w, hidden_row, rows,
+            def raw(dp, dkv, drope, embed_w, head, hidden_row, rows,
                     t0, P, pt):
                 h = hidden_row[rows]  # [B, H]
                 ar = jnp.arange(bs_pad)
@@ -1323,10 +1323,17 @@ class ModelRunner:
                     g, dkv = draft.decode_hidden(
                         dp, dkv, drope, embed_w, tok, h, pos_c, slots, pt, lens
                     )
-                    logits = jnp.dot(
-                        g.astype(jnp.bfloat16), lm_head_w,
-                        preferred_element_type=jnp.float32,
-                    )
+                    if "weight_q" in head:  # int8 lm_head (scaled cols)
+                        logits = jnp.dot(
+                            g.astype(jnp.bfloat16),
+                            head["weight_q"].astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32,
+                        ) * head["scale"][None, :]
+                    else:
+                        logits = jnp.dot(
+                            g.astype(jnp.bfloat16), head["weight"],
+                            preferred_element_type=jnp.float32,
+                        )
                     nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                     return (g.astype(jnp.bfloat16), nxt, dkv), nxt
 
@@ -1342,7 +1349,7 @@ class ModelRunner:
         rows = self._pad_rows(row_ids, bs, bs_pad)
         drafts, self.draft_kv = self._fns[("eagle_chain", bs_pad, pt_w, k)](
             self.draft_params, self.draft_kv, self.draft_rope,
-            self.params["embed"]["weight"], self.params["lm_head"]["weight"],
+            self.params["embed"]["weight"], self.params["lm_head"],
             self.spec_hidden_row, rows,
             jnp.asarray(self._pad_i32(t0, bs_pad)),
             jnp.asarray(self._pad_i32(fill_len, bs_pad)),

@@ -54,6 +54,28 @@ from sglang_awq_tpu.utils import cdiv, pallas_interpret_default, round_up
 MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
 
 
+def chunk_to_bf16(x):
+    """Dequantize a KV chunk for the MXU.
+
+    fp8-e4m3 converts via an integer exponent rebias (s|eeee|mmm ->
+    s|eeeeeeee|mmmmmmm is a 4-bit shift + (127-7)<<7 exponent add):
+    Mosaic's native f8 convert is software and measured ~10x slower per
+    byte than this (127 vs 727 GB/s decode attention at bs=64/ctx=512).
+    Denormals flush to ~0 and NaN maps to a large finite value — neither
+    occurs in KV data.  int8 converts natively."""
+    if x.dtype == jnp.bfloat16:
+        return x
+    if x.dtype == jnp.float8_e4m3fn:
+        # i32 lane math (Mosaic legalizes 32-bit shifts only): rebuild the
+        # value as an f32 bit pattern, then narrow natively to bf16
+        u = pltpu.bitcast(x, jnp.uint8).astype(jnp.int32)
+        sign = (u & 0x80) << 24
+        mag = (u & 0x7F) << 20  # exp -> bits 26..23, mant -> 22..20
+        f = jnp.where(mag == 0, sign, sign + mag + (120 << 23))
+        return pltpu.bitcast(f, jnp.float32).astype(jnp.bfloat16)
+    return x.astype(jnp.bfloat16)
+
+
 def _shiftk(x: jax.Array, k: int) -> jax.Array:
     """Lane-shift by +k: col j -> j+k, cols [0, k) <- 0.  Moves each K
     column's probability onto its token's V column (K class c -> V class
@@ -217,8 +239,8 @@ def _decode_kernel_split(
             kc = k_buf[slot].reshape(fck * ck, k_buf.shape[-1])
             vc = v_buf[slot].reshape(fck * ck, v_buf.shape[-1])
             if kc.dtype != jnp.bfloat16:
-                kc = kc.astype(jnp.bfloat16)
-                vc = vc.astype(jnp.bfloat16)
+                kc = chunk_to_bf16(kc)
+                vc = chunk_to_bf16(vc)
 
             qk = lax.dot_general(
                 qbd_ref[...], kc, (((1,), (1,)), ((), ())),
@@ -443,7 +465,7 @@ def _decode_kernel(
             # the halved DMA bytes.
             kvc = kv_buf[slot].reshape(fc * ck, kv_buf.shape[-1])
             if kvc.dtype != jnp.bfloat16:
-                kvc = kvc.astype(jnp.bfloat16)
+                kvc = chunk_to_bf16(kvc)
 
             # All heads in one dot: [KVH*R, fc*ck] scores, row h*R+r =
             # head h.  sm_scale is pre-folded into qbd.
@@ -866,8 +888,8 @@ def _extend_kernel_split(
         kc = k_buf[slot].reshape(fck * ck, k_buf.shape[-1])
         vc = v_buf[slot].reshape(fck * ck, v_buf.shape[-1])
         if kc.dtype != jnp.bfloat16:
-            kc = kc.astype(jnp.bfloat16)
-            vc = vc.astype(jnp.bfloat16)
+            kc = chunk_to_bf16(kc)
+            vc = chunk_to_bf16(vc)
         prefix = kvlens_ref[b] - q_len
         masks = [None] * fck  # one per class row (heads share within class)
         for h in range(kvh):
@@ -1071,7 +1093,7 @@ def _extend_kernel(
         d = q_ref.shape[-1]
         kvc = kv_buf[slot].reshape(fc * ck, kv_buf.shape[-1])  # [fc*ck, Xr]
         if kvc.dtype != jnp.bfloat16:
-            kvc = kvc.astype(jnp.bfloat16)
+            kvc = chunk_to_bf16(kvc)
         prefix = kvlens_ref[b] - q_len
         masks = [None] * half  # one per class row (heads share within class)
         for h in range(kvh):
