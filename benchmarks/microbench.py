@@ -50,7 +50,7 @@ def bench_loop_fn(
     # otherwise re-issue byte-identical dispatches, which the relay serves
     # from a cache (observed: "1637 GB/s" decode attention)
     salt = struct.unpack("<I", os.urandom(4))[0] * 1e-12
-    mins = {}
+    meds = {}
     for it in (lo, hi):
         fetch_sync(make_loop(x0 + jnp.asarray(salt, x0.dtype), *consts, iters=it))
         ts = []
@@ -59,8 +59,13 @@ def bench_loop_fn(
             t0 = time.perf_counter()
             fetch_sync(make_loop(xv, *consts, iters=it))
             ts.append(time.perf_counter() - t0)
-        mins[it] = min(ts)
-    return (mins[hi] - mins[lo]) / (hi - lo)
+        # MEDIAN, not min: the relay occasionally serves an anomalously fast
+        # (cached) or slow round trip; min at one endpoint only produced
+        # negative slopes.  Callers should size hi so the body span is
+        # >= ~100 ms (fori_loop compile time does not grow with trip count).
+        ts.sort()
+        meds[it] = ts[len(ts) // 2]
+    return (meds[hi] - meds[lo]) / (hi - lo)
 
 
 def bench_matmul_like(f, x0: jax.Array, *consts, iters_pair=(4, 32), trials=3) -> float:

@@ -126,6 +126,133 @@ def sample(
     return jnp.where(is_greedy, greedy_ids, sampled_ids.astype(jnp.int32))
 
 
+def _filtered_vals(logits: jax.Array, info: SamplingInfo):
+    """Temperature + top-k/p/min-p filtering -> (vals [B, k] desc, idxs).
+
+    The candidate list a non-greedy row samples from (shared by sample()
+    and the speculative accept/reject path so both draw from the SAME
+    filtered distribution)."""
+    B, V = logits.shape
+    temps = jnp.maximum(info.temperatures, 1e-5)[:, None]
+    scaled = logits / temps
+    k = min(TOPK_CAP, V)
+    vals, idxs = jax.lax.top_k(scaled, k)
+    ranks = jnp.arange(k)[None, :]
+    mask = ranks < jnp.minimum(info.top_ks, k)[:, None]
+    vals = jnp.where(mask, vals, NEG_INF)
+    probs = jax.nn.softmax(vals, axis=-1)
+    csum = jnp.cumsum(probs, axis=-1)
+    keep_p = (csum - probs) < info.top_ps[:, None]
+    vals = jnp.where(keep_p, vals, NEG_INF)
+    probs2 = jax.nn.softmax(vals, axis=-1)
+    keep_mp = probs2 >= info.min_ps[:, None] * probs2[:, :1]
+    vals = jnp.where(keep_mp, vals, NEG_INF)
+    return vals, idxs
+
+
+@functools.partial(jax.jit, static_argnames=("all_greedy",))
+def spec_accept_sample(
+    logits: jax.Array,  # [B, QS, V] f32 — target logits per chain position
+    tokens: jax.Array,  # [B, QS] i32 — [committed input, draft_1..draft_{QS-1}]
+    info: SamplingInfo,  # per-request [B]
+    steps: jax.Array,  # [B] i32 — sample index of the FIRST emitted token
+    all_greedy: bool = False,
+):
+    """Chain speculative accept/reject, distribution-preserving.
+
+    Reference: `sgl-kernel/csrc/speculative/speculative_sampling.cu` (chain
+    rejection sampling).  The draft chain is a DETERMINISTIC proposal
+    (draft-model argmax), so position j's draft token t accepts with
+    probability P_j(t) under the row's filtered target distribution, and on
+    rejection the emitted token samples from renorm(P_j minus t) — the
+    emitted sequence is distributed exactly as non-spec sampling.  Greedy
+    rows reduce to argmax-match acceptance (P is one-hot).
+
+    Returns (emit_ids [B, QS], emit_len [B] in 1..QS, ids_greedy [B, QS]).
+    emit_ids[:, :n-1] are accepted draft tokens; emit_ids[:, n-1] is the
+    bonus/correction token.
+    """
+    B, QS, V = logits.shape
+    ids_greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, QS]
+    is_greedy = info.temperatures < 1e-5  # [B]
+    draft_next_g = jnp.concatenate(
+        [tokens[:, 1:], jnp.zeros((B, 1), tokens.dtype)], axis=1
+    )
+
+    if all_greedy:  # static fast path: no filtering, no draws
+        accept = ids_greedy == draft_next_g
+        judge = accept[:, : QS - 1] if QS > 1 else jnp.zeros((B, 0), bool)
+        prefix_ok = jnp.cumprod(judge.astype(jnp.int32), axis=1)
+        n_acc = jnp.sum(prefix_ok, axis=1)
+        bonus = ids_greedy[jnp.arange(B), jnp.minimum(n_acc, QS - 1)]
+        j = jnp.arange(QS)[None, :]
+        emit_ids = jnp.where(j < n_acc[:, None], draft_next_g, 0)
+        emit_ids = jnp.where(j == n_acc[:, None], bonus[:, None], emit_ids)
+        return (emit_ids.astype(jnp.int32), (n_acc + 1).astype(jnp.int32),
+                ids_greedy)
+
+    flat = logits.reshape(B * QS, V)
+    info_b = jax.tree.map(lambda a: jnp.repeat(a, QS, axis=0), info)
+    vals, idxs = _filtered_vals(flat, info_b)  # [B*QS, k]
+    vals = vals.reshape(B, QS, -1)
+    idxs = idxs.reshape(B, QS, -1)
+    probs = jax.nn.softmax(vals, axis=-1)  # filtered P_j
+
+    # draft token proposed FROM position j is tokens[:, j+1]
+    draft_next = draft_next_g  # [B, QS] (last column unused)
+    match = idxs == draft_next[..., None]
+    p_draft = jnp.sum(jnp.where(match, probs, 0.0), axis=-1)  # [B, QS]
+
+    # per-(row, position) uniform + gumbel draws, seeded like sample():
+    # fold_in(seed, step + j) so draws line up with the request's token index
+    pos_steps = steps[:, None] + jnp.arange(QS)[None, :]  # [B, QS]
+
+    def draw(seed, row_steps, row_vals, row_excl_vals):
+        def one(s, v, ev):
+            key = jax.random.fold_in(jax.random.PRNGKey(seed), s)
+            ku, kg, kg2 = jax.random.split(key, 3)
+            u = jax.random.uniform(ku)
+            g = jax.random.gumbel(kg, v.shape)
+            # bonus candidates: exclusion applied for mid-chain rejections
+            c_ex = jnp.argmax(ev + g)
+            c_all = jnp.argmax(v + jax.random.gumbel(kg2, v.shape))
+            return u, c_ex, c_all
+
+        return jax.vmap(one)(row_steps, row_vals, row_excl_vals)
+
+    excl_vals = jnp.where(match, NEG_INF, vals)  # P_j minus the draft token
+    u, c_ex, c_all = jax.vmap(draw)(info.seeds, pos_steps, vals, excl_vals)
+
+    sampled_accept = u < p_draft  # [B, QS]
+    greedy_accept = ids_greedy == draft_next
+    accept = jnp.where(is_greedy[:, None], greedy_accept, sampled_accept)
+    # positions j = 0..QS-2 judge draft j+1; accept_len = leading accepts
+    judge = accept[:, : QS - 1] if QS > 1 else jnp.zeros((B, 0), bool)
+    prefix_ok = jnp.cumprod(judge.astype(jnp.int32), axis=1)
+    n_acc = jnp.sum(prefix_ok, axis=1)  # [B] 0..QS-1 accepted drafts
+    emit_len = n_acc + 1
+
+    # bonus token at position n_acc: mid-chain -> exclusion sample;
+    # full acceptance (n_acc == QS-1) -> plain sample from P_{QS-1}
+    tk = vals.shape[-1]
+    full = n_acc == (QS - 1)
+    choice = jnp.where(full, c_all[jnp.arange(B), QS - 1],
+                       c_ex[jnp.arange(B), jnp.minimum(n_acc, QS - 1)])
+    bonus_idx = jnp.take_along_axis(
+        idxs[jnp.arange(B), jnp.minimum(n_acc, QS - 1)],
+        choice[:, None], axis=-1)[:, 0]
+    bonus_greedy = ids_greedy[jnp.arange(B), jnp.minimum(n_acc, QS - 1)]
+    bonus = jnp.where(is_greedy, bonus_greedy, bonus_idx).astype(jnp.int32)
+
+    # emit_ids: accepted drafts then the bonus
+    j = jnp.arange(QS)[None, :]
+    emit_ids = jnp.where(
+        j < n_acc[:, None], draft_next, 0
+    )
+    emit_ids = jnp.where(j == n_acc[:, None], bonus[:, None], emit_ids)
+    return emit_ids.astype(jnp.int32), emit_len.astype(jnp.int32), ids_greedy
+
+
 def compute_logprobs(logits: jax.Array, token_ids: jax.Array) -> jax.Array:
     """Log-softmax logprob of the chosen tokens (reference logprob capture)."""
     lp = jax.nn.log_softmax(logits, axis=-1)

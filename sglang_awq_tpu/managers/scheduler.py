@@ -262,11 +262,14 @@ class Scheduler:
             dispatched = self._dispatch_prefill(prefill_reqs)
         elif self.running:
             if (self.ngram is not None or self.eagle) and all(
-                r.sampling_params.is_greedy
-                and r.grammar is None
+                r.grammar is None
                 and not r.sampling_params.has_logit_bias
+                and not r.sampling_params.has_penalties
                 for r in self.running
             ):
+                # sampled rows keep spec ON: the verify applies chain
+                # accept/reject on device (distribution-preserving,
+                # layers/sampler.py spec_accept_sample)
                 self._drain_pending()
                 self._out_buffer += self._run_decode_step_spec()
                 self._rows_dirty = True
@@ -1310,8 +1313,13 @@ class Scheduler:
             slots[i] = pages_np[pos // ps] * ps + pos % ps
             lengths[i] = r.fill_len + QS
 
-        ids = self.runner.forward_spec_verify(
+        all_greedy = all(r.sampling_params.is_greedy for r in self.running)
+        ids, emit_ids, emit_len = self.runner.forward_spec_verify(
             tokens, positions, slots, page_table, lengths,
+            sampling=[r.sampling_row() for r in self.running],
+            sample_steps=np.asarray(
+                [len(r.output_ids) for r in self.running], np.int32),
+            all_greedy=all_greedy,
             lora_idx=np.asarray([getattr(r, 'lora_slot', -1) for r in self.running], np.int32),
         )
 
@@ -1319,17 +1327,11 @@ class Scheduler:
         outputs = []
         still_running = []
         for i, r in enumerate(self.running):
-            drafts = drafts_per_row[i]
-            accepted = 1
-            for j, d in enumerate(drafts):
-                if int(ids[i, j]) == d:
-                    accepted += 1
-                else:
-                    break
+            accepted = int(emit_len[i])
             accepts[i] = accepted
             new_tokens = []
             for t in range(accepted):
-                tok = int(ids[i, t])
+                tok = int(emit_ids[i, t])
                 r.output_ids.append(tok)
                 new_tokens.append(tok)
                 r.check_finished(tok)

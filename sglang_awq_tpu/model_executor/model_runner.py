@@ -40,6 +40,7 @@ from sglang_awq_tpu.layers.sampler import (
     apply_penalties,
     logprob_outputs,
     sample,
+    spec_accept_sample,
 )
 from sglang_awq_tpu.mem_cache.kv_pool import KVPoolSpec, PAD_SLOT
 from sglang_awq_tpu.model_executor.forward_batch import (
@@ -1163,31 +1164,34 @@ class ModelRunner:
         return np.asarray(hidden)[: len(ext.kv_lens)]
 
     def _spec_verify_fn(self, bs: int, q_span: int, pt_w: int,
-                        want_hidden: bool = False):
-        key = ("spec_verify", bs, q_span, pt_w, want_hidden)
+                        want_hidden: bool = False, all_greedy: bool = True):
+        key = ("spec_verify", bs, q_span, pt_w, want_hidden, all_greedy)
         if key in self._fns:
             return self._fns[key]
         model = self.model
         lora_on = self.lora is not None
 
         def raw(params, kv, rope, tokens, positions, slots, page_table,
-                lengths, *extra):
+                lengths, info, steps, *extra):
             lidx = extra[0] if lora_on else None
             out = model.spec_verify_step(
                 params, kv, rope, tokens, positions, slots, page_table,
                 lengths, capture_hidden=want_hidden, lora_idx=lidx,
             )
             logits, kv = out[0], out[1]
-            # greedy verify ids for every position
-            ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, QS]
+            # chain accept/reject on device (distribution-preserving for
+            # sampled rows; argmax-match for greedy rows)
+            emit_ids, emit_len, ids = spec_accept_sample(
+                logits, tokens, info, steps, all_greedy=all_greedy
+            )
             if want_hidden:
-                return ids, out[2], kv
-            return ids, kv
+                return ids, emit_ids, emit_len, out[2], kv
+            return ids, emit_ids, emit_len, kv
 
         fn = jax.jit(
             self._wrap_step(
-                raw, 5 + (1 if lora_on else 0),
-                n_replicated_out=2 if want_hidden else 1,
+                raw, 7 + (1 if lora_on else 0),
+                n_replicated_out=4 if want_hidden else 3,
             ),
             donate_argnums=(1,),
         )
@@ -1201,13 +1205,18 @@ class ModelRunner:
         slots: np.ndarray,  # [B, QS]
         page_table: np.ndarray,  # [B, *]
         lengths: np.ndarray,  # [B] total incl. QS
+        sampling: Optional[list] = None,  # [B] SamplingRow
+        sample_steps: Optional[np.ndarray] = None,  # [B]
+        all_greedy: bool = True,
         lora_idx: Optional[np.ndarray] = None,  # [B]
-    ) -> np.ndarray:
-        """Speculative verify step -> greedy ids [bs_pad, QS]."""
+    ):
+        """Speculative verify -> (ids_greedy, emit_ids, emit_len) numpy."""
         bs, qs = tokens.shape
         bs_pad = pick_bucket(bs, self.decode_bs_buckets)
         pt_w = pick_bucket(page_table.shape[1], self.pmax_buckets)
-        fn = self._spec_verify_fn(bs_pad, qs, pt_w, self.draft is not None)
+        fn = self._spec_verify_fn(
+            bs_pad, qs, pt_w, self.draft is not None, all_greedy
+        )
 
         def pad2(a, fill=0):
             out = np.full((bs_pad, qs), fill, a.dtype)
@@ -1221,6 +1230,13 @@ class ModelRunner:
         lens[:bs] = lengths
         self.decode_steps_counter += 1
         want_hidden = self.draft is not None
+        from sglang_awq_tpu.model_executor.forward_batch import SamplingBatch
+
+        rows = list(sampling) if sampling is not None else []
+        info = _sampling_info(SamplingBatch.from_rows(rows, pad_to=bs_pad))
+        steps = np.zeros(bs_pad, np.int32)
+        if sample_steps is not None:
+            steps[:bs] = sample_steps
         args = (
             self.params,
             self.kv_cache,
@@ -1230,6 +1246,8 @@ class ModelRunner:
             jnp.asarray(pad2(slots, PAD_SLOT)),
             jnp.asarray(pt),
             jnp.asarray(lens),
+            info,
+            jnp.asarray(steps),
         )
         if self.lora is not None:
             args = args + (jnp.asarray(self._pad_i32(
@@ -1237,10 +1255,10 @@ class ModelRunner:
             )),)
         outs = fn(*args)
         if want_hidden:
-            ids, self._verify_hidden, self.kv_cache = outs
+            ids, emit_ids, emit_len, self._verify_hidden, self.kv_cache = outs
         else:
-            ids, self.kv_cache = outs
-        return np.asarray(ids)
+            ids, emit_ids, emit_len, self.kv_cache = outs
+        return np.asarray(ids), np.asarray(emit_ids), np.asarray(emit_len)
 
     # ------------------------------------------------------------------
     # EAGLE speculative decoding (reference eagle_worker.py:79,511,670)

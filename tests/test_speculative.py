@@ -209,3 +209,106 @@ def test_eagle_chunked_prefill_and_concurrency():
         eng.shutdown()
     assert results[0] == refs[0], (results[0], refs[0])
     assert results[1] == refs[1], (results[1], refs[1])
+
+
+# ---------------------------------------------------------------------------
+# sampled speculative decoding (distribution-preserving accept/reject)
+# ---------------------------------------------------------------------------
+
+
+def _mk_info(B, temps, seeds):
+    import jax.numpy as jnp
+
+    from sglang_awq_tpu.layers.sampler import SamplingInfo
+
+    return SamplingInfo(
+        temperatures=jnp.asarray(temps, jnp.float32),
+        top_ps=jnp.ones(B), top_ks=jnp.full(B, 1 << 30, jnp.int32),
+        min_ps=jnp.zeros(B), seeds=jnp.asarray(seeds, jnp.uint32),
+        frequency_penalties=jnp.zeros(B), presence_penalties=jnp.zeros(B),
+        repetition_penalties=jnp.ones(B),
+        min_new_tokens=jnp.zeros(B, jnp.int32),
+    )
+
+
+def test_spec_accept_sample_greedy_semantics():
+    import jax.numpy as jnp
+
+    from sglang_awq_tpu.layers.sampler import spec_accept_sample
+
+    B, QS, V = 2, 3, 8
+    logits = np.full((B, QS, V), -10.0, np.float32)
+    # row 0: target argmax chain = [4, 5, 6]; drafts [4, 5] -> full accept
+    for j, t in enumerate([4, 5, 6]):
+        logits[0, j, t] = 10.0
+    # row 1: argmax [4, 5, 6]; drafts [4, 9?] -> accept 1, bonus = 5... use
+    # draft 3 at position 1 (mismatch with 5)
+    for j, t in enumerate([4, 5, 6]):
+        logits[1, j, t] = 10.0
+    tokens = np.asarray([[1, 4, 5], [1, 4, 3]], np.int32)
+    info = _mk_info(B, [0.0, 0.0], [0, 0])
+    emit, elen, ids = spec_accept_sample(
+        jnp.asarray(logits), jnp.asarray(tokens), info,
+        jnp.zeros(B, jnp.int32), all_greedy=True)
+    emit, elen = np.asarray(emit), np.asarray(elen)
+    assert elen[0] == 3 and list(emit[0]) == [4, 5, 6]
+    assert elen[1] == 2 and list(emit[1][:2]) == [4, 5]
+
+
+def test_spec_accept_sample_forced_probs():
+    """P(draft)=1 -> always accept; P(draft)=0 -> reject with bonus != draft."""
+    import jax.numpy as jnp
+
+    from sglang_awq_tpu.layers.sampler import spec_accept_sample
+
+    B, QS, V = 2, 2, 8
+    logits = np.full((B, QS, V), -30.0, np.float32)
+    logits[0, 0, 4] = 30.0   # P(4) ~ 1, draft 4 -> accept
+    logits[0, 1, 5] = 30.0
+    logits[1, 0, 6] = 30.0   # P(3) ~ 0, draft 3 -> reject, bonus ~ 6
+    logits[1, 1, 5] = 30.0
+    tokens = np.asarray([[1, 4], [1, 3]], np.int32)
+    info = _mk_info(B, [0.7, 0.7], [11, 12])
+    emit, elen, _ = spec_accept_sample(
+        jnp.asarray(logits), jnp.asarray(tokens), info,
+        jnp.zeros(B, jnp.int32))
+    emit, elen = np.asarray(emit), np.asarray(elen)
+    assert elen[0] == 2 and emit[0][0] == 4 and emit[0][1] == 5
+    assert elen[1] == 1 and emit[1][0] == 6
+
+
+def test_spec_accept_sample_distribution():
+    """Emitted-first-token distribution must match non-spec sampling: for
+    target P over a tiny vocab and deterministic draft t, emit[0] is t with
+    prob P(t) and v != t with prob P(v) (rejection resample)."""
+    import jax.numpy as jnp
+
+    from sglang_awq_tpu.layers.sampler import spec_accept_sample
+
+    V, N = 4, 4096
+    base = np.array([2.0, 1.0, 0.5, 0.0], np.float32)  # target logits
+    logits = np.tile(base, (N, 2, 1)).astype(np.float32)
+    tokens = np.tile(np.asarray([[9, 0]], np.int32), (N, 1))  # draft = token 0
+    info = _mk_info(N, np.ones(N), np.arange(N))
+    emit, elen, _ = spec_accept_sample(
+        jnp.asarray(logits), jnp.asarray(tokens), info,
+        jnp.zeros(N, jnp.int32))
+    first = np.asarray(emit)[:, 0]
+    p = np.exp(base) / np.exp(base).sum()
+    freq = np.bincount(first, minlength=V) / N
+    assert np.abs(freq - p).max() < 0.03, (freq, p)
+
+
+def test_engine_sampled_request_uses_spec():
+    """temperature > 0 requests now stay on the speculative path."""
+    eng = _make_engine(spec=True)
+    try:
+        out = eng.generate(
+            input_ids=[5, 6, 7, 8] * 3,
+            sampling_params={"max_new_tokens": 8, "temperature": 0.9,
+                             "seed": 3, "ignore_eos": True},
+        )
+        assert len(out["output_ids"]) == 8
+        assert eng.scheduler.spec_steps > 0
+    finally:
+        eng.shutdown()
