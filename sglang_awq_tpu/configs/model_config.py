@@ -104,6 +104,18 @@ class ModelConfig:
             # direct construction path (tests/bench) — detect inline config
             self.quant_config = detect_quant_config("", c)
         archs = c.get("architectures") or ["LlamaForCausalLM"]
+        if isinstance(c.get("text_config"), dict) and archs[0].startswith(
+            ("Llava",)
+        ):
+            # VLM wrapper configs nest the language model under text_config;
+            # flatten it so the LM geometry reads uniformly (vision_config
+            # and image_token_index stay at the top level)
+            merged = dict(c)
+            merged.update({
+                k: v for k, v in c["text_config"].items()
+                if k != "architectures"
+            })
+            c = self.hf_config = merged
         self.architecture = archs[0]
         self.vocab_size = int(c["vocab_size"])
         self.hidden_size = int(c["hidden_size"])

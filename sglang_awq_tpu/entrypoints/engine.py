@@ -104,6 +104,7 @@ class Engine:
             scheduler_submit=self._submit,
             scheduler_abort=self._abort_async,
             vocab_size=self.runner.model_config.vocab_size,
+            mm_embed=self._make_mm_embed(),
         )
 
         self._in_queue: "queue.Queue" = queue.Queue()
@@ -210,6 +211,55 @@ class Engine:
     # public API (reference engine.py:264 generate / :346 async_generate)
     # ------------------------------------------------------------------
 
+    def _make_mm_embed(self):
+        """Image -> prompt-embedding hook for VLM models (reference
+        mm_utils.embed_mm_inputs role): encode images through the model's
+        vision tower and splice the projected features over the prompt's
+        image-token runs, producing the input_embeds the engine already
+        serves."""
+        runner = self.runner
+        if not hasattr(runner.model, "encode_images"):
+            return None
+        import numpy as np
+
+        from sglang_awq_tpu.multimodal.vision import preprocess_image
+
+        def mm_embed(images, ids):
+            size = runner.model.vision.image_size
+            pix = []
+            for im in images:
+                arr = np.asarray(im) if isinstance(im, (list, tuple)) else im
+                if isinstance(arr, np.ndarray) and arr.ndim == 3 and \
+                        arr.shape[0] == 3 and arr.shape[1] == size:
+                    pix.append(np.asarray(arr, np.float32))
+                else:
+                    pix.append(preprocess_image(im, size))
+            pixels = np.stack(pix)
+            feats = runner.encode_images(pixels)  # [N, tok, H]
+            tok = runner.model.image_token
+            tpi = feats.shape[1]
+            n_imgs = feats.shape[0]
+            n_occ = sum(1 for t in ids if t == tok)
+            if n_occ == n_imgs:
+                # chat-template form: ONE placeholder per image — expand it
+                # to tokens_per_image copies (HF processor role)
+                expanded = []
+                for t in ids:
+                    expanded.extend([tok] * tpi if t == tok else [t])
+                ids = expanded
+            elif n_occ != n_imgs * tpi:
+                raise ValueError(
+                    f"prompt has {n_occ} image tokens; expected {n_imgs} "
+                    f"placeholders or {n_imgs * tpi} expanded tokens"
+                )
+            txt = runner.embed_tokens(np.asarray(ids, np.int32))
+            txt = np.asarray(txt, np.float32)
+            pos = np.flatnonzero(np.asarray(ids) == tok)
+            txt[pos] = feats.reshape(n_imgs * tpi, -1)
+            return txt
+
+        return mm_embed
+
     def generate(
         self,
         prompt: Optional[str] = None,
@@ -218,11 +268,13 @@ class Engine:
         stream: bool = False,
         rid: Optional[str] = None,
         input_embeds=None,
+        images: Optional[list] = None,
     ) -> Union[dict, Iterator[dict]]:
         gin = GenerateReqInput(
             text=prompt,
             input_ids=input_ids,
             input_embeds=input_embeds,
+            images=images,
             sampling_params=sampling_params,
             stream=stream,
             rid=rid,

@@ -202,6 +202,7 @@ class HttpServer:
             text=body.get("text"),
             input_ids=body.get("input_ids"),
             input_embeds=body.get("input_embeds"),
+            images=_decode_images(body.get("image_data")),
             sampling_params=body.get("sampling_params"),
             rid=body.get("rid"),
             stream=bool(body.get("stream", False)),
@@ -1046,7 +1047,27 @@ class HttpServer:
 
     def _chat_to_gin(self, req: ChatCompletionRequest) -> GenerateReqInput:
         tok = self.engine.tokenizer_manager.tokenizer
-        messages = [{"role": m.role, "content": m.text()} for m in req.messages]
+        images = []
+
+        def content_of(m):
+            # multimodal content parts: image_url -> collected image + one
+            # "<image>" placeholder (expanded to tokens_per_image by the
+            # engine's mm hook)
+            if isinstance(m.content, list):
+                parts = []
+                for p in m.content:
+                    if p.get("type") == "text":
+                        parts.append(p.get("text", ""))
+                    elif p.get("type") == "image_url":
+                        url = (p.get("image_url") or {}).get("url", "")
+                        images.extend(_decode_images([url]) or [])
+                        parts.append("<image>")
+                return "".join(parts)
+            return m.text()
+
+        messages = [
+            {"role": m.role, "content": content_of(m)} for m in req.messages
+        ]
         sp = req.to_sampling_params()
 
         # --- tools: prompt injection + (optionally) grammar-forced calls ---
@@ -1093,13 +1114,15 @@ class HttpServer:
                 )
             return GenerateReqInput(
                 input_ids=list(ids), sampling_params=sp, stream=req.stream,
+                images=images or None,
             )
         # no template: simple role-tagged concatenation
         text = (
             "".join(f"{m['role']}: {m['content']}\n" for m in messages) + "assistant:"
         )
         return GenerateReqInput(
-            text=text, sampling_params=sp, stream=req.stream
+            text=text, sampling_params=sp, stream=req.stream,
+            images=images or None,
         )
 
     def _openai_error(self, message: str, status: int = 400) -> web.Response:
@@ -1107,6 +1130,32 @@ class HttpServer:
             {"error": {"message": message, "type": "invalid_request_error"}},
             status=status,
         )
+
+
+def _decode_images(image_data):
+    """Reference /generate `image_data` field: base64 (or data-URL) encoded
+    images, a single string or a list.  Nested float lists pass through as
+    pre-processed pixel arrays (tests / numeric clients)."""
+    if not image_data:
+        return None
+    import base64
+    import io
+
+    import numpy as np
+
+    if not isinstance(image_data, list):
+        image_data = [image_data]
+    out = []
+    for item in image_data:
+        if isinstance(item, str):
+            if item.startswith("data:"):
+                item = item.split(",", 1)[1]
+            from PIL import Image
+
+            out.append(Image.open(io.BytesIO(base64.b64decode(item))))
+        else:
+            out.append(np.asarray(item, np.float32))
+    return out
 
 
 def build_app(engine: Engine) -> web.Application:
@@ -1126,10 +1175,14 @@ def _warmup(engine: Engine):
          "return_logprob": True},
         {"max_new_tokens": 2, "temperature": 0.8, "top_p": 0.9,
          "frequency_penalty": 0.1, "ignore_eos": True},
-        # grammar path: compiles the two-phase constrained-overlap pair
-        # (_decode_logits_fn + _sample_masked_fn)
-        {"max_new_tokens": 2, "temperature": 0.0, "regex": r"[ab]+"},
     ]
+    if engine.tokenizer_manager.tokenizer is not None:
+        # grammar path: compiles the two-phase constrained-overlap pair
+        # (_decode_logits_fn + _sample_masked_fn); needs a tokenizer for
+        # the token-trie masks
+        variants.append(
+            {"max_new_tokens": 2, "temperature": 0.0, "regex": r"[ab]+"}
+        )
     for sp in variants:
         try:
             engine.generate(input_ids=[1, 2, 3], sampling_params=sp)

@@ -42,6 +42,10 @@ class GenerateReqInput:
     # multimodal: [T, H] float embeddings replacing token lookup (reference
     # GenerateReqInput.input_embeds); prompt tokens become placeholders
     input_embeds: Optional[Any] = None
+    # multimodal images (VLM models): list of PIL images / [H, W, 3] uint8 /
+    # pre-processed [3, S, S] float arrays.  The engine's mm hook encodes
+    # them and splices the features over the prompt's image-token runs.
+    images: Optional[list] = None
 
     def normalize(self):
         if self.rid is None:
@@ -81,12 +85,14 @@ class TokenizerManager:
         scheduler_submit,
         scheduler_abort,
         vocab_size: int = 0,
+        mm_embed=None,  # callable(images, input_ids) -> [T, H] f32 embeds
     ):
         from sglang_awq_tpu.managers.session_controller import SessionController
 
         self.sessions = SessionController()
         self.vocab_size = vocab_size
         self.tokenizer = tokenizer
+        self.mm_embed = mm_embed
         self.eos_token_ids = set(eos_token_ids)
         if tokenizer is not None and tokenizer.eos_token_id is not None:
             self.eos_token_ids.add(tokenizer.eos_token_id)
@@ -137,6 +143,15 @@ class TokenizerManager:
         if gin.logprob_start_len >= 0:
             sp.return_logprob = True
             sp.logprob_start_len = gin.logprob_start_len
+        if gin.images:
+            if self.mm_embed is None:
+                raise ValueError("model does not support image inputs")
+            if gin.input_ids is None:
+                if self.tokenizer is None:
+                    raise ValueError("no tokenizer loaded; pass input_ids")
+                gin.input_ids = self.tokenizer.encode(gin.text)
+            gin.input_embeds = self.mm_embed(gin.images, list(gin.input_ids))
+            gin.input_ids = None
         if gin.input_embeds is not None:
             import numpy as _np
 

@@ -563,6 +563,30 @@ class ModelRunner:
         self._fns[key] = fn
         return fn
 
+    def encode_images(self, pixels: np.ndarray) -> np.ndarray:
+        """VLM vision encode: [N, 3, S, S] f32 -> projected features
+        [N, tokens_per_image, H] f32 (models/llava.py encode_images)."""
+        key = ("mm_encode", pixels.shape)
+        if key not in self._fns:
+            model = self.model
+            self._fns[key] = jax.jit(
+                lambda params, px: model.encode_images(params, px)
+            )
+        emb = self._fns[key](self.params, jnp.asarray(pixels, jnp.float32))
+        return np.asarray(emb)
+
+    def embed_tokens(self, ids: np.ndarray) -> np.ndarray:
+        """Token embedding lookup (host side of the multimodal splice)."""
+        key = ("mm_embed_tokens", len(ids))
+        if key not in self._fns:
+            model = self.model
+            self._fns[key] = jax.jit(
+                lambda params, i: model._embed(params, i)
+            )
+        return np.asarray(
+            self._fns[key](self.params, jnp.asarray(ids, jnp.int32))
+        )
+
     def _decode_logits_fn(self, bs: int, pt_w: int, want_pen: bool):
         """Phase A of the two-phase constrained-overlap decode: forward to
         logits only (device-resident input tokens), penalties applied.

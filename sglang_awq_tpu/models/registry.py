@@ -17,6 +17,7 @@ def get_model_class(architecture: str):
         GemmaForCausalLM,
     )
     from sglang_awq_tpu.models.llama import LlamaForCausalLM
+    from sglang_awq_tpu.models.llava import LlavaForCausalLM
     from sglang_awq_tpu.models.mixtral import MixtralForCausalLM
     from sglang_awq_tpu.models.cohere import CohereForCausalLM
     from sglang_awq_tpu.models.glm import Glm4ForCausalLM, GlmForCausalLM
@@ -73,6 +74,7 @@ def get_model_class(architecture: str):
         "TinyLlamaForCausalLM": LlamaForCausalLM,
         "MistralForCausalLM": LlamaForCausalLM,  # same graph, no bias
         "MixtralForCausalLM": MixtralForCausalLM,
+        "LlavaForConditionalGeneration": LlavaForCausalLM,
         "Qwen2ForCausalLM": Qwen2ForCausalLM,
         "Qwen3ForCausalLM": Qwen3ForCausalLM,
         "Qwen2MoeForCausalLM": Qwen2MoeForCausalLM,

@@ -85,6 +85,10 @@ def param_pspecs(model, params: Dict[str, Any]) -> Dict[str, Any]:
     for name, arr in params["layers"].items():
         if name not in specs["layers"]:
             specs["layers"][name] = P(STAGE_AXIS, *([None] * (arr.ndim - 1)))
+    # non-layer extras (vision tower, projector, ...): replicated
+    for name, sub in params.items():
+        if name not in specs:
+            specs[name] = jax.tree.map(lambda a: P(*([None] * a.ndim)), sub)
     return specs
 
 
