@@ -129,8 +129,10 @@ def main(argv=None):
         for bs in args.batch_size:
             for il in args.input_len:
                 for ol in args.output_len:
-                    # warmup (compile)
-                    run_one(engine, min(bs, 2), min(il, 64), 4, rng)
+                    # warmup: SAME geometry (tq/bs buckets key the
+                    # executables — a smaller warmup shape leaves the
+                    # measured shape cold-compiling)
+                    run_one(engine, bs, il, 4, rng)
                     rep = run_one(engine, bs, il, ol, rng)
                     print(json.dumps(rep), flush=True)
                     reports.append(rep)

@@ -60,6 +60,17 @@ class HttpServer:
         self.app = web.Application(
             client_max_size=64 * 1024 * 1024, middlewares=middlewares
         )
+        # SSE pump pool: every in-flight streaming request parks one thread
+        # on its output queue.  asyncio's DEFAULT executor caps at
+        # ~cpu_count+4 threads, which silently serializes concurrent
+        # streams (measured: 128-way saturation ran ~12 requests at a time,
+        # ITL p99 in seconds).  Blocked queue.get threads are cheap — size
+        # the pool for full concurrency.
+        import concurrent.futures
+
+        self._pump = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1024, thread_name_prefix="sse-pump"
+        )
         self._add_routes()
 
     def _add_routes(self):
@@ -117,7 +128,7 @@ class HttpServer:
         loop = asyncio.get_running_loop()
         last = None
         while True:
-            item = await loop.run_in_executor(None, state.out_queue.get)
+            item = await loop.run_in_executor(self._pump, state.out_queue.get)
             if item is None:
                 break
             last = item
@@ -129,7 +140,7 @@ class HttpServer:
     async def _iter_chunks(self, state):
         loop = asyncio.get_running_loop()
         while True:
-            item = await loop.run_in_executor(None, state.out_queue.get)
+            item = await loop.run_in_executor(self._pump, state.out_queue.get)
             if item is None:
                 break
             yield item
@@ -1188,7 +1199,55 @@ def _warmup(engine: Engine):
             engine.generate(input_ids=[1, 2, 3], sampling_params=sp)
         except Exception:
             logger.exception("warmup variant %s failed (continuing)", sp)
-    logger.info("warmup complete (%d variants)", len(variants))
+
+    # --- bucket sweep: compile EVERY serving executable up front ---
+    # Executables key on (token bucket | batch-size bucket, flags); a cold
+    # bucket mid-serving stalls the whole loop on a fresh compile (measured
+    # 2.5-15 s through the remote-compile path, dominating low-rate TTFT).
+    # Reference discipline: cuda_graph_runner.py:189-216 captures all
+    # bucket variants at startup.
+    import threading
+    import time as _time
+
+    runner = engine.runner
+    t0 = _time.time()
+    sa = engine.server_args
+    max_bs = sa.max_running_requests or max(runner.decode_bs_buckets)
+    sweep_sp = {"max_new_tokens": 12, "temperature": 0.0, "ignore_eos": True}
+    # extend token buckets (bs=1)
+    for tq in runner.prefill_token_buckets:
+        if tq < 8 or tq > (sa.chunked_prefill_size or 1 << 30):
+            continue
+        try:
+            engine.generate(input_ids=[3] * (tq - 4),
+                            sampling_params=dict(sweep_sp))
+        except Exception:
+            logger.exception("warmup extend tq=%d failed (continuing)", tq)
+    # decode batch-size buckets: run bs concurrent short requests so the
+    # decode (overlap + multi-step) executables for that bucket compile
+    for bs in runner.decode_bs_buckets:
+        if bs > max_bs:
+            break
+        errs = []
+
+        def one():
+            try:
+                engine.generate(input_ids=[5, 6, 7, 8],
+                                sampling_params=dict(sweep_sp))
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        ts = [threading.Thread(target=one) for _ in range(bs)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=600)
+        if errs:
+            logger.error("warmup decode bs=%d: %s", bs, errs[0])
+    logger.info(
+        "warmup complete (%d variants + bucket sweep, %.0fs)",
+        len(variants), _time.time() - t0,
+    )
 
 
 def launch_server(server_args: ServerArgs, engine: Optional[Engine] = None):

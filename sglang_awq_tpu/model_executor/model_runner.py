@@ -1185,7 +1185,11 @@ class ModelRunner:
             self.params, self.kv_cache, self.rope_tab,
             tokens, positions, slots, pt, kv_lens, q_lens, qb_base,
         )
-        return np.asarray(hidden)[: len(ext.kv_lens)]
+        out = np.asarray(hidden)[: len(ext.kv_lens)]
+        if getattr(self.model, "is_reward_model", False):
+            # reward/classification heads: scores, not raw hidden
+            out = self.model.apply_score_head(self.params, out)
+        return out
 
     def _spec_verify_fn(self, bs: int, q_span: int, pt_w: int,
                         want_hidden: bool = False, all_greedy: bool = True):

@@ -111,7 +111,7 @@ def load_params_from_tensors(
         "layers": {},
         "final_norm": jnp.asarray(t("model.norm.weight"), jnp.float32),
     }
-    if cfg.tie_word_embeddings:
+    if cfg.tie_word_embeddings or getattr(model, "force_tied_lm_head", False):
         lm_head = t("model.embed_tokens.weight").T
     else:
         lm_head = t("lm_head.weight").T

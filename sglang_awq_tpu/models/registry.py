@@ -18,6 +18,10 @@ def get_model_class(architecture: str):
     )
     from sglang_awq_tpu.models.llama import LlamaForCausalLM
     from sglang_awq_tpu.models.llava import LlavaForCausalLM
+    from sglang_awq_tpu.models.llama_embedding import (
+        LlamaEmbeddingModel,
+        Qwen2ForRewardModel,
+    )
     from sglang_awq_tpu.models.mixtral import MixtralForCausalLM
     from sglang_awq_tpu.models.cohere import CohereForCausalLM
     from sglang_awq_tpu.models.glm import Glm4ForCausalLM, GlmForCausalLM
@@ -75,6 +79,11 @@ def get_model_class(architecture: str):
         "MistralForCausalLM": LlamaForCausalLM,  # same graph, no bias
         "MixtralForCausalLM": MixtralForCausalLM,
         "LlavaForConditionalGeneration": LlavaForCausalLM,
+        # embedding / reward heads (reference llama_embedding.py, qwen2_rm.py)
+        "MistralModel": LlamaEmbeddingModel,
+        "LlamaModel": LlamaEmbeddingModel,
+        "Qwen2ForRewardModel": Qwen2ForRewardModel,
+        "Qwen2ForSequenceClassification": Qwen2ForRewardModel,
         "Qwen2ForCausalLM": Qwen2ForCausalLM,
         "Qwen3ForCausalLM": Qwen3ForCausalLM,
         "Qwen2MoeForCausalLM": Qwen2MoeForCausalLM,
