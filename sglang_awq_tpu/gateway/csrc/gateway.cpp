@@ -29,6 +29,8 @@
 #include <unistd.h>
 
 #include <atomic>
+#include <climits>
+#include <algorithm>
 #include <chrono>
 #include <cstring>
 #include <mutex>
@@ -53,6 +55,11 @@ std::mutex g_mu;
 std::vector<Worker*> g_workers;
 std::atomic<size_t> g_rr{0};
 int g_health_interval_s = 5;
+// routing policy (reference sgl-model-gateway/src/policies/): "rr"
+// round-robin, "p2c" power-of-two-choices on inflight, "cache_aware"
+// prompt-prefix affinity (same prefix -> same replica -> radix hits) with
+// a load-imbalance escape hatch to p2c.
+std::string g_policy = "rr";
 
 int connect_to(const std::string& host, int port, int timeout_ms = 3000) {
   struct addrinfo hints {};
@@ -132,15 +139,51 @@ void simple_response(int fd, int code, const std::string& body,
   send_all(fd, s.data(), s.size());
 }
 
-Worker* pick_worker() {
-  std::lock_guard<std::mutex> lk(g_mu);
-  if (g_workers.empty()) return nullptr;
+Worker* pick_rr_locked() {
   size_t n = g_workers.size();
   for (size_t i = 0; i < n; i++) {
     Worker* w = g_workers[g_rr.fetch_add(1) % n];
     if (w->up.load()) return w;
   }
-  return nullptr;  // all down
+  return nullptr;
+}
+
+Worker* pick_p2c_locked() {
+  size_t n = g_workers.size();
+  Worker* a = g_workers[g_rr.fetch_add(1) % n];
+  Worker* b = g_workers[g_rr.fetch_add(3) % n];
+  if (!a->up.load()) return b->up.load() ? b : pick_rr_locked();
+  if (!b->up.load()) return a;
+  return a->inflight.load() <= b->inflight.load() ? a : b;
+}
+
+uint64_t fnv1a(const std::string& s) {
+  uint64_t h = 1469598103934665603ull;
+  for (unsigned char c : s) {
+    h ^= c;
+    h *= 1099511628211ull;
+  }
+  return h;
+}
+
+Worker* pick_worker(const std::string& affinity_key) {
+  std::lock_guard<std::mutex> lk(g_mu);
+  if (g_workers.empty()) return nullptr;
+  if (g_policy == "p2c") return pick_p2c_locked();
+  if (g_policy == "cache_aware" && !affinity_key.empty()) {
+    // prefix affinity: identical prompt prefixes land on one replica so
+    // its radix tree accumulates the shared prefix; bail to p2c when the
+    // preferred replica is overloaded vs the least-loaded one
+    Worker* pref = g_workers[fnv1a(affinity_key) % g_workers.size()];
+    long mn = LONG_MAX;
+    for (Worker* w : g_workers)
+      if (w->up.load()) mn = std::min(mn, w->inflight.load());
+    if (pref->up.load() && mn != LONG_MAX &&
+        pref->inflight.load() <= mn + 4)
+      return pref;
+    return pick_p2c_locked();
+  }
+  return pick_rr_locked();
 }
 
 std::string workers_json() {
@@ -234,9 +277,26 @@ void proxy_connection(int cfd) {
     return;
   }
 
+  // cache-affinity key: the first bytes of the prompt ("text" or
+  // "input_ids") — enough to separate distinct prefixes, cheap to hash
+  std::string akey;
+  if (g_policy == "cache_aware") {
+    size_t he = req.find("\r\n\r\n");
+    if (he != std::string::npos) {
+      for (const char* field : {"\"text\"", "\"input_ids\"", "\"prompt\"",
+                                "\"messages\""}) {
+        size_t p = req.find(field, he);
+        if (p != std::string::npos) {
+          akey = req.substr(p, std::min<size_t>(96, req.size() - p));
+          break;
+        }
+      }
+    }
+  }
+
   // retry across workers on CONNECT failure (request not yet sent anywhere)
   for (int attempt = 0; attempt < 8; attempt++) {
-    Worker* w = pick_worker();
+    Worker* w = pick_worker(akey);
     if (!w) {
       simple_response(cfd, 503, "{\"error\":\"no healthy workers\"}");
       break;
@@ -330,6 +390,7 @@ int main(int argc, char** argv) {
     std::string a = argv[i];
     if (a == "--port" && i + 1 < argc) port = atoi(argv[++i]);
     else if (a == "--workers" && i + 1 < argc) workers_arg = argv[++i];
+    else if (a == "--policy" && i + 1 < argc) g_policy = argv[++i];
     else if (a == "--health-interval" && i + 1 < argc)
       g_health_interval_s = atoi(argv[++i]);
   }

@@ -44,6 +44,11 @@ def main(argv=None):
     ap.add_argument("--dp-size", type=int, required=True)
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--worker-base-port", type=int, default=None)
+    ap.add_argument("--policy", default="cache_aware",
+                    choices=["rr", "p2c", "cache_aware"],
+                    help="gateway routing (reference sgl-model-gateway "
+                         "policies: cache_aware approximates radix-affinity "
+                         "routing with a power-of-two load escape)")
     args, rest = ap.parse_known_args(argv)
 
     base = args.worker_base_port or (args.port + 1)
@@ -66,7 +71,8 @@ def main(argv=None):
 
         gw = subprocess.Popen(
             [ensure_binary(), "--port", str(args.port),
-             "--workers", ",".join(workers)],
+             "--workers", ",".join(workers),
+             "--policy", args.policy],
             preexec_fn=_child_preexec,
         )
         procs.append(gw)

@@ -157,3 +157,48 @@ def test_add_remove_workers(gateway):
     for _ in range(6):
         ports.add(httpx.post(base + "/x", json={}, timeout=10).json()["port"])
     assert ports == {b1.port, b2.port}
+
+
+@pytest.fixture()
+def gateway_cache_aware():
+    b1, b2 = MockBackend(_free_port()), MockBackend(_free_port())
+    b1.start()
+    b2.start()
+    gport = _free_port()
+    proc = subprocess.Popen(
+        [ensure_binary(), "--port", str(gport), "--workers",
+         f"127.0.0.1:{b1.port},127.0.0.1:{b2.port}",
+         "--health-interval", "1", "--policy", "cache_aware"],
+        stderr=subprocess.PIPE,
+    )
+    base = f"http://127.0.0.1:{gport}"
+    for _ in range(50):
+        try:
+            httpx.get(base + "/gateway/health", timeout=2)
+            break
+        except Exception:
+            time.sleep(0.1)
+    yield base, b1, b2
+    proc.kill()
+    b1.stop()
+    b2.stop()
+
+
+def test_cache_aware_affinity(gateway_cache_aware):
+    """Identical prompt prefixes route to ONE replica (radix affinity);
+    distinct prefixes spread (reference sgl-model-gateway cache_aware)."""
+    base, b1, b2 = gateway_cache_aware
+    same = {
+        httpx.post(base + "/generate",
+                   json={"text": "shared prefix A", "max_new": 1},
+                   timeout=5).json()["port"]
+        for _ in range(6)
+    }
+    assert len(same) == 1, same  # all six landed on one backend
+    spread = {
+        httpx.post(base + "/generate",
+                   json={"text": f"prefix {i} rotates", "max_new": 1},
+                   timeout=5).json()["port"]
+        for i in range(16)
+    }
+    assert spread == {b1.port, b2.port}, spread
