@@ -302,6 +302,11 @@ class LlamaForCausalLM:
         ).astype(xs.dtype)
         return out, kv
 
+    def _post_rope_qk(self, q, k, positions, l):
+        """Hook after rotary: llama4 overrides (qk l2norm + position-
+        temperature scaling); default is identity."""
+        return q, k
+
     def _rope_for_layer(self, rope_tab, l):
         """Hook: per-layer rope-table selection (SmolLM3 NoPE, Gemma3
         dual tables use it); default = one table for every layer."""
@@ -413,6 +418,7 @@ class LlamaForCausalLM:
         if self.qk_norm and self.qk_norm_post_rope:
             q = rms_norm(q, lp["q_norm"][l], c.rms_norm_eps)
             k = rms_norm(k, lp["k_norm"][l], c.rms_norm_eps)
+        q, k = self._post_rope_qk(q, k, positions, l)
 
         attn = attn_fn(q, k, v, l)  # [T, QH, D] f32
         attn = attn.reshape(T, self.qh * D).astype(jnp.bfloat16)

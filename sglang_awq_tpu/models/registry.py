@@ -18,6 +18,7 @@ def get_model_class(architecture: str):
     )
     from sglang_awq_tpu.models.llama import LlamaForCausalLM
     from sglang_awq_tpu.models.llava import LlavaForCausalLM
+    from sglang_awq_tpu.models.llama4 import Llama4ForCausalLM
     from sglang_awq_tpu.models.llama_embedding import (
         LlamaEmbeddingModel,
         Qwen2ForRewardModel,
@@ -34,6 +35,7 @@ def get_model_class(architecture: str):
         Olmo3ForCausalLM,
     )
     from sglang_awq_tpu.models.phi3 import Phi3ForCausalLM
+    from sglang_awq_tpu.models.phimoe import PhimoeForCausalLM
     from sglang_awq_tpu.models.qwen2 import Qwen2ForCausalLM, Qwen3ForCausalLM
     from sglang_awq_tpu.models.smollm3 import SmolLM3ForCausalLM
     from sglang_awq_tpu.models.starcoder2 import (
@@ -79,6 +81,7 @@ def get_model_class(architecture: str):
         "MistralForCausalLM": LlamaForCausalLM,  # same graph, no bias
         "MixtralForCausalLM": MixtralForCausalLM,
         "LlavaForConditionalGeneration": LlavaForCausalLM,
+        "Llama4ForCausalLM": Llama4ForCausalLM,
         # embedding / reward heads (reference llama_embedding.py, qwen2_rm.py)
         "MistralModel": LlamaEmbeddingModel,
         "LlamaModel": LlamaEmbeddingModel,
@@ -89,6 +92,7 @@ def get_model_class(architecture: str):
         "Qwen2MoeForCausalLM": Qwen2MoeForCausalLM,
         "Qwen3MoeForCausalLM": Qwen3MoeForCausalLM,
         "Phi3ForCausalLM": Phi3ForCausalLM,
+        "PhimoeForCausalLM": PhimoeForCausalLM,
         "Olmo2ForCausalLM": Olmo2ForCausalLM,
         "Olmo3ForCausalLM": Olmo3ForCausalLM,
         "OlmoForCausalLM": OlmoForCausalLM,

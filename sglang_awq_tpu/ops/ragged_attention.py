@@ -257,8 +257,15 @@ def _decode_kernel_split(
                 limit = (length - (q_span - 1) - base) + tr_ref[:, :1]
             mask = tj < limit
             if has_window:
+                # win > 0: sliding window; win < 0: CHUNKED attention of
+                # size -win (llama4 attention_chunk_size — keys outside the
+                # query's chunk are masked)
                 win = window_ref[0]
-                low = jnp.where(win > 0, limit - win, -(1 << 30))
+                cs = jnp.maximum(-win, 1)
+                low = jnp.where(
+                    win > 0, limit - win,
+                    jnp.where(win < 0, ((limit - 1) // cs) * cs, -(1 << 30)),
+                )
                 mask = jnp.logical_and(mask, tj >= low)
             qk = jnp.where(mask, qk, MASK_VALUE)
 
@@ -486,8 +493,15 @@ def _decode_kernel(
                 limit = (length - (q_span - 1) - base) + tr_ref[:, :1]
             mask = tj < limit
             if has_window:
+                # win > 0: sliding window; win < 0: CHUNKED attention of
+                # size -win (llama4 attention_chunk_size — keys outside the
+                # query's chunk are masked)
                 win = window_ref[0]
-                low = jnp.where(win > 0, limit - win, -(1 << 30))
+                cs = jnp.maximum(-win, 1)
+                low = jnp.where(
+                    win > 0, limit - win,
+                    jnp.where(win < 0, ((limit - 1) // cs) * cs, -(1 << 30)),
+                )
                 mask = jnp.logical_and(mask, tj >= low)
             qk = jnp.where(mask, qk, MASK_VALUE)
 
@@ -911,7 +925,11 @@ def _extend_kernel_split(
                 t = lax.broadcasted_iota(jnp.int32, qk.shape, 0) // g
                 q_pos = prefix + qb * bq + t
                 win = window_ref[0]
-                low = jnp.where(win > 0, q_pos - win + 1, -(1 << 30))
+                cs = jnp.maximum(-win, 1)
+                low = jnp.where(
+                    win > 0, q_pos - win + 1,
+                    jnp.where(win < 0, (q_pos // cs) * cs, -(1 << 30)),
+                )
                 masks[ch] = jnp.logical_and(
                     jnp.logical_and(pos <= q_pos, pos >= low), right_class
                 )
@@ -1114,7 +1132,11 @@ def _extend_kernel(
                 t = lax.broadcasted_iota(jnp.int32, qk.shape, 0) // g
                 q_pos = prefix + qb * bq + t  # absolute position of the row
                 win = window_ref[0]
-                low = jnp.where(win > 0, q_pos - win + 1, -(1 << 30))
+                cs = jnp.maximum(-win, 1)
+                low = jnp.where(
+                    win > 0, q_pos - win + 1,
+                    jnp.where(win < 0, (q_pos // cs) * cs, -(1 << 30)),
+                )
                 masks[ch] = jnp.logical_and(
                     jnp.logical_and(pos <= q_pos, pos >= low), right_class
                 )
@@ -1356,7 +1378,10 @@ def ragged_decode_xla(
     limit = (lengths[:, None] - (QS - 1) + jnp.arange(QS)[None, :])[:, :, None]
     mask = key_pos < limit  # [B, QS, S]
     win = jnp.asarray(window, jnp.int32)
-    mask = mask & jnp.where(win > 0, key_pos >= limit - win, True)
+    cs = jnp.maximum(-win, 1)
+    low = jnp.where(win > 0, limit - win,
+                    jnp.where(win < 0, ((limit - 1) // cs) * cs, -(1 << 30)))
+    mask = mask & (key_pos >= low)
     s = jnp.where(mask[:, :, None, None, :], s, MASK_VALUE)
     if sinks is not None:
         # learned per-head sink logit joins the denominator only
@@ -1423,7 +1448,10 @@ def ragged_extend_xla(
     qp = q_pos[:, None, None, None]
     mask = key_pos <= qp
     win = jnp.asarray(window, jnp.int32)
-    mask = mask & jnp.where(win > 0, key_pos >= qp - win + 1, True)
+    cs = jnp.maximum(-win, 1)
+    low = jnp.where(win > 0, qp - win + 1,
+                    jnp.where(win < 0, (qp // cs) * cs, -(1 << 30)))
+    mask = mask & (key_pos >= low)
     s = jnp.where(mask, s, MASK_VALUE)
     if sinks is not None:
         sk = jnp.asarray(sinks, jnp.float32).reshape(KVH, G)

@@ -1111,3 +1111,52 @@ def test_opt_matches_hf():
     ).eval()
     rng = np.random.default_rng(2)
     _check_vs_hf(hf, cfg, rng.integers(3, 500, 15).tolist())
+
+
+def test_phimoe_matches_hf():
+    """PhiMoE: sparsemixer routing + biased LayerNorms + longrope."""
+    import torch
+    from transformers import PhimoeConfig, PhimoeForCausalLM as HFPhimoe
+
+    cfg = dict(
+        architectures=["PhimoeForCausalLM"],
+        vocab_size=256, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=4, num_experts_per_tok=2,
+        max_position_embeddings=128, rms_norm_eps=1e-5,
+        rope_theta=10000.0, tie_word_embeddings=False,
+        attention_bias=True, lm_head_bias=True,
+        bos_token_id=1, eos_token_id=2,
+    )
+    torch.manual_seed(0)
+    hf = HFPhimoe(PhimoeConfig(
+        **{k: v for k, v in cfg.items() if k != "architectures"})).eval()
+    rng = np.random.default_rng(0)
+    _check_vs_hf(hf, cfg, rng.integers(3, 250, 15).tolist())
+
+
+def test_llama4_matches_hf():
+    """Llama 4: chunked attention, NoPE + temperature tuning, qk l2norm,
+    interleaved top-1 input-scaled MoE + shared expert."""
+    import torch
+    from transformers import Llama4TextConfig
+    from transformers import Llama4ForCausalLM as HFL4
+
+    cfg = dict(
+        architectures=["Llama4ForCausalLM"],
+        vocab_size=256, hidden_size=64, intermediate_size=96,
+        intermediate_size_mlp=128, num_hidden_layers=4,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        num_local_experts=4, num_experts_per_tok=1,
+        interleave_moe_layer_step=2, max_position_embeddings=128,
+        attention_chunk_size=16, rms_norm_eps=1e-5, rope_theta=10000.0,
+        tie_word_embeddings=False, bos_token_id=1, eos_token_id=2,
+        attn_temperature_tuning=True, floor_scale=16, attn_scale=0.1,
+        use_qk_norm=True,
+    )
+    torch.manual_seed(0)
+    hf = HFL4(Llama4TextConfig(
+        **{k: v for k, v in cfg.items() if k != "architectures"})).eval()
+    rng = np.random.default_rng(0)
+    # prompt longer than the 16-token chunk so chunked masking matters
+    _check_vs_hf(hf, cfg, rng.integers(3, 250, 45).tolist())
