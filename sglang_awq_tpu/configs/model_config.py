@@ -135,6 +135,17 @@ class ModelConfig:
         self.intermediate_size = int(
             c.get("intermediate_size") or c.get("ffn_dim")  # OPT: ffn_dim
         )
+        # hybrid linear-attention models (qwen3_next): only full-attention
+        # layers own KV pages; linear layers keep per-request state rows
+        lt = c.get("layer_types")
+        self.full_attention_layers = (
+            [i for i, t in enumerate(lt) if t == "full_attention"]
+            if isinstance(lt, list) and "linear_attention" in lt else None
+        )
+        self.num_kv_layers = (
+            len(self.full_attention_layers)
+            if self.full_attention_layers is not None else self.num_layers
+        )
         self.rms_norm_eps = float(
             c.get("rms_norm_eps",
                   c.get("layer_norm_eps",

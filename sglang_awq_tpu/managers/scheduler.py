@@ -326,6 +326,13 @@ class Scheduler:
 
     MAX_PREFILL_REQS = 16  # rows per extend batch (EXTEND_BS_BUCKETS cap)
 
+    def _max_prefill_reqs(self) -> int:
+        # hybrid linear-attention extend carries ONE sequence's recurrent
+        # state per dispatch (v1)
+        if getattr(self.runner.model, "has_linear_state", False):
+            return 1
+        return self.MAX_PREFILL_REQS
+
     def _match_fresh(self, req: Req):
         """Radix-match a fresh request's prompt and lock the prefix."""
         ps = self.page_size
@@ -336,6 +343,11 @@ class Scheduler:
             return
         if req.input_embeds is not None:
             return  # placeholder token ids carry no cache identity
+        if getattr(self.runner.model, "has_linear_state", False):
+            # hybrid linear-attention models: page reuse would skip the
+            # recurrent-state updates for the shared prefix (reference
+            # disables radix for mamba-class models)
+            return
         m = self.tree.match_prefix(req.fill_ids)
         # never reuse the whole fill (at least one token must compute
         # so logits exist — reference match trim)
@@ -438,7 +450,7 @@ class Scheduler:
         for req in list(self.waiting):
             if (
                 room <= 0
-                or len(reqs) >= self.MAX_PREFILL_REQS
+                or len(reqs) >= self._max_prefill_reqs()
                 or len(self.running) + len(reqs)
                 >= self.server_args.max_running_requests
             ):

@@ -337,7 +337,8 @@ class ModelRunner:
     def _init_memory_pool(self):
         sa, mc = self.server_args, self.model_config
         kv_heads_local = max(mc.num_kv_heads // sa.tp_size, 1)
-        layers_local = mc.num_layers // max(sa.pp_size, 1)
+        layers_local = getattr(mc, "num_kv_layers", mc.num_layers) \
+            // max(sa.pp_size, 1)
         # per-DEVICE bytes/token governs the budget; the page dim is global
         kv_dtype = (
             "bfloat16" if sa.kv_cache_dtype in ("auto", "bfloat16") else sa.kv_cache_dtype
@@ -376,7 +377,15 @@ class ModelRunner:
             weight_bytes = (
                 sum(x.nbytes for x in jax.tree.leaves(self.params)) // max(sa.tp_size, 1)
             )
-            budget = int((hbm - weight_bytes - RESERVE_BYTES) * sa.mem_fraction_static)
+            state_bytes = 0
+            if hasattr(self.model, "linear_state_bytes"):
+                state_bytes = self.model.linear_state_bytes(
+                    sa.max_running_requests + 24 + 1
+                )
+            budget = int(
+                (hbm - weight_bytes - state_bytes - RESERVE_BYTES)
+                * sa.mem_fraction_static
+            )
             if budget <= 0:
                 raise RuntimeError(
                     f"no HBM left for KV cache (weights {weight_bytes>>20} MiB/device)"
@@ -384,7 +393,7 @@ class ModelRunner:
             tokens = budget // (probe.bytes_per_token() + extra_bpt)
         num_pages = max(tokens // self.page_size, 8)
         self.kv_spec = KVPoolSpec(
-            mc.num_layers,
+            getattr(mc, "num_kv_layers", mc.num_layers),
             kv_heads_local * sa.tp_size if sa.tp_size > 1 else kv_heads_local,
             num_pages,
             self.page_size,
@@ -398,10 +407,19 @@ class ModelRunner:
             "KV pool: %d pages x %d tokens (%.2f GiB global)",
             num_pages,
             self.page_size,
-            self.kv_cache.nbytes / 1024**3,
+            sum(x.nbytes for x in jax.tree.leaves(self.kv_cache)) / 1024**3,
         )
 
     def _alloc_kv(self):
+        if hasattr(self.model, "wrap_kv_state"):
+            assert self.mesh is None, (
+                "hybrid linear-attention models run tp=1/pp=1 (v1)")
+            assert self.server_args.speculative_algorithm is None, (
+                "speculative decoding + hybrid linear attention: later")
+            # mirrors DeviceSamplingState capacity (+ trash row); the pool
+            # allocates before the sampling state exists
+            rows = self.server_args.max_running_requests + 24 + 1
+            return self.model.wrap_kv_state(self.kv_spec.alloc(), rows)
         if self.mesh is None:
             return self.kv_spec.alloc()
         from jax.sharding import NamedSharding
@@ -453,7 +471,7 @@ class ModelRunner:
                 params, kv, rope, tokens, positions, slots, page_table,
                 kv_lens, q_lens, qb_base, block_q=block_q,
                 capture_hidden=want_hidden, lora_idx=lidx,
-                input_embeds=embeds,
+                input_embeds=embeds, state_rows=row_ids,
             )
             if want_hidden:
                 logits, kv, hidden = step_out
@@ -534,7 +552,7 @@ class ModelRunner:
             tokens = last_ids[row_ids]
             logits, kv = model.decode_step(
                 params, kv, rope, tokens, positions, slots, page_table,
-                lengths, lora_idx=lidx,
+                lengths, lora_idx=lidx, state_rows=row_ids,
             )
             if want_pen:
                 logits = apply_penalties(logits, counts[row_ids], info, vocab)
@@ -608,7 +626,7 @@ class ModelRunner:
             tokens = last_ids[row_ids]
             logits, kv = model.decode_step(
                 params, kv, rope, tokens, positions, slots, page_table,
-                lengths, lora_idx=lidx,
+                lengths, lora_idx=lidx, state_rows=row_ids,
             )
             if want_pen:
                 logits = apply_penalties(logits, counts[row_ids], info, vocab)
@@ -748,12 +766,12 @@ class ModelRunner:
 
         lora_on = self.lora is not None
 
-        def raw(params, kv, rope, tokens, positions, slots, page_table, lengths, info, steps, *extra):
+        def raw(params, kv, rope, tokens, positions, slots, page_table, lengths, info, steps, rows, *extra):
             extra = list(extra)
             lidx = extra.pop() if lora_on else None
             logits, kv = model.decode_step(
                 params, kv, rope, tokens, positions, slots, page_table,
-                lengths, lora_idx=lidx,
+                lengths, lora_idx=lidx, state_rows=rows,
             )
             if want_pen:
                 counts = extra.pop(0)
@@ -771,7 +789,7 @@ class ModelRunner:
         fn = jax.jit(
             self._wrap_step(
                 raw,
-                7 + (1 if want_mask else 0) + (1 if want_pen else 0)
+                8 + (1 if want_mask else 0) + (1 if want_pen else 0)
                 + (1 if want_bias else 0) + (1 if lora_on else 0),
                 n_replicated_out=4 if want_lp else 1,
             ),
@@ -789,7 +807,7 @@ class ModelRunner:
         lora_on = self.lora is not None
 
         def raw(params, kv, rope, tokens0, lengths0, page_table, info, steps0,
-                *extra):
+                rows, *extra):
             lidx = extra[0] if lora_on else None
 
             def body(carry, s):
@@ -800,7 +818,7 @@ class ModelRunner:
                 slots = jnp.where(live, page * ps + pos % ps, PAD_SLOT)
                 logits, kv = model.decode_step(
                     params, kv, rope, toks, pos, slots, page_table, lens,
-                    lora_idx=lidx,
+                    lora_idx=lidx, state_rows=rows,
                 )
                 ids = sample(logits, info, steps0 + s, all_greedy=all_greedy,
                              eos_ids=self._eos_ids)
@@ -813,7 +831,7 @@ class ModelRunner:
             return all_ids, kv
 
         fn = jax.jit(
-            self._wrap_step(raw, 5 + (1 if lora_on else 0), n_replicated_out=1),
+            self._wrap_step(raw, 6 + (1 if lora_on else 0), n_replicated_out=1),
             donate_argnums=(1,),
         )
         self._fns[key] = fn
@@ -1082,6 +1100,7 @@ class ModelRunner:
         args = (
             self.params, self.kv_cache, self.rope_tab,
             *arrays, info, jnp.asarray(steps),
+            self._pad_rows(d.row_ids, bs, bs_pad),
         )
         if output_counts is not None:
             oc = np.zeros((bs_pad, output_counts.shape[1]), np.int32)
@@ -1127,6 +1146,7 @@ class ModelRunner:
         args = (
             self.params, self.kv_cache, self.rope_tab,
             tokens, lengths, page_table, info, jnp.asarray(steps0),
+            self._pad_rows(d.row_ids, bs, bs_pad),
         )
         if self.lora is not None:
             args = args + (jnp.asarray(self._pad_i32(

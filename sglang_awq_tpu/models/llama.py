@@ -500,8 +500,10 @@ class LlamaForCausalLM:
         page_table: jax.Array,  # [B, PMAX] int32
         lengths: jax.Array,  # [B] int32 incl. the new token (0 for pads)
         lora_idx: Optional[jax.Array] = None,  # [B] adapter slots
+        state_rows: Optional[jax.Array] = None,  # [B] linear-state rows
     ) -> Tuple[jax.Array, jax.Array]:
         """One decode step for a padded batch -> (logits [B, V], kv)."""
+        del state_rows  # hybrid linear-attention models consume these
         B = tokens.shape[0]
         x = self._pos_embed(params, self._embed(params, tokens), positions)
         use_xla_attn = not is_tpu_backend()
@@ -653,6 +655,7 @@ class LlamaForCausalLM:
         capture_hidden: bool = False,  # also return [TQ, H] pre-norm hidden
         lora_idx: Optional[jax.Array] = None,  # [TQ] adapter slots
         input_embeds: Optional[jax.Array] = None,  # [TQ, H] replaces lookup
+        state_rows: Optional[jax.Array] = None,  # [B] linear-state rows
     ) -> Tuple[jax.Array, ...]:
         """Batched (multi-request) chunked-prefill step -> (per-seq last-token
         logits [B, V] — or normed hidden [B, H] when return_hidden — plus kv;
@@ -662,6 +665,7 @@ class LlamaForCausalLM:
         Reference role: `get_new_batch_prefill` extend batch
         (`scheduler.py:1783`) + `extend_attention.py` ragged qo_indptr batch.
         """
+        del state_rows  # hybrid linear-attention models consume these
         TQ = tokens.shape[0]
         B = page_table.shape[0]
         if input_embeds is not None:

@@ -54,6 +54,7 @@ def get_model_class(architecture: str):
         Qwen2MoeForCausalLM,
         Qwen3MoeForCausalLM,
     )
+    from sglang_awq_tpu.models.qwen3_next import Qwen3NextForCausalLM
     from sglang_awq_tpu.models.deepseek_v2 import (
         DeepseekV2ForCausalLM,
         DeepseekV3ForCausalLM,
@@ -91,6 +92,7 @@ def get_model_class(architecture: str):
         "Qwen3ForCausalLM": Qwen3ForCausalLM,
         "Qwen2MoeForCausalLM": Qwen2MoeForCausalLM,
         "Qwen3MoeForCausalLM": Qwen3MoeForCausalLM,
+        "Qwen3NextForCausalLM": Qwen3NextForCausalLM,
         "Phi3ForCausalLM": Phi3ForCausalLM,
         "PhimoeForCausalLM": PhimoeForCausalLM,
         "Olmo2ForCausalLM": Olmo2ForCausalLM,
