@@ -1,11 +1,11 @@
 """gRPC serving endpoint.
 
 Role model: reference `python/sglang/srt/entrypoints/grpc_server.py`
-(SglangScheduler service: Generate stream, HealthCheck).  This image has
-grpcio but not grpc_python_plugin, so the service is registered through
-gRPC's generic method handlers with a JSON message codec — the wire
-contract below is stable and `protos/sglang_engine.proto` documents the
-equivalent typed schema for clients that generate their own stubs.
+(SglangScheduler service: Generate stream, HealthCheck).  The service
+speaks the COMPILED `protos/sglang_engine.proto` contract (protoc-generated
+message classes wired through generic method handlers — no
+grpc_python_plugin needed): clients generate stubs from the same proto.
+Set SGLT_GRPC_CODEC=json for the round-2 JSON codec (legacy clients).
 
 Methods (service `sglang.Engine`):
   Generate      server-streaming; request/response JSON:
@@ -65,15 +65,60 @@ def _payload(out: dict) -> dict:
 
 
 class GrpcEngineServer:
-    def __init__(self, engine, port: int, max_workers: int = 16):
+    def __init__(self, engine, port: int, max_workers: int = 16,
+                 codec: Optional[str] = None):
+        import os
+
         self.engine = engine
         self.port = port
         self.server = grpc.server(
             futures.ThreadPoolExecutor(max_workers=max_workers)
         )
+        codec = codec or os.environ.get("SGLT_GRPC_CODEC", "proto")
+        if codec == "proto":
+            from sglang_awq_tpu.entrypoints import sglang_engine_pb2 as pb
+
+            def req_de(data: bytes) -> dict:
+                m = pb.GenerateRequest.FromString(data)
+                return {
+                    "text": m.text or None,
+                    "input_ids": list(m.input_ids) or None,
+                    "sampling_params": (
+                        json.loads(m.sampling_params_json)
+                        if m.sampling_params_json else None
+                    ),
+                    "rid": m.rid or None,
+                    "return_logprob": m.return_logprob,
+                    "logprob_start_len": m.logprob_start_len or -1,
+                }
+
+            def resp_ser(out: dict) -> bytes:
+                return pb.GenerateResponse(
+                    text=out.get("text") or "",
+                    delta=out.get("delta") or "",
+                    output_ids=out.get("output_ids") or [],
+                    meta_info_json=json.dumps(out.get("meta_info") or {}),
+                    finished=bool(out.get("finished", True)),
+                ).SerializeToString()
+
+            self._req_de = req_de
+            self._resp_ser = resp_ser
+            self._health_ser = lambda o: pb.HealthResponse(
+                status=o.get("status", "ok")).SerializeToString()
+            self._health_de = lambda b: {}
+            self._abort_de = lambda b: {
+                "rid": pb.AbortRequest.FromString(b).rid or None}
+            self._abort_ser = lambda o: pb.AbortResponse().SerializeToString()
+        else:  # legacy JSON codec
+            self._req_de = _de
+            self._resp_ser = lambda out: _ser(_payload(out))
+            self._health_ser = _ser
+            self._health_de = _de
+            self._abort_de = _de
+            self._abort_ser = _ser
 
         def generate_stream(request: bytes, context):
-            body = _de(request)
+            body = self._req_de(request)
             state = self.engine.tokenizer_manager.create_request(
                 _gin_from(body, stream=True)
             )
@@ -82,12 +127,12 @@ class GrpcEngineServer:
                     item = state.out_queue.get()
                     if item is None:
                         break
-                    yield _ser(_payload(item))
+                    yield self._resp_ser(_payload(item))
             finally:
                 self.engine.tokenizer_manager._drop(state)
 
         def generate_unary(request: bytes, context):
-            body = _de(request)
+            body = self._req_de(request)
             state = self.engine.tokenizer_manager.create_request(
                 _gin_from(body, stream=False)
             )
@@ -100,16 +145,17 @@ class GrpcEngineServer:
             self.engine.tokenizer_manager._drop(state)
             if last is None:
                 context.abort(grpc.StatusCode.INTERNAL, "no output")
-            return _ser(_payload(last))
+            return self._resp_ser(_payload(last))
 
         def health(request: bytes, context):
-            return _ser({"status": "ok"})
+            self._health_de(request)
+            return self._health_ser({"status": "ok"})
 
         def abort(request: bytes, context):
-            rid = _de(request).get("rid")
+            rid = self._abort_de(request).get("rid")
             if rid:
                 self.engine.tokenizer_manager.abort_request(rid)
-            return _ser({})
+            return self._abort_ser({})
 
         handlers = {
             "Generate": grpc.unary_stream_rpc_method_handler(
