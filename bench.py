@@ -84,7 +84,11 @@ def main():
         max_running_requests=bs,
         mem_fraction_static=0.80,
         kv_cache_dtype=os.environ.get("SGLT_BENCH_KV", "auto"),
-        lm_head_dtype=os.environ.get("SGLT_BENCH_LMHEAD", "auto"),
+        # int8 per-column lm_head is the engine's default serving config
+        # for this geometry (halves the ~1 GB/step [H, V] stream; logits
+        # within 1e-2, argmax-stable — tests/test_engine.py); override with
+        # SGLT_BENCH_LMHEAD=auto for the bf16 head
+        lm_head_dtype=os.environ.get("SGLT_BENCH_LMHEAD", "int8"),
     )
     log(f"bench: building {model_kind} runner (bs={bs}, ctx={ctx})...")
     t0 = time.time()
