@@ -83,10 +83,32 @@ class LinearSpec:
                 # — it removes the per-projection [M, N] f32 round trip the
                 # XLA-side correction cost, on every shape
                 unpack = "pair" if pb % 8 == 0 else "cast"
+            # Isolated-loop per-shape (pb, bn) winners at decode M=64
+            # (bench_awq sweep, median timing): qkv 557 @ (2048,3072),
+            # o 527 @ (2048,2048) [+13%], down 595 @ (1024,4096),
+            # gate_up 617 @ (2048,4096).  In-context A/B LOST (3375 vs
+            # 3427 tok/s end-to-end) — the full step's pipelining differs
+            # from the isolated loop — so the table is opt-in.
+            _TUNED_PB_BN = {
+                (4096, 6144): (2048, 3072),
+                (4096, 4096): (2048, 2048),
+                (14336, 4096): (1024, 4096),
+                (4096, 28672): (2048, 4096),
+            }
+            tuned = (
+                _TUNED_PB_BN.get((k_local, n_local))
+                if os.environ.get("SGLT_AWQ_TUNED") == "1" else None
+            )
             # Per-projection kernel overrides for perf A/Bs:
             #   SGLT_AWQ_TUNE="qkv=cast:1024:2048,down=magic:2048:1024"
             # (name=unpack:pack_block:block_n; 0 keeps the heuristic value).
             bn = 4096 if wide and unpack == "pair" and n_local % 4096 == 0 else 0
+            if tuned is not None and unpack == "pair":
+                tpb, tbn = tuned
+                if k_local % tpb == 0 and n_local % tbn == 0 and (
+                    not k_align or k_align % tpb == 0
+                ):
+                    pb, bn = tpb, tbn
             tune = os.environ.get("SGLT_AWQ_TUNE", "")
             for ent in filter(None, tune.split(",")):
                 tname, _, rest = ent.partition("=")
