@@ -320,7 +320,8 @@ def test_ragged_decode_sliding_window():
     lengths = np.array([40, 7, 0, 61], np.int32)
     page_table = rng.integers(0, PAGES, size=(B, pmax)).astype(np.int32)
     q = jnp.asarray(rng.normal(size=(B, 1, QH, D)), jnp.bfloat16)
-    for W in (8, 17, 100):
+    # W > 0: sliding window; W < 0: CHUNKED attention of size |W| (llama4)
+    for W in (8, 17, 100, -8, -16):
         out = ragged_decode(
             q, kv, jnp.asarray(page_table), jnp.asarray(lengths), 1,
             sm_scale=0.125, pages_per_chunk=2, interpret=True, window=W,
@@ -334,6 +335,22 @@ def test_ragged_decode_sliding_window():
             np.asarray(out)[live], np.asarray(ref)[live],
             rtol=2e-2, atol=2e-2, err_msg=f"W={W}",
         )
+    # chunked brute force: row 3 (len 61, chunk 16) sees keys [48, 61)
+    kg3, vg3 = _gather_oracle(kv, page_table, 1)
+    qrow3 = np.asarray(q, np.float32)[3, 0].reshape(KVH, QH // KVH, D)
+    out_c = np.asarray(ragged_decode(
+        q, kv, jnp.asarray(page_table), jnp.asarray(lengths), 1,
+        sm_scale=0.125, pages_per_chunk=2, interpret=True, window=-16,
+    ))[3, 0].reshape(KVH, QH // KVH, D)
+    lo, hi = (61 - 1) // 16 * 16, 61
+    for h in range(KVH):
+        ks = kg3[3][lo:hi, h].astype(np.float32)
+        vs = vg3[3][lo:hi, h].astype(np.float32)
+        for g in range(QH // KVH):
+            sc = (qrow3[h, g] @ ks.T) * 0.125
+            p = np.exp(sc - sc.max()); p /= p.sum()
+            np.testing.assert_allclose(
+                out_c[h, g], p @ vs, rtol=3e-2, atol=3e-2)
     # brute-force spot check at W=8, row 3 (len 61): softmax over last 8
     kg, vg = _gather_oracle(kv, page_table, 1)
     qrow = np.asarray(q, np.float32)[3, 0]  # [QH, D]
