@@ -125,7 +125,10 @@ class Req:
         return self.finish_info is not None
 
     def owned_pages(self) -> List[int]:
-        return self.pages[self.prefix_pages :]
+        # swa_released pages (a prefix of the list, freed while the request
+        # ran past its sliding window) are already back in the allocator
+        start = max(self.prefix_pages, getattr(self, "swa_released", 0))
+        return self.pages[start:]
 
     def pages_needed(self, total_tokens: int, page_size: int) -> int:
         return cdiv(total_tokens, page_size)

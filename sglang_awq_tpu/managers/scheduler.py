@@ -1187,10 +1187,39 @@ class Scheduler:
                 break
         return applied
 
+    def _release_swa_pages(self):
+        """All-SWA models (every layer windowed, radix disabled): pages
+        wholly below every window — with a chunk-straddle safety margin for
+        the attention DMA — will never be read again; hand them back
+        (reference SWA radix role, swa_radix_cache.py, active-sequence
+        subset; cached-prefix tombstones are the listed upgrade)."""
+        win = getattr(self, "_swa_release_win", None)
+        if win is None:
+            w = getattr(self.runner.model, "layer_windows", None) or ()
+            # MAX across layers: a page is dead only once below EVERY window
+            win = max(w) if (w and all(x > 0 for x in w)
+                             and self.server_args.disable_radix_cache) else 0
+            self._swa_release_win = win
+        if not win:
+            return
+        ps = self.page_size
+        margin = 1024  # largest attention chunk (ppc<=16 x ps<=64)
+        for r in self.running:
+            k = getattr(r, "swa_released", 0)
+            freed = []
+            while (k + 1) * ps <= r.fill_len - win - margin and k < len(r.pages):
+                freed.append(r.pages[k])
+                r.pages[k] = 0  # valid-but-never-read placeholder
+                k += 1
+            if freed:
+                r.swa_released = k
+                self.allocator.free_pages(freed)
+
     def _ensure_decode_memory(self, grow: int = 1):
         """Grow each running req by `grow` tokens; retract on OOM
         (reference check_decode_mem + retract_decode)."""
         ps = self.page_size
+        self._release_swa_pages()
 
         def deficit(r):
             return max(cdiv(r.fill_len + grow, ps) - len(r.pages), 0)

@@ -83,6 +83,16 @@ class LlamaForCausalLM:
                 [np.arange(0, rot, 2), np.arange(1, rot, 2),
                  np.arange(rot, D0)]
             )
+        if not self.layer_windows:
+            # Mistral-style uniform sliding window (subclasses with
+            # per-layer patterns overwrite after this); Qwen2-class configs
+            # carry sliding_window with use_sliding_window=False — skip
+            sw = int(c.hf_config.get("sliding_window") or 0)
+            if sw and c.hf_config.get("use_sliding_window", True) \
+                    and sw < c.context_length:
+                assert self.pp_size == 1, (
+                    "sliding-window + pp needs global-layer bookkeeping")
+                self.layer_windows = tuple(sw for _ in range(c.num_layers))
         assert c.num_attention_heads % self.tp_size == 0
         assert c.num_kv_heads % self.tp_size == 0 or self.tp_size % c.num_kv_heads == 0
         self.qh = c.num_attention_heads // self.tp_size

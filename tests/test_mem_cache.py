@@ -197,3 +197,68 @@ def test_cpp_lru_order():
     assert rc.match_prefix(seqs[0]).matched_len == 8
     assert rc.match_prefix(seqs[1]).matched_len == 0
     assert rc.match_prefix(seqs[2]).matched_len == 8
+
+
+def test_swa_page_release():
+    """All-SWA models free pages below every window (+DMA margin) while
+    generating (reference swa_radix_cache role, active-sequence subset)."""
+    import numpy as np
+
+    from sglang_awq_tpu.configs.model_config import ModelConfig
+    from sglang_awq_tpu.entrypoints.engine import Engine
+    from sglang_awq_tpu.server_args import ServerArgs
+
+    from .utils import TINY_LLAMA_CFG, tiny_hf_model_and_tensors
+
+    _, tensors = tiny_hf_model_and_tensors()
+    cfg = dict(TINY_LLAMA_CFG, sliding_window=32, max_position_embeddings=4096)
+    mc = ModelConfig(model_path="", hf_config=cfg)
+    sa = ServerArgs(model_path="tiny-swa", page_size=8, max_total_tokens=4096,
+                    chunked_prefill_size=64, disable_radix_cache=True,
+                    max_running_requests=2)
+    eng = Engine(server_args=sa, model_config=mc, tensors=tensors,
+                 tokenizer=None)
+    try:
+        # the llama class must map uniform sliding_window to layer_windows
+        assert eng.runner.model.layer_windows, "sliding_window not wired"
+        rng = np.random.default_rng(0)
+        prompt = rng.integers(3, 500, 16).tolist()
+        before = eng.scheduler.allocator.available_pages()
+        out = eng.generate(
+            input_ids=prompt,
+            sampling_params={"max_new_tokens": 1400, "temperature": 0.0,
+                             "ignore_eos": True},
+        )
+        assert len(out["output_ids"]) == 1400
+        # all pages returned at finish; no double-free (allocator invariant)
+        after = eng.scheduler.allocator.available_pages()
+        assert after == before, (before, after)
+        # during the run, release must have triggered: total footprint
+        # (16 + 1400 tokens ~ 177 pages) exceeds window+margin (~140 pages
+        # NOT released) — assert the counter moved
+        # (peak usage is not directly observable post-hoc; generate a second
+        # request and inspect its live released counter mid-flight instead)
+        done = {}
+
+        def run():
+            done["out"] = eng.generate(
+                input_ids=prompt,
+                sampling_params={"max_new_tokens": 1400, "temperature": 0.0,
+                                 "ignore_eos": True},
+            )
+
+        import threading
+        t = threading.Thread(target=run)
+        t.start()
+        released = 0
+        import time as _t
+        for _ in range(400):
+            _t.sleep(0.05)
+            for r in eng.scheduler.running:
+                released = max(released, getattr(r, "swa_released", 0))
+            if done.get("out") is not None:
+                break
+        t.join(timeout=120)
+        assert released > 0, "no pages released during a long SWA generation"
+    finally:
+        eng.shutdown()
