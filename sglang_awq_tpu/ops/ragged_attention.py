@@ -139,6 +139,7 @@ def _decode_kernel_split(
     has_window: bool,
     has_sinks: bool,
     interpret: bool,
+    stats_out=None,  # optional (m_out, l_out) [B, KVH*R, 128] two-piece-merge stats
 ):
     """Split-pool megakernel: the _decode_kernel walk with per-half dots.
     The qk dot contracts q [KVH*R, XrK] against the K chunk only
@@ -302,6 +303,10 @@ def _decode_kernel_split(
                     o_ref[b, h] = on[h * r : (h + 1) * r, hl : hl + d].astype(
                         o_ref.dtype
                     )
+                if stats_out is not None:
+                    m_out, l_out = stats_out
+                    m_out[b] = jnp.broadcast_to(m_ref[:, :1], m_ref.shape)
+                    l_out[b] = jnp.broadcast_to(l_ref[:, :1], l_ref.shape)
 
             nb2, nc2 = advance(nb, nc)
             return (nb, nc, nb2, nc2, 1 - slot)
@@ -557,10 +562,35 @@ def _decode_kernel(
         )
 
 
+def _decode_kernel_split_with_stats(
+    layer_ref, window_ref, lengths_ref, s0_ref, nck_ref, nlive_ref,
+    total_ref, pt_ref, q_ref, kv_hbm_ref, sink_ref, o_ref, m_out, l_out,
+    qbd_ref, m_ref, l_ref, acc_ref, cb_ref, tj_ref, tr_ref, k_buf, v_buf,
+    sem,
+    *,
+    batch_size, pages_per_chunk, pmax, sm_scale, q_span, gp, kvh, softcap,
+    has_window, has_sinks, interpret,
+):
+    """Stats shim: two extra outputs (m_out, l_out) after o_ref route into
+    _decode_kernel_split's stats_out keyword.  Explicit signature — a
+    *args/**kw shim makes pallas's function flattening treat the bound
+    statics as traced inputs."""
+    _decode_kernel_split(
+        layer_ref, window_ref, lengths_ref, s0_ref, nck_ref, nlive_ref,
+        total_ref, pt_ref, q_ref, kv_hbm_ref, sink_ref, o_ref,
+        qbd_ref, m_ref, l_ref, acc_ref, cb_ref, tj_ref, tr_ref, k_buf,
+        v_buf, sem,
+        batch_size=batch_size, pages_per_chunk=pages_per_chunk, pmax=pmax,
+        sm_scale=sm_scale, q_span=q_span, gp=gp, kvh=kvh, softcap=softcap,
+        has_window=has_window, has_sinks=has_sinks, interpret=interpret,
+        stats_out=(m_out, l_out),
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("sm_scale", "pages_per_chunk", "interpret", "raw_layout",
-                     "softcap"),
+                     "softcap", "want_stats"),
 )
 def ragged_decode(
     q: jax.Array,  # [B, QS, QH, D] bf16
@@ -576,6 +606,7 @@ def ragged_decode(
     window: jax.Array | int = 0,  # sliding window (0 = full); may be traced
     softcap: float = 0.0,  # attn-logit softcapping (Gemma2); 0 = off
     sinks: Optional[jax.Array] = None,  # [QH] f32 per-head sink logits
+    want_stats: bool = False,  # also return (m, l) [B, QS, QH] softmax stats
 ) -> jax.Array:
     """Decode / spec-verify attention -> [B, QS, QH, D] f32.
 
@@ -710,8 +741,13 @@ def ragged_decode(
     )
     # static window=0 (no SWA layer) drops the window mask ops entirely
     has_window = not (isinstance(window, (int, np.integer)) and window == 0)
+    if want_stats:
+        assert split, "want_stats: split-pool decode only"
+        base = _decode_kernel_split_with_stats
+    else:
+        base = _decode_kernel_split if split else _decode_kernel
     kernel = functools.partial(
-        _decode_kernel_split if split else _decode_kernel,
+        base,
         batch_size=B,
         pages_per_chunk=ppc,
         pmax=pmax,
@@ -724,10 +760,29 @@ def ragged_decode(
         has_sinks=sinks is not None,
         interpret=bool(interpret),
     )
+    if want_stats:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=8,
+            grid=(1,),
+            in_specs=grid_spec.in_specs,
+            out_specs=[
+                pl.BlockSpec((B, KVH, R, D), lambda g, *_: (0, 0, 0, 0)),
+                pl.BlockSpec((B, KVH * R, 128), lambda g, *_: (0, 0, 0)),
+                pl.BlockSpec((B, KVH * R, 128), lambda g, *_: (0, 0, 0)),
+            ],
+            scratch_shapes=scratch,
+        )
+        out_shape = [
+            jax.ShapeDtypeStruct((B, KVH, R, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, KVH * R, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B, KVH * R, 128), jnp.float32),
+        ]
+    else:
+        out_shape = jax.ShapeDtypeStruct((B, KVH, R, D), jnp.float32)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, KVH, R, D), jnp.float32),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -746,6 +801,16 @@ def ragged_decode(
         kv_cache,
         sink_arr,
     )
+    if want_stats:
+        out, m_raw, l_raw = out
+        # row h*R + t*gp + g -> [B, QS, QH]
+        stats = []
+        for raw in (m_raw, l_raw):
+            st = raw[:, :, 0].reshape(B, KVH, QS, gp)[:, :, :, :G]
+            stats.append(jnp.transpose(st, (0, 2, 1, 3)).reshape(B, QS, QH))
+        out = out.reshape(B, KVH, QS, gp, D)[:, :, :, :G, :]
+        out = jnp.transpose(out, (0, 2, 1, 3, 4)).reshape(B, QS, QH, D)
+        return out, stats[0], stats[1]
     if raw_layout:
         return out
     out = out.reshape(B, KVH, QS, gp, D)[:, :, :, :G, :]
@@ -1358,6 +1423,7 @@ def ragged_decode_xla(
     window: jax.Array | int = 0,
     softcap: float = 0.0,
     sinks: Optional[jax.Array] = None,
+    want_stats: bool = False,
 ) -> jax.Array:
     B, QS, QH, D = q.shape
     fc = kv_cache.shape[-2]
@@ -1393,6 +1459,11 @@ def ragged_decode_xla(
     else:
         p = jax.nn.softmax(s, axis=-1)
     o = jnp.einsum("btkgs,bskd->btkgd", p, vg.astype(jnp.float32))
+    if want_stats:
+        m = jnp.max(s, axis=-1)  # [B, QS, KVH, G]
+        l = jnp.sum(jnp.exp(s - m[..., None]), axis=-1)
+        return (o.reshape(B, QS, QH, D), m.reshape(B, QS, QH),
+                l.reshape(B, QS, QH))
     return o.reshape(B, QS, QH, D)
 
 

@@ -617,3 +617,32 @@ def test_split_extend_then_decode_consistency():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(ref), rtol=2e-2, atol=2e-2
     )
+
+
+def test_ragged_decode_stats():
+    """want_stats returns per-(seq, span, head) softmax (m, l) matching the
+    oracle — the two-piece merge input for tree-speculative verify."""
+    k9 = jax.random.PRNGKey(9)
+    kv = jax.random.normal(
+        k9, (L, PAGES, 2, PS, 2, KVH * D // 2), jnp.float32
+    ).astype(jnp.bfloat16)  # split layout (stats supported there)
+    rng = np.random.default_rng(9)
+    B, pmax, QS = 4, 8, 2
+    lengths = np.array([40, 7, 0, 33], np.int32)
+    page_table = rng.integers(0, PAGES, size=(B, pmax)).astype(np.int32)
+    q = jnp.asarray(rng.normal(size=(B, QS, QH, D)), jnp.bfloat16)
+    out, m, l = ragged_decode(
+        q, kv, jnp.asarray(page_table), jnp.asarray(lengths), 1,
+        sm_scale=0.125, pages_per_chunk=2, interpret=True, want_stats=True,
+    )
+    ref_o, ref_m, ref_l = ragged_decode_xla(
+        q, kv, jnp.asarray(page_table), jnp.asarray(lengths), 1,
+        sm_scale=0.125, want_stats=True,
+    )
+    live = lengths > 0
+    np.testing.assert_allclose(np.asarray(out)[live], np.asarray(ref_o)[live],
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(m)[live], np.asarray(ref_m)[live],
+                               rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(l)[live], np.asarray(ref_l)[live],
+                               rtol=3e-2, atol=3e-2)
