@@ -648,6 +648,117 @@ class LlamaForCausalLM:
             return logits.reshape(B, QS, -1), kv_cache, x.reshape(B, QS, H)
         return logits.reshape(B, QS, -1), kv_cache
 
+    def spec_verify_tree_step(
+        self,
+        params: Dict[str, Any],
+        kv_cache: jax.Array,
+        rope_tab: jax.Array,
+        tokens: jax.Array,  # [B, QS] node tokens (node 0 = committed root)
+        positions: jax.Array,  # [B, QS] = fill + depth(node)
+        slots: jax.Array,  # [B, QS] pool slots (PAD_SLOT rows skipped)
+        page_table: jax.Array,  # [B, PMAX]
+        prefix_lens: jax.Array,  # [B] tokens BEFORE the tree (0 = pad row)
+        tree_mask: np.ndarray,  # [QS, QS] bool STATIC ancestor-incl-self mask
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Tree-speculative verify: scores every draft-tree node in one
+        step -> (logits [B, QS, V], kv).
+
+        Reference role: EAGLE tree-mask verify (`eagle_worker.py:670`,
+        `build_tree_kernel_efficient`).  TPU split: the PREFIX attention
+        (every node attends [0, prefix) identically) runs on the paged
+        megakernel with a uniform limit — tree nodes FOLD into the head dim
+        (q_span=1), so no kernel change — returning softmax stats; the
+        TAIL attention over the QS tree nodes applies the STATIC topology
+        mask in XLA (QS^2 is tiny); the two merge by their (m, l) stats.
+        Tree-node KV writes into the pool at distinct tail slots; the
+        accepted path is relocated post-accept (runner.kv_relocate)."""
+        B, QS = tokens.shape
+        n, D = self.qh, self.head_dim
+        kvh = self.kvh
+        G = n // kvh
+        flat_pos = positions.reshape(-1)
+        x = self._pos_embed(
+            params, self._embed(params, tokens.reshape(-1)), flat_pos
+        )  # [B*QS, H]
+        use_xla_attn = not is_tpu_backend()
+        flat_slots = slots.reshape(-1)
+        mask_np = jnp.asarray(np.asarray(tree_mask, bool))
+
+        def per_tick(x, kv, live):
+            slots_t = (
+                flat_slots if live is None
+                else jnp.where(live, flat_slots, PAD_SLOT)
+            )
+
+            def body(carry, l):
+                x, kv = carry
+
+                def attn(q, k, v, l):
+                    state["kv"] = write_kv(
+                        state["kv"], k, v, slots_t, l, mode="spec"
+                    )
+                    qs = q.reshape(B, QS, n, D)
+                    # --- prefix piece: uniform limit via head-fold ---
+                    qf = qs.reshape(B, QS, kvh, G, D)
+                    qf = jnp.transpose(qf, (0, 2, 1, 3, 4)).reshape(
+                        B, 1, QS * n, D)
+                    fn = ragged_decode_xla if use_xla_attn else ragged_decode
+                    o1, m1, l1 = fn(
+                        qf, state["kv"], page_table, prefix_lens, l,
+                        sm_scale=self.sm_scale, want_stats=True,
+                    )
+                    # unfold rows (h, t, g) -> [B, QS, QH]
+                    o1 = o1.reshape(B, kvh, QS, G, D)
+                    o1 = jnp.transpose(o1, (0, 2, 1, 3, 4)).reshape(
+                        B, QS, n, D)
+                    m1 = jnp.transpose(
+                        m1.reshape(B, kvh, QS, G), (0, 2, 1, 3)
+                    ).reshape(B, QS, n)
+                    l1 = jnp.transpose(
+                        l1.reshape(B, kvh, QS, G), (0, 2, 1, 3)
+                    ).reshape(B, QS, n)
+                    # --- tail piece: tree-masked attention over the QS
+                    # new nodes (k/v in hand, pre-pool) ---
+                    kt = k.reshape(B, QS, kvh, D)
+                    vt = v.reshape(B, QS, kvh, D)
+                    qg = qs.reshape(B, QS, kvh, G, D)
+                    s2 = jnp.einsum(
+                        "bikgd,bjkd->bkgij", qg.astype(jnp.float32),
+                        kt.astype(jnp.float32),
+                    ) * self.sm_scale  # [B, KVH, G, QS, QS]
+                    s2 = jnp.where(mask_np[None, None, None], s2, -1e30)
+                    m2 = jnp.max(s2, axis=-1)  # [B, KVH, G, QS]
+                    p2 = jnp.exp(s2 - m2[..., None])
+                    l2 = jnp.sum(p2, axis=-1)
+                    a2 = jnp.einsum(
+                        "bkgij,bjkd->bikgd", p2, vt.astype(jnp.float32)
+                    )  # [B, QS, KVH, G, D]
+                    m2 = jnp.transpose(m2, (0, 3, 1, 2)).reshape(B, QS, n)
+                    l2 = jnp.transpose(l2, (0, 3, 1, 2)).reshape(B, QS, n)
+                    a2 = a2.reshape(B, QS, n, D)
+                    # --- two-piece softmax merge ---
+                    m = jnp.maximum(m1, m2)
+                    w1 = jnp.exp(m1 - m) * l1
+                    w2 = jnp.exp(m2 - m)
+                    denom = w1 + w2 * l2
+                    denom = jnp.where(denom == 0.0, 1.0, denom)
+                    out = (o1 * w1[..., None] + a2 * w2[..., None]) / (
+                        denom[..., None])
+                    return out.reshape(B * QS, n, D)
+
+                state = {"kv": kv}
+                x = self._layer(params, x, l, flat_pos, rope_tab, attn)
+                return (x, state["kv"]), None
+
+            (x, kv), _ = jax.lax.scan(
+                body, (x, kv), jnp.arange(self.layers_local)
+            )
+            return x, kv
+
+        x, kv_cache = self._run_layers(params, x, kv_cache, per_tick)
+        logits = self._logits(params, x)  # [B*QS, V]
+        return logits.reshape(B, QS, -1), kv_cache
+
     def extend_step(
         self,
         params: Dict[str, Any],
