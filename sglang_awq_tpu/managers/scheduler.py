@@ -171,6 +171,18 @@ class Scheduler:
                 "speculative width must be <= page_size (KV write kernel "
                 "touches at most two tail pages per sequence)"
             )
+        # EAGLE tree mode: top-k branch roots, each continued greedily
+        # (reference eagle_worker.py:511 topk>1 tree draft + tree verify)
+        self.spec_topk = (
+            max(1, server_args.speculative_eagle_topk) if self.eagle else 1
+        )
+        if self.spec_topk > 1:
+            qs_tree = 1 + self.spec_topk * (self.spec_width - 1)
+            assert qs_tree <= self.page_size, (
+                f"tree verify window {qs_tree} (1 + topk*(width-1)) must be "
+                "<= page_size (KV writes touch at most two tail pages)"
+            )
+            self._tree_mask = None  # built lazily (numpy, static per config)
         self.spec_accept_sum = 0
         self.spec_steps = 0
 
@@ -1311,6 +1323,13 @@ class Scheduler:
         Reference role: ngram_worker.py draft + TARGET_VERIFY; greedy
         acceptance, KV rollback is free (rejected rows' KV is overwritten by
         later steps and masked by length meanwhile)."""
+        if (
+            self.spec_topk > 1
+            and self.running
+            and self.runner.lora is None  # tree verify has no lora plumbing
+            and all(r.sampling_params.is_greedy for r in self.running)
+        ):
+            return self._run_decode_step_spec_tree()
         QS = self.spec_width
         self._ensure_decode_memory(grow=QS)
         if not self.running:
@@ -1406,6 +1425,135 @@ class Scheduler:
             self.runner.eagle_commit_fixup(
                 ids[:B], accepts, rows, fill_old, page_table
             )
+        self.running = still_running
+        return outputs
+
+    def _run_decode_step_spec_tree(self) -> List[ReqOutput]:
+        """EAGLE TREE decode step (reference eagle_worker.py topk>1 path).
+
+        Draft: top-k candidates at the first step, each continued greedily
+        -> k branches of depth-1 tokens.  Verify: one tree-masked forward
+        over all 1 + k*(depth-1) nodes.  Accept: greedy walk — pick the
+        branch whose root candidate matches the target's argmax, then
+        chain-accept within it.  The accepted path's KV is relocated from
+        its node slots onto the position-contiguous slots."""
+        from sglang_awq_tpu.speculative.tree import (
+            make_tree_mask, tree_node_offsets, tree_size)
+
+        D = self.spec_width  # per-branch chain length incl. the root
+        K = self.spec_topk
+        QS = tree_size(K, D)
+        self._ensure_decode_memory(grow=QS)
+        if not self.running:
+            return []
+        ps = self.page_size
+        B = len(self.running)
+        if self._tree_mask is None:
+            self._tree_mask = make_tree_mask(K, D)
+        offsets = tree_node_offsets(K, D)
+
+        fill_old = np.zeros(B, np.int32)
+        pmax = max(len(r.pages) for r in self.running)
+        page_table = np.zeros((B, pmax), np.int32)
+        for i, r in enumerate(self.running):
+            page_table[i, : len(r.pages)] = r.pages
+            fill_old[i] = r.fill_len
+        rows = np.asarray(
+            [r.row if r.row is not None else -1 for r in self.running],
+            np.int32,
+        )
+        t0 = np.asarray([r.output_ids[-1] for r in self.running], np.int32)
+        branches = self.runner.eagle_draft_tree(
+            rows, t0, fill_old, page_table, K, D - 1
+        )  # [B, K, D-1]
+
+        tokens = np.zeros((B, QS), np.int32)
+        positions = np.zeros((B, QS), np.int32)
+        slots = np.zeros((B, QS), np.int32)
+        for i, r in enumerate(self.running):
+            tokens[i, 0] = t0[i]
+            tokens[i, 1:] = branches[i].reshape(-1)
+            positions[i] = r.fill_len + offsets
+            # slot addresses are position-agnostic: node n stores at the
+            # page-table slot of position fill+n (distinct per node)
+            sp = r.fill_len + np.arange(QS)
+            pages_np = np.asarray(r.pages, np.int32)
+            slots[i] = pages_np[sp // ps] * ps + sp % ps
+
+        ids = self.runner.forward_spec_verify_tree(
+            tokens, positions, slots, page_table, fill_old, self._tree_mask
+        )  # [B, QS] greedy next-token per node
+
+        accepts = np.ones(B, np.int32)
+        path_nodes = np.zeros((B, D), np.int32)
+        path_ids = np.zeros((B, D), np.int32)
+        src_rel, dst_rel = [], []
+        outputs = []
+        still_running = []
+        for i, r in enumerate(self.running):
+            root_next = int(ids[i, 0])
+            nodes = [0]
+            emit = [root_next]
+            for b in range(K):
+                if int(branches[i, b, 0]) != root_next:
+                    continue
+                for dj in range(D - 1):
+                    node = 1 + b * (D - 1) + dj
+                    nodes.append(node)
+                    nxt = int(ids[i, node])
+                    emit.append(nxt)
+                    if dj + 1 >= D - 1 or int(branches[i, b, dj + 1]) != nxt:
+                        break
+                break  # top-k roots are distinct: at most one branch matches
+            acc = len(emit)
+            accepts[i] = acc
+            path_nodes[i, :acc] = nodes
+            path_ids[i, :acc] = emit
+            # relocate accepted non-root nodes onto contiguous slots (branch
+            # 0's nodes already live there — identity moves are skipped)
+            for j in range(1, acc):
+                if nodes[j] != j:
+                    src_rel.append(int(slots[i, nodes[j]]))
+                    dst_rel.append(int(slots[i, j]))
+
+            new_tokens = []
+            for tok in emit:
+                r.output_ids.append(tok)
+                new_tokens.append(tok)
+                r.check_finished(tok)
+                if r.finished():
+                    break
+            r.fill_len += len(new_tokens)
+            self.spec_accept_sum += len(new_tokens)
+            self.spec_steps += 1
+            if self.metrics.enabled and self.spec_steps % 64 == 0:
+                self.metrics.spec_accept_length.set(
+                    self.spec_accept_sum / self.spec_steps
+                )
+            outputs.append(ReqOutput(r, new_tokens))
+            if r.finished():
+                self._finish_req(r)
+            else:
+                still_running.append(r)
+
+        if src_rel:
+            # pad to a stable shape (per-batch-bucket) to bound compiles
+            from sglang_awq_tpu.mem_cache.kv_pool import PAD_SLOT
+
+            cap = B * (D - 1)
+            m = 8
+            while m < len(src_rel) and m < cap:
+                m *= 2
+            m = min(max(m, len(src_rel)), cap)
+            src = np.zeros(m, np.int64)
+            dst = np.full(m, PAD_SLOT, np.int64)
+            src[: len(src_rel)] = src_rel
+            dst[: len(dst_rel)] = dst_rel
+            self.runner.kv_relocate(src, dst)
+
+        self.runner.eagle_tree_fixup(
+            path_nodes, path_ids, accepts, rows, fill_old, page_table
+        )
         self.running = still_running
         return outputs
 

@@ -1423,6 +1423,256 @@ class ModelRunner:
         )
         return np.asarray(drafts)[:bs]
 
+    def forward_spec_verify_tree(
+        self,
+        tokens: np.ndarray,  # [B, QS] tree node tokens (node 0 = root)
+        positions: np.ndarray,  # [B, QS]
+        slots: np.ndarray,  # [B, QS]
+        page_table: np.ndarray,
+        prefix_lens: np.ndarray,  # [B]
+        tree_mask: np.ndarray,  # [QS, QS] bool (static topology)
+    ) -> np.ndarray:
+        """Tree verify -> per-node greedy ids [B, QS] (greedy acceptance
+        walks on the host; the [B, QS, H] hidden stays on device for the
+        path fixup)."""
+        bs, qs = tokens.shape
+        bs_pad = pick_bucket(bs, self.decode_bs_buckets)
+        pt_w = pick_bucket(page_table.shape[1], self.pmax_buckets)
+        key = ("spec_verify_tree", bs_pad, qs, pt_w,
+               tree_mask.astype(np.uint8).tobytes())
+        if key not in self._fns:
+            model = self.model
+            mask = np.asarray(tree_mask, bool)
+            want_hidden = self.draft is not None
+
+            def raw(params, kv, rope, tokens, positions, slots, page_table,
+                    prefix_lens):
+                out = model.spec_verify_tree_step(
+                    params, kv, rope, tokens, positions, slots, page_table,
+                    prefix_lens, mask, capture_hidden=want_hidden,
+                )
+                logits, kv = out[0], out[1]
+                ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                if want_hidden:
+                    return ids, out[2], kv
+                return ids, kv
+
+            self._fns[key] = jax.jit(
+                self._wrap_step(raw, 5,
+                                n_replicated_out=2 if want_hidden else 1),
+                donate_argnums=(1,),
+            )
+
+        def pad2(a, fill=0):
+            out = np.full((bs_pad, qs), fill, a.dtype)
+            out[:bs] = a
+            return out
+
+        pt = np.zeros((bs_pad, pt_w), np.int32)
+        w = min(page_table.shape[1], pt_w)
+        pt[:bs, :w] = page_table[:, :w]
+        self.decode_steps_counter += 1
+        outs = self._fns[key](
+            self.params, self.kv_cache, self.rope_tab,
+            jnp.asarray(pad2(tokens)), jnp.asarray(pad2(positions)),
+            jnp.asarray(pad2(slots, PAD_SLOT)), jnp.asarray(pt),
+            jnp.asarray(self._pad_i32(prefix_lens, bs_pad)),
+        )
+        if self.draft is not None:
+            ids, self._verify_hidden, self.kv_cache = outs
+        else:
+            ids, self.kv_cache = outs
+        return np.asarray(ids)
+
+    def eagle_draft_tree(
+        self,
+        row_ids: np.ndarray,  # [B]
+        t0: np.ndarray,  # [B] newest accepted token
+        fill_len: np.ndarray,  # [B]
+        page_table: np.ndarray,
+        k: int,  # branches (top-k root candidates)
+        depth: int,  # tokens per branch (root candidate + depth-1 greedy)
+    ) -> np.ndarray:
+        """EAGLE tree draft: top-k candidates at the first step, each
+        continued greedily -> [B, k, depth] (reference eagle_worker.py:511
+        topk tree draft).  Branch chains write the SAME provisional draft-KV
+        slots (best-effort: a stale overwrite only lowers acceptance)."""
+        bs = len(t0)
+        bs_pad = pick_bucket(bs, self.decode_bs_buckets)
+        pt_w = pick_bucket(page_table.shape[1], self.pmax_buckets)
+        fkey = ("eagle_tree", bs_pad, pt_w, k, depth)
+        if fkey not in self._fns:
+            draft = self.draft
+            ps = self.page_size
+
+            def head_logits(head, g):
+                if "weight_q" in head:
+                    return jnp.dot(
+                        g.astype(jnp.bfloat16),
+                        head["weight_q"].astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32,
+                    ) * head["scale"][None, :]
+                return jnp.dot(
+                    g.astype(jnp.bfloat16), head["weight"],
+                    preferred_element_type=jnp.float32,
+                )
+
+            def raw(dp, dkv, drope, embed_w, head, hidden_row, rows, t0, P,
+                    pt):
+                ar = jnp.arange(bs_pad)
+
+                def slot_at(j):
+                    pos = jnp.maximum(P - 1 + j, 0)
+                    live = P > 0
+                    return pos, jnp.where(
+                        live,
+                        pt[ar, jnp.minimum(pos // ps, pt.shape[1] - 1)] * ps
+                        + pos % ps,
+                        PAD_SLOT,
+                    ), jnp.where(live, pos + 1, 0)
+
+                h0 = hidden_row[rows]
+                pos, sl, lens = slot_at(0)
+                g0, dkv = draft.decode_hidden(
+                    dp, dkv, drope, embed_w, t0, h0, pos, sl, pt, lens)
+                cand = jax.lax.top_k(head_logits(head, g0), k)[1].astype(
+                    jnp.int32)  # [B, k]
+                branches = []
+                for bk in range(k):
+                    tok = cand[:, bk]
+                    h = g0.astype(jnp.bfloat16)
+                    chain = [tok]
+                    for j in range(1, depth):
+                        pos, sl, lens = slot_at(j)
+                        g, dkv = draft.decode_hidden(
+                            dp, dkv, drope, embed_w, tok, h, pos, sl, pt,
+                            lens)
+                        tok = jnp.argmax(
+                            head_logits(head, g), axis=-1).astype(jnp.int32)
+                        h = g.astype(jnp.bfloat16)
+                        chain.append(tok)
+                    branches.append(jnp.stack(chain, axis=1))  # [B, depth]
+                return jnp.stack(branches, axis=1), dkv  # [B, k, depth]
+
+            self._fns[fkey] = jax.jit(raw, donate_argnums=(1,))
+        pt = np.zeros((bs_pad, pt_w), np.int32)
+        w = min(page_table.shape[1], pt_w)
+        pt[:bs, :w] = page_table[:, :w]
+        rows = self._pad_rows(row_ids, bs, bs_pad)
+        drafts, self.draft_kv = self._fns[fkey](
+            self.draft_params, self.draft_kv, self.draft_rope,
+            self.params["embed"]["weight"], self.params["lm_head"],
+            self.spec_hidden_row, rows,
+            jnp.asarray(self._pad_i32(t0, bs_pad)),
+            jnp.asarray(self._pad_i32(fill_len, bs_pad)),
+            jnp.asarray(pt),
+        )
+        return np.asarray(drafts)[:bs]
+
+    def kv_relocate(self, src_slots: np.ndarray, dst_slots: np.ndarray):
+        """Move token KV rows src -> dst (all layers); PAD_SLOT dst rows
+        drop.  Used to land an accepted tree path on the canonical
+        position-contiguous slots."""
+        M = src_slots.size
+        key = ("kv_relocate", M, self.kv_spec.layout)
+        if key not in self._fns:
+            ps = self.page_size
+            split = self.kv_spec.layout == "split"
+
+            def raw(kv, src, dst):
+                sp, sr = src // ps, src % ps
+                dp_, dr = jnp.minimum(dst // ps, kv.shape[1] - 1), dst % ps
+                drop = dst >= (1 << 29)
+                if split:  # [L, P, 2, ps, fcK, XrK]
+                    g = kv[:, sp, :, sr]  # [M, L, 2, fcK, XrK]
+                    dp_ = jnp.where(drop, 0, dp_)
+                    cur = kv[:, dp_, :, dr]
+                    g = jnp.where(drop[:, None, None, None, None], cur, g)
+                    kv = kv.at[:, dp_, :, dr].set(g)
+                else:  # [L, P, ps, fc, Xr]
+                    # adjacent advanced indices (axes 1, 2) keep their
+                    # position: g is [L, M, fc, Xr]
+                    g = kv[:, sp, sr]
+                    dp_ = jnp.where(drop, 0, dp_)
+                    cur = kv[:, dp_, dr]
+                    g = jnp.where(drop[None, :, None, None], cur, g)
+                    kv = kv.at[:, dp_, dr].set(g)
+                return kv
+
+            self._fns[key] = jax.jit(raw, donate_argnums=(0,))
+        self.kv_cache = self._fns[key](
+            self.kv_cache,
+            jnp.asarray(np.minimum(src_slots.reshape(-1), (1 << 29)),
+                        jnp.int32),
+            jnp.asarray(dst_slots.reshape(-1).astype(np.int32)),
+        )
+
+    def eagle_tree_fixup(
+        self,
+        path_nodes: np.ndarray,  # [B, Dp] accepted node indices (pad 0)
+        path_ids: np.ndarray,  # [B, Dp] path tokens (root + accepted)
+        accept: np.ndarray,  # [B] accepted count (>= 1)
+        row_ids: np.ndarray,
+        fill_len_old: np.ndarray,
+        page_table: np.ndarray,
+    ):
+        """Tree analogue of eagle_commit_fixup: gather the accepted PATH's
+        hiddens by node index, then run the chain fixup over the path."""
+        if self._verify_hidden is None:
+            return
+        bs, dp = path_ids.shape
+        bs_pad = self._verify_hidden.shape[0]
+        pt_w = pick_bucket(page_table.shape[1], self.pmax_buckets)
+        key = ("eagle_tree_fixup", bs_pad, dp, pt_w)
+        if key not in self._fns:
+            draft = self.draft
+            ps = self.page_size
+
+            def raw(dp_, dkv, drope, embed_w, hidden_row, hidden_full, nodes,
+                    rows, ids, acc, P0, pt):
+                ar = jnp.arange(bs_pad)
+                hidden_path = jnp.take_along_axis(
+                    hidden_full, nodes[:, :, None], axis=1
+                )  # [B, Dp, H]
+                hsel = hidden_path[ar, jnp.maximum(acc - 1, 0)]
+                hidden_row = hidden_row.at[rows].set(
+                    hsel.astype(hidden_row.dtype), mode="drop")
+                live = P0 > 0
+                positions = P0[:, None] + jnp.arange(dp)[None, :]
+                slots = jnp.where(
+                    live[:, None],
+                    pt[ar[:, None],
+                       jnp.minimum(positions // ps, pt.shape[1] - 1)] * ps
+                    + positions % ps,
+                    PAD_SLOT,
+                )
+                lens = jnp.where(live, P0 + dp, 0)
+                dkv = draft.spec_hidden(
+                    dp_, dkv, drope, embed_w, ids, hidden_path, positions,
+                    slots, pt, lens,
+                )
+                return dkv, hidden_row
+
+            self._fns[key] = jax.jit(raw, donate_argnums=(1, 4))
+        pt = np.zeros((bs_pad, pt_w), np.int32)
+        w = min(page_table.shape[1], pt_w)
+        pt[:bs, :w] = page_table[:, :w]
+        ids_p = np.zeros((bs_pad, dp), np.int32)
+        ids_p[:bs] = path_ids
+        nodes_p = np.zeros((bs_pad, dp), np.int32)
+        nodes_p[:bs] = path_nodes
+        rows = self._pad_rows(row_ids, bs, bs_pad)
+        self.draft_kv, self.spec_hidden_row = self._fns[key](
+            self.draft_params, self.draft_kv, self.draft_rope,
+            self.params["embed"]["weight"], self.spec_hidden_row,
+            self._verify_hidden, jnp.asarray(nodes_p), rows,
+            jnp.asarray(ids_p),
+            jnp.asarray(self._pad_i32(accept, bs_pad)),
+            jnp.asarray(self._pad_i32(fill_len_old, bs_pad)),
+            jnp.asarray(pt),
+        )
+        self._verify_hidden = None
+
     def eagle_commit_fixup(
         self,
         ids: np.ndarray,  # [B, QS] verify outputs (greedy)

@@ -659,7 +659,8 @@ class LlamaForCausalLM:
         page_table: jax.Array,  # [B, PMAX]
         prefix_lens: jax.Array,  # [B] tokens BEFORE the tree (0 = pad row)
         tree_mask: np.ndarray,  # [QS, QS] bool STATIC ancestor-incl-self mask
-    ) -> Tuple[jax.Array, jax.Array]:
+        capture_hidden: bool = False,  # also return [B, QS, H] pre-norm hidden
+    ) -> Tuple[jax.Array, ...]:
         """Tree-speculative verify: scores every draft-tree node in one
         step -> (logits [B, QS, V], kv).
 
@@ -757,6 +758,9 @@ class LlamaForCausalLM:
 
         x, kv_cache = self._run_layers(params, x, kv_cache, per_tick)
         logits = self._logits(params, x)  # [B*QS, V]
+        if capture_hidden:
+            H = x.shape[-1]
+            return logits.reshape(B, QS, -1), kv_cache, x.reshape(B, QS, H)
         return logits.reshape(B, QS, -1), kv_cache
 
     def extend_step(

@@ -85,6 +85,9 @@ class ServerArgs:
     # --- speculative / lora / grammar (wired in later phases) ---
     speculative_algorithm: Optional[str] = None
     speculative_num_draft_tokens: int = 4
+    # EAGLE tree width: top-k candidates at the first draft step, each
+    # continued greedily (reference --speculative-eagle-topk).  1 = chain.
+    speculative_eagle_topk: int = 1
     speculative_draft_model_path: Optional[str] = None
     # LoRA serving: list of name=path adapter specs loaded at startup
     lora_paths: Optional[List[str]] = None

@@ -130,7 +130,7 @@ def _draft_config():
     return ModelConfig(model_path="", hf_config=cfg)
 
 
-def _make_eagle_engine(eagle: bool, chunked=64):
+def _make_eagle_engine(eagle: bool, chunked=64, topk=1):
     _, tensors = tiny_hf_model_and_tensors()
     mc = ModelConfig(model_path="", hf_config=dict(TINY_LLAMA_CFG))
     sa = ServerArgs(
@@ -140,6 +140,7 @@ def _make_eagle_engine(eagle: bool, chunked=64):
         chunked_prefill_size=chunked,
         speculative_algorithm="eagle" if eagle else None,
         speculative_num_draft_tokens=4,
+        speculative_eagle_topk=topk,
     )
     kw = {}
     if eagle:
@@ -209,6 +210,84 @@ def test_eagle_chunked_prefill_and_concurrency():
         eng.shutdown()
     assert results[0] == refs[0], (results[0], refs[0])
     assert results[1] == refs[1], (results[1], refs[1])
+
+
+@pytest.mark.slow
+def test_eagle_tree_matches_plain_greedy():
+    """topk=2 TREE speculation must not change greedy outputs: tree verify,
+    branch-pick walk, KV relocation of non-branch-0 paths, tree fixup."""
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(3, 500, 23).tolist(),
+               rng.integers(3, 500, 17).tolist()]
+    sp = {"max_new_tokens": 14, "temperature": 0.0, "ignore_eos": True}
+
+    eng_plain = _make_eagle_engine(False)
+    try:
+        refs = [eng_plain.generate(input_ids=p, sampling_params=dict(sp))[
+            "output_ids"] for p in prompts]
+    finally:
+        eng_plain.shutdown()
+
+    eng = _make_eagle_engine(True, topk=2)
+    try:
+        outs = [eng.generate(input_ids=p, sampling_params=dict(sp))[
+            "output_ids"] for p in prompts]
+        # second pass: radix-cached prefix + tree spec together
+        out2 = eng.generate(input_ids=prompts[0], sampling_params=dict(sp))[
+            "output_ids"]
+        assert eng.scheduler.spec_steps > 0
+    finally:
+        eng.shutdown()
+    assert outs[0] == refs[0], (outs[0], refs[0])
+    assert outs[1] == refs[1], (outs[1], refs[1])
+    assert out2 == refs[0]
+
+
+def test_kv_relocate_moves_token_rows():
+    """kv_relocate: src token rows land on dst slots (all layers, K and V);
+    PAD dst rows drop; untouched slots keep their values."""
+    import jax
+    import jax.numpy as jnp
+
+    from sglang_awq_tpu.mem_cache.kv_pool import KVPoolSpec, PAD_SLOT
+    from sglang_awq_tpu.model_executor.model_runner import ModelRunner
+
+    rng = np.random.default_rng(0)
+    for kvh in (2, 1):  # split layout / combined layout
+        spec = KVPoolSpec(2, kvh, 4, 8, 16)
+        pool = jnp.asarray(rng.standard_normal(spec.shape), spec.jdtype)
+        ref = np.asarray(pool, np.float32)
+
+        class _R:  # minimal duck-typed runner surface
+            kv_cache = pool
+            kv_spec = spec
+            page_size = 8
+            _fns = {}
+
+        r = _R()
+        src = np.asarray([3, 9, 17], np.int64)
+        dst = np.asarray([20, PAD_SLOT, 25], np.int64)
+        ModelRunner.kv_relocate(r, src, dst)
+        out = np.asarray(r.kv_cache, np.float32)
+        ps = 8
+
+        def token_face(a, slot):
+            p, t = slot // ps, slot % ps
+            if spec.layout == "split":
+                return a[:, p, :, t]
+            return a[:, p, t]
+
+        np.testing.assert_array_equal(token_face(out, 20), token_face(ref, 3))
+        np.testing.assert_array_equal(token_face(out, 25), token_face(ref, 17))
+        # dropped move: slot 9's data went nowhere, everything else intact
+        exp = ref.copy()
+        if spec.layout == "split":
+            exp[:, 20 // ps, :, 20 % ps] = ref[:, 3 // ps, :, 3 % ps]
+            exp[:, 25 // ps, :, 25 % ps] = ref[:, 17 // ps, :, 17 % ps]
+        else:
+            exp[:, 20 // ps, 20 % ps] = ref[:, 3 // ps, 3 % ps]
+            exp[:, 25 // ps, 25 % ps] = ref[:, 17 // ps, 17 % ps]
+        np.testing.assert_array_equal(out, exp)
 
 
 # ---------------------------------------------------------------------------
