@@ -82,7 +82,7 @@ def main():
         random_weights=True,
         page_size=ps,
         max_running_requests=bs,
-        mem_fraction_static=0.80,
+        mem_fraction_static=float(os.environ.get("SGLT_BENCH_MEMFRAC", "0.80")),
         kv_cache_dtype=os.environ.get("SGLT_BENCH_KV", "auto"),
         # int8 per-column lm_head is the engine's default serving config
         # for this geometry (halves the ~1 GB/step [H, V] stream; logits
@@ -95,8 +95,11 @@ def main():
     runner = ModelRunner(sa, model_config=mc)
     log(f"bench: runner up in {time.time()-t0:.1f}s; pool {runner.max_total_tokens} tokens")
 
-    # synthetic steady-state decode batch: bs sequences at ctx tokens
-    pages_per_seq = (ctx + 256) // ps  # room for the measured steps
+    # synthetic steady-state decode batch: bs sequences at ctx tokens.
+    # Every timed call restarts at position ctx-1 and advances n_steps, so
+    # headroom beyond ctx is one measurement window + one page of slack.
+    n_steps_env = int(os.environ.get("SGLT_BENCH_STEPS", "64"))
+    pages_per_seq = (ctx + n_steps_env + ps) // ps
     assert bs * pages_per_seq <= runner.num_pages, "KV pool too small for bench"
     rng = np.random.default_rng(0)
     page_table = rng.permutation(bs * pages_per_seq).reshape(bs, pages_per_seq).astype(np.int32)
@@ -117,7 +120,7 @@ def main():
     # SAME executable cancels per-run Python overhead; the per-call
     # dispatch latency (~45 ms) does not cancel and biases the result
     # CONSERVATIVELY by ~dispatch/(n_steps) per step (<1 ms at 64 steps).
-    n_steps = int(os.environ.get("SGLT_BENCH_STEPS", "64"))
+    n_steps = n_steps_env
     log("bench: compiling multi-step decode...")
     t0 = time.time()
     runner.forward_decode_multi(d, n_steps)
