@@ -178,6 +178,9 @@ class Req:
         self.prefix_len = 0
         self.fill_len = 0
         self.last_node = None
+        # stale swa_released would hide the refilled pages from
+        # owned_pages() after re-prefill (page leak)
+        self.swa_released = 0
         self.retractions += 1
 
     def __repr__(self):

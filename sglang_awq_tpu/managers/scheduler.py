@@ -113,10 +113,11 @@ class Scheduler:
             from sglang_awq_tpu.mem_cache.hicache import HiCacheController
             from sglang_awq_tpu.mem_cache.radix_cache import RadixCache
 
-            if not isinstance(self.tree, RadixCache):
+            if type(self.tree) is not RadixCache:
                 logger.warning(
-                    "HiCache needs the Python radix tree (evict hook); "
-                    "switching from the C++ tree"
+                    "HiCache needs the plain Python radix tree (evict hook, "
+                    "full-match restore); switching from %s",
+                    type(self.tree).__name__,
                 )
                 self.tree = RadixCache(
                     self.allocator, self.page_size,
@@ -187,6 +188,21 @@ class Scheduler:
         self.spec_steps = 0
 
     def _make_tree(self, server_args: ServerArgs):
+        # all-SWA models (every layer windowed) get the sliding-window-aware
+        # tree: out-of-window KV tombstones under pressure while deep
+        # prefixes stay matchable (reference swa_radix_cache.py role).
+        # Hybrid global/local models keep the plain tree — one page holds
+        # every layer's KV, and a single global layer pins it forever.
+        w = getattr(self.runner.model, "layer_windows", None) or ()
+        if (
+            w
+            and all(x and x > 0 for x in w)
+            and not server_args.disable_radix_cache
+        ):
+            from sglang_awq_tpu.mem_cache.swa_radix_cache import SWARadixCache
+
+            logger.info("using SWA radix tree (window=%d)", max(w))
+            return SWARadixCache(self.allocator, self.page_size, window=max(w))
         impl = server_args.radix_cache_impl
         if impl in ("auto", "cpp"):
             try:
@@ -360,7 +376,6 @@ class Scheduler:
             # recurrent-state updates for the shared prefix (reference
             # disables radix for mamba-class models)
             return
-        m = self.tree.match_prefix(req.fill_ids)
         # never reuse the whole fill (at least one token must compute
         # so logits exist — reference match trim)
         max_match = (len(req.fill_ids) - 1) // ps * ps
@@ -371,6 +386,9 @@ class Scheduler:
             max_match = min(
                 max_match, req.sampling_params.logprob_start_len // ps * ps
             )
+        # the cap is applied INSIDE the match: the SWA tree must validate
+        # window liveness at the true reuse boundary
+        m = self.tree.match_prefix(req.fill_ids, max_pages=max_match // ps)
         matched = min(m.matched_len, max_match)
         n_prefix_pages = matched // ps
         req.pages = list(m.pages[:n_prefix_pages])
@@ -813,12 +831,15 @@ class Scheduler:
         if fp == 0:
             return
         key = req.fill_ids[: fp * ps]
-        dup = self.tree.insert(key, req.pages[:fp])
-        dup = max(dup, req.prefix_pages)
+        released = getattr(req, "swa_released", 0)
+        dup_pos = self.tree.insert2(key, req.pages[:fp], dead_pages=released)
+        start = max(req.prefix_pages, released)
         m = self.tree.match_prefix(key)
         assert m.matched_len == fp * ps, (m.matched_len, fp * ps)
-        # free our own copies of pages the tree already had
-        self.allocator.free_pages(req.pages[req.prefix_pages : dup])
+        # free our own copies of pages the tree already held live
+        self.allocator.free_pages(
+            [req.pages[p] for p in dup_pos if p >= start]
+        )
         req.pages[:fp] = m.pages
         if req.last_node is not None:
             self.tree.dec_lock_ref(req.last_node)
@@ -1207,17 +1228,26 @@ class Scheduler:
         subset; cached-prefix tombstones are the listed upgrade)."""
         win = getattr(self, "_swa_release_win", None)
         if win is None:
+            from sglang_awq_tpu.mem_cache.swa_radix_cache import SWARadixCache
+
             w = getattr(self.runner.model, "layer_windows", None) or ()
-            # MAX across layers: a page is dead only once below EVERY window
+            # MAX across layers: a page is dead only once below EVERY
+            # window.  Runs when the radix tree is off OR is the SWA tree
+            # (whose insert2 understands released placeholder prefixes).
             win = max(w) if (w and all(x > 0 for x in w)
-                             and self.server_args.disable_radix_cache) else 0
+                             and (self.server_args.disable_radix_cache
+                                  or isinstance(self.tree, SWARadixCache))) else 0
             self._swa_release_win = win
         if not win:
             return
         ps = self.page_size
-        margin = 1024  # largest attention chunk (ppc<=16 x ps<=64)
+        from sglang_awq_tpu.mem_cache.swa_radix_cache import SWA_DMA_MARGIN
+
+        margin = SWA_DMA_MARGIN  # largest attention chunk (ppc<=16 x ps<=64)
         for r in self.running:
-            k = getattr(r, "swa_released", 0)
+            # tree-owned prefix pages are never released here — the SWA
+            # tree tombstones them under pressure instead
+            k = max(getattr(r, "swa_released", 0), r.prefix_pages)
             freed = []
             while (k + 1) * ps <= r.fill_len - win - margin and k < len(r.pages):
                 freed.append(r.pages[k])
@@ -1603,12 +1633,17 @@ class Scheduler:
             # bumped fill_len past the host-known tokens — clamp
             fill_tokens = min(req.fill_len, len(req.fill_ids))
             full_pages = fill_tokens // ps
-            dup = self.tree.insert(
-                req.fill_ids[: full_pages * ps], req.pages[:full_pages]
+            released = getattr(req, "swa_released", 0)
+            dup_pos = self.tree.insert2(
+                req.fill_ids[: full_pages * ps],
+                req.pages[:full_pages],
+                dead_pages=released,
             )
-            dup = max(dup, req.prefix_pages)
-            # req's own pages duplicating existing tree content
-            self.allocator.free_pages(req.pages[req.prefix_pages : dup])
+            start = max(req.prefix_pages, released)
+            # req's own live pages duplicating existing tree content
+            self.allocator.free_pages(
+                [req.pages[p] for p in dup_pos if p >= start]
+            )
             # unfilled tail pages stay ours -> free
             self.allocator.free_pages(req.pages[full_pages:])
             if req.last_node is not None:

@@ -34,9 +34,20 @@ class TreeNode:
         self.key: List[Tuple[int, ...]] = []  # list of page-keys (token tuples)
         self.pages: List[int] = []  # page indices, len == len(key)
         self.lock_ref = 0
+        # SWA tree state (reference swa_radix_cache.py:50-98 TreeNode):
+        # a tombstoned node's KV pages are freed (pages become placeholder
+        # 0s) but its keys stay matchable; swa_lock_ref protects the
+        # in-window tail of a running request's path from tombstoning.
+        # Plain RadixCache never sets either.
+        self.tombstone = False
+        self.swa_lock_ref = 0
         self.last_access_time = time.monotonic()
         self.id = TreeNode.counter
         TreeNode.counter += 1
+
+    @property
+    def live_pages(self) -> int:
+        return 0 if self.tombstone else len(self.pages)
 
     @property
     def evictable(self) -> bool:
@@ -84,15 +95,22 @@ class RadixCache:
     # queries
     # ------------------------------------------------------------------
 
-    def match_prefix(self, token_ids: List[int]) -> MatchResult:
+    def match_prefix(
+        self, token_ids: List[int], max_pages: Optional[int] = None
+    ) -> MatchResult:
         """Longest cached page-aligned prefix of token_ids.
 
         Walks the tree; splits a node if the match ends inside its edge.
-        Does NOT lock — callers use inc_lock_ref(last_node).
+        Does NOT lock — callers use inc_lock_ref(last_node).  `max_pages`
+        caps the match (the scheduler's reuse limits must be applied INSIDE
+        the match so window-validity logic in the SWA subclass sees the
+        true boundary).
         """
         if self.disable:
             return MatchResult([], self.root, self.page_size)
         keys = self._page_keys(token_ids)
+        if max_pages is not None:
+            keys = keys[:max_pages]
         node = self.root
         pages: List[int] = []
         i = 0
@@ -126,7 +144,7 @@ class RadixCache:
         while stack:
             n = stack.pop()
             if n.lock_ref > 0 and n is not self.root:
-                total += len(n.pages)
+                total += n.live_pages
             stack.extend(n.children.values())
         return total * self.page_size
 
@@ -140,7 +158,7 @@ class RadixCache:
         while stack:
             n = stack.pop()
             if n is not self.root and n.lock_ref == 0:
-                total += len(n.pages)
+                total += n.live_pages
             stack.extend(n.children.values())
         return total
 
@@ -156,6 +174,8 @@ class RadixCache:
         upper.key = node.key[:at]
         upper.pages = node.pages[:at]
         upper.lock_ref = node.lock_ref
+        upper.tombstone = node.tombstone
+        upper.swa_lock_ref = node.swa_lock_ref
         upper.last_access_time = node.last_access_time
         upper.children = {node.key[at]: node}
         node.parent.children[upper.key[0]] = upper
@@ -200,6 +220,19 @@ class RadixCache:
             node = child
         return dup
 
+    def insert2(
+        self, token_ids: List[int], pages: List[int], dead_pages: int = 0
+    ) -> List[int]:
+        """Like insert, but returns the POSITIONS (indices into `pages`)
+        of the caller's duplicate copies (pages the tree already held live
+        — the caller frees its own copies at those positions).  The SWA
+        subclass overrides this to handle `dead_pages` (the caller's first
+        `dead_pages` entries are placeholders for KV it already released
+        past its sliding window) and tombstone revival; the plain tree has
+        no released pages, so positions are always a contiguous prefix."""
+        assert dead_pages == 0, "dead pages need the SWA radix tree"
+        return list(range(self.insert(token_ids, pages)))
+
     def inc_lock_ref(self, node: TreeNode):
         """Protect the path root..node from eviction."""
         while node is not None and node is not self.root:
@@ -228,7 +261,7 @@ class RadixCache:
                 continue
             # evict whole node (page tail first would allow partial, but whole
             # nodes keep bookkeeping simple; nodes are split at match points)
-            if self.evict_hook is not None:
+            if self.evict_hook is not None and not node.tombstone:
                 path = []
                 p = node
                 while p is not None and p is not self.root:
@@ -238,9 +271,10 @@ class RadixCache:
                 for anc in reversed(path):
                     full_key.extend(anc.key)
                 self.evict_hook(full_key, list(node.pages))
-            self.allocator.free_pages(node.pages)
-            freed += len(node.pages)
-            self._tree_pages -= len(node.pages)
+            if not node.tombstone:
+                self.allocator.free_pages(node.pages)
+            freed += node.live_pages
+            self._tree_pages -= node.live_pages
             parent = node.parent
             del parent.children[node.key[0]]
             if parent is not self.root and parent.evictable:
@@ -259,7 +293,7 @@ class RadixCache:
     # ------------------------------------------------------------------
 
     def check_invariant(self, request_held_pages: int):
-        """allocator.free + tree + request-held == total."""
-        tree_pages = sum(len(n.pages) for n in self._iter_nodes())
+        """allocator.free + tree(live) + request-held == total."""
+        tree_pages = sum(n.live_pages for n in self._iter_nodes())
         assert tree_pages == self._tree_pages, (tree_pages, self._tree_pages)
         self.allocator.check_consistency(tree_pages + request_held_pages)

@@ -114,9 +114,11 @@ class CppRadixCache:
 
     # -- queries --------------------------------------------------------
 
-    def match_prefix(self, token_ids: List[int]) -> MatchResult:
+    def match_prefix(self, token_ids: List[int], max_pages=None) -> MatchResult:
         if self.disable:
             return MatchResult([], 0, self.page_size)
+        if max_pages is not None:
+            token_ids = token_ids[: max_pages * self.page_size]
         toks = np.asarray(token_ids, np.int32)
         out = np.empty(max(len(toks) // self.page_size, 1), np.int32)
         node = ctypes.c_uint64(0)
@@ -155,6 +157,13 @@ class CppRadixCache:
                 len(pg),
             )
         )
+
+    def insert2(
+        self, token_ids: List[int], pages: List[int], dead_pages: int = 0
+    ) -> List[int]:
+        """Position-list duplicate reporting (see RadixCache.insert2)."""
+        assert dead_pages == 0, "dead pages need the SWA radix tree"
+        return list(range(self.insert(token_ids, pages)))
 
     def inc_lock_ref(self, node) -> None:
         if node:
