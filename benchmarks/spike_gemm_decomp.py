@@ -175,7 +175,8 @@ def main():
     wdq = jnp.asarray(rng.standard_normal((L, K, N)) * 1e-2,
                       jnp.bfloat16)  # pre-dequantized frontier probe
 
-    for variant in ("full", "noepi4", "noepi1", "m128", "xla_bf16"):
+    variants = sys.argv[1:] or ["full", "noepi4", "noepi1", "m128", "xla_bf16"]
+    for variant in variants:
         m = {"m8": 8, "m128": 128}.get(variant, M)
         x0 = jnp.asarray(rng.standard_normal((m, K)) * 0.1, jnp.bfloat16)
 

@@ -218,6 +218,14 @@ class Engine:
         image-token runs, producing the input_embeds the engine already
         serves."""
         runner = self.runner
+        if hasattr(runner.model, "mm_embed_prompt"):
+            # model-owned intake (Qwen2.5-VL: ViT + mrope extras)
+            def mm_embed_model(images, ids):
+                return runner.model.mm_embed_prompt(
+                    runner.params, runner.embed_tokens, images, ids
+                )
+
+            return mm_embed_model
         if not hasattr(runner.model, "encode_images"):
             return None
         import numpy as np

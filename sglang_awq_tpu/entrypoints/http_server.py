@@ -984,6 +984,28 @@ class HttpServer:
             from sglang_awq_tpu.parser import ReasoningParser
 
             rparser = ReasoningParser(self.engine.server_args.reasoning_parser)
+        tparser = None
+        if req.tools and req.tool_choice != "none":
+            from sglang_awq_tpu.function_call.parser import StreamingToolParser
+
+            tparser = StreamingToolParser(
+                req.tools, self.engine.server_args.tool_call_parser
+            )
+        sent_tool_calls = 0
+
+        def tool_call_deltas(new_calls):
+            nonlocal sent_tool_calls
+            out = []
+            for c in new_calls:
+                out.append({
+                    "index": sent_tool_calls,
+                    "id": f"call_{uuid.uuid4().hex[:12]}",
+                    "type": "function",
+                    "function": {"name": c.name, "arguments": c.arguments},
+                })
+                sent_tool_calls += 1
+            return out
+
         async for chunk in self._iter_chunks(state):
             delta: Dict[str, Any] = {"content": chunk["delta"]}
             if rparser is not None:
@@ -993,12 +1015,27 @@ class HttpServer:
                     delta["reasoning_content"] = r_delta
                 if c_delta or not r_delta:
                     delta["content"] = c_delta
+            if tparser is not None:
+                # tool-call extraction rides the CONTENT stream (reasoning
+                # text never carries calls, matching the reference order)
+                text, new_calls = tparser.push(delta.pop("content", "") or "")
+                if chunk["finished"]:
+                    tail, more = tparser.flush()
+                    text += tail
+                    new_calls = list(new_calls) + list(more)
+                if text:
+                    delta["content"] = text
+                tc = tool_call_deltas(new_calls)
+                if tc:
+                    delta["tool_calls"] = tc
             if first:
                 delta["role"] = "assistant"
                 first = False
             fr = (chunk["meta_info"]["finish_reason"] or {}).get("type") if chunk[
                 "finished"
             ] else None
+            if fr and sent_tool_calls:
+                fr = "tool_calls"
             data = {
                 "id": f"chatcmpl-{rid}",
                 "object": "chat.completion.chunk",

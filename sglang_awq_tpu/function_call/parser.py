@@ -75,10 +75,11 @@ class FunctionCallParser:
     """
 
     def __init__(self, tools: List[dict], fmt: str = "auto"):
-        self.fmt = fmt
-        self.names = {
-            t["function"]["name"] if "function" in t else t["name"]
-            for t in (tools or [])
+        self.fmt = fmt or "auto"
+        fns = [t.get("function", t) for t in (tools or [])]
+        self.names = {f["name"] for f in fns}
+        self._tools_params = {
+            f["name"]: f.get("parameters") or {} for f in fns
         }
 
     def _to_item(self, obj: dict, idx: int) -> Optional[ToolCallItem]:
@@ -102,6 +103,21 @@ class FunctionCallParser:
         """-> (tool_calls, remaining normal text)."""
         calls: List[ToolCallItem] = []
         normal = text
+
+        from sglang_awq_tpu.function_call.detectors import DETECTORS
+
+        det = DETECTORS.get(self.fmt)
+        if det is not None:
+            params = dict(self._tools_params)
+            raw, normal = det.parse(text, params)
+            for name, args in raw:
+                if self.names and name not in self.names:
+                    continue
+                calls.append(
+                    ToolCallItem(name=name, arguments=args,
+                                 tool_index=len(calls))
+                )
+            return calls, normal if calls else text
 
         if self.fmt in ("qwen25", "auto"):
             pat = re.compile(r"<tool_call>\s*(.*?)\s*</tool_call>", re.S)
@@ -137,6 +153,74 @@ class FunctionCallParser:
                 # also strip the ';' separators llama3.1 emits between calls
                 normal = "".join(out).replace(";", "", 1).strip()
         return calls, normal
+
+
+class StreamingToolParser:
+    """Incremental tool-call extraction for SSE streaming.
+
+    Reference role: `BaseFormatDetector.parse_streaming_increment`
+    (`srt/function_call/base_format_detector.py`).  Strategy: buffer the
+    stream; emit normal text only up to the earliest possible begin-marker
+    (including a partial marker at the buffer tail); whenever the one-shot
+    parser finds newly COMPLETED calls in the buffered region, emit them.
+    `flush()` drains whatever remains at end of stream.
+    """
+
+    def __init__(self, tools: List[dict], fmt: str = "auto"):
+        self.parser = FunctionCallParser(tools, fmt)
+        from sglang_awq_tpu.function_call.detectors import DETECTORS
+
+        det = DETECTORS.get(self.parser.fmt)
+        if det is not None:
+            self.bots = tuple(det.bot_tokens)
+        elif self.parser.fmt == "qwen25":
+            self.bots = ("<tool_call>",)
+        elif self.parser.fmt == "llama3":
+            self.bots = ("{", "<|python_tag|>")
+        else:  # auto
+            self.bots = ("<tool_call>", "{", "<|python_tag|>")
+        self._buf = ""
+        self._emitted_calls = 0
+
+    def _hold_from(self) -> int:
+        """Index from which text must be withheld (possible call region)."""
+        n = len(self._buf)
+        first = min(
+            (self._buf.find(t) for t in self.bots if t in self._buf),
+            default=n,
+        )
+        # a partial marker at the tail also holds
+        tail = n
+        for t in self.bots:
+            for k in range(min(len(t) - 1, n), 0, -1):
+                if t.startswith(self._buf[n - k:]):
+                    tail = min(tail, n - k)
+                    break
+        return min(first, tail)
+
+    def push(self, delta: str) -> Tuple[str, List[ToolCallItem]]:
+        """-> (normal_text_delta, newly completed calls)."""
+        self._buf += delta
+        calls, _ = self.parser.parse(self._buf)
+        new = calls[self._emitted_calls:]
+        self._emitted_calls = len(calls)
+        if new or self._emitted_calls:
+            # once calls exist in the buffer, surrounding normal text is
+            # reconstructed at flush (the buffer must stay intact so the
+            # one-shot parse keeps seeing every call)
+            return "", new
+        hold = self._hold_from()
+        out = self._buf[:hold]
+        self._buf = self._buf[hold:]
+        return out, []
+
+    def flush(self) -> Tuple[str, List[ToolCallItem]]:
+        calls, normal = self.parser.parse(self._buf)
+        new = calls[self._emitted_calls:]
+        self._emitted_calls = len(calls)
+        out = normal if calls else self._buf
+        self._buf = ""
+        return out, new
 
 
 def forced_call_schema(tools: List[dict], tool_choice) -> Optional[str]:

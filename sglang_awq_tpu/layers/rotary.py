@@ -150,13 +150,37 @@ def rope_table(
 def apply_rope(
     q: jax.Array,  # [T, QH, D]
     k: jax.Array,  # [T, KVH, D]
-    positions: jax.Array,  # [T] int32
+    positions: jax.Array,  # [T] int32, or [3, T] for mrope
     table: jax.Array,  # [P, rot_dim] ([cos | sin])
+    mrope_section=None,  # tuple of D/2 section sizes over (t, h, w) axes
 ):
     """Half-split rotation.  A table narrower than the head dim means
     PARTIAL rotary (partial_rotary_factor — Nemotron/Phi/StableLM): only
-    the first rot_dim features rotate, the tail passes through."""
-    cs = table[positions]  # [T, rot_dim]
+    the first rot_dim features rotate, the tail passes through.
+
+    mrope (Qwen2-VL family, reference `rotary_embedding.py`
+    MRotaryEmbedding): positions carry THREE streams (temporal, height,
+    width); frequency dim d takes its cos/sin from the stream its section
+    covers.  Decode steps pass 1-D positions (all streams equal after the
+    prompt — the per-request mrope_position_delta offset), which falls
+    through to the standard path.
+    """
+    if positions.ndim == 2:
+        assert mrope_section is not None
+        cs3 = table[positions]  # [3, T, rot_dim]
+        d2 = cs3.shape[-1] // 2
+        sec_axis = np.repeat(
+            np.arange(len(mrope_section)), np.asarray(mrope_section)
+        )
+        assert sec_axis.shape[0] == d2, (mrope_section, d2)
+        sel = jnp.asarray(
+            np.eye(3, dtype=np.float32)[sec_axis]
+        )  # [d2, 3]
+        half = jnp.einsum("std,ds->td", cs3.astype(jnp.float32),
+                          jnp.concatenate([sel, sel], axis=0))
+        cs = half  # [T, rot_dim] with per-dim stream selection
+    else:
+        cs = table[positions]  # [T, rot_dim]
     rot_dim = cs.shape[-1]
     d2 = rot_dim // 2
     cos = cs[:, None, :d2]

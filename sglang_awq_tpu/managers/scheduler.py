@@ -34,7 +34,7 @@ from __future__ import annotations
 import logging
 import os
 import time
-from collections import deque
+from collections import OrderedDict, deque
 from typing import Deque, List, Optional
 
 import numpy as np
@@ -187,6 +187,22 @@ class Scheduler:
         self.spec_accept_sum = 0
         self.spec_steps = 0
 
+        # --- hybrid linear-attention prefix cache (mamba-radix role) ---
+        # page-aligned recurrent-state checkpoints keyed by the exact token
+        # prefix; a radix match is only usable up to a checkpointed
+        # boundary (reference srt/mem_cache/mamba_radix_cache.py)
+        self.state_ckpts: "OrderedDict[tuple, tuple]" = OrderedDict()
+        self._free_ckpt_rows: List[int] = []
+        if (
+            getattr(runner.model, "has_linear_state", False)
+            and getattr(runner, "n_state_ckpts", 0) > 0
+            and not server_args.disable_radix_cache
+        ):
+            self._free_ckpt_rows = list(
+                range(runner.state_ckpt_base,
+                      runner.state_ckpt_base + runner.n_state_ckpts)
+            )
+
     def _make_tree(self, server_args: ServerArgs):
         # all-SWA models (every layer windowed) get the sliding-window-aware
         # tree: out-of-window KV tombstones under pressure while deep
@@ -293,6 +309,7 @@ class Scheduler:
                 r.grammar is None
                 and not r.sampling_params.has_logit_bias
                 and not r.sampling_params.has_penalties
+                and not getattr(r, "mrope_delta", 0)
                 for r in self.running
             ):
                 # sampled rows keep spec ON: the verify applies chain
@@ -309,6 +326,9 @@ class Scheduler:
                     and not r.sampling_params.return_logprob
                     and not r.sampling_params.has_penalties
                     and not r.sampling_params.has_logit_bias
+                    # multi-step derives slots from positions in-jit;
+                    # mrope deltas shift positions off the KV index
+                    and not getattr(r, "mrope_delta", 0)
                     for r in self.running
                 )
             ):
@@ -355,10 +375,9 @@ class Scheduler:
     MAX_PREFILL_REQS = 16  # rows per extend batch (EXTEND_BS_BUCKETS cap)
 
     def _max_prefill_reqs(self) -> int:
-        # hybrid linear-attention extend carries ONE sequence's recurrent
-        # state per dispatch (v1)
-        if getattr(self.runner.model, "has_linear_state", False):
-            return 1
+        # hybrid linear-attention models batch too since round 4: the
+        # deltanet extend is segment-aware (models/qwen3_next.py
+        # _deltanet_extend — per-token state resets + tail gathers)
         return self.MAX_PREFILL_REQS
 
     def _match_fresh(self, req: Req):
@@ -372,9 +391,11 @@ class Scheduler:
         if req.input_embeds is not None:
             return  # placeholder token ids carry no cache identity
         if getattr(self.runner.model, "has_linear_state", False):
-            # hybrid linear-attention models: page reuse would skip the
-            # recurrent-state updates for the shared prefix (reference
-            # disables radix for mamba-class models)
+            # hybrid linear-attention models: KV pages alone are unusable —
+            # the recurrent state must ALSO exist at the reuse boundary.
+            # Match the tree, then clamp to the deepest page-aligned
+            # state checkpoint (round-4 mamba-radix role).
+            self._match_fresh_hybrid(req)
             return
         # never reuse the whole fill (at least one token must compute
         # so logits exist — reference match trim)
@@ -399,6 +420,72 @@ class Scheduler:
         self.tree.inc_lock_ref(m.last_node)
         if self.hicache is not None:
             self._hicache_extend(req, max_match)
+
+    def _match_fresh_hybrid(self, req: Req):
+        if not self._free_ckpt_rows and not self.state_ckpts:
+            return
+        ps = self.page_size
+        max_match = (len(req.fill_ids) - 1) // ps * ps
+        if req.wants_input_lp:
+            max_match = min(
+                max_match, req.sampling_params.logprob_start_len // ps * ps
+            )
+        m = self.tree.match_prefix(req.fill_ids, max_pages=max_match // ps)
+        matched = min(m.matched_len, max_match)
+        # deepest checkpoint at or below the tree match whose token prefix
+        # is exactly ours
+        best = 0
+        best_row = -1
+        for key, (row, n) in self.state_ckpts.items():
+            if n <= matched and n > best and tuple(req.fill_ids[:n]) == key:
+                best, best_row = n, row
+        if best == 0:
+            return
+        self.state_ckpts.move_to_end(tuple(req.fill_ids[:best]))
+        n_pages = best // ps
+        req.pages = list(m.pages[:n_pages])
+        req.prefix_pages = n_pages
+        req.prefix_len = best
+        req.fill_len = best
+        req.last_node = m.last_node
+        self.tree.inc_lock_ref(m.last_node)
+        req._state_src_row = best_row  # restored at dispatch
+        # (cache_hit_rate metric feeds from req.prefix_len at finish)
+
+    def _hybrid_take_ckpt(self, reqs, kv_lens, q_lens):
+        """Decide per-request state checkpoints for this extend dispatch.
+
+        A request completing its prompt this chunk snapshots conv/rec at
+        the last page-aligned boundary inside the chunk; the row is
+        LRU-recycled.  -> (ckpt_pos, ckpt_rows) or None."""
+        if not self._free_ckpt_rows and not self.state_ckpts:
+            return None
+        ps = self.page_size
+        pos = np.full(len(reqs), -1, np.int32)
+        rows = np.full(len(reqs), -1, np.int32)
+        any_ck = False
+        for i, req in enumerate(reqs):
+            target = req.fill_len + req._chunk
+            if target < len(req.fill_ids) or getattr(req, "lora_slot", -1) >= 0:
+                continue  # prompt not complete yet / adapter-specific state
+            aligned = target // ps * ps
+            if aligned <= req.fill_len or aligned < ps:
+                continue  # boundary not inside this chunk
+            key = tuple(req.fill_ids[:aligned])
+            if key in self.state_ckpts:
+                self.state_ckpts.move_to_end(key)
+                continue
+            if self._free_ckpt_rows:
+                row = self._free_ckpt_rows.pop()
+            elif self.state_ckpts:
+                _, (row, _n) = self.state_ckpts.popitem(last=False)
+            else:
+                break
+            self.state_ckpts[key] = (row, aligned)
+            pos[i] = aligned - 1 - req.fill_len
+            rows[i] = row
+            any_ck = True
+        return (pos, rows) if any_ck else None
 
     def _hicache_extend(self, req: Req, max_match: int):
         """Extend a fresh request's device-tree match with pages restored
@@ -574,10 +661,26 @@ class Scheduler:
                 # retraction resume: rebuild output counts from host history
                 st.upload_counts(req.row, req.output_ids)
 
+        # hybrid prefix reuse: restore the checkpointed state into the
+        # request's own row before its first chunk runs
+        restores = [
+            (getattr(r, "_state_src_row", -1), r.row)
+            for r in reqs
+            if getattr(r, "_state_src_row", -1) >= 0 and r.row is not None
+        ]
+        if restores:
+            src, dst = zip(*restores)
+            self.runner.copy_state_rows(list(src), list(dst))
+            for r in reqs:
+                r._state_src_row = -1
+
         B = len(reqs)
         tq = sum((req._chunk + BQ - 1) // BQ * BQ for req in reqs)
         tokens = np.zeros(tq, np.int32)
-        positions = np.zeros(tq, np.int32)
+        mrope = getattr(self.runner.model, "mrope_section", None)
+        positions = (
+            np.zeros((3, tq), np.int32) if mrope else np.zeros(tq, np.int32)
+        )
         slots = np.full(tq, PAD_SLOT, np.int32)
         kv_lens = np.zeros(B, np.int32)
         q_lens = np.zeros(B, np.int32)
@@ -600,7 +703,14 @@ class Scheduler:
             pos = np.arange(req.fill_len, target, dtype=np.int32)
             pages_np = np.asarray(req.pages, np.int32)
             tokens[offset : offset + chunk] = req.fill_ids[req.fill_len : target]
-            positions[offset : offset + chunk] = pos
+            if mrope:
+                mp = getattr(req, "mrope_positions", None)
+                positions[:, offset : offset + chunk] = (
+                    mp[:, req.fill_len : target] if mp is not None
+                    else pos[None]
+                )
+            else:
+                positions[offset : offset + chunk] = pos
             slots[offset : offset + chunk] = pages_np[pos // ps] * ps + pos % ps
             kv_lens[i] = target
             q_lens[i] = chunk
@@ -699,18 +809,22 @@ class Scheduler:
             prefill_bias = self._logit_bias_matrix(
                 list(reqs), self.runner.model_config.vocab_size
             )
+        state_ckpt = None
+        if self._free_ckpt_rows or self.state_ckpts:
+            state_ckpt = self._hybrid_take_ckpt(reqs, kv_lens, q_lens)
         if want_input_lp:
             ids, lp, in_lp = self.runner.forward_extend_batch(
                 ext, want_logprobs=want_lp, vocab_mask=vocab_mask,
                 update_counts=update_counts, async_result=True,
                 want_input_lp=True, logit_bias=prefill_bias,
+                state_ckpt=state_ckpt,
             )
         else:
             in_lp = None
             ids, lp = self.runner.forward_extend_batch(
                 ext, want_logprobs=want_lp, vocab_mask=vocab_mask,
                 update_counts=update_counts, async_result=True,
-                logit_bias=prefill_bias,
+                logit_bias=prefill_bias, state_ckpt=state_ckpt,
             )
         # record input (prompt) logprobs per request region
         if in_lp is not None:
@@ -892,7 +1006,9 @@ class Scheduler:
         rows = []
         for i, r in enumerate(self.running):
             pos = r.fill_len
-            positions[i] = pos
+            # mrope requests rope at an offset (delta) while KV slots stay
+            # token-indexed
+            positions[i] = pos + getattr(r, "mrope_delta", 0)
             slots[i] = r.pages[pos // ps] * ps + pos % ps
             lengths[i] = pos + 1
             # tokens sampled so far == fill_len - prompt + 1 (fill_ids
@@ -950,7 +1066,9 @@ class Scheduler:
         rows = []
         for i, r in enumerate(items):
             pos = r.fill_len
-            positions[i] = pos
+            # mrope requests rope at an offset (delta) while KV slots stay
+            # token-indexed
+            positions[i] = pos + getattr(r, "mrope_delta", 0)
             slots[i] = r.pages[pos // ps] * ps + pos % ps
             lengths[i] = pos + 1
             steps[i] = pos - len(r.input_ids) + 1
@@ -1131,7 +1249,9 @@ class Scheduler:
         for i, r in enumerate(self.running):
             tokens[i] = r.output_ids[-1]
             pos = r.fill_len
-            positions[i] = pos
+            # mrope requests rope at an offset (delta) while KV slots stay
+            # token-indexed
+            positions[i] = pos + getattr(r, "mrope_delta", 0)
             slots[i] = r.pages[pos // ps] * ps + pos % ps
             lengths[i] = pos + 1
             sample_steps[i] = len(r.output_ids)

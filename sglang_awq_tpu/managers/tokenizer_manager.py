@@ -150,7 +150,11 @@ class TokenizerManager:
                 if self.tokenizer is None:
                     raise ValueError("no tokenizer loaded; pass input_ids")
                 gin.input_ids = self.tokenizer.encode(gin.text)
-            gin.input_embeds = self.mm_embed(gin.images, list(gin.input_ids))
+            res = self.mm_embed(gin.images, list(gin.input_ids))
+            if isinstance(res, tuple):
+                gin.input_embeds, gin._mm_extras = res
+            else:
+                gin.input_embeds = res
             gin.input_ids = None
         if gin.input_embeds is not None:
             import numpy as _np
@@ -212,6 +216,13 @@ class TokenizerManager:
             import numpy as _np
 
             req.input_embeds = _np.asarray(gin.input_embeds, _np.float32)
+            extras = getattr(gin, "_mm_extras", None)
+            if extras:
+                # mrope (Qwen2-VL family): [3, T] prompt position streams +
+                # the decode offset delta
+                req.mrope_positions = _np.asarray(
+                    extras["mrope_positions"], _np.int32)
+                req.mrope_delta = int(extras["mrope_delta"])
         state = ReqState(req, detok)
         state.session_id = session_id
         state.session_ctx_len = session_ctx_len

@@ -60,6 +60,33 @@ from sglang_awq_tpu.utils import (
 
 logger = logging.getLogger(__name__)
 
+_COMP_CACHE_SET = False
+
+
+def _enable_compilation_cache(cache_dir: str) -> None:
+    """Persist compiled executables across process restarts.
+
+    Reference comparison: CUDA-graph capture is a per-boot cost there too,
+    but our full bucket-sweep warmup (~3 min at 8B geometry) times every DP
+    replica on every boot — the XLA compilation cache amortizes it to one
+    cold boot per (model, config).  "" disables (--jit-cache-dir '').
+    """
+    global _COMP_CACHE_SET
+    if _COMP_CACHE_SET or not cache_dir or os.environ.get("SGLT_TEST_MODE"):
+        return
+    path = os.path.expanduser(cache_dir)
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # cache every executable that took real compile time; the bucket
+        # sweep's value is in the many medium-sized step fns
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        _COMP_CACHE_SET = True
+        logger.info("XLA compilation cache at %s", path)
+    except Exception as e:  # pragma: no cover - best effort
+        logger.warning("compilation cache disabled: %s", e)
+
 HBM_BYTES_DEFAULT = 16 * 1024**3  # v5e
 RESERVE_BYTES = 1536 * 1024**2  # workspace + fragmentation headroom
 
@@ -90,6 +117,7 @@ class ModelRunner:
         draft_tensors: Optional[Dict[str, np.ndarray]] = None,
     ):
         self.server_args = server_args
+        _enable_compilation_cache(server_args.jit_cache_dir)
         self._draft_cfg = None
         if server_args.speculative_algorithm == "eagle":
             if draft_config is not None:
@@ -381,6 +409,7 @@ class ModelRunner:
             if hasattr(self.model, "linear_state_bytes"):
                 state_bytes = self.model.linear_state_bytes(
                     sa.max_running_requests + 24 + 1
+                    + sa.hybrid_state_ckpts
                 )
             budget = int(
                 (hbm - weight_bytes - state_bytes - RESERVE_BYTES)
@@ -410,6 +439,28 @@ class ModelRunner:
             sum(x.nbytes for x in jax.tree.leaves(self.kv_cache)) / 1024**3,
         )
 
+    def copy_state_rows(self, src_rows, dst_rows) -> None:
+        """conv/rec rows src -> dst (hybrid prefix-cache state restore /
+        checkpoint interchange).  Reference role: MambaPool.copy_from
+        (`srt/mem_cache/memory_pool.py` mamba state fork)."""
+        if not hasattr(self.model, "wrap_kv_state"):
+            return
+        if getattr(self, "_copy_state_fn", None) is None:
+            @partial(jax.jit, donate_argnums=(0,))
+            def _copy(kv, src, dst):
+                conv = kv["conv"]
+                rec = kv["rec"]
+                conv = conv.at[:, dst].set(conv[:, src], mode="drop")
+                rec = rec.at[:, dst].set(rec[:, src], mode="drop")
+                return dict(kv, conv=conv, rec=rec)
+
+            self._copy_state_fn = _copy
+        self.kv_cache = self._copy_state_fn(
+            self.kv_cache,
+            jnp.asarray(np.asarray(src_rows, np.int32)),
+            jnp.asarray(np.asarray(dst_rows, np.int32)),
+        )
+
     def _alloc_kv(self):
         if hasattr(self.model, "wrap_kv_state"):
             assert self.mesh is None, (
@@ -417,8 +468,12 @@ class ModelRunner:
             assert self.server_args.speculative_algorithm is None, (
                 "speculative decoding + hybrid linear attention: later")
             # mirrors DeviceSamplingState capacity (+ trash row); the pool
-            # allocates before the sampling state exists
+            # allocates before the sampling state exists.  Checkpoint rows
+            # (the mamba-radix prefix-cache states) sit past the trash row.
             rows = self.server_args.max_running_requests + 24 + 1
+            self.state_ckpt_base = rows
+            self.n_state_ckpts = self.server_args.hybrid_state_ckpts
+            rows += self.n_state_ckpts
             return self.model.wrap_kv_state(self.kv_spec.alloc(), rows)
         if self.mesh is None:
             return self.kv_spec.alloc()
@@ -447,9 +502,10 @@ class ModelRunner:
     def _extend_fn(self, tq: int, bs: int, pt_w: int, all_greedy: bool,
                    want_lp: bool, want_mask: bool = False,
                    want_pen: bool = False, want_hidden: bool = False,
-                   want_embeds: bool = False, want_bias: bool = False):
+                   want_embeds: bool = False, want_bias: bool = False,
+                   want_ckpt: bool = False):
         key = ("extend", tq, bs, pt_w, all_greedy, want_lp, want_mask,
-               want_pen, want_hidden, want_embeds, want_bias)
+               want_pen, want_hidden, want_embeds, want_bias, want_ckpt)
         if key in self._fns:
             return self._fns[key]
         model = self.model
@@ -466,12 +522,16 @@ class ModelRunner:
             lidx = tail.pop(0) if lora_on else None
             embeds = tail.pop(0) if want_embeds else None
             bias = tail.pop(0) if want_bias else None
+            ckpt = (
+                (tail.pop(0), tail.pop(0)) if want_ckpt else None
+            )  # (ckpt_pos, ckpt_rows)
             mask = tail
+            extra = {"state_ckpt": ckpt} if want_ckpt else {}
             step_out = model.extend_step(
                 params, kv, rope, tokens, positions, slots, page_table,
                 kv_lens, q_lens, qb_base, block_q=block_q,
                 capture_hidden=want_hidden, lora_idx=lidx,
-                input_embeds=embeds, state_rows=row_ids,
+                input_embeds=embeds, state_rows=row_ids, **extra,
             )
             if want_hidden:
                 logits, kv, hidden = step_out
@@ -521,7 +581,8 @@ class ModelRunner:
                 raw,
                 11 + (1 if want_mask else 0) + (1 if want_pen else 0)
                 + (1 if want_hidden else 0) + (1 if lora_on else 0)
-                + (1 if want_embeds else 0) + (1 if want_bias else 0),
+                + (1 if want_embeds else 0) + (1 if want_bias else 0)
+                + (2 if want_ckpt else 0),
                 n_replicated_out=(4 if want_lp else 1) + (1 if want_hidden else 0),
                 n_state_out=1 + (1 if want_pen else 0) + (1 if want_hidden else 0),
             ),
@@ -851,8 +912,13 @@ class ModelRunner:
 
         tokens = np.zeros(tq_pad, np.int32)
         tokens[:TQ] = ext.tokens
-        positions = np.zeros(tq_pad, np.int32)
-        positions[:TQ] = ext.positions
+        pos_in = np.asarray(ext.positions)
+        if pos_in.ndim == 2:  # mrope: [3, TQ] position streams
+            positions = np.zeros((3, tq_pad), np.int32)
+            positions[:, :TQ] = pos_in
+        else:
+            positions = np.zeros(tq_pad, np.int32)
+            positions[:TQ] = pos_in
         slots = np.full(tq_pad, PAD_SLOT, np.int32)
         slots[:TQ] = ext.slots
         pt = np.zeros((bs_pad, pt_w), np.int32)
@@ -935,6 +1001,7 @@ class ModelRunner:
         async_result: bool = False,
         want_input_lp: bool = False,
         logit_bias: Optional[np.ndarray] = None,  # [B, V] f32
+        state_ckpt=None,  # (ckpt_pos [B], ckpt_rows [B]) hybrid prefix cache
     ):
         """Run one batched prefill step -> (ids [bs_pad], logprobs|None).
 
@@ -951,7 +1018,7 @@ class ModelRunner:
         fn = self._extend_fn(
             tq_pad, bs_pad, pt_w, ext.all_greedy(), want_logprobs,
             vocab_mask is not None, update_counts, want_hidden, want_embeds,
-            logit_bias is not None,
+            logit_bias is not None, state_ckpt is not None,
         )
         info = _sampling_info(ext.sampling_padded(bs_pad))
         rows = self._pad_rows(ext.row_ids, len(ext.kv_lens), bs_pad)
@@ -978,6 +1045,10 @@ class ModelRunner:
             lb = np.zeros((bs_pad, logit_bias.shape[1]), np.float32)
             lb[: logit_bias.shape[0]] = logit_bias
             args = args + (jnp.asarray(lb),)
+        if state_ckpt is not None:
+            cp = self._pad_i32(state_ckpt[0], bs_pad, fill=-1)
+            cr = self._pad_i32(state_ckpt[1], bs_pad, fill=-1)
+            args = args + (jnp.asarray(cp), jnp.asarray(cr))
         if vocab_mask is not None:
             vm = np.ones((bs_pad, vocab_mask.shape[1]), bool)
             vm[: vocab_mask.shape[0]] = vocab_mask

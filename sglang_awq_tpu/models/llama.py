@@ -424,7 +424,10 @@ class LlamaForCausalLM:
         if self.rope_interleaved:
             perm = jnp.asarray(self._rope_perm)
             q, k = q[..., perm], k[..., perm]
-        q, k = apply_rope(q, k, positions, self._rope_for_layer(rope_tab, l))
+        q, k = apply_rope(
+            q, k, positions, self._rope_for_layer(rope_tab, l),
+            mrope_section=getattr(self, "mrope_section", None),
+        )
         if self.qk_norm and self.qk_norm_post_rope:
             q = rms_norm(q, lp["q_norm"][l], c.rms_norm_eps)
             k = rms_norm(k, lp["k_norm"][l], c.rms_norm_eps)
@@ -499,6 +502,79 @@ class LlamaForCausalLM:
     # step functions (called inside jit by the ModelRunner)
     # ------------------------------------------------------------------
 
+    def _supports_decode_stack(self, params) -> bool:
+        """Eligibility for the whole-stack decode megakernel
+        (ops/decode_stack.py).  Every feature the kernel does not model
+        falls back to the per-op path; subclass overrides of the layer
+        math disqualify via method-identity checks."""
+        import os
+
+        # default OFF until the megakernel beats the per-op path in-context
+        # (round-4 ablations: staging relayouts + in-walk attention still
+        # cost ~6 ms over the per-op path; see docs/kernels.md round 4)
+        mode = os.environ.get("SGLT_DECODE_MEGA", "0")
+        if mode != "1":
+            return False
+        base = LlamaForCausalLM
+        if not (
+            type(self)._layer is base._layer
+            and type(self)._mlp is base._mlp
+            and type(self)._norm is base._norm
+            and type(self)._post_rope_qk is base._post_rope_qk
+            and type(self)._rope_for_layer is base._rope_for_layer
+        ):
+            return False
+        if (
+            self.tp_axis is not None
+            or self.pp_size > 1
+            or self.layer_windows
+            or self.attn_softcap
+            or self.attn_sinks
+            or self.qk_norm
+            or self.qk_norm_full
+            or self.rope_interleaved
+            or self.qkv_clip
+            or self.residual_multiplier != 1.0
+            or self.mlp_act not in ("silu", "gelu")
+            or self.qh % self.kvh
+        ):
+            return False
+        lp = params["layers"]
+        for name in ("qkv", "o", "gate_up", "down"):
+            spec = self.specs[name]
+            if not spec.quantized or spec.unpack != "pair":
+                return False
+            if "bias" in lp[name] or "qweight" not in lp[name]:
+                return False
+        # split bf16 pool and full-width rotary are checked at call time
+        return True
+
+    def _decode_stack(self, params, kv_cache, rope_tab, x, positions, slots,
+                      page_table, lengths):
+        from sglang_awq_tpu.ops.decode_stack import decode_stack_step
+
+        lp = params["layers"]
+        return decode_stack_step(
+            x, kv_cache, rope_tab, positions, slots, page_table, lengths,
+            lp["input_norm"], lp["post_norm"],
+            lp["qkv"]["qweight"], lp["qkv"]["scales"], lp["qkv"]["zbias"],
+            lp["o"]["qweight"], lp["o"]["scales"], lp["o"]["zbias"],
+            lp["gate_up"]["qweight"], lp["gate_up"]["scales"],
+            lp["gate_up"]["zbias"],
+            lp["down"]["qweight"], lp["down"]["scales"], lp["down"]["zbias"],
+            pb_qkv=self.specs["qkv"].pack_block,
+            pb_o=self.specs["o"].pack_block,
+            pb_gu=self.specs["gate_up"].pack_block,
+            pb_d=self.specs["down"].pack_block,
+            group_size=self.specs["qkv"].group_size,
+            sm_scale=self.sm_scale,
+            eps=self.config.rms_norm_eps,
+            act=self.mlp_act,
+            qh=self.qh,
+            kvh=self.kvh,
+            head_dim=self.head_dim,
+        )
+
     def decode_step(
         self,
         params: Dict[str, Any],
@@ -517,6 +593,20 @@ class LlamaForCausalLM:
         B = tokens.shape[0]
         x = self._pos_embed(params, self._embed(params, tokens), positions)
         use_xla_attn = not is_tpu_backend()
+
+        if (
+            lora_idx is None
+            and kv_cache.ndim == 6
+            and kv_cache.dtype == jnp.bfloat16
+            and rope_tab.shape[-1] == self.head_dim
+            and B % 8 == 0
+            and self._supports_decode_stack(params)
+        ):
+            hidden, kv_cache = self._decode_stack(
+                params, kv_cache, rope_tab, x, positions, slots,
+                page_table, lengths,
+            )
+            return self._logits(params, hidden), kv_cache
 
         def run_tick(x, kv, slots_t, positions_t, page_table_t, lengths_t,
                      lora_t):

@@ -55,6 +55,7 @@ def get_model_class(architecture: str):
         Qwen3MoeForCausalLM,
     )
     from sglang_awq_tpu.models.qwen3_next import Qwen3NextForCausalLM
+    from sglang_awq_tpu.models.qwen2_5_vl import Qwen2_5_VLForCausalLM
     from sglang_awq_tpu.models.deepseek_v2 import (
         DeepseekV2ForCausalLM,
         DeepseekV3ForCausalLM,
@@ -93,6 +94,7 @@ def get_model_class(architecture: str):
         "Qwen2MoeForCausalLM": Qwen2MoeForCausalLM,
         "Qwen3MoeForCausalLM": Qwen3MoeForCausalLM,
         "Qwen3NextForCausalLM": Qwen3NextForCausalLM,
+        "Qwen2_5_VLForConditionalGeneration": Qwen2_5_VLForCausalLM,
         "Phi3ForCausalLM": Phi3ForCausalLM,
         "PhimoeForCausalLM": PhimoeForCausalLM,
         "Olmo2ForCausalLM": Olmo2ForCausalLM,

@@ -92,13 +92,14 @@ def load_mmlu(path):
     return rows
 
 
-def eval_mmlu(args) -> dict:
+def eval_mmlu(args, port=None) -> dict:
     rows = load_mmlu(args.data_path)[: args.num_questions]
+    port = port or args.port
 
     def one(row):
         prompt = QUERY_TEMPLATE_MULTICHOICE.format(**row)
         out = _post(
-            args.host, args.port, "/v1/chat/completions",
+            args.host, port, "/v1/chat/completions",
             {
                 "model": "default",
                 "messages": [{"role": "user", "content": prompt}],
@@ -109,10 +110,18 @@ def eval_mmlu(args) -> dict:
         text = out["choices"][0]["message"]["content"] or ""
         m = re.search(ANSWER_PATTERN_MULTICHOICE, text)
         pred = m.group(1).upper() if m else None
-        return 1.0 if pred == str(row["answer"]).strip().upper() else 0.0
+        return (
+            1.0 if pred == str(row["answer"]).strip().upper() else 0.0,
+            pred,
+        )
 
-    scores = _run_parallel(one, rows, args.parallel)
-    return {"eval": "mmlu", "n": len(scores), "score": sum(scores) / max(len(scores), 1)}
+    results = _run_parallel(one, rows, args.parallel)
+    scores = [r[0] for r in results]
+    return {
+        "eval": "mmlu", "n": len(scores),
+        "score": sum(scores) / max(len(scores), 1),
+        "preds": [r[1] for r in results],
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -143,7 +152,8 @@ def load_gsm8k(path):
     return lines
 
 
-def eval_gsm8k(args) -> dict:
+def eval_gsm8k(args, port=None) -> dict:
+    port = port or args.port
     lines = load_gsm8k(args.data_path)
     k = min(args.num_shots, max(len(lines) - 1, 0))
     few_shot = ""
@@ -156,7 +166,7 @@ def eval_gsm8k(args) -> dict:
     def one(line):
         prompt = few_shot + f"Question: {line['question']}\nAnswer:"
         out = _post(
-            args.host, args.port, "/generate",
+            args.host, port, "/generate",
             {
                 "text": prompt,
                 "sampling_params": {
@@ -168,10 +178,15 @@ def eval_gsm8k(args) -> dict:
         )
         pred = get_answer_value(out["text"])
         gold = get_answer_value(line["answer"])
-        return 1.0 if pred == gold and gold != INVALID else 0.0
+        return (1.0 if pred == gold and gold != INVALID else 0.0, pred)
 
-    scores = _run_parallel(one, qs, args.parallel)
-    return {"eval": "gsm8k", "n": len(scores), "score": sum(scores) / max(len(scores), 1)}
+    results = _run_parallel(one, qs, args.parallel)
+    scores = [r[0] for r in results]
+    return {
+        "eval": "gsm8k", "n": len(scores),
+        "score": sum(scores) / max(len(scores), 1),
+        "preds": [r[1] for r in results],
+    }
 
 
 def _run_parallel(fn, items, parallel):
@@ -190,10 +205,31 @@ def main(argv=None):
     ap.add_argument("--num-shots", type=int, default=5)
     ap.add_argument("--max-tokens", type=int, default=512)
     ap.add_argument("--parallel", type=int, default=16)
+    ap.add_argument(
+        "--compare-port", type=int, default=0,
+        help="second server (e.g. the bf16 baseline): report both scores "
+             "plus answer agreement — the quantize-and-serve quality check",
+    )
     args = ap.parse_args(argv)
 
+    fn = eval_mmlu if args.eval_name == "mmlu" else eval_gsm8k
     t0 = time.time()
-    result = eval_mmlu(args) if args.eval_name == "mmlu" else eval_gsm8k(args)
+    result = fn(args)
+    preds = result.pop("preds")
+    if args.compare_port:
+        base = fn(args, port=args.compare_port)
+        bpreds = base.pop("preds")
+        agree = [
+            1.0 for a, b in zip(preds, bpreds)
+            if a == b and a is not None
+        ]
+        result = {
+            "eval": result["eval"], "n": result["n"],
+            "score": result["score"],
+            "baseline_score": base["score"],
+            "score_delta": round(result["score"] - base["score"], 4),
+            "answer_agreement": round(len(agree) / max(result["n"], 1), 4),
+        }
     result["latency_s"] = round(time.time() - t0, 2)
     if args.data_path == "synthetic":
         result["note"] = "synthetic smoke set — NOT a benchmark score"

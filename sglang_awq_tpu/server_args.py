@@ -60,6 +60,9 @@ class ServerArgs:
     prefill_token_buckets: Optional[List[int]] = None  # None => auto table
     # jit compilation cache dir ("" disables)
     jit_cache_dir: str = "~/.cache/sglang_awq_tpu/jit"
+    # hybrid linear-attention models: recurrent-state checkpoint rows for
+    # prefix caching (the mamba-radix role; 0 disables)
+    hybrid_state_ckpts: int = 32
 
     # --- sampling defaults ---
     max_new_tokens_default: int = 128

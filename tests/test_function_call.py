@@ -93,3 +93,126 @@ def test_forced_schema_shapes():
     assert forced_call_schema(TOOLS, "auto") is None
     assert forced_call_schema([], "required") is None
     assert "get_weather" in tools_system_text(TOOLS)
+
+
+# ---------------------------------------------------------------------------
+# round-4 family detectors (reference srt/function_call/*_detector.py)
+# ---------------------------------------------------------------------------
+
+import json as _json
+
+import pytest
+
+from sglang_awq_tpu.function_call.parser import StreamingToolParser
+
+FAMILY_CASES = {
+    "mistral": (
+        'I will check. [TOOL_CALLS] [{"name": "get_weather", "arguments": '
+        '{"city": "Paris", "unit": "C"}}, {"name": "add", "arguments": '
+        '{"a": 1, "b": 2}}]',
+        [("get_weather", {"city": "Paris", "unit": "C"}),
+         ("add", {"a": 1, "b": 2})],
+        "I will check.",
+    ),
+    "deepseekv3": (
+        "Let me see.<｜tool▁calls▁begin｜><｜tool▁call▁begin｜>function"
+        "<｜tool▁sep｜>get_weather\n```json\n"
+        '{"city": "Oslo"}\n```<｜tool▁call▁end｜><｜tool▁calls▁end｜>',
+        [("get_weather", {"city": "Oslo"})],
+        "Let me see.",
+    ),
+    "pythonic": (
+        '[get_weather(city="Rome", unit="F"), add(a=2, b=3)]',
+        [("get_weather", {"city": "Rome", "unit": "F"}),
+         ("add", {"a": 2, "b": 3})],
+        "",
+    ),
+    "gpt_oss": (
+        "<|start|>assistant<|channel|>commentary "
+        'to=functions.get_weather <|constrain|>json<|message|>'
+        '{"city": "Lima"}<|call|>'
+        "<|start|>assistant<|channel|>final<|message|>Sunny.<|end|>",
+        [("get_weather", {"city": "Lima"})],
+        "Sunny.",
+    ),
+    "glm4": (
+        "ok\n<tool_call>get_weather\n"
+        "<arg_key>city</arg_key>\n<arg_value>Kyiv</arg_value>\n"
+        "</tool_call>"
+        "<tool_call>add\n"
+        "<arg_key>a</arg_key><arg_value>4</arg_value>\n"
+        "<arg_key>b</arg_key><arg_value>5</arg_value>\n"
+        "</tool_call>",
+        [("get_weather", {"city": "Kyiv"}), ("add", {"a": 4, "b": 5})],
+        "ok",
+    ),
+    "kimik2": (
+        "done<|tool_calls_section_begin|><|tool_call_begin|>"
+        "functions.get_weather:0<|tool_call_argument_begin|>"
+        '{"city": "Doha"}<|tool_call_end|><|tool_calls_section_end|>',
+        [("get_weather", {"city": "Doha"})],
+        "done",
+    ),
+    "qwen3_coder": (
+        "<tool_call>\n<function=get_weather>\n<parameter=city>\nTokyo\n"
+        "</parameter>\n<parameter=unit>\nC\n</parameter>\n</function>\n"
+        "</tool_call>",
+        [("get_weather", {"city": "Tokyo", "unit": "C"})],
+        "",
+    ),
+}
+
+
+@pytest.mark.parametrize("fmt", sorted(FAMILY_CASES))
+def test_family_detector_one_shot(fmt):
+    text, want, want_normal = FAMILY_CASES[fmt]
+    p = FunctionCallParser(TOOLS, fmt)
+    calls, normal = p.parse(text)
+    got = [(c.name, _json.loads(c.arguments)) for c in calls]
+    assert got == want
+    assert normal == want_normal
+
+
+@pytest.mark.parametrize("fmt", sorted(FAMILY_CASES))
+def test_family_detector_streaming(fmt):
+    """Chunked feed == one-shot result; pre-call text streams early."""
+    text, want, want_normal = FAMILY_CASES[fmt]
+    sp = StreamingToolParser(TOOLS, fmt)
+    normal_parts, calls = [], []
+    for i in range(0, len(text), 3):
+        out, new = sp.push(text[i : i + 3])
+        normal_parts.append(out)
+        calls.extend(new)
+    out, new = sp.flush()
+    normal_parts.append(out)
+    calls.extend(new)
+    got = [(c.name, _json.loads(c.arguments)) for c in calls]
+    assert got == want
+    joined = "".join(normal_parts).strip()
+    assert joined == want_normal
+
+
+def test_streaming_plain_text_passthrough():
+    sp = StreamingToolParser(TOOLS, "qwen25")
+    text = "The weather is nice today, nothing to call."
+    outs = []
+    for ch in text:
+        out, new = sp.push(ch)
+        assert new == []
+        outs.append(out)
+    out, new = sp.flush()
+    outs.append(out)
+    assert "".join(outs) == text
+    # most text must have streamed BEFORE flush (no full-buffer hold)
+    assert sum(len(o) for o in outs[:-1]) > len(text) * 0.8
+
+
+def test_streaming_partial_marker_heldback():
+    sp = StreamingToolParser(TOOLS, "qwen25")
+    out1, _ = sp.push("hello <tool_")
+    assert out1 == "hello "
+    out2, new = sp.push('call>{"name": "add", "arguments": {"a": 1, '
+                        '"b": 2}}</tool_call>')
+    assert new and new[0].name == "add"
+    tail, _ = sp.flush()
+    assert tail.strip() == ""

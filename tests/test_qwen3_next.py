@@ -104,3 +104,125 @@ def test_qwen3_next_concurrent_state_isolation():
         eng.shutdown()
     assert results[0] == solos[0], (results[0], solos[0])
     assert results[1] == solos[1], (results[1], solos[1])
+
+
+def test_qwen3_next_batched_extend_matches_solo():
+    """Round 4: the segment-aware deltanet extend — THREE sequences in one
+    token-major dispatch must match three solo dispatches (logits and the
+    conv/recurrent state rows)."""
+    import jax.numpy as jnp
+
+    from sglang_awq_tpu.mem_cache.kv_pool import KVPoolSpec
+    from sglang_awq_tpu.model_loader.loader import load_model
+
+    hf, tensors = _mk()
+    mc = ModelConfig(model_path="", hf_config=dict(CFG))
+    model, params = load_model(mc, tensors=tensors)
+    rope = model.rope()
+    BQ = 16
+    ps = 8
+    q_lens = [13, 8, 21]
+    rng = np.random.default_rng(7)
+    prompts = [rng.integers(3, 250, n).astype(np.int32) for n in q_lens]
+
+    def pool(rows):
+        spec = KVPoolSpec(len(model.full_layers), model.kvh, num_pages=16,
+                          page_size=ps, head_dim=model.head_dim)
+        return model.wrap_kv_state(spec.alloc(), rows)
+
+    # --- solo runs ---
+    solo_logits = []
+    solo_conv, solo_rec = [], []
+    for i, p in enumerate(prompts):
+        kv = pool(rows=2)
+        T = len(p)
+        pad = -T % BQ
+        toks = np.concatenate([p, np.zeros(pad, np.int32)])
+        pos = np.concatenate([np.arange(T), np.zeros(pad)]).astype(np.int32)
+        slots = np.concatenate(
+            [np.arange(T), np.full(pad, -1)]).astype(np.int32)
+        logits, kv = model.extend_step(
+            params, kv, rope, jnp.asarray(toks), jnp.asarray(pos),
+            jnp.asarray(slots),
+            jnp.asarray(np.arange(16, dtype=np.int32)[None, :]),
+            jnp.asarray([T], np.int32), jnp.asarray([T], np.int32),
+            jnp.asarray([0], np.int32), block_q=BQ,
+            state_rows=jnp.asarray([0], np.int32),
+        )
+        solo_logits.append(np.asarray(logits)[0])
+        solo_conv.append(np.asarray(kv["conv"][:, 0]))
+        solo_rec.append(np.asarray(kv["rec"][:, 0]))
+
+    # --- one batched run (3 segments, shared pool, distinct pages/rows) ---
+    kv = pool(rows=4)
+    qb_base = []
+    toks, pos, slots = [], [], []
+    blocks = 0
+    pages_of = []
+    next_page = 0
+    for i, p in enumerate(prompts):
+        qb_base.append(blocks)
+        T = len(p)
+        pad = -T % BQ
+        blocks += (T + pad) // BQ
+        toks.append(np.concatenate([p, np.zeros(pad, np.int32)]))
+        pos.append(np.concatenate([np.arange(T), np.zeros(pad)]))
+        npg = -(-T // ps)
+        pages = list(range(next_page, next_page + npg))
+        next_page += npg
+        pages_of.append(pages)
+        sl = np.asarray(pages)[np.arange(T) // ps] * ps + np.arange(T) % ps
+        slots.append(np.concatenate([sl, np.full(pad, -1)]))
+    pt = np.zeros((3, 16), np.int32)
+    for i, pages in enumerate(pages_of):
+        pt[i, : len(pages)] = pages
+    logits, kv = model.extend_step(
+        params, kv, rope,
+        jnp.asarray(np.concatenate(toks).astype(np.int32)),
+        jnp.asarray(np.concatenate(pos).astype(np.int32)),
+        jnp.asarray(np.concatenate(slots).astype(np.int32)),
+        jnp.asarray(pt),
+        jnp.asarray(q_lens, np.int32), jnp.asarray(q_lens, np.int32),
+        jnp.asarray(qb_base, np.int32), block_q=BQ,
+        state_rows=jnp.asarray([0, 1, 2], np.int32),
+    )
+    logits = np.asarray(logits)
+    conv = np.asarray(kv["conv"])
+    rec = np.asarray(kv["rec"])
+    for i in range(3):
+        np.testing.assert_allclose(
+            logits[i], solo_logits[i], rtol=2e-2, atol=2e-2)
+        np.testing.assert_allclose(
+            conv[:, i], solo_conv[i], rtol=2e-2, atol=2e-2)
+        np.testing.assert_allclose(
+            rec[:, i], solo_rec[i], rtol=2e-2, atol=2e-2)
+
+
+def test_qwen3_next_state_checkpoint_prefix_reuse():
+    """Round 4 mamba-radix role: a repeated prompt prefix reuses KV pages
+    AND the recurrent-state checkpoint — outputs identical to the cold run,
+    cached_tokens > 0 on the warm run."""
+    hf, tensors = _mk()
+    rng = np.random.default_rng(3)
+    prompt = rng.integers(3, 250, 37).tolist()  # 4 full pages at ps=8
+    sp = {"max_new_tokens": 6, "temperature": 0.0, "ignore_eos": True}
+
+    eng = _engine(tensors)
+    try:
+        cold = eng.generate(input_ids=prompt, sampling_params=dict(sp))
+        warm = eng.generate(input_ids=prompt, sampling_params=dict(sp))
+        # a longer prompt sharing the prefix also reuses the checkpoint
+        longer = prompt + rng.integers(3, 250, 9).tolist()
+        ext_cold_eng = _engine(tensors)
+        try:
+            ext_ref = ext_cold_eng.generate(
+                input_ids=longer, sampling_params=dict(sp))
+        finally:
+            ext_cold_eng.shutdown()
+        ext_warm = eng.generate(input_ids=longer, sampling_params=dict(sp))
+    finally:
+        eng.shutdown()
+    assert warm["output_ids"] == cold["output_ids"]
+    assert warm["meta_info"]["cached_tokens"] >= 32, warm["meta_info"]
+    assert ext_warm["output_ids"] == ext_ref["output_ids"]
+    assert ext_warm["meta_info"]["cached_tokens"] >= 32
