@@ -127,6 +127,23 @@ def load_params_from_tensors(
         ),
         jnp.float32,
     )
+    if "model.layers.0.self_attn.k_scale" in tensors:
+        # per-layer KV quantization scales (reference
+        # `layers/quantization/kv_cache.py:18-62` + checkpoint schema
+        # `model_loader/weight_utils.py:1217-1270`): row 0 = k, row 1 = v
+        params["layers"]["kv_scales"] = jnp.asarray(
+            np.stack([
+                np.stack([
+                    np.asarray(t(f"model.layers.{l}.self_attn.k_scale"))
+                    .reshape(()) for l in range(L)
+                ]),
+                np.stack([
+                    np.asarray(t(f"model.layers.{l}.self_attn.v_scale"))
+                    .reshape(()) for l in range(L)
+                ]),
+            ]),
+            jnp.float32,
+        )
     if getattr(model, "qk_norm", False) or getattr(model, "qk_norm_full", False):
         for which in ("q_norm", "k_norm"):
             params["layers"][which] = jnp.asarray(

@@ -359,6 +359,24 @@ class LlamaForCausalLM:
             )
         return sk
 
+    def _kv_scale_io(self, params, l):
+        """(quantize_kv, scale_q, scale_out) closures for per-layer KV
+        scales (int8/fp8 pools; reference kv_cache.py k_scale/v_scale).
+        Scale algebra stays OUTSIDE the kernels: q*ks before the dots,
+        out*vs after, round(k/ks) on the write path."""
+        sc = params["layers"].get("kv_scales")
+        if sc is None:
+            return None
+        ks = sc[0, l]
+        vs = sc[1, l]
+
+        def quant(k, v):
+            kq = jnp.clip(jnp.round(k.astype(jnp.float32) / ks), -127, 127)
+            vq = jnp.clip(jnp.round(v.astype(jnp.float32) / vs), -127, 127)
+            return kq.astype(k.dtype), vq.astype(v.dtype)
+
+        return quant, ks, vs
+
     def _embed(self, params, tokens):
         x = params["embed"]["weight"][tokens]
         if self.embed_multiplier != 1.0:
@@ -614,6 +632,11 @@ class LlamaForCausalLM:
                 x, kv = carry
 
                 def attn(q, k, v, l):
+                    io = self._kv_scale_io(params, l)
+                    if io is not None:
+                        quant, ks, vs = io
+                        k, v = quant(k, v)
+                        q = (q.astype(jnp.float32) * ks).astype(q.dtype)
                     state["kv"] = write_kv(
                         state["kv"], k, v, slots_t, l, mode="decode"
                     )
@@ -624,6 +647,8 @@ class LlamaForCausalLM:
                         softcap=self.attn_softcap,
                         sinks=self._sinks(params, l),
                     )  # [B, 1, QH, D]
+                    if io is not None:
+                        out = out * vs
                     return out[:, 0]
 
                 state = {"kv": kv}
@@ -892,31 +917,35 @@ class LlamaForCausalLM:
         x = self._pos_embed(params, x, positions)
         use_xla_attn = not is_tpu_backend()
 
-        def per_tick(x, kv, live):
-            # prefill writes are whole-page: gate by blanking the PAGE list
-            slots_t = (
-                slots if live is None
-                else jnp.where(live, slots, PAD_SLOT)
-            )
-
+        def run_layers_once(x, kv, slots_t, positions_t, kv_lens_t,
+                            q_lens_t, qb_base_t, lora_t):
             def body(carry, l):
                 x, kv = carry
 
                 def attn(q, k, v, l):
+                    io = self._kv_scale_io(params, l)
+                    if io is not None:
+                        quant, ks, vs = io
+                        k, v = quant(k, v)
+                        q = (q.astype(jnp.float32) * ks).astype(q.dtype)
                     state["kv"] = write_kv(
                         state["kv"], k, v, slots_t, l, mode="prefill"
                     )
                     fn = ragged_extend_xla if use_xla_attn else ragged_extend
-                    return fn(
-                        q, state["kv"], page_table, kv_lens, q_lens, qb_base,
+                    out = fn(
+                        q, state["kv"], page_table, kv_lens_t, q_lens_t,
+                        qb_base_t,
                         l, sm_scale=self.sm_scale, block_q=block_q,
                         window=self._win(l), softcap=self.attn_softcap,
                         sinks=self._sinks(params, l),
                     )
+                    if io is not None:
+                        out = out * vs
+                    return out
 
                 state = {"kv": kv}
-                x = self._layer(params, x, l, positions, rope_tab, attn,
-                                lora_idx=lora_idx)
+                x = self._layer(params, x, l, positions_t, rope_tab, attn,
+                                lora_idx=lora_t)
                 return (x, state["kv"]), None
 
             (x, kv), _ = jax.lax.scan(
@@ -924,7 +953,70 @@ class LlamaForCausalLM:
             )
             return x, kv
 
-        x, kv_cache = self._run_layers(params, x, kv_cache, per_tick)
+        # extend-side PP microbatching (reference scheduler_pp_mixin.py:
+        # micro-batches span prefill too): split the token-major buffer at
+        # q-block boundaries into M chunks and GPipe-rotate them, so every
+        # warm stage prefills real tokens each tick instead of idling
+        # through one un-pipelined rotation.  Chunk m's attention reads
+        # chunk m-1's KV from the pool — written one tick earlier at the
+        # same stage, exactly the chunked-prefill contract.
+        M = 0
+        if (
+            self.pp_size > 1
+            and positions.ndim == 1
+            and not capture_hidden
+            and lora_idx is None
+        ):
+            nb = TQ // block_q
+            M = min(self.pp_microbatches or 2 * self.pp_size, nb)
+            while M > 1 and nb % M:
+                M -= 1
+        if M > 1:
+            TQm = TQ // M
+            BQ = block_q
+            starts = qb_base * BQ
+            ends = starts + q_lens
+            lo = jnp.arange(M)[:, None] * TQm
+            hi = lo + TQm
+            ilo = jnp.maximum(starts[None], lo)
+            ihi = jnp.minimum(ends[None], hi)
+            qlm = jnp.maximum(ihi - ilo, 0)  # [M, B]
+            qbm = jnp.where(qlm > 0, (ilo - lo) // BQ, 0)
+            kvm = jnp.where(
+                qlm > 0,
+                kv_lens[None] - jnp.maximum(ends[None] - hi, 0),
+                0,
+            )
+            metas = dict(
+                slots=slots.reshape(M, TQm),
+                positions=positions.reshape(M, TQm),
+                kv_lens=kvm, q_lens=qlm, qb_base=qbm,
+            )
+
+            def per_tick_mb(xm, kv, live, meta):
+                slots_t = jnp.where(live, meta["slots"], PAD_SLOT)
+                return run_layers_once(
+                    xm, kv, slots_t, meta["positions"], meta["kv_lens"],
+                    meta["q_lens"], meta["qb_base"], None,
+                )
+
+            out, kv_cache = self._run_layers_mb(
+                params, x.reshape(M, TQm, -1), kv_cache, per_tick_mb, metas
+            )
+            x = out.reshape(TQ, -1)
+        else:
+            def per_tick(x, kv, live):
+                # prefill writes are whole-page: gate by blanking the PAGES
+                slots_t = (
+                    slots if live is None
+                    else jnp.where(live, slots, PAD_SLOT)
+                )
+                return run_layers_once(
+                    x, kv, slots_t, positions, kv_lens, q_lens, qb_base,
+                    lora_idx,
+                )
+
+            x, kv_cache = self._run_layers(params, x, kv_cache, per_tick)
         # gather each sequence's last live row
         last = jnp.clip(qb_base * block_q + jnp.maximum(q_lens, 1) - 1, 0, TQ - 1)
         h_last = x[last]  # [B, H]

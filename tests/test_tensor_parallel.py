@@ -431,3 +431,72 @@ def test_pp2_microbatched_decode_matches_single():
 
     assert out[2][0] == out[1][0], out
     assert out[2][1] == out[1][1], out
+
+
+@pytest.mark.slow
+def test_pp2_microbatched_extend_matches_single():
+    """Round 4: extend-side PP microbatching — one BATCHED multi-request
+    prefill (3 requests -> 3 q-blocks -> M=3 GPipe chunks over 2 stages)
+    must sample the same first tokens and decode identically to pp=1."""
+    tensors = make_tensors()
+    rng = np.random.default_rng(11)
+    ps = 8
+    prompts = [rng.integers(3, 500, n).tolist() for n in (9, 100, 41)]
+    B = len(prompts)
+    BQ = 128
+
+    out = {}
+    for pp in (1, 2):
+        mc = ModelConfig(model_path="", hf_config=dict(TINY_CFG))
+        sa = ServerArgs(
+            model_path="tiny", page_size=ps, max_total_tokens=2048,
+            chunked_prefill_size=512, pp_size=pp, pp_microbatches=3,
+        )
+        r = ModelRunner(sa, model_config=mc, tensors=tensors)
+        tq = B * BQ
+        tokens = np.zeros(tq, np.int32)
+        positions = np.zeros(tq, np.int32)
+        slots = np.full(tq, -1, np.int32)
+        kv_lens = np.zeros(B, np.int32)
+        q_lens = np.zeros(B, np.int32)
+        qb_base = np.zeros(B, np.int32)
+        pt = np.zeros((B, 16), np.int32)
+        page_rows = []
+        for i, p in enumerate(prompts):
+            T = len(p)
+            pages = np.arange(i * 16, i * 16 + 16, dtype=np.int32)
+            page_rows.append(pages)
+            pos = np.arange(T, dtype=np.int32)
+            off = i * BQ
+            tokens[off : off + T] = p
+            positions[off : off + T] = pos
+            slots[off : off + T] = pages[pos // ps] * ps + pos % ps
+            kv_lens[i] = T
+            q_lens[i] = T
+            qb_base[i] = i
+            pt[i] = pages
+        ids0, _ = r.forward_extend_batch(
+            ExtendBatchInput(
+                tokens=tokens, positions=positions, slots=slots,
+                page_table=pt, kv_lens=kv_lens, q_lens=q_lens,
+                qb_base=qb_base, sampling=[SamplingRow() for _ in range(B)],
+            ),
+        )
+        first = [int(x) for x in np.asarray(ids0)[:B]]
+        lens = [len(p) for p in prompts]
+        d = DecodeInput(
+            tokens=np.asarray(first, np.int32),
+            positions=np.asarray(lens, np.int32),
+            slots=np.asarray(
+                [page_rows[i][lens[i] // ps] * ps + lens[i] % ps
+                 for i in range(B)], np.int32),
+            page_table=np.stack(page_rows),
+            lengths=np.asarray([t + 1 for t in lens], np.int32),
+            sample_steps=np.ones(B, np.int32),
+            sampling=[SamplingRow() for _ in range(B)],
+        )
+        ids1, _ = r.forward_decode(d)
+        out[pp] = (first, [int(x) for x in np.asarray(ids1)[:B]])
+
+    assert out[2][0] == out[1][0], out
+    assert out[2][1] == out[1][1], out
