@@ -84,7 +84,8 @@ async def run_bench(args):
         n = args.input_len
         if args.random_range > 0:
             n = max(4, int(n * rng.uniform(1 - args.random_range, 1 + args.random_range)))
-        prompts.append([rng.randrange(10, 28000) for _ in range(n)])
+        prompts.append(
+            [rng.randrange(10, args.max_token_id) for _ in range(n)])
 
     results = [ReqResult(prompt_len=len(p)) for p in prompts]
     conn = aiohttp.TCPConnector(limit=0)
@@ -133,6 +134,38 @@ async def run_bench(args):
         "e2e_ms": {"p50": round(1e3 * pct(e2es, 50), 1),
                    "p99": round(1e3 * pct(e2es, 99), 1)},
     }
+    if args.ttft_breakdown:
+        # per-stage TTFT attribution from the server's request traces
+        # (reference TimeStats role, srt/metrics/collector.py:43; needs the
+        # server launched with --enable-trace)
+        try:
+            async with aiohttp.ClientSession(connector=aiohttp.TCPConnector()) as s2:
+                async with s2.get(
+                    f"{args.base_url}/get_trace?n={args.num_prompts}"
+                ) as resp:
+                    traces = (await resp.json()).get("traces", [])
+            stages: dict = {}
+            for tr in traces:
+                for sl in tr.get("slices", []):
+                    if sl["name"] in ("tokenize", "queue", "prefill"):
+                        stages.setdefault(sl["name"], []).append(
+                            sl["duration_ms"])
+            report["ttft_breakdown_ms"] = {
+                name: {
+                    "p50": round(pct(vals, 50), 1),
+                    "p99": round(pct(vals, 99), 1),
+                }
+                for name, vals in stages.items()
+            }
+            if stages and ttfts:
+                attributed = sum(
+                    pct(v, 50) for v in stages.values()
+                )
+                report["ttft_breakdown_ms"]["other_p50"] = round(
+                    max(1e3 * pct(ttfts, 50) - attributed, 0.0), 1
+                )  # client RTT + dispatch + detok + SSE
+        except Exception as e:  # trace endpoint off -> note, not failure
+            report["ttft_breakdown_ms"] = {"error": str(e)}
     print(json.dumps(report, indent=2))
     return report
 
@@ -147,8 +180,14 @@ def main(argv: Optional[List[str]] = None):
     ap.add_argument("--random-range", type=float, default=0.25)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--timeout", type=float, default=3600)
+    ap.add_argument("--max-token-id", type=int, default=28000)
+    ap.add_argument(
+        "--ttft-breakdown", action="store_true",
+        help="attribute TTFT per stage from /get_trace "
+             "(server must run with --enable-trace)",
+    )
     args = ap.parse_args(argv)
-    asyncio.run(run_bench(args))
+    return asyncio.run(run_bench(args))
 
 
 if __name__ == "__main__":

@@ -56,6 +56,11 @@ def get_model_class(architecture: str):
     )
     from sglang_awq_tpu.models.qwen3_next import Qwen3NextForCausalLM
     from sglang_awq_tpu.models.qwen2_5_vl import Qwen2_5_VLForCausalLM
+    from sglang_awq_tpu.models.baichuan import (
+        BaichuanForCausalLM,
+        InternLM2ForCausalLM,
+        MiniCPMForCausalLM,
+    )
     from sglang_awq_tpu.models.deepseek_v2 import (
         DeepseekV2ForCausalLM,
         DeepseekV3ForCausalLM,
@@ -95,6 +100,10 @@ def get_model_class(architecture: str):
         "Qwen3MoeForCausalLM": Qwen3MoeForCausalLM,
         "Qwen3NextForCausalLM": Qwen3NextForCausalLM,
         "Qwen2_5_VLForConditionalGeneration": Qwen2_5_VLForCausalLM,
+        "BaichuanForCausalLM": BaichuanForCausalLM,
+        "BaiChuanForCausalLM": BaichuanForCausalLM,
+        "InternLM2ForCausalLM": InternLM2ForCausalLM,
+        "MiniCPMForCausalLM": MiniCPMForCausalLM,
         "Phi3ForCausalLM": Phi3ForCausalLM,
         "PhimoeForCausalLM": PhimoeForCausalLM,
         "Olmo2ForCausalLM": Olmo2ForCausalLM,

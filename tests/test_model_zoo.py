@@ -1160,3 +1160,142 @@ def test_llama4_matches_hf():
     rng = np.random.default_rng(0)
     # prompt longer than the 16-token chunk so chunked masking matters
     _check_vs_hf(hf, cfg, rng.integers(3, 250, 45).tolist())
+
+
+# ---------------------------------------------------------------------------
+# round-4 remote-code families (no in-image HF classes): REDUCTION tests —
+# construct each family's checkpoint FROM a transformed random llama so the
+# forward must equal the llama reference exactly, proving the name mapping,
+# packing translation and scaling quirks
+# ---------------------------------------------------------------------------
+
+BASE_CFG = dict(
+    vocab_size=512, hidden_size=64, num_hidden_layers=2,
+    num_attention_heads=4, num_key_value_heads=2, intermediate_size=128,
+    rms_norm_eps=1e-5, rope_theta=10000.0, max_position_embeddings=128,
+    tie_word_embeddings=False, bos_token_id=1, eos_token_id=2,
+)
+
+
+def _tiny_llama():
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    torch.manual_seed(2)
+    hf = LlamaForCausalLM(LlamaConfig(**BASE_CFG)).eval()
+    return hf, _torch_state_dict_to_np(hf.state_dict())
+
+
+def _ref_last_logits(hf, prompt):
+    import torch
+
+    with torch.no_grad():
+        return hf(torch.tensor([prompt])).logits[0, -1].float().numpy()
+
+
+def test_baichuan_wpack_and_normhead():
+    hf, tensors = _tiny_llama()
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(3, 500, 11).tolist()
+    # build a baichuan-named checkpoint: W_pack = [q; k; v]... but k/v are
+    # half-size (GQA) — baichuan is MHA, so use kvh == qh here
+    cfg = dict(BASE_CFG, num_key_value_heads=4)
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM as HL
+
+    torch.manual_seed(3)
+    hf = HL(LlamaConfig(**cfg)).eval()
+    tensors = _torch_state_dict_to_np(hf.state_dict())
+    # NormHead: our loader normalizes rows; pre-normalize the llama head so
+    # the reference and the normalized head agree
+    w = tensors["lm_head.weight"]
+    w = w / (np.linalg.norm(w, axis=1, keepdims=True) + 1e-7)
+    tensors["lm_head.weight"] = w
+    hf.lm_head.weight.data = torch.tensor(w)
+    bt = {}
+    for name, arr in tensors.items():
+        if ".self_attn.q_proj.weight" in name:
+            base = name[: -len("q_proj.weight")]
+            bt[base + "W_pack.weight"] = np.concatenate([
+                arr, tensors[base + "k_proj.weight"],
+                tensors[base + "v_proj.weight"]], 0)
+        elif ".self_attn.k_proj" in name or ".self_attn.v_proj" in name:
+            continue
+        else:
+            bt[name] = arr
+    ref = _ref_last_logits(hf, prompt)
+    mc = ModelConfig(model_path="", hf_config=dict(
+        cfg, architectures=["BaichuanForCausalLM"]))
+    model, params = load_model(mc, tensors=bt)
+    ours = _run_extend(model, params, prompt)
+    assert np.argmax(ours) == np.argmax(ref)
+    assert np.abs(ours - ref).max() < 0.3
+
+
+def test_internlm2_wqkv_interleave():
+    hf, tensors = _tiny_llama()
+    rng = np.random.default_rng(1)
+    prompt = rng.integers(3, 500, 13).tolist()
+    c = BASE_CFG
+    kvh, qh = c["num_key_value_heads"], c["num_attention_heads"]
+    g = qh // kvh
+    d = c["hidden_size"] // qh
+    it = {}
+    for name, arr in tensors.items():
+        n = name.replace("model.embed_tokens", "model.tok_embeddings")
+        n = n.replace("input_layernorm", "attention_norm")
+        n = n.replace("post_attention_layernorm", "ffn_norm")
+        n = n.replace(".mlp.gate_proj", ".feed_forward.w1")
+        n = n.replace(".mlp.up_proj", ".feed_forward.w3")
+        n = n.replace(".mlp.down_proj", ".feed_forward.w2")
+        n = n.replace(".self_attn.o_proj", ".attention.wo")
+        if n == "lm_head.weight":
+            n = "output.weight"
+        if ".self_attn.q_proj.weight" in n:
+            base = name[: -len("q_proj.weight")]
+            q = arr.reshape(kvh, g, d, -1)
+            k = tensors[base + "k_proj.weight"].reshape(kvh, 1, d, -1)
+            v = tensors[base + "v_proj.weight"].reshape(kvh, 1, d, -1)
+            wqkv = np.concatenate([q, k, v], axis=1).reshape(
+                kvh * (g + 2) * d, -1)
+            it[base.replace(".self_attn.", ".attention.") + "wqkv.weight"] = wqkv
+        elif ".self_attn.k_proj" in n or ".self_attn.v_proj" in n:
+            continue
+        else:
+            it[n] = arr
+    ref = _ref_last_logits(hf, prompt)
+    mc = ModelConfig(model_path="", hf_config=dict(
+        BASE_CFG, architectures=["InternLM2ForCausalLM"]))
+    model, params = load_model(mc, tensors=it)
+    ours = _run_extend(model, params, prompt)
+    assert np.argmax(ours) == np.argmax(ref)
+    assert np.abs(ours - ref).max() < 0.3
+
+
+def test_minicpm_mup_scaling():
+    hf, tensors = _tiny_llama()
+    rng = np.random.default_rng(2)
+    prompt = rng.integers(3, 500, 9).tolist()
+    L = BASE_CFG["num_hidden_layers"]
+    scale_emb, scale_depth, dim_base = 4.0, 1.2, 32
+    rm = scale_depth / np.sqrt(2 * L)
+    logit_div = BASE_CFG["hidden_size"] / dim_base
+    mt = {}
+    for name, arr in tensors.items():
+        a = np.asarray(arr, np.float32)
+        if name == "model.embed_tokens.weight":
+            a = a / scale_emb
+        elif ".self_attn.o_proj.weight" in name or ".mlp.down_proj.weight" in name:
+            a = a / rm
+        elif name == "lm_head.weight":
+            a = a * logit_div
+        mt[name] = a
+    ref = _ref_last_logits(hf, prompt)
+    mc = ModelConfig(model_path="", hf_config=dict(
+        BASE_CFG, architectures=["MiniCPMForCausalLM"],
+        scale_emb=scale_emb, scale_depth=scale_depth,
+        dim_model_base=dim_base))
+    model, params = load_model(mc, tensors=mt)
+    ours = _run_extend(model, params, prompt)
+    assert np.argmax(ours) == np.argmax(ref)
+    assert np.abs(ours - ref).max() < 0.3

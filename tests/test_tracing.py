@@ -155,3 +155,56 @@ def tiny_engine():
     eng = Engine(server_args=sa, model_config=mc, tokenizer=None)
     yield eng
     eng.shutdown()
+
+
+def test_bench_serving_ttft_breakdown(tiny_engine):
+    """bench_serving --ttft-breakdown attributes TTFT from /get_trace
+    (VERDICT round-3 item 8: per-stage TTFT decomposition)."""
+    import asyncio
+    import socket
+    import threading
+
+    from aiohttp import web
+
+    from sglang_awq_tpu import bench_serving
+    from sglang_awq_tpu.entrypoints.http_server import build_app
+
+    app = build_app(tiny_engine)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    loop = asyncio.new_event_loop()
+    started = threading.Event()
+
+    def run():
+        asyncio.set_event_loop(loop)
+
+        async def main():
+            runner = web.AppRunner(app)
+            await runner.setup()
+            site = web.TCPSite(runner, "127.0.0.1", port)
+            await site.start()
+            started.set()
+            while True:
+                await asyncio.sleep(3600)
+
+        loop.run_until_complete(main())
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    assert started.wait(timeout=30)
+    T.trace_init(True)
+    try:
+        report = bench_serving.main([
+            "--base-url", f"http://127.0.0.1:{port}",
+            "--num-prompts", "4", "--input-len", "24",
+            "--output-len", "4", "--ttft-breakdown", "--max-token-id", "120",
+        ])
+        bd = report["ttft_breakdown_ms"]
+        assert "error" not in bd, bd
+        # tokenize/queue/prefill stages attributed + residual bucket
+        assert "prefill" in bd and "other_p50" in bd, bd
+        assert bd["prefill"]["p50"] >= 0
+    finally:
+        T.trace_init(False)
+        loop.call_soon_threadsafe(loop.stop)
