@@ -157,6 +157,8 @@ def spec_accept_sample(
     info: SamplingInfo,  # per-request [B]
     steps: jax.Array,  # [B] i32 — sample index of the FIRST emitted token
     all_greedy: bool = False,
+    bias0: Optional[jax.Array] = None,  # [B, V] additive bias on POSITION 0
+    caps: Optional[jax.Array] = None,  # [B] per-row emit cap (1..QS)
 ):
     """Chain speculative accept/reject, distribution-preserving.
 
@@ -173,6 +175,12 @@ def spec_accept_sample(
     bonus/correction token.
     """
     B, QS, V = logits.shape
+    if bias0 is not None:
+        # per-request spec coexistence (reference: per-request grammar /
+        # logit_bias participation, eagle_worker.py): constrained rows run
+        # width-1 (caps==1) and their single emitted token samples under
+        # the grammar mask / bias applied at position 0
+        logits = logits.at[:, 0, :].add(bias0)
     ids_greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B, QS]
     is_greedy = info.temperatures < 1e-5  # [B]
     draft_next_g = jnp.concatenate(
@@ -181,6 +189,10 @@ def spec_accept_sample(
 
     if all_greedy:  # static fast path: no filtering, no draws
         accept = ids_greedy == draft_next_g
+        if caps is not None:
+            accept = accept & (
+                jnp.arange(QS)[None, :] < (caps - 1)[:, None]
+            )
         judge = accept[:, : QS - 1] if QS > 1 else jnp.zeros((B, 0), bool)
         prefix_ok = jnp.cumprod(judge.astype(jnp.int32), axis=1)
         n_acc = jnp.sum(prefix_ok, axis=1)
@@ -226,6 +238,8 @@ def spec_accept_sample(
     sampled_accept = u < p_draft  # [B, QS]
     greedy_accept = ids_greedy == draft_next
     accept = jnp.where(is_greedy[:, None], greedy_accept, sampled_accept)
+    if caps is not None:
+        accept = accept & (jnp.arange(QS)[None, :] < (caps - 1)[:, None])
     # positions j = 0..QS-2 judge draft j+1; accept_len = leading accepts
     judge = accept[:, : QS - 1] if QS > 1 else jnp.zeros((B, 0), bool)
     prefix_ok = jnp.cumprod(judge.astype(jnp.int32), axis=1)

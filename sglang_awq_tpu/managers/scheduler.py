@@ -306,9 +306,11 @@ class Scheduler:
             dispatched = self._dispatch_prefill(prefill_reqs)
         elif self.running:
             if (self.ngram is not None or self.eagle) and all(
-                r.grammar is None
-                and not r.sampling_params.has_logit_bias
-                and not r.sampling_params.has_penalties
+                # penalties still disable spec batch-wide (the verify has
+                # no per-row count state yet); grammar / logit_bias rows
+                # now PARTICIPATE at width 1 (reference runs spec
+                # per-request, eagle_worker.py)
+                not r.sampling_params.has_penalties
                 and not getattr(r, "mrope_delta", 0)
                 for r in self.running
             ):
@@ -1477,7 +1479,12 @@ class Scheduler:
             self.spec_topk > 1
             and self.running
             and self.runner.lora is None  # tree verify has no lora plumbing
-            and all(r.sampling_params.is_greedy for r in self.running)
+            and all(
+                r.sampling_params.is_greedy
+                and r.grammar is None
+                and not r.sampling_params.has_logit_bias
+                for r in self.running
+            )
         ):
             return self._run_decode_step_spec_tree()
         QS = self.spec_width
@@ -1497,6 +1504,10 @@ class Scheduler:
             page_table[i, : len(r.pages)] = r.pages
             fill_old[i] = r.fill_len
 
+        constrained = [
+            r.grammar is not None or r.sampling_params.has_logit_bias
+            for r in self.running
+        ]
         if self.eagle:
             rows = np.asarray(
                 [r.row if r.row is not None else -1 for r in self.running],
@@ -1512,6 +1523,9 @@ class Scheduler:
                 self.ngram.draft(r.input_ids + r.output_ids, QS - 1)
                 for r in self.running
             ]
+        for i, c in enumerate(constrained):
+            if c:  # width-1 rows: drafts are never accepted, skip proposing
+                drafts_per_row[i] = []
 
         for i, r in enumerate(self.running):
             drafts = drafts_per_row[i]
@@ -1524,6 +1538,23 @@ class Scheduler:
             lengths[i] = r.fill_len + QS
 
         all_greedy = all(r.sampling_params.is_greedy for r in self.running)
+        bias0 = None
+        spec_caps = None
+        if any(constrained):
+            V = self.runner.model_config.vocab_size
+            bias0 = np.zeros((B, V), np.float32)
+            spec_caps = np.full(B, QS, np.int32)
+            for i, r in enumerate(self.running):
+                if not constrained[i]:
+                    continue
+                spec_caps[i] = 1
+                if r.grammar is not None:
+                    bias0[i] = np.where(r.grammar.vocab_mask(), 0.0, -1e30)
+                if r.sampling_params.has_logit_bias:
+                    for tid, bv in r.sampling_params.logit_bias.items():
+                        t = int(tid)
+                        if 0 <= t < V:
+                            bias0[i, t] += float(bv)
         ids, emit_ids, emit_len = self.runner.forward_spec_verify(
             tokens, positions, slots, page_table, lengths,
             sampling=[r.sampling_row() for r in self.running],
@@ -1531,6 +1562,7 @@ class Scheduler:
                 [len(r.output_ids) for r in self.running], np.int32),
             all_greedy=all_greedy,
             lora_idx=np.asarray([getattr(r, 'lora_slot', -1) for r in self.running], np.int32),
+            bias0=bias0, spec_caps=spec_caps,
         )
 
         accepts = np.ones(B, np.int32)
@@ -1544,6 +1576,8 @@ class Scheduler:
                 tok = int(emit_ids[i, t])
                 r.output_ids.append(tok)
                 new_tokens.append(tok)
+                if r.grammar is not None:
+                    self._advance_grammar(r, tok)
                 r.check_finished(tok)
                 if r.finished():
                     break
@@ -1560,9 +1594,15 @@ class Scheduler:
                 self.metrics.spec_accept_length.set(
                     self.spec_accept_sum / self.spec_steps
                 )
-            outputs.append(ReqOutput(r, new_tokens))
+            jf = []
+            if r.grammar is not None and not r.finished():
+                jf = self._try_jump_forward(r)
+            outputs.append(ReqOutput(r, new_tokens + jf))
             if r.finished():
                 self._finish_req(r)
+            elif jf:
+                # forced tokens have no KV yet: re-extend through prefill
+                self.waiting.appendleft(r)
             else:
                 still_running.append(r)
         if self.eagle:

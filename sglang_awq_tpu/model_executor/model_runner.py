@@ -1283,8 +1283,10 @@ class ModelRunner:
         return out
 
     def _spec_verify_fn(self, bs: int, q_span: int, pt_w: int,
-                        want_hidden: bool = False, all_greedy: bool = True):
-        key = ("spec_verify", bs, q_span, pt_w, want_hidden, all_greedy)
+                        want_hidden: bool = False, all_greedy: bool = True,
+                        want_bias: bool = False):
+        key = ("spec_verify", bs, q_span, pt_w, want_hidden, all_greedy,
+               want_bias)
         if key in self._fns:
             return self._fns[key]
         model = self.model
@@ -1292,16 +1294,21 @@ class ModelRunner:
 
         def raw(params, kv, rope, tokens, positions, slots, page_table,
                 lengths, info, steps, *extra):
-            lidx = extra[0] if lora_on else None
+            extra = list(extra)
+            lidx = extra.pop(0) if lora_on else None
+            bias0 = extra.pop(0) if want_bias else None
+            caps = extra.pop(0) if want_bias else None
             out = model.spec_verify_step(
                 params, kv, rope, tokens, positions, slots, page_table,
                 lengths, capture_hidden=want_hidden, lora_idx=lidx,
             )
             logits, kv = out[0], out[1]
             # chain accept/reject on device (distribution-preserving for
-            # sampled rows; argmax-match for greedy rows)
+            # sampled rows; argmax-match for greedy rows); constrained rows
+            # participate width-1 with their grammar/bias at position 0
             emit_ids, emit_len, ids = spec_accept_sample(
-                logits, tokens, info, steps, all_greedy=all_greedy
+                logits, tokens, info, steps, all_greedy=all_greedy,
+                bias0=bias0, caps=caps,
             )
             if want_hidden:
                 return ids, emit_ids, emit_len, out[2], kv
@@ -1309,7 +1316,8 @@ class ModelRunner:
 
         fn = jax.jit(
             self._wrap_step(
-                raw, 7 + (1 if lora_on else 0),
+                raw,
+                7 + (1 if lora_on else 0) + (2 if want_bias else 0),
                 n_replicated_out=4 if want_hidden else 3,
             ),
             donate_argnums=(1,),
@@ -1328,13 +1336,16 @@ class ModelRunner:
         sample_steps: Optional[np.ndarray] = None,  # [B]
         all_greedy: bool = True,
         lora_idx: Optional[np.ndarray] = None,  # [B]
+        bias0: Optional[np.ndarray] = None,  # [B, V] pos-0 additive bias
+        spec_caps: Optional[np.ndarray] = None,  # [B] per-row emit cap
     ):
         """Speculative verify -> (ids_greedy, emit_ids, emit_len) numpy."""
         bs, qs = tokens.shape
         bs_pad = pick_bucket(bs, self.decode_bs_buckets)
         pt_w = pick_bucket(page_table.shape[1], self.pmax_buckets)
+        want_bias = bias0 is not None
         fn = self._spec_verify_fn(
-            bs_pad, qs, pt_w, self.draft is not None, all_greedy
+            bs_pad, qs, pt_w, self.draft is not None, all_greedy, want_bias
         )
 
         def pad2(a, fill=0):
@@ -1372,6 +1383,13 @@ class ModelRunner:
             args = args + (jnp.asarray(self._pad_i32(
                 lora_idx if lora_idx is not None else [], bs_pad, fill=-1
             )),)
+        if want_bias:
+            b0 = np.zeros((bs_pad, bias0.shape[1]), np.float32)
+            b0[:bs] = bias0
+            cp = np.full(bs_pad, qs, np.int32)
+            if spec_caps is not None:
+                cp[:bs] = spec_caps
+            args = args + (jnp.asarray(b0), jnp.asarray(cp))
         outs = fn(*args)
         if want_hidden:
             ids, emit_ids, emit_len, self._verify_hidden, self.kv_cache = outs
