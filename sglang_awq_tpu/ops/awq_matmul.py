@@ -50,6 +50,8 @@ from sglang_awq_tpu.quantization.awq_config import unpack_awq_int32
 from sglang_awq_tpu.utils import cdiv, pallas_interpret_default, round_up
 
 
+
+
 def choose_pack_block(K: int, group_size: int, min_tiles: int = 4) -> int:
     """Pack block that keeps groups tile-aligned with a healthy k-grid.
 
@@ -248,8 +250,9 @@ def convert_awq_tensor(
         bias_f32 = (z_nib + 128.0) * scales_f32
         qweight_u8 = pack_rows_tpu_magic(w_nib, pack_block)
     elif unpack == "pair":
-        # kernel reconstructs 128 + nibble (bf16 0x4300 exponent trick);
-        # the zero-correction runs IN the kernel epilogue, so the bias ships
+        # kernel reconstructs 128 + nibble (bf16 0x4300 exponent trick) and
+        # cancels the whole (zero+128)*scale term IN the per-group epilogue
+        # as an f32 rank-1 subtract (see pair_tile_matmul); the bias ships
         # in the same per-k-tile strip layout as the scales
         bias_f32 = tile_scale_layout(
             (z_nib + 128.0) * scales_f32, K, group_size, pack_block
@@ -485,6 +488,21 @@ def pair_tile_matmul(x, qw_u8, s_rows, b_rows, *, pack_block, group_size):
     x [BM, PB] bf16, qw_u8 [PB/2, BN] (pair layout), s_rows/b_rows
     [>=sr, BN] f32 strip rows for this tile -> [BM, BN] f32 including the
     zero-point correction (group sums taken from the same x).
+
+    Round-4 structure (spike_pair_opt.py, on-chip A/B at M=64):
+    * The unpacked weights hold 128 + nib; the whole zero-point term
+      (zero+128)*scale is cancelled in the per-group EPILOGUE as an f32
+      rank-1 subtract: `term = part*s_g - xs_g * c_g` with c = (z+128)*s
+      shipped in the bias strips.  The cancellation is f32-exact (both
+      `part`'s implicit 128*sum(x_g) and `xs_g` are f32 sums of exact bf16
+      values), so there is NO correction matmul at all.  The round-3
+      alternative (correction dot over the (z+128)*s bias) needed HIGHEST
+      (6-pass) MXU precision to cancel the +128 term accurately, which
+      measured ~55 us/layer (~1.7 ms/step at 32 layers): 259 (base) vs
+      220 (this) vs 202 (epilogue-128 + default-precision dot, but that
+      leaves 0.24% RMS output noise) us/layer for the four Llama-3-8B
+      decode projections; on-chip max error vs the f32 oracle stays at the
+      1e-4 level of the round-3 HIGHEST scheme.
     """
     sr, _ = scale_rows_per_tile(pack_block, group_size)
     q4 = pack_block // 4
@@ -492,50 +510,45 @@ def pair_tile_matmul(x, qw_u8, s_rows, b_rows, *, pack_block, group_size):
         x32 = qw_u8  # caller pre-bitcast the whole block (see pair_proj_chunk)
     else:
         x32 = pltpu.bitcast(qw_u8, jnp.int32)  # [PB/8, BN]
-    acc = [None, None]
-    for i in range(4):
+
+    def unpack(i):
         y = (x32 >> (4 * i)) if i else x32
         y = (y & 0x000F000F) | 0x43004300
-        wb = pltpu.bitcast(y, jnp.bfloat16)  # quarter block [PB/4, BN]
-        gpp = q4 // group_size if q4 >= group_size else 0
+        return pltpu.bitcast(y, jnp.bfloat16)  # quarter block [PB/4, BN]
+
+    gpp = q4 // group_size if q4 >= group_size else 0
+    acc = [None, None]
+    for i in range(4):
+        wb = unpack(i)
         if gpp >= 1:
             for g in range(gpp):
+                gi = i * gpp + g
+                xg = x[:, gi * group_size : (gi + 1) * group_size]
+                xs_g = jnp.sum(xg.astype(jnp.float32), axis=1, keepdims=True)
                 part = jnp.dot(
-                    x[:, i * q4 + g * group_size : i * q4 + (g + 1) * group_size],
+                    xg,
                     wb[g * group_size : (g + 1) * group_size, :],
                     preferred_element_type=jnp.float32,
                 )
-                term = part * s_rows[i * gpp + g : i * gpp + g + 1, :]
-                j = (i * gpp + g) % 2
-                acc[j] = term if acc[j] is None else acc[j] + term
+                term = part * s_rows[gi : gi + 1, :] - xs_g * b_rows[gi : gi + 1, :]
+                acc[gi % 2] = term if acc[gi % 2] is None else acc[gi % 2] + term
         else:
+            # quarter block inside one group: the quarter-partial x sums
+            # add up to the group sum across i, so subtracting the rank-1
+            # zero term per quarter still cancels exactly
+            xq = jnp.sum(
+                x[:, i * q4 : (i + 1) * q4].astype(jnp.float32),
+                axis=1, keepdims=True,
+            )
             part = jnp.dot(
                 x[:, i * q4 : (i + 1) * q4], wb,
                 preferred_element_type=jnp.float32,
             )
             srow = (i * q4) // group_size
-            term = part * s_rows[srow : srow + 1, :]
+            term = part * s_rows[srow : srow + 1, :] - xq * b_rows[srow : srow + 1, :]
             acc[i % 2] = term if acc[i % 2] is None else acc[i % 2] + term
 
-    # zero-point correction: (128+zero)*scale strips dotted with per-group
-    # sums of the same VMEM x the dots read
-    gs = pack_block // sr
-    xs = jnp.concatenate(
-        [
-            jnp.sum(x[:, t * gs : (t + 1) * gs].astype(jnp.float32),
-                    axis=1, keepdims=True)
-            for t in range(sr)
-        ],
-        axis=1,
-    )  # [BM, sr] f32
-    # HIGHEST: the MXU otherwise truncates the f32 operands to bf16 passes,
-    # and the folded +128*scale bias amplifies that rounding
-    corr = jnp.dot(
-        xs, b_rows[:sr, :], preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    total = acc[0] if acc[1] is None else acc[0] + acc[1]
-    return total - corr
+    return acc[0] if acc[1] is None else acc[0] + acc[1]
 
 
 def pair_proj_chunk(x, qw_u8, s_strip, b_strip, *, pack_block, group_size):
