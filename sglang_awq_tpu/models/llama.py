@@ -637,6 +637,28 @@ class LlamaForCausalLM:
                         quant, ks, vs = io
                         k, v = quant(k, v)
                         q = (q.astype(jnp.float32) * ks).astype(q.dtype)
+                    import os as _os
+
+                    if (
+                        io is None
+                        and not use_xla_attn
+                        and state["kv"].ndim == 6
+                        and state["kv"].dtype == jnp.bfloat16
+                        and _os.environ.get("SGLT_DECODE_FUSE_NEW") == "1"
+                    ):
+                        # fused write+attend (opt-in): measured a LOSS at
+                        # bench geometry — write_kv is ~1.5 us/layer while
+                        # the fused kernel's per-row scalar work costs ~15
+                        # (docs/kernels.md round 4); kept for geometries
+                        # where dispatch count dominates (tiny batches)
+                        out, state["kv"] = ragged_decode(
+                            q[:, None], state["kv"], page_table_t, lengths_t,
+                            l, sm_scale=self.sm_scale, window=self._win(l),
+                            softcap=self.attn_softcap,
+                            sinks=self._sinks(params, l),
+                            new_kv=(k, v, slots_t),
+                        )
+                        return out[:, 0]
                     state["kv"] = write_kv(
                         state["kv"], k, v, slots_t, l, mode="decode"
                     )

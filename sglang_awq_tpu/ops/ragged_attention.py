@@ -40,7 +40,7 @@ parity-masked K+V dot, ragged q-block mapping and masking are ours.
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -104,30 +104,22 @@ def _decode_kernel_split(
     # scalar prefetch
     layer_ref,  # [1]
     window_ref,  # [1] sliding window (0 = full attention)
-    lengths_ref,  # [B]
+    lengths_ref,  # [B]  (fuse_new: WALK lengths = real length - 1)
     s0_ref,  # [B] first live chunk per row (window skips earlier ones)
     nck_ref,  # [B] live chunks per row (0 for pads)
     nlive_ref,  # [B + 1] first live row index >= b (B if none)
     total_ref,  # [1] total live chunks across the batch
     pt_ref,  # [B * pmax]
+    slots_ref,  # [B] new-token pool slot per row (fuse_new; else dummy)
     # inputs
     q_ref,  # [B, KVH, R, D] with R = QS * gp (whole batch resident)
     kv_hbm_ref,  # [L, P, 2, ps, fcK, XrK] (ANY)
+    knew_ref,  # [B, fcK, XrK] new-token K face rows (fuse_new; else dummy)
+    vnew_ref,  # [B, fcK, XrK] new-token V face rows (fuse_new; else dummy)
     sink_ref,  # [KVH*R or 8, 128] f32 per-row sink logits (dummy when off)
-    # output
+    # outputs
     o_ref,  # [B, KVH, R, D] f32 (whole batch resident)
-    # scratch
-    qbd_ref,  # [KVH*R, XrK] bf16 block-diagonal q
-    m_ref,  # [KVH*R, 128] f32
-    l_ref,  # [KVH*R, 128] f32
-    acc_ref,  # [KVH*R, XrK] f32
-    cb_ref,  # [KVH*R, fcK*ck] f32 class bias (0 / MASK), built once
-    tj_ref,  # [8, fcK*ck] i32 token index per column, built once
-    tr_ref,  # [KVH*R, 128] i32 per-row causal offset (QS > 1), built once
-    k_buf,  # [2, ppc, ps, fcK, XrK]
-    v_buf,  # [2, ppc, ps, fcK, XrK]
-    sem,  # [2, 2]
-    *,
+    *rest,  # [kvout_ref (fuse_new, aliased pool)] + scratch
     batch_size: int,
     pages_per_chunk: int,
     pmax: int,
@@ -139,12 +131,30 @@ def _decode_kernel_split(
     has_window: bool,
     has_sinks: bool,
     interpret: bool,
+    fuse_new: bool = False,
     stats_out=None,  # optional (m_out, l_out) [B, KVH*R, 128] two-piece-merge stats
 ):
     """Split-pool megakernel: the _decode_kernel walk with per-half dots.
     The qk dot contracts q [KVH*R, XrK] against the K chunk only
     ([fcK*ck, XrK]); the PV dot multiplies the probabilities straight into
-    the V chunk (columns (t, class) align with V rows — no lane shift)."""
+    the V chunk (columns (t, class) align with V rows — no lane shift).
+
+    fuse_new (round 4): the NEW token's K/V rows ride this kernel instead
+    of a separate kv_write dispatch.  The walk covers only the previous
+    length-1 tokens (lengths_ref is the walk length); the new token is
+    merged at emit as a one-token chunk attended straight from VMEM, and
+    its pool row write is an async copy issued at the row's first walk
+    chunk and awaited at kernel end.  A whole-page chunk DMA may race the
+    row write on the same page, but the raced bytes belong to the new
+    token's row only, which the walk masks; DMA granularity keeps bf16
+    elements untorn, so raced reads are stale-or-new finite values."""
+    if fuse_new:
+        kvout_ref, *scratch = rest
+    else:
+        kvout_ref, scratch = None, list(rest)
+    (qbd_ref, m_ref, l_ref, acc_ref, cb_ref, tj_ref, tr_ref,
+     k_buf, v_buf, sem, *sem_w_opt) = scratch
+    sem_w = sem_w_opt[0] if fuse_new else None
     ps = k_buf.shape[2]
     ck = pages_per_chunk * ps
     fck = k_buf.shape[3]  # K sublane rows per token (2 bf16 / 4 fp8-int8)
@@ -236,6 +246,24 @@ def _decode_kernel_split(
                     qbd_ref[h * r : (h + 1) * r, hl : hl + d] = (
                         q_ref[b, h] * jnp.asarray(sm_scale, q_ref.dtype)
                     )
+                if fuse_new:
+                    # the row's new-token pool write rides the walk: issued
+                    # here (first chunk), awaited after the whole loop
+                    s = slots_ref[b]
+                    num_slots = kv_hbm_ref.shape[1] * ps
+
+                    @pl.when((s >= 0) & (s < num_slots))
+                    def _start_write():
+                        pltpu.make_async_copy(
+                            knew_ref.at[b],
+                            kvout_ref.at[layer, s // ps, 0, s % ps],
+                            sem_w,
+                        ).start()
+                        pltpu.make_async_copy(
+                            vnew_ref.at[b],
+                            kvout_ref.at[layer, s // ps, 1, s % ps],
+                            sem_w,
+                        ).start()
 
             kc = k_buf[slot].reshape(fck * ck, k_buf.shape[-1])
             vc = v_buf[slot].reshape(fck * ck, v_buf.shape[-1])
@@ -252,6 +280,10 @@ def _decode_kernel_split(
             qk = qk + cb_ref[...]
             base = (s0_ref[b] + c) * ck
             tj = tj_ref[:1]
+            # fuse_new: lengths_ref holds the WALK length (real - 1); the
+            # query position is still real-1 = walk length, so window /
+            # chunk lows use limit + qoff
+            qoff = 1 if fuse_new else 0
             if q_span == 1:
                 limit = length - base
             else:
@@ -264,8 +296,10 @@ def _decode_kernel_split(
                 win = window_ref[0]
                 cs = jnp.maximum(-win, 1)
                 low = jnp.where(
-                    win > 0, limit - win,
-                    jnp.where(win < 0, ((limit - 1) // cs) * cs, -(1 << 30)),
+                    win > 0, limit + qoff - win,
+                    jnp.where(
+                        win < 0, ((limit + qoff - 1) // cs) * cs, -(1 << 30)
+                    ),
                 )
                 mask = jnp.logical_and(mask, tj >= low)
             qk = jnp.where(mask, qk, MASK_VALUE)
@@ -293,6 +327,40 @@ def _decode_kernel_split(
 
             @pl.when(c + 1 == nck_ref[b])
             def _emit():
+                if fuse_new:
+                    # merge the new token as a one-token chunk attended
+                    # straight from VMEM.  qbd is block-diagonal (head h's
+                    # rows are zero outside its lane strip), so the
+                    # elementwise product with the class-replicated face
+                    # row picks exactly head h's K lanes — no dot needed.
+                    xr = knew_ref.shape[-1]
+                    reps = r * hph
+                    kn = knew_ref[b]  # [fck, Xr] bf16
+                    vn = vnew_ref[b]
+                    knr = jnp.broadcast_to(
+                        kn[:, None, :], (fck, reps, xr)
+                    ).reshape(fck * reps, xr)
+                    vnr = jnp.broadcast_to(
+                        vn[:, None, :], (fck, reps, xr)
+                    ).reshape(fck * reps, xr)
+                    qkn = jnp.sum(
+                        qbd_ref[...].astype(jnp.float32)
+                        * knr.astype(jnp.float32),
+                        axis=-1, keepdims=True,
+                    )  # [KVH*R, 1]
+                    if softcap:
+                        qkn = softcap * jnp.tanh(qkn / softcap)
+                    m_pr = m_ref[:, :1]
+                    m_fin = jnp.maximum(m_pr, qkn)
+                    alpha2 = jnp.exp(m_pr - m_fin)
+                    pn = jnp.exp(qkn - m_fin)
+                    l_ref[...] = jnp.broadcast_to(
+                        alpha2 * l_ref[:, :1] + pn, l_ref.shape
+                    )
+                    acc_ref[...] = (
+                        acc_ref[...] * alpha2 + pn * vnr.astype(jnp.float32)
+                    )
+                    m_ref[...] = jnp.broadcast_to(m_fin, m_ref.shape)
                 lh = l_ref[:, :1]
                 if has_sinks:
                     lh = lh + jnp.exp(sink_ref[:, :1] - m_ref[:, :1])
@@ -315,6 +383,22 @@ def _decode_kernel_split(
         lax.fori_loop(
             0, total, body, (b0, jnp.int32(0), nb0, nc0, jnp.int32(0)),
         )
+        if fuse_new:
+            num_slots = kv_hbm_ref.shape[1] * ps
+
+            def _wait_writes(bb, acc):
+                s = slots_ref[bb]
+
+                @pl.when((s >= 0) & (s < num_slots))
+                def _():
+                    for _ in range(2):
+                        pltpu.make_async_copy(
+                            knew_ref.at[0], kvout_ref.at[0, 0, 0, 0], sem_w
+                        ).wait()
+
+                return acc
+
+            lax.fori_loop(0, batch_size, _wait_writes, 0)
 
 
 def _decode_kernel(
@@ -327,9 +411,12 @@ def _decode_kernel(
     nlive_ref,  # [B + 1] first live row index >= b (B if none)
     total_ref,  # [1] total live chunks across the batch
     pt_ref,  # [B * pmax]
+    slots_ref,  # [B] dummy (fused writes are split-pool only)
     # inputs
     q_ref,  # [B, KVH, R, D] with R = QS * gp (whole batch resident)
     kv_hbm_ref,  # [L, P, ps, fc, 2*KVH*D/fc] (ANY)
+    knew_ref,  # dummy (fused writes are split-pool only)
+    vnew_ref,  # dummy
     sink_ref,  # [KVH*R or 8, 128] f32 per-row sink logits (dummy when off)
     # output
     o_ref,  # [B, KVH, R, D] f32 (whole batch resident)
@@ -564,7 +651,8 @@ def _decode_kernel(
 
 def _decode_kernel_split_with_stats(
     layer_ref, window_ref, lengths_ref, s0_ref, nck_ref, nlive_ref,
-    total_ref, pt_ref, q_ref, kv_hbm_ref, sink_ref, o_ref, m_out, l_out,
+    total_ref, pt_ref, slots_ref, q_ref, kv_hbm_ref, knew_ref, vnew_ref,
+    sink_ref, o_ref, m_out, l_out,
     qbd_ref, m_ref, l_ref, acc_ref, cb_ref, tj_ref, tr_ref, k_buf, v_buf,
     sem,
     *,
@@ -577,7 +665,8 @@ def _decode_kernel_split_with_stats(
     statics as traced inputs."""
     _decode_kernel_split(
         layer_ref, window_ref, lengths_ref, s0_ref, nck_ref, nlive_ref,
-        total_ref, pt_ref, q_ref, kv_hbm_ref, sink_ref, o_ref,
+        total_ref, pt_ref, slots_ref, q_ref, kv_hbm_ref, knew_ref, vnew_ref,
+        sink_ref, o_ref,
         qbd_ref, m_ref, l_ref, acc_ref, cb_ref, tj_ref, tr_ref, k_buf,
         v_buf, sem,
         batch_size=batch_size, pages_per_chunk=pages_per_chunk, pmax=pmax,
@@ -607,6 +696,10 @@ def ragged_decode(
     softcap: float = 0.0,  # attn-logit softcapping (Gemma2); 0 = off
     sinks: Optional[jax.Array] = None,  # [QH] f32 per-head sink logits
     want_stats: bool = False,  # also return (m, l) [B, QS, QH] softmax stats
+    new_kv: Optional[Tuple[jax.Array, jax.Array, jax.Array]] = None,
+    # (k_new [B, KVH, D], v_new [B, KVH, D], slots [B] i32) — fuse the
+    # new token's pool write into this kernel (QS=1, split bf16 pools);
+    # returns (out, kv_cache) instead of out.
 ) -> jax.Array:
     """Decode / spec-verify attention -> [B, QS, QH, D] f32.
 
@@ -615,6 +708,11 @@ def ragged_decode(
     back than window tokens — chunks wholly below the window are SKIPPED
     (zero DMAs), so SWA layers cost O(window) regardless of context.
     lengths[b] = 0 marks a padded row (skipped).
+
+    With `new_kv` the separate kv_write dispatch disappears: the kernel
+    walks the PREVIOUS length-1 tokens, attends the new token's K/V from
+    VMEM (merged as a one-token chunk at emit), and writes the pool rows
+    by async copy overlapped with the walk (round-4 dispatch-fusion).
     """
     if interpret is None:
         interpret = pallas_interpret_default()
@@ -681,12 +779,36 @@ def ragged_decode(
     pt_flat = page_table.reshape(-1).astype(jnp.int32)
     ck = ppc * ps
     win = jnp.asarray(window, jnp.int32).reshape(1)
+    fuse_new = new_kv is not None
+    if fuse_new:
+        assert split and QS == 1 and not want_stats, (
+            "new_kv fusion: split pool, QS == 1, no stats"
+        )
+        assert kv_cache.dtype == jnp.bfloat16, "new_kv fusion: bf16 pools"
+        k_new, v_new, wslots = new_kv
+        knew_arr = k_new.astype(jnp.bfloat16).reshape(B, fc, Xr)
+        vnew_arr = v_new.astype(jnp.bfloat16).reshape(B, fc, Xr)
+        slots_arr = jnp.asarray(wslots, jnp.int32)
+    else:
+        knew_arr = jnp.zeros((8, 128), jnp.bfloat16)
+        vnew_arr = knew_arr
+        slots_arr = jnp.full((B,), -1, jnp.int32)
     # window > 0: the earliest position any query can see is
     # lengths - (QS-1) - window; chunks wholly below it never load
     lowest = jnp.maximum(lengths - (QS - 1) - win[0], 0)
     s0 = jnp.where(win[0] > 0, lowest // ck, 0).astype(jnp.int32)
-    nck = (lengths + (ck - 1)) // ck - jnp.where(lengths > 0, s0, 0)
-    nck = jnp.where(lengths > 0, nck, 0)
+    if fuse_new:
+        # the kernel walks only the PREVIOUS length-1 tokens; rows with
+        # nothing to walk still take one (fully masked) chunk so the
+        # new-token merge + write still run at their emit
+        lw = jnp.maximum(lengths - 1, 0)
+        nck = jnp.maximum((lw + (ck - 1)) // ck - s0, 1)
+        nck = jnp.where(lengths > 0, nck, 0)
+        walk_lengths = lw
+    else:
+        nck = (lengths + (ck - 1)) // ck - jnp.where(lengths > 0, s0, 0)
+        nck = jnp.where(lengths > 0, nck, 0)
+        walk_lengths = lengths
     total = jnp.sum(nck).reshape(1)
     # nlive[i] = first live row >= i (B if none): the megaloop's advance
     # is one scalar load instead of an O(B) scan.
@@ -723,20 +845,36 @@ def ragged_decode(
             pltpu.VMEM((2, ppc, ps, fc, Xr), kv_cache.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
         ]
+        if fuse_new:
+            scratch = scratch + [pltpu.SemaphoreType.DMA]
     else:
         scratch = common_scratch + [
             pltpu.VMEM((2, ppc, ps, fc, Xr), kv_cache.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ]
+    knew_spec = (
+        pl.BlockSpec((B, fc, Xr), lambda g, *_: (0, 0, 0))
+        if fuse_new
+        else pl.BlockSpec((8, 128), lambda g, *_: (0, 0))
+    )
+    if fuse_new:
+        out_specs = [
+            pl.BlockSpec((B, KVH, R, D), lambda g, *_: (0, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ]
+    else:
+        out_specs = pl.BlockSpec((B, KVH, R, D), lambda g, *_: (0, 0, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=8,
+        num_scalar_prefetch=9,
         grid=(1,),
         in_specs=[
             pl.BlockSpec((B, KVH, R, D), lambda g, *_: (0, 0, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
+            knew_spec,
+            knew_spec,
             pl.BlockSpec((srows, 128), lambda g, *_: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((B, KVH, R, D), lambda g, *_: (0, 0, 0, 0)),
+        out_specs=out_specs,
         scratch_shapes=scratch,
     )
     # static window=0 (no SWA layer) drops the window mask ops entirely
@@ -759,10 +897,11 @@ def ragged_decode(
         has_window=has_window,
         has_sinks=sinks is not None,
         interpret=bool(interpret),
+        **({"fuse_new": True} if fuse_new else {}),
     )
     if want_stats:
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=8,
+            num_scalar_prefetch=9,
             grid=(1,),
             in_specs=grid_spec.in_specs,
             out_specs=[
@@ -777,6 +916,11 @@ def ragged_decode(
             jax.ShapeDtypeStruct((B, KVH * R, 128), jnp.float32),
             jax.ShapeDtypeStruct((B, KVH * R, 128), jnp.float32),
         ]
+    elif fuse_new:
+        out_shape = [
+            jax.ShapeDtypeStruct((B, KVH, R, D), jnp.float32),
+            jax.ShapeDtypeStruct(kv_cache.shape, kv_cache.dtype),
+        ]
     else:
         out_shape = jax.ShapeDtypeStruct((B, KVH, R, D), jnp.float32)
     out = pl.pallas_call(
@@ -787,20 +931,28 @@ def ragged_decode(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
+        # scalar-prefetch args count toward alias indices: 9 scalars, then
+        # qg (9), kv_cache (10), knew (11), vnew (12), sink (13)
+        **({"input_output_aliases": {10: 1}} if fuse_new else {}),
         interpret=interpret,
     )(
         layer,
         win,
-        lengths,
+        walk_lengths,
         s0,
         nck,
         nlive,
         total,
         pt_flat,
+        slots_arr,
         qg,
         kv_cache,
+        knew_arr,
+        vnew_arr,
         sink_arr,
     )
+    if fuse_new:
+        out, kv_cache = out
     if want_stats:
         out, m_raw, l_raw = out
         # row h*R + t*gp + g -> [B, QS, QH]
@@ -812,9 +964,10 @@ def ragged_decode(
         out = jnp.transpose(out, (0, 2, 1, 3, 4)).reshape(B, QS, QH, D)
         return out, stats[0], stats[1]
     if raw_layout:
-        return out
+        return (out, kv_cache) if fuse_new else out
     out = out.reshape(B, KVH, QS, gp, D)[:, :, :, :G, :]
-    return jnp.transpose(out, (0, 2, 1, 3, 4)).reshape(B, QS, QH, D)
+    out = jnp.transpose(out, (0, 2, 1, 3, 4)).reshape(B, QS, QH, D)
+    return (out, kv_cache) if fuse_new else out
 
 
 # ---------------------------------------------------------------------------

@@ -646,3 +646,51 @@ def test_ragged_decode_stats():
                                rtol=2e-2, atol=2e-2)
     np.testing.assert_allclose(np.asarray(l)[live], np.asarray(ref_l)[live],
                                rtol=3e-2, atol=3e-2)
+
+
+def test_split_decode_fused_write_matches_two_dispatch():
+    """new_kv fusion: (write_kv; ragged_decode) == ragged_decode(new_kv=...)
+    for outputs AND the resulting pool, across walk-edge geometries."""
+    kv = _split_pool(21)
+    rng = np.random.default_rng(21)
+    B, pmax = 4, 4
+    # lengths INCLUDE the new token: 1 = nothing to walk; 17 = new token
+    # starts a fresh chunk (ppc=2, ps=8 -> ck=16); 0 = dead row
+    lengths = np.array([17, 1, 0, 27], np.int32)
+    page_table = (
+        rng.permutation(PAGES)[: B * pmax].reshape(B, pmax).astype(np.int32)
+    )
+    q = jnp.asarray(rng.normal(size=(B, 1, QH, D)), jnp.bfloat16)
+    k_new = jnp.asarray(rng.normal(size=(B, KVH, D)), jnp.bfloat16)
+    v_new = jnp.asarray(rng.normal(size=(B, KVH, D)), jnp.bfloat16)
+    pos = np.maximum(lengths - 1, 0)
+    slots = np.where(
+        lengths > 0,
+        page_table[np.arange(B), pos // PS] * PS + pos % PS,
+        PAD_SLOT,
+    ).astype(np.int32)
+
+    for W, sinks, cap in ((0, None, 0.0), (9, None, 0.0), (-8, None, 0.0),
+                          (0, jnp.asarray(rng.normal(size=(QH,)), jnp.float32),
+                           0.0), (0, None, 30.0)):
+        kv_ref = write_kv(kv, k_new, v_new, jnp.asarray(slots), 1,
+                          mode="decode")
+        ref = ragged_decode(
+            q, kv_ref, jnp.asarray(page_table), jnp.asarray(lengths), 1,
+            sm_scale=0.125, pages_per_chunk=2, interpret=True, window=W,
+            sinks=sinks, softcap=cap,
+        )
+        out, kv_f = ragged_decode(
+            q, kv, jnp.asarray(page_table), jnp.asarray(lengths), 1,
+            sm_scale=0.125, pages_per_chunk=2, interpret=True, window=W,
+            sinks=sinks, softcap=cap,
+            new_kv=(k_new, v_new, jnp.asarray(slots)),
+        )
+        live = lengths > 0
+        np.testing.assert_allclose(
+            np.asarray(out)[live], np.asarray(ref)[live],
+            rtol=2e-2, atol=2e-2, err_msg=f"W={W} sinks={sinks is not None}",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(kv_f), np.asarray(kv_ref), err_msg=f"pool W={W}"
+        )
