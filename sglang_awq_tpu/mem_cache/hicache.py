@@ -215,7 +215,8 @@ class HiCacheController:
 
     def _restore_fn(self, n_pages: int):
         split = self.runner.kv_cache.ndim == 6
-        key = ("hicache_restore", n_pages, split)
+        latent = self.runner.kv_cache.ndim == 4
+        key = ("hicache_restore", n_pages, split, latent)
         fns = self.runner._fns
         if key not in fns:
             import jax
@@ -223,8 +224,11 @@ class HiCacheController:
 
             from sglang_awq_tpu.ops.kv_write import (
                 kv_write_prefill,
+                kv_write_prefill_latent,
                 kv_write_prefill_split,
             )
+            if latent:
+                kv_write_prefill = kv_write_prefill_latent  # noqa: F811
 
             if split:
 

@@ -65,6 +65,11 @@ class KVPoolSpec:
     page_size: int
     head_dim: int
     dtype: str = "bfloat16"
+    # MLA: K and V are the SAME latent row -> store it once ([L, P, ps, Xr]
+    # "latent" layout, 0.5x the combined layout's bytes; reference stores
+    # one latent row, memory_pool.py:1396).  Set by models whose attention
+    # passes k is v (deepseek_v2).
+    shared_kv: bool = False
 
     @property
     def jdtype(self):
@@ -99,6 +104,12 @@ class KVPoolSpec:
         whole face width) and for 1-byte pools whose per-shard head count
         can't fill 4 K-rows."""
         itemsize = jnp.dtype(self.jdtype).itemsize
+        if self.shared_kv:
+            assert self.kv_heads == 1, "shared_kv (latent) needs KVH == 1"
+            assert itemsize == 2, "latent layout: bf16 only"
+            assert self.head_dim % 128 == 0, self.head_dim
+            assert self.page_size % 8 == 0, self.page_size
+            return "latent"
         fck = 4 if itemsize == 1 else 2
         if self.kv_heads % fck != 0:
             return "combined"
@@ -113,6 +124,13 @@ class KVPoolSpec:
 
     @property
     def shape(self):
+        if self.layout == "latent":
+            return (
+                self.num_layers,
+                self.num_pages,
+                self.page_size,
+                self.head_dim,
+            )
         if self.layout == "split":
             fck = self.split_faces
             return (
@@ -140,7 +158,11 @@ class KVPoolSpec:
 
     def bytes_per_token(self) -> int:
         itemsize = jnp.dtype(self.jdtype).itemsize
-        return 2 * self.num_layers * self.kv_heads * self.head_dim * itemsize
+        kv_copies = 1 if self.shared_kv else 2
+        return (
+            kv_copies * self.num_layers * self.kv_heads * self.head_dim
+            * itemsize
+        )
 
     def alloc(self) -> jax.Array:
         return jnp.zeros(self.shape, self.jdtype)
@@ -165,6 +187,26 @@ def write_kv(
     from sglang_awq_tpu.utils import is_tpu_backend
 
     T = k_new.shape[0]
+    if kv_cache.ndim == 4:  # latent layout [L, P, ps, Xr]: K == V, one row
+        L, P, ps, Xr = kv_cache.shape
+        rf = k_new.astype(kv_cache.dtype).reshape(T, Xr)
+        if is_tpu_backend():
+            from sglang_awq_tpu.ops.kv_write import (
+                kv_write_prefill_latent,
+                kv_write_tokens_latent,
+            )
+
+            if mode == "prefill":
+                num_slots = P * ps
+                group_slots = slots.reshape(T // ps, ps)[:, 0]
+                valid = (group_slots >= 0) & (group_slots < num_slots)
+                pages = jnp.where(valid, group_slots // ps, -1)
+                return kv_write_prefill_latent(kv_cache, rf, pages, layer)
+            return kv_write_tokens_latent(kv_cache, rf, slots, layer)
+        layer = jnp.asarray(layer, jnp.int32)
+        return kv_cache.at[layer, slots // ps, slots % ps].set(
+            rf, mode="drop"
+        )
     if kv_cache.ndim == 6:  # split layout [L, P, 2, ps, fcK, XrK]
         L, P, _, ps, fck, XrK = kv_cache.shape
         kf = k_new.astype(kv_cache.dtype).reshape(T, fck, XrK)

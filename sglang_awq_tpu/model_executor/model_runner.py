@@ -387,9 +387,18 @@ class ModelRunner:
                     f"requires a multiple of 128 — lower --tp-size or use "
                     f"bf16 KV for this geometry"
                 )
+        # MLA (shared K/V latent row): store the latent ONCE — the 4-dim
+        # "latent" pool layout halves KV bytes for DeepSeek-class models
+        use_latent = (
+            bool(getattr(mc, "is_mla", False))
+            and kv_dtype == "bfloat16"
+            and sa.tp_size == 1
+            # tp>1 keeps the combined layout (replicated latent sharding
+            # annotations are rank-keyed; latent-under-TP is a later step)
+        )
         probe = KVPoolSpec(
             layers_local, kv_heads_local, 1, self.page_size, mc.head_dim,
-            dtype=kv_dtype,
+            dtype=kv_dtype, shared_kv=use_latent,
         )
         extra_bpt = 0
         if self._draft_cfg is not None:  # EAGLE draft pool rides along
@@ -428,6 +437,7 @@ class ModelRunner:
             self.page_size,
             mc.head_dim,
             dtype=kv_dtype,
+            shared_kv=use_latent,
         )
         self.max_total_tokens = num_pages * self.page_size
         self.pmax = cdiv(mc.context_length, self.page_size)

@@ -14,10 +14,13 @@ TPU re-design:
   `q_abs·c + q_pe·k_pe` — exactly one MQA dot against the latent row.
   The attention output in latent space is up-projected per head with
   `W_uv_h`.  This makes MLA literally a KVH=1, D=640 instance of
-  `ragged_decode`/`ragged_extend`: zero new kernel code.  (The pool's
-  K/V face pair stores the same latent row twice — 2.2x the minimal MLA
-  bytes but still ~40% less than a GQA-8 cache; a single-face MLA kernel
-  is the listed next optimization.)
+  `ragged_decode`/`ragged_extend`.  Round 4: the pool stores the latent
+  row ONCE — the 4-dim "latent" layout ([L, P, ps, Xr], K == V, the
+  reference's single-row MLA cache `memory_pool.py:1396`) halves the
+  round-3 K/V-face-pair bytes to 1.0x minimal; the ragged kernels read
+  the same chunk for both dots and token writes go through 8-row
+  read-modify-write groups (HBM tile alignment).  tp>1 keeps the
+  combined layout for now (replicated-latent sharding is rank-keyed).
 * **Heterogeneous layer stacks via two-segment indexing.**  DeepSeek has
   `first_k_dense_replace` dense-MLP layers before the MoE layers.  The
   layer scan stays ONE scan over all layers; `_mlp` switches on

@@ -132,6 +132,7 @@ def _decode_kernel_split(
     has_sinks: bool,
     interpret: bool,
     fuse_new: bool = False,
+    latent: bool = False,  # 4-dim latent pool [L, P, ps, Xr]: K == V
     stats_out=None,  # optional (m_out, l_out) [B, KVH*R, 128] two-piece-merge stats
 ):
     """Split-pool megakernel: the _decode_kernel walk with per-half dots.
@@ -152,12 +153,19 @@ def _decode_kernel_split(
         kvout_ref, *scratch = rest
     else:
         kvout_ref, scratch = None, list(rest)
-    (qbd_ref, m_ref, l_ref, acc_ref, cb_ref, tj_ref, tr_ref,
-     k_buf, v_buf, sem, *sem_w_opt) = scratch
-    sem_w = sem_w_opt[0] if fuse_new else None
+    if latent:
+        (qbd_ref, m_ref, l_ref, acc_ref, cb_ref, tj_ref, tr_ref,
+         k_buf, sem) = scratch
+        v_buf = sem_w = None
+    else:
+        (qbd_ref, m_ref, l_ref, acc_ref, cb_ref, tj_ref, tr_ref,
+         k_buf, v_buf, sem, *sem_w_opt) = scratch
+        sem_w = sem_w_opt[0] if fuse_new else None
     ps = k_buf.shape[2]
     ck = pages_per_chunk * ps
-    fck = k_buf.shape[3]  # K sublane rows per token (2 bf16 / 4 fp8-int8)
+    # K sublane rows per token (2 bf16 / 4 fp8-int8; 1 = latent: a single
+    # row per token serves as BOTH K and V — MLA stores one latent copy)
+    fck = 1 if latent else k_buf.shape[3]
     hph = kvh // fck  # heads per class row
     d = q_ref.shape[-1]
     r = q_ref.shape[2]
@@ -177,14 +185,20 @@ def _decode_kernel_split(
             @pl.when(i < npg)
             def _():
                 page = pt_ref[bb * pmax + base * pages_per_chunk + i]
-                pltpu.make_async_copy(
-                    kv_hbm_ref.at[layer, page, 0], k_buf.at[slot, i],
-                    sem.at[slot, 0],
-                ).start()
-                pltpu.make_async_copy(
-                    kv_hbm_ref.at[layer, page, 1], v_buf.at[slot, i],
-                    sem.at[slot, 1],
-                ).start()
+                if latent:
+                    pltpu.make_async_copy(
+                        kv_hbm_ref.at[layer, page], k_buf.at[slot, i],
+                        sem.at[slot, 0],
+                    ).start()
+                else:
+                    pltpu.make_async_copy(
+                        kv_hbm_ref.at[layer, page, 0], k_buf.at[slot, i],
+                        sem.at[slot, 0],
+                    ).start()
+                    pltpu.make_async_copy(
+                        kv_hbm_ref.at[layer, page, 1], v_buf.at[slot, i],
+                        sem.at[slot, 1],
+                    ).start()
 
     def wait_copy(bb, cc, slot):
         npg = live_pages(bb, cc)
@@ -192,12 +206,20 @@ def _decode_kernel_split(
 
             @pl.when(i < npg)
             def _():
-                pltpu.make_async_copy(
-                    kv_hbm_ref.at[0, 0, 0], k_buf.at[slot, i], sem.at[slot, 0]
-                ).wait()
-                pltpu.make_async_copy(
-                    kv_hbm_ref.at[0, 0, 0], v_buf.at[slot, i], sem.at[slot, 1]
-                ).wait()
+                if latent:
+                    pltpu.make_async_copy(
+                        kv_hbm_ref.at[0, 0], k_buf.at[slot, i],
+                        sem.at[slot, 0],
+                    ).wait()
+                else:
+                    pltpu.make_async_copy(
+                        kv_hbm_ref.at[0, 0, 0], k_buf.at[slot, i],
+                        sem.at[slot, 0],
+                    ).wait()
+                    pltpu.make_async_copy(
+                        kv_hbm_ref.at[0, 0, 0], v_buf.at[slot, i],
+                        sem.at[slot, 1],
+                    ).wait()
 
     def advance(bb, cc):
         return lax.cond(
@@ -211,7 +233,8 @@ def _decode_kernel_split(
         b0 = nlive_ref[0]
         # skipped tail pages must not feed uninitialized VMEM into the dots
         k_buf[...] = jnp.zeros_like(k_buf)
-        v_buf[...] = jnp.zeros_like(v_buf)
+        if not latent:
+            v_buf[...] = jnp.zeros_like(v_buf)
         start_copy(b0, 0, 0)
 
         # chunk-invariant mask components, built once (overlapped with the
@@ -266,10 +289,10 @@ def _decode_kernel_split(
                         ).start()
 
             kc = k_buf[slot].reshape(fck * ck, k_buf.shape[-1])
-            vc = v_buf[slot].reshape(fck * ck, v_buf.shape[-1])
+            vc = kc if latent else v_buf[slot].reshape(fck * ck, v_buf.shape[-1])
             if kc.dtype != jnp.bfloat16:
                 kc = chunk_to_bf16(kc)
-                vc = chunk_to_bf16(vc)
+                vc = kc if latent else chunk_to_bf16(vc)
 
             qk = lax.dot_general(
                 qbd_ref[...], kc, (((1,), (1,)), ((), ())),
@@ -720,6 +743,7 @@ def ragged_decode(
 
     _ppc_env = _os.environ.get("SGLT_DECODE_PPC")
     split = kv_cache.ndim == 6
+    latent = kv_cache.ndim == 4  # [L, P, ps, Xr]: one row per token, K == V
     ps_ = kv_cache.shape[3] if split else kv_cache.shape[2]
     if _ppc_env:
         pages_per_chunk = int(_ppc_env)
@@ -730,6 +754,9 @@ def ragged_decode(
         pages_per_chunk = max(1, 256 // ps_)
     if split:
         L, P, _, ps, fc, Xr = kv_cache.shape  # fc = fcK, Xr = XrK
+    elif latent:
+        L, P, ps, Xr = kv_cache.shape
+        fc = 1
     else:
         L, P, ps, fc, Xr = kv_cache.shape
     if raw_layout:
@@ -741,6 +768,11 @@ def ragged_decode(
         KVH = fc * Xr // D
         assert fc in (2, 4) and Xr * fc == KVH * D and QH % KVH == 0
         assert KVH % fc == 0, (KVH, fc)  # a head must not straddle classes
+    elif latent:
+        KVH = 1
+        assert Xr == D and kv_cache.dtype == jnp.bfloat16, (
+            "latent pool: row width must equal q width; bf16 only"
+        )
     else:
         KVH = fc * Xr // (2 * D)
         assert fc in (2, 4) and Xr * fc == 2 * KVH * D and QH % KVH == 0
@@ -784,6 +816,7 @@ def ragged_decode(
         assert split and QS == 1 and not want_stats, (
             "new_kv fusion: split pool, QS == 1, no stats"
         )
+        assert not latent, "new_kv fusion: not supported for latent pools"
         assert kv_cache.dtype == jnp.bfloat16, "new_kv fusion: bf16 pools"
         k_new, v_new, wslots = new_kv
         knew_arr = k_new.astype(jnp.bfloat16).reshape(B, fc, Xr)
@@ -847,6 +880,11 @@ def ragged_decode(
         ]
         if fuse_new:
             scratch = scratch + [pltpu.SemaphoreType.DMA]
+    elif latent:
+        scratch = common_scratch + [
+            pltpu.VMEM((2, ppc, ps, Xr), kv_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ]
     else:
         scratch = common_scratch + [
             pltpu.VMEM((2, ppc, ps, fc, Xr), kv_cache.dtype),
@@ -883,7 +921,7 @@ def ragged_decode(
         assert split, "want_stats: split-pool decode only"
         base = _decode_kernel_split_with_stats
     else:
-        base = _decode_kernel_split if split else _decode_kernel
+        base = _decode_kernel_split if (split or latent) else _decode_kernel
     kernel = functools.partial(
         base,
         batch_size=B,
@@ -898,6 +936,7 @@ def ragged_decode(
         has_sinks=sinks is not None,
         interpret=bool(interpret),
         **({"fuse_new": True} if fuse_new else {}),
+        **({"latent": True} if latent else {}),
     )
     if want_stats:
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -991,14 +1030,8 @@ def _extend_kernel_split(
     sink_ref,  # [KVH*G or 8, 128] f32 per-head sink logits (dummy when off)
     # output
     o_ref,  # [BQ, QH, D] f32
-    # scratch
-    m_ref,  # [KVH, BQ*G, 128] f32
-    l_ref,
-    acc_ref,  # [KVH, BQ*G, D] f32
-    k_buf,  # [2, ppc, ps, fcK, XrK]
-    v_buf,
-    sem,  # [2, 2]
-    *,
+    # scratch: m, l, acc, k_buf [2, ppc, ps, fcK, XrK], (v_buf), sem
+    *scratch,
     batch_size: int,
     bq: int,
     pages_per_chunk: int,
@@ -1009,14 +1042,21 @@ def _extend_kernel_split(
     softcap: float,
     has_sinks: bool,
     interpret: bool,
+    latent: bool = False,  # 4-dim latent pool [L, P, ps, Xr]: K == V
 ):
     """Split-pool ragged extend: the _extend_kernel walk, but each head's
     qk dot contracts only the K chunk's lane slice and the PV dot hits the
-    V chunk directly (no parity shift)."""
+    V chunk directly (no parity shift).  latent: one row per token serves
+    as both K and V (MLA single-copy cache)."""
     b, qb, c = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    if latent:
+        m_ref, l_ref, acc_ref, k_buf, sem = scratch
+        v_buf = k_buf
+    else:
+        m_ref, l_ref, acc_ref, k_buf, v_buf, sem = scratch
     ps = k_buf.shape[2]
     ck = pages_per_chunk * ps
-    fck = k_buf.shape[3]
+    fck = 1 if latent else k_buf.shape[3]
     hph = kvh // fck  # heads per class row
 
     def limit_of(bb, qbb):
@@ -1067,14 +1107,20 @@ def _extend_kernel_split(
             @pl.when(i < npg)
             def _():
                 page = pt_ref[bb * pmax + cc * pages_per_chunk + i]
-                pltpu.make_async_copy(
-                    kv_hbm_ref.at[layer, page, 0], k_buf.at[slot, i],
-                    sem.at[slot, 0],
-                ).start()
-                pltpu.make_async_copy(
-                    kv_hbm_ref.at[layer, page, 1], v_buf.at[slot, i],
-                    sem.at[slot, 1],
-                ).start()
+                if latent:
+                    pltpu.make_async_copy(
+                        kv_hbm_ref.at[layer, page], k_buf.at[slot, i],
+                        sem.at[slot, 0],
+                    ).start()
+                else:
+                    pltpu.make_async_copy(
+                        kv_hbm_ref.at[layer, page, 0], k_buf.at[slot, i],
+                        sem.at[slot, 0],
+                    ).start()
+                    pltpu.make_async_copy(
+                        kv_hbm_ref.at[layer, page, 1], v_buf.at[slot, i],
+                        sem.at[slot, 1],
+                    ).start()
 
     def wait_copy(bb, qbb, cc, slot):
         npg = live_pages(bb, qbb, cc)
@@ -1082,12 +1128,19 @@ def _extend_kernel_split(
 
             @pl.when(i < npg)
             def _():
-                pltpu.make_async_copy(
-                    kv_hbm_ref.at[0, 0, 0], k_buf.at[slot, i], sem.at[slot, 0]
-                ).wait()
-                pltpu.make_async_copy(
-                    kv_hbm_ref.at[0, 0, 0], v_buf.at[slot, i], sem.at[slot, 1]
-                ).wait()
+                if latent:
+                    pltpu.make_async_copy(
+                        kv_hbm_ref.at[0, 0], k_buf.at[slot, i], sem.at[slot, 0]
+                    ).wait()
+                else:
+                    pltpu.make_async_copy(
+                        kv_hbm_ref.at[0, 0, 0], k_buf.at[slot, i],
+                        sem.at[slot, 0],
+                    ).wait()
+                    pltpu.make_async_copy(
+                        kv_hbm_ref.at[0, 0, 0], v_buf.at[slot, i],
+                        sem.at[slot, 1],
+                    ).wait()
 
     @pl.when(live)
     def _live():
@@ -1118,10 +1171,10 @@ def _extend_kernel_split(
         wait_copy(b, qb, c, slot)
         d = q_ref.shape[-1]
         kc = k_buf[slot].reshape(fck * ck, k_buf.shape[-1])
-        vc = v_buf[slot].reshape(fck * ck, v_buf.shape[-1])
+        vc = kc if latent else v_buf[slot].reshape(fck * ck, v_buf.shape[-1])
         if kc.dtype != jnp.bfloat16:
             kc = chunk_to_bf16(kc)
-            vc = chunk_to_bf16(vc)
+            vc = kc if latent else chunk_to_bf16(vc)
         prefix = kvlens_ref[b] - q_len
         masks = [None] * fck  # one per class row (heads share within class)
         for h in range(kvh):
@@ -1430,11 +1483,18 @@ def ragged_extend(
         interpret = pallas_interpret_default()
     TQ, QH, D = q.shape
     split = kv_cache.ndim == 6
+    latent = kv_cache.ndim == 4  # [L, P, ps, Xr]: one row per token, K == V
     if split:
         L, P, _, ps, fc, Xr = kv_cache.shape  # fc = fcK, Xr = XrK
         KVH = fc * Xr // D
         assert fc in (2, 4) and Xr * fc == KVH * D and QH % KVH == 0
         assert KVH % fc == 0, (KVH, fc)
+    elif latent:
+        L, P, ps, Xr = kv_cache.shape
+        fc, KVH = 1, 1
+        assert Xr == D and kv_cache.dtype == jnp.bfloat16, (
+            "latent pool: row width must equal q width; bf16 only"
+        )
     else:
         L, P, ps, fc, Xr = kv_cache.shape
         KVH = fc * Xr // (2 * D)
@@ -1495,14 +1555,21 @@ def ragged_extend(
                 pltpu.SemaphoreType.DMA((2, 2)),
             ]
             if split
-            else [
-                pltpu.VMEM((2, ppc, ps, fc, Xr), kv_cache.dtype),
-                pltpu.SemaphoreType.DMA((2,)),
-            ]
+            else (
+                [
+                    pltpu.VMEM((2, ppc, ps, Xr), kv_cache.dtype),
+                    pltpu.SemaphoreType.DMA((2, 2)),
+                ]
+                if latent
+                else [
+                    pltpu.VMEM((2, ppc, ps, fc, Xr), kv_cache.dtype),
+                    pltpu.SemaphoreType.DMA((2,)),
+                ]
+            )
         ),
     )
     kernel = functools.partial(
-        _extend_kernel_split if split else _extend_kernel,
+        _extend_kernel_split if (split or latent) else _extend_kernel,
         batch_size=B,
         bq=BQ,
         pages_per_chunk=ppc,
@@ -1513,6 +1580,7 @@ def ragged_extend(
         softcap=float(softcap),
         has_sinks=sinks is not None,
         interpret=bool(interpret),
+        **({"latent": True} if latent else {}),
     )
     out = pl.pallas_call(
         kernel,
@@ -1550,6 +1618,9 @@ def _gather_seq(kv_cache, page_table, layer, head_dim):
     kvl = jax.lax.dynamic_index_in_dim(kv_cache, layer, 0, keepdims=False)
     g = kvl[page_table]
     B = page_table.shape[0]
+    if kv_cache.ndim == 4:  # latent [L, P, ps, Xr]: one row, K == V
+        g = g.reshape(B, -1, 1, kv_cache.shape[-1])
+        return g, g
     if kv_cache.ndim == 6:  # split [L, P, 2, ps, fcK, XrK]
         _, _, _, ps, fck, XrK = kv_cache.shape
         KVH = fck * XrK // head_dim
@@ -1579,10 +1650,13 @@ def ragged_decode_xla(
     want_stats: bool = False,
 ) -> jax.Array:
     B, QS, QH, D = q.shape
-    fc = kv_cache.shape[-2]
-    KVH = fc * kv_cache.shape[-1] // (
-        D if kv_cache.ndim == 6 else 2 * D
-    )
+    if kv_cache.ndim == 4:  # latent: one full-width row, K == V
+        KVH = 1
+    else:
+        fc = kv_cache.shape[-2]
+        KVH = fc * kv_cache.shape[-1] // (
+            D if kv_cache.ndim == 6 else 2 * D
+        )
     G = QH // KVH
     kg, vg = _gather_seq(kv_cache, page_table, layer, D)  # [B, S, KVH, D]
     qg = q.reshape(B, QS, KVH, G, D)
@@ -1638,10 +1712,13 @@ def ragged_extend_xla(
     """Per-sequence gather + masked softmax (test oracle; also the CPU
     serving path — jit-compatible, no python data-dependent control flow)."""
     TQ, QH, D = q.shape
-    fc = kv_cache.shape[-2]
-    KVH = fc * kv_cache.shape[-1] // (
-        D if kv_cache.ndim == 6 else 2 * D
-    )
+    if kv_cache.ndim == 4:  # latent: one full-width row, K == V
+        KVH = 1
+    else:
+        fc = kv_cache.shape[-2]
+        KVH = fc * kv_cache.shape[-1] // (
+            D if kv_cache.ndim == 6 else 2 * D
+        )
     G = QH // KVH
     B = page_table.shape[0]
     kg, vg = _gather_seq(kv_cache, page_table, layer, D)  # [B, S, KVH, D]

@@ -236,23 +236,10 @@ def test_bench_serving_harness(server_url):
         random_range = 0.0
         seed = 0
         timeout = 300
+        max_token_id = 500  # token ids must stay under the tiny vocab
+        ttft_breakdown = False
 
-    # token ids must stay under the tiny model's vocab
-    import sglang_awq_tpu.bench_serving as bs
-    import random as _random
-
-    orig = _random.Random.randrange
-    report = None
-
-    class SmallRandom(_random.Random):
-        def randrange(self, a, b=None, step=1):
-            return orig(self, 3, 500)
-
-    bs.random.Random = SmallRandom
-    try:
-        report = asyncio.run(run_bench(A))
-    finally:
-        bs.random.Random = _random.Random
+    report = asyncio.run(run_bench(A))
     assert report["completed"] == 4 and report["failed"] == 0
     assert report["total_output_tokens"] == 16
     assert report["ttft_ms"]["p50"] > 0

@@ -694,3 +694,76 @@ def test_split_decode_fused_write_matches_two_dispatch():
         np.testing.assert_array_equal(
             np.asarray(kv_f), np.asarray(kv_ref), err_msg=f"pool W={W}"
         )
+
+
+def _latent_pool(seed=0):
+    k = jax.random.PRNGKey(seed)
+    return jax.random.normal(k, (L, PAGES, PS, 2 * KVH * D), jnp.float32).astype(
+        jnp.bfloat16
+    )  # Xr = 256 (two-vreg row)
+
+
+def test_latent_write_tokens_rmw_pairs():
+    """Latent single-row writes via 2-row RMW groups, incl. a spec span
+    whose two tokens share one group."""
+    from sglang_awq_tpu.ops.kv_write import kv_write_tokens_latent
+
+    kv = _latent_pool(31)
+    Xr = kv.shape[-1]
+    rng = np.random.default_rng(31)
+    # slots 40,41 share a group (spec span); 7 odd alone; 18 even alone
+    slots = np.array([40, 41, 7, PAD_SLOT, 18], np.int32)
+    rows = jnp.asarray(rng.normal(size=(5, Xr)), jnp.bfloat16)
+    got = kv_write_tokens_latent(kv, rows, jnp.asarray(slots), 1,
+                                 interpret=True)
+    want = kv.at[1, slots // PS, slots % PS].set(rows, mode="drop")
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_latent_ragged_decode_and_extend_match_xla():
+    from sglang_awq_tpu.mem_cache.kv_pool import write_kv
+
+    kv = _latent_pool(32)
+    Xr = kv.shape[-1]
+    rng = np.random.default_rng(32)
+    B, pmax = 4, 4
+    lengths = np.array([11, 1, 0, 32], np.int32)
+    page_table = rng.integers(0, PAGES, size=(B, pmax)).astype(np.int32)
+    q = jnp.asarray(rng.normal(size=(B, 1, QH, Xr)), jnp.bfloat16)
+    out = ragged_decode(
+        q, kv, jnp.asarray(page_table), jnp.asarray(lengths), 1,
+        sm_scale=0.125, pages_per_chunk=2, interpret=True,
+    )
+    ref = ragged_decode_xla(
+        q, kv, jnp.asarray(page_table), jnp.asarray(lengths), 1,
+        sm_scale=0.125,
+    )
+    live = lengths > 0
+    np.testing.assert_allclose(
+        np.asarray(out)[live], np.asarray(ref)[live], rtol=2e-2, atol=2e-2
+    )
+
+    # extend: write page-aligned rows then attend
+    q_lens = np.array([5, 16, 3, 0], np.int32)
+    prefixes = np.array([8, 0, 16, 0], np.int32)
+    kv_lens = q_lens + prefixes
+    BQ = 16
+    qb_base = np.array([0, 1, 2, 3], np.int32)
+    TQ = 4 * BQ
+    qe = jnp.asarray(rng.normal(size=(TQ, QH, Xr)), jnp.bfloat16)
+    oute = ragged_extend(
+        qe, kv, jnp.asarray(page_table), jnp.asarray(kv_lens),
+        jnp.asarray(q_lens), jnp.asarray(qb_base), 0,
+        sm_scale=0.125, block_q=BQ, pages_per_chunk=2, interpret=True,
+    )
+    refe = ragged_extend_xla(
+        qe, kv, jnp.asarray(page_table), jnp.asarray(kv_lens),
+        jnp.asarray(q_lens), jnp.asarray(qb_base), 0,
+        sm_scale=0.125, block_q=BQ,
+    )
+    for b in range(4):
+        s, n = qb_base[b] * BQ, q_lens[b]
+        np.testing.assert_allclose(
+            np.asarray(oute)[s : s + n], np.asarray(refe)[s : s + n],
+            rtol=2e-2, atol=2e-2, err_msg=f"seq {b}",
+        )
