@@ -142,6 +142,13 @@ class ModelConfig:
             [i for i, t in enumerate(lt) if t == "full_attention"]
             if isinstance(lt, list) and "linear_attention" in lt else None
         )
+        # NemotronH-style per-layer component pattern: only '*' layers own
+        # KV pages (M = mamba2, - = MLP, E = MoE)
+        pat = c.get("hybrid_override_pattern")
+        if self.full_attention_layers is None and isinstance(pat, str) and pat:
+            self.full_attention_layers = [
+                i for i, ch in enumerate(pat) if ch == "*"
+            ]
         self.num_kv_layers = (
             len(self.full_attention_layers)
             if self.full_attention_layers is not None else self.num_layers

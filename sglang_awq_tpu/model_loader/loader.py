@@ -164,6 +164,8 @@ def load_params_from_tensors(
         # first_k_dense_replace: dense MLPs on layers [0, k), MoE beyond)
         sources, kind = entry[0], entry[1]
         lo, hi = entry[2] if len(entry) > 2 else (0, L)
+        if hi <= lo:  # empty component stack (e.g. a pattern with no
+            continue  # attention layers) — nothing to merge
         spec: LinearSpec = model.specs[target]
         quant_here = spec.quantized
 

@@ -60,6 +60,7 @@ from sglang_awq_tpu.utils import is_tpu_backend
 @dataclasses.dataclass
 class FalconH1ForCausalLM(LlamaForCausalLM):
     has_linear_state: bool = True
+    use_rope: bool = True  # NemotronH subclass: attention without rope
 
     def __post_init__(self):
         super().__post_init__()
@@ -382,7 +383,8 @@ class FalconH1ForCausalLM(LlamaForCausalLM):
         k = (k.astype(jnp.float32) * self.mult_key).astype(
             jnp.bfloat16).reshape(T, self.kvh, D)
         v = v.reshape(T, self.kvh, D)
-        q, k = apply_rope(q, k, positions, rope_tab)
+        if self.use_rope:
+            q, k = apply_rope(q, k, positions, rope_tab)
         attn = attn_fn(q, k, v, l)
         attn = attn.reshape(T, self.qh * D).astype(jnp.bfloat16)
         o = linear_apply(self.specs["o"], lp["o"], attn, l)

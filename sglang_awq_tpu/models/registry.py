@@ -55,6 +55,7 @@ def get_model_class(architecture: str):
         Qwen3MoeForCausalLM,
     )
     from sglang_awq_tpu.models.falcon_h1 import FalconH1ForCausalLM
+    from sglang_awq_tpu.models.nemotron_h import NemotronHForCausalLM
     from sglang_awq_tpu.models.qwen3_next import Qwen3NextForCausalLM
     from sglang_awq_tpu.models.qwen2_5_vl import Qwen2_5_VLForCausalLM
     from sglang_awq_tpu.models.baichuan import (
@@ -100,6 +101,7 @@ def get_model_class(architecture: str):
         "Qwen2MoeForCausalLM": Qwen2MoeForCausalLM,
         "Qwen3MoeForCausalLM": Qwen3MoeForCausalLM,
         "FalconH1ForCausalLM": FalconH1ForCausalLM,
+        "NemotronHForCausalLM": NemotronHForCausalLM,
         "Qwen3NextForCausalLM": Qwen3NextForCausalLM,
         "Qwen2_5_VLForConditionalGeneration": Qwen2_5_VLForCausalLM,
         "BaichuanForCausalLM": BaichuanForCausalLM,
