@@ -306,12 +306,11 @@ class Scheduler:
             dispatched = self._dispatch_prefill(prefill_reqs)
         elif self.running:
             if (self.ngram is not None or self.eagle) and all(
-                # penalties still disable spec batch-wide (the verify has
-                # no per-row count state yet); grammar / logit_bias rows
-                # now PARTICIPATE at width 1 (reference runs spec
-                # per-request, eagle_worker.py)
-                not r.sampling_params.has_penalties
-                and not getattr(r, "mrope_delta", 0)
+                # grammar / logit_bias rows participate at width 1 and
+                # penalty rows ride the verify with per-row device counts
+                # (reference runs spec per-request, eagle_worker.py);
+                # mrope deltas still fall back (KV index vs rope offset)
+                not getattr(r, "mrope_delta", 0)
                 for r in self.running
             ):
                 # sampled rows keep spec ON: the verify applies chain
@@ -1555,6 +1554,7 @@ class Scheduler:
                         t = int(tid)
                         if 0 <= t < V:
                             bias0[i, t] += float(bv)
+        want_pen = any(r.sampling_params.has_penalties for r in self.running)
         ids, emit_ids, emit_len = self.runner.forward_spec_verify(
             tokens, positions, slots, page_table, lengths,
             sampling=[r.sampling_row() for r in self.running],
@@ -1563,6 +1563,8 @@ class Scheduler:
             all_greedy=all_greedy,
             lora_idx=np.asarray([getattr(r, 'lora_slot', -1) for r in self.running], np.int32),
             bias0=bias0, spec_caps=spec_caps,
+            row_ids=np.asarray([r.row for r in self.running], np.int32),
+            update_counts=want_pen,
         )
 
         accepts = np.ones(B, np.int32)

@@ -190,6 +190,25 @@ class ModelRunner:
         self.block_q = max(128, self.page_size)
         assert self.block_q % self.page_size == 0
 
+        # hybrid global/SWA models: split the KV pools by layer group (SWA
+        # layers move into per-request page rings, O(window) bytes) when
+        # the serving config allows it — see llama.enable_swa_rings
+        if (
+            getattr(self.model, "swa_ring_eligible", False)
+            and server_args.tp_size == 1
+            and self.pp_size == 1
+            and server_args.speculative_algorithm is None
+            and not server_args.lora_paths
+            and server_args.kv_cache_dtype in ("auto", "bfloat16")
+            and not server_args.disable_swa_rings
+        ):
+            # a single extend dispatch can carry up to one q-block even
+            # when the chunk budget is smaller (block_q is the scheduler's
+            # admission granularity) — the ring must hold that span
+            self.model.enable_swa_rings(
+                self.page_size,
+                max(server_args.chunked_prefill_size, self.block_q))
+
         self._init_memory_pool()
 
         self.decode_bs_buckets = server_args.decode_bs_buckets or default_decode_bs_buckets(
@@ -455,6 +474,8 @@ class ModelRunner:
         (`srt/mem_cache/memory_pool.py` mamba state fork)."""
         if not hasattr(self.model, "wrap_kv_state"):
             return
+        if "conv" not in self.kv_cache:
+            return  # SWA page rings carry no copyable recurrent state
         if getattr(self, "_copy_state_fn", None) is None:
             @partial(jax.jit, donate_argnums=(0,))
             def _copy(kv, src, dst):
@@ -482,7 +503,10 @@ class ModelRunner:
             # (the mamba-radix prefix-cache states) sit past the trash row.
             rows = self.server_args.max_running_requests + 24 + 1
             self.state_ckpt_base = rows
-            self.n_state_ckpts = self.server_args.hybrid_state_ckpts
+            self.n_state_ckpts = (
+                self.server_args.hybrid_state_ckpts
+                if getattr(self.model, "has_state_ckpts", True) else 0
+            )
             rows += self.n_state_ckpts
             return self.model.wrap_kv_state(self.kv_spec.alloc(), rows)
         if self.mesh is None:
@@ -1020,6 +1044,14 @@ class ModelRunner:
         ext.row_ids, so a decode step can consume them before the host
         fetches.  With async_result the returned arrays stay on device.
         """
+        if getattr(self.model, "_swa_rings", False):
+            # ring-capacity invariant: one dispatch must never carry more
+            # new tokens per request than the ring was sized for (the
+            # dispatch's tail would overwrite pages its own earlier
+            # queries still read)
+            assert int(np.max(ext.q_lens)) <= self.model._swa_chunk_tokens, (
+                int(np.max(ext.q_lens)), self.model._swa_chunk_tokens)
+
         (tq_pad, bs_pad, pt_w, tokens, positions, slots, pt,
          kv_lens, q_lens, qb_base, steps) = self._pad_extend(ext)
         st = self.sampling_state
@@ -1294,12 +1326,13 @@ class ModelRunner:
 
     def _spec_verify_fn(self, bs: int, q_span: int, pt_w: int,
                         want_hidden: bool = False, all_greedy: bool = True,
-                        want_bias: bool = False):
+                        want_bias: bool = False, want_pen: bool = False):
         key = ("spec_verify", bs, q_span, pt_w, want_hidden, all_greedy,
-               want_bias)
+               want_bias, want_pen)
         if key in self._fns:
             return self._fns[key]
         model = self.model
+        vocab = self.model_config.vocab_size
         lora_on = self.lora is not None
 
         def raw(params, kv, rope, tokens, positions, slots, page_table,
@@ -1308,11 +1341,30 @@ class ModelRunner:
             lidx = extra.pop(0) if lora_on else None
             bias0 = extra.pop(0) if want_bias else None
             caps = extra.pop(0) if want_bias else None
+            row_ids = extra.pop(0) if want_pen else None
+            counts = extra.pop(0) if want_pen else None
             out = model.spec_verify_step(
                 params, kv, rope, tokens, positions, slots, page_table,
                 lengths, capture_hidden=want_hidden, lora_idx=lidx,
             )
             logits, kv = out[0], out[1]
+            if want_pen:
+                # per-request penalties under speculation (reference runs
+                # spec per-request; round-3 disabled spec batch-wide on any
+                # penalty).  Position j's candidate distribution penalizes
+                # the base counts PLUS the chain prefix draft_1..draft_j —
+                # exactly the counts a non-spec decode would see had those
+                # drafts been committed, so accepted chains reproduce the
+                # non-spec output.
+                run = counts[row_ids]  # [B, V]
+                pls = []
+                for j in range(q_span):
+                    pls.append(apply_penalties(logits[:, j], run, info, vocab))
+                    if j + 1 < q_span:
+                        run = run.at[
+                            jnp.arange(bs), tokens[:, j + 1]
+                        ].add(1, mode="drop")
+                logits = jnp.stack(pls, axis=1)
             # chain accept/reject on device (distribution-preserving for
             # sampled rows; argmax-match for greedy rows); constrained rows
             # participate width-1 with their grammar/bias at position 0
@@ -1320,15 +1372,28 @@ class ModelRunner:
                 logits, tokens, info, steps, all_greedy=all_greedy,
                 bias0=bias0, caps=caps,
             )
+            if want_pen:
+                # commit emitted tokens into the device count rows
+                jr = jnp.arange(q_span)[None, :]
+                add = (jr < emit_len[:, None]).astype(jnp.int32)
+                for j in range(q_span):
+                    counts = counts.at[row_ids, emit_ids[:, j]].add(
+                        add[:, j], mode="drop")
+            outs = (ids, emit_ids, emit_len)
             if want_hidden:
-                return ids, emit_ids, emit_len, out[2], kv
-            return ids, emit_ids, emit_len, kv
+                outs = outs + (out[2],)
+            outs = outs + (kv,)
+            if want_pen:
+                outs = outs + (counts,)
+            return outs
 
         fn = jax.jit(
             self._wrap_step(
                 raw,
-                7 + (1 if lora_on else 0) + (2 if want_bias else 0),
+                7 + (1 if lora_on else 0) + (2 if want_bias else 0)
+                + (2 if want_pen else 0),
                 n_replicated_out=4 if want_hidden else 3,
+                n_state_out=1 if want_pen else 0,
             ),
             donate_argnums=(1,),
         )
@@ -1348,6 +1413,8 @@ class ModelRunner:
         lora_idx: Optional[np.ndarray] = None,  # [B]
         bias0: Optional[np.ndarray] = None,  # [B, V] pos-0 additive bias
         spec_caps: Optional[np.ndarray] = None,  # [B] per-row emit cap
+        row_ids: Optional[np.ndarray] = None,  # [B] device count rows
+        update_counts: bool = False,  # penalties ride the verify per-row
     ):
         """Speculative verify -> (ids_greedy, emit_ids, emit_len) numpy."""
         bs, qs = tokens.shape
@@ -1355,7 +1422,8 @@ class ModelRunner:
         pt_w = pick_bucket(page_table.shape[1], self.pmax_buckets)
         want_bias = bias0 is not None
         fn = self._spec_verify_fn(
-            bs_pad, qs, pt_w, self.draft is not None, all_greedy, want_bias
+            bs_pad, qs, pt_w, self.draft is not None, all_greedy, want_bias,
+            want_pen=update_counts,
         )
 
         def pad2(a, fill=0):
@@ -1400,7 +1468,14 @@ class ModelRunner:
             if spec_caps is not None:
                 cp[:bs] = spec_caps
             args = args + (jnp.asarray(b0), jnp.asarray(cp))
-        outs = fn(*args)
+        if update_counts:
+            st = self.sampling_state
+            args = args + (
+                self._pad_rows(row_ids, bs, bs_pad), st.ensure_counts(),
+            )
+        outs = list(fn(*args))
+        if update_counts:
+            self.sampling_state.out_counts = outs.pop()
         if want_hidden:
             ids, emit_ids, emit_len, self._verify_hidden, self.kv_cache = outs
         else:

@@ -593,6 +593,199 @@ class LlamaForCausalLM:
             head_dim=self.head_dim,
         )
 
+
+    # ------------------------------------------------------------------
+    # hybrid global/SWA page rings (round 4)
+    #
+    # Models mixing full-attention and sliding-window layers (Gemma2/3,
+    # GPT-OSS) previously stored every layer's KV in ONE page space, so a
+    # single global layer pinned full-length prefixes and SWA layers
+    # could never free window-expired KV (README round-3 known gap;
+    # reference: srt/mem_cache/swa_radix_cache.py two-tier pools).  TPU
+    # design: the pools split by layer GROUP —
+    #   kv = {"pool": [L_full, P, ...] paged KV (radix-managed),
+    #         "swa":  [L_swa, rows * nring, ...] per-request page RINGS}
+    # where each request's SWA ring is nring = ceil(W/ps) + 2 fixed pages
+    # addressed by a device-computed CYCLIC page table
+    # (pt[i] = row*nring + i % nring): the attention kernels' window skip
+    # (s0) never reads walk indices below the window, and each ring page
+    # appears exactly once inside the live window span, so page aliasing
+    # below the window is masked by construction.  Writes overwrite the
+    # expired span in place (nring's +2 margin keeps the overwritten page
+    # strictly below every query's window).  SWA KV bytes become
+    # O(window) per request instead of O(context).
+    #
+    # v1 scope: tp=1/pp=1, bf16 KV, no LoRA/spec; prefix caching is
+    # disabled for these models (a radix hit would need the ring content
+    # for the matched prefix's last W tokens — the documented next step
+    # is recompute-last-W on hit).  Rows ride the sampling-state row
+    # lifecycle exactly like the linear-attention state pools.
+    # ------------------------------------------------------------------
+
+    @property
+    def swa_ring_eligible(self) -> bool:
+        w = self.layer_windows or ()
+        ws = set(x for x in w if x)
+        return bool(
+            w
+            and any(not x for x in w)  # mixed global/local
+            and len(ws) == 1
+            and next(iter(ws)) > 0  # uniform positive window (not chunked)
+            and self.tp_size == 1
+            and self.pp_size == 1
+        )
+
+    def enable_swa_rings(self, page_size: int, chunk_tokens: int):
+        """Runner handshake: split the KV pools by layer group.  Called
+        before pool allocation when the serving config allows it.
+
+        The ring must hold the window PLUS one full prefill chunk: a
+        single extend dispatch writes all its page groups before the
+        attention walk, so positions overwritten by the dispatch's tail
+        must already be below every in-dispatch query's window."""
+        assert self.swa_ring_eligible
+        self.swa_window = int(next(x for x in self.layer_windows if x))
+        self._swa_full = [i for i, x in enumerate(self.layer_windows)
+                          if not x]
+        self._swa_win = [i for i, x in enumerate(self.layer_windows) if x]
+        self._swa_fi = {l: i for i, l in enumerate(self._swa_full)}
+        self._swa_wi = {l: i for i, l in enumerate(self._swa_win)}
+        self._swa_ps = int(page_size)
+        self._swa_chunk_tokens = int(chunk_tokens)
+        self._swa_nring = (
+            -(-self.swa_window // page_size)
+            + -(-int(chunk_tokens) // page_size) + 1
+        )
+        self._swa_rings = True
+        # scheduler: no radix reuse (pages alone are unusable without the
+        # ring content); no recurrent-state checkpoints either
+        self.has_linear_state = True
+        self.has_state_ckpts = False
+        # only full-attention layers own radix-managed KV pages
+        self.config.num_kv_layers = len(self._swa_full)
+        # INSTANCE attributes: hasattr(model, "wrap_kv_state") is the
+        # runner's hybrid-pool switch, so these must not exist on the
+        # class (every llama subclass would take the hybrid path)
+        self.wrap_kv_state = self._swa_wrap_kv_state
+        self.linear_state_bytes = self._swa_linear_state_bytes
+
+    def _swa_linear_state_bytes(self, rows: int) -> int:
+        itemsize = 2  # bf16 rings
+        return (
+            len(self._swa_win) * rows * self._swa_nring * self._swa_ps
+            * 2 * self.kvh * self.head_dim * itemsize
+        )
+
+    def _swa_wrap_kv_state(self, pool, rows: int):
+        from sglang_awq_tpu.mem_cache.kv_pool import KVPoolSpec
+
+        assert getattr(self, "_swa_rings", False)
+        assert pool.dtype == jnp.bfloat16, "SWA rings: bf16 KV only (v1)"
+        self._swa_rows = rows
+        spec = KVPoolSpec(
+            len(self._swa_win), self.kvh, rows * self._swa_nring,
+            self._swa_ps, self.head_dim,
+        )
+        return {"pool": pool, "swa": spec.alloc()}
+
+    def _ring_pt(self, rows_b: jax.Array, pmax: int) -> jax.Array:
+        i = jnp.arange(pmax, dtype=jnp.int32)[None, :]
+        return rows_b[:, None] * self._swa_nring + (i % self._swa_nring)
+
+    def _ring_slot(self, rows_b: jax.Array, pos: jax.Array) -> jax.Array:
+        ps = self._swa_ps
+        page = rows_b * self._swa_nring + (pos // ps) % self._swa_nring
+        return page * ps + pos % ps
+
+    def _decode_step_rings(self, params, kv, rope_tab, tokens, positions,
+                           slots, page_table, lengths, state_rows):
+        assert state_rows is not None, "SWA rings need state rows"
+        x = self._pos_embed(params, self._embed(params, tokens), positions)
+        use_xla = not is_tpu_backend()
+        rows = jnp.asarray(state_rows, jnp.int32)
+        pos = jnp.maximum(lengths - 1, 0)
+        live = lengths > 0
+        pt_swa = self._ring_pt(rows, page_table.shape[1])
+        slots_swa = jnp.where(live, self._ring_slot(rows, pos), PAD_SLOT)
+        kvd = dict(kv)
+        # UNROLLED layer walk (python branch per layer): conditional
+        # in-place updates of two pools under lax.cond would copy them
+        for l in range(self.config.num_layers):
+            win = self.layer_windows[l]
+            if win:
+                key, li, pt_l, sl_l = (
+                    "swa", self._swa_wi[l], pt_swa, slots_swa)
+            else:
+                key, li, pt_l, sl_l = ("pool", self._swa_fi[l], page_table,
+                                       slots)
+
+            def attn(q, k, v, _l, key=key, li=li, pt_l=pt_l, sl_l=sl_l,
+                     win=win, gl=l):
+                kvd[key] = write_kv(kvd[key], k, v, sl_l, li, mode="decode")
+                fn = ragged_decode_xla if use_xla else ragged_decode
+                return fn(
+                    q[:, None], kvd[key], pt_l, lengths, li,
+                    sm_scale=self.sm_scale, window=int(win or 0),
+                    softcap=self.attn_softcap,
+                    sinks=self._sinks(params, gl),
+                )[:, 0]
+
+            x = self._layer(params, x, jnp.asarray(l, jnp.int32), positions,
+                            rope_tab, attn)
+        return self._logits(params, x), kvd
+
+    def _extend_step_rings(self, params, kv, rope_tab, tokens, positions,
+                           slots, page_table, kv_lens, q_lens, qb_base,
+                           block_q, return_hidden, state_rows):
+        assert state_rows is not None, "SWA rings need state rows"
+        TQ = tokens.shape[0]
+        x = self._pos_embed(params, self._embed(params, tokens), positions)
+        use_xla = not is_tpu_backend()
+        rows = jnp.asarray(state_rows, jnp.int32)
+        B = page_table.shape[0]
+        tix = jnp.arange(TQ)
+        seg = jnp.sum(
+            tix[:, None] >= (qb_base * block_q)[None, :], axis=1) - 1
+        segc = jnp.clip(seg, 0, B - 1)
+        # liveness from the segment arithmetic, NOT slots >= 0: in-group
+        # pad tokens keep real full-pool slots for the page-aligned write
+        # contract but carry position 0 — mapping them through _ring_slot
+        # would clobber the ring page that holds the request's position 0
+        p_local = tix - qb_base[segc] * block_q
+        live_tok = (seg >= 0) & (p_local < q_lens[segc])
+        slots_swa = jnp.where(
+            live_tok, self._ring_slot(rows[segc], positions), PAD_SLOT)
+        pt_swa = self._ring_pt(rows, page_table.shape[1])
+        kvd = dict(kv)
+        for l in range(self.config.num_layers):
+            win = self.layer_windows[l]
+            if win:
+                key, li, pt_l, sl_l = (
+                    "swa", self._swa_wi[l], pt_swa, slots_swa)
+            else:
+                key, li, pt_l, sl_l = ("pool", self._swa_fi[l], page_table,
+                                       slots)
+
+            def attn(q, k, v, _l, key=key, li=li, pt_l=pt_l, sl_l=sl_l,
+                     win=win, gl=l):
+                kvd[key] = write_kv(kvd[key], k, v, sl_l, li, mode="prefill")
+                fn = ragged_extend_xla if use_xla else ragged_extend
+                return fn(
+                    q, kvd[key], pt_l, kv_lens, q_lens, qb_base, li,
+                    sm_scale=self.sm_scale, block_q=block_q,
+                    window=int(win or 0), softcap=self.attn_softcap,
+                    sinks=self._sinks(params, gl),
+                )
+
+            x = self._layer(params, x, jnp.asarray(l, jnp.int32), positions,
+                            rope_tab, attn)
+        last = jnp.clip(
+            qb_base * block_q + jnp.maximum(q_lens, 1) - 1, 0, TQ - 1)
+        h_last = x[last]
+        if return_hidden:
+            return self._final_norm(params, h_last).astype(jnp.float32), kvd
+        return self._logits(params, h_last), kvd
+
     def decode_step(
         self,
         params: Dict[str, Any],
@@ -607,6 +800,10 @@ class LlamaForCausalLM:
         state_rows: Optional[jax.Array] = None,  # [B] linear-state rows
     ) -> Tuple[jax.Array, jax.Array]:
         """One decode step for a padded batch -> (logits [B, V], kv)."""
+        if getattr(self, "_swa_rings", False):
+            return self._decode_step_rings(
+                params, kv_cache, rope_tab, tokens, positions, slots,
+                page_table, lengths, state_rows)
         del state_rows  # hybrid linear-attention models consume these
         B = tokens.shape[0]
         x = self._pos_embed(params, self._embed(params, tokens), positions)
@@ -927,6 +1124,11 @@ class LlamaForCausalLM:
         Reference role: `get_new_batch_prefill` extend batch
         (`scheduler.py:1783`) + `extend_attention.py` ragged qo_indptr batch.
         """
+        if getattr(self, "_swa_rings", False):
+            return self._extend_step_rings(
+                params, kv_cache, rope_tab, tokens, positions, slots,
+                page_table, kv_lens, q_lens, qb_base, block_q,
+                return_hidden, state_rows)
         del state_rows  # hybrid linear-attention models consume these
         TQ = tokens.shape[0]
         B = page_table.shape[0]

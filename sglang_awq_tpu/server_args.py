@@ -63,6 +63,10 @@ class ServerArgs:
     # hybrid linear-attention models: recurrent-state checkpoint rows for
     # prefix caching (the mamba-radix role; 0 disables)
     hybrid_state_ckpts: int = 32
+    # hybrid global/SWA models: keep SWA-layer KV in per-request page rings
+    # (O(window) bytes) instead of the shared paged pool; set True to force
+    # the single-pool layout (e.g. to keep radix prefix reuse)
+    disable_swa_rings: bool = False
 
     # --- sampling defaults ---
     max_new_tokens_default: int = 128

@@ -461,3 +461,71 @@ def test_spec_coexists_with_grammar_request():
     assert results["gram"] == ref_gram, (results["gram"], ref_gram)
     # spec stayed ON for the mix: drafts accepted beyond width-1
     assert accept_rate > 1.0, accept_rate
+
+
+def test_spec_coexists_with_penalty_request():
+    """Round 4 (VERDICT item 5 tail): penalty rows must NOT disable
+    speculation batch-wide.  The verify applies per-position penalties
+    from the device count rows (base counts + the chain prefix), so the
+    penalized request's greedy output matches its non-spec run while a
+    plain co-resident keeps drafting."""
+    import threading
+
+    from .utils import ByteTokenizer
+
+    def _engine_tok(spec):
+        _, tensors = tiny_hf_model_and_tensors()
+        mc = ModelConfig(model_path="", hf_config=dict(TINY_LLAMA_CFG))
+        sa = ServerArgs(
+            model_path="tiny", page_size=8, max_total_tokens=2048,
+            chunked_prefill_size=32,
+            speculative_algorithm="ngram" if spec else None,
+            speculative_num_draft_tokens=4,
+        )
+        return Engine(server_args=sa, model_config=mc, tensors=tensors,
+                      tokenizer=ByteTokenizer())
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(3, 255, 8).tolist()
+    plain_prompt = base * 4
+    sp_plain = {"max_new_tokens": 20, "temperature": 0.0, "ignore_eos": True}
+    sp_pen = {"max_new_tokens": 16, "temperature": 0.0, "ignore_eos": True,
+              "repetition_penalty": 1.4, "frequency_penalty": 0.3}
+
+    eng_ref = _engine_tok(spec=False)
+    try:
+        ref_plain = eng_ref.generate(
+            input_ids=plain_prompt, sampling_params=dict(sp_plain)
+        )["output_ids"]
+        ref_pen = eng_ref.generate(
+            input_ids=plain_prompt[:9], sampling_params=dict(sp_pen)
+        )["output_ids"]
+    finally:
+        eng_ref.shutdown()
+
+    eng = _engine_tok(spec=True)
+    try:
+        results = {}
+
+        def run(name, ids, sp):
+            results[name] = eng.generate(
+                input_ids=ids, sampling_params=dict(sp))["output_ids"]
+
+        ts = [
+            threading.Thread(target=run,
+                             args=("plain", plain_prompt, sp_plain)),
+            threading.Thread(target=run,
+                             args=("pen", plain_prompt[:9], sp_pen)),
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=300)
+        accept_rate = eng.scheduler.spec_accept_sum / max(
+            eng.scheduler.spec_steps, 1)
+    finally:
+        eng.shutdown()
+    assert results["plain"] == ref_plain, (results["plain"], ref_plain)
+    assert results["pen"] == ref_pen, (results["pen"], ref_pen)
+    # speculation must actually have been running (not silently disabled)
+    assert accept_rate > 1.0, accept_rate

@@ -1,0 +1,233 @@
+"""Hybrid global/SWA page rings (per-layer-group KV pools).
+
+Reference role: `python/sglang/srt/mem_cache/swa_radix_cache.py` two-tier
+full/SWA pools.  TPU design (llama.enable_swa_rings): SWA layers keep
+their KV in per-request page RINGS of ceil(W/ps)+2 pages addressed by a
+cyclic page table, so SWA bytes are O(window) per request instead of
+O(context).  Validated end-to-end against HF Gemma2 (alternating
+global/SWA layers) with prompts much longer than the window — ring
+aliasing below the window must be masked by the kernels' window skip.
+"""
+
+import numpy as np
+import pytest
+
+from sglang_awq_tpu.configs.model_config import ModelConfig
+from sglang_awq_tpu.entrypoints.engine import Engine
+from sglang_awq_tpu.model_loader.loader import _torch_state_dict_to_np
+from sglang_awq_tpu.server_args import ServerArgs
+
+CFG = dict(
+    architectures=["Gemma2ForCausalLM"],
+    vocab_size=512, hidden_size=128, num_hidden_layers=4,
+    num_attention_heads=4, num_key_value_heads=2, head_dim=32,
+    intermediate_size=256, hidden_act="gelu_pytorch_tanh",
+    rms_norm_eps=1e-6, rope_theta=10000.0,
+    max_position_embeddings=256, tie_word_embeddings=True,
+    query_pre_attn_scalar=24, attn_logit_softcapping=50.0,
+    final_logit_softcapping=30.0, sliding_window=16,
+    bos_token_id=1, eos_token_id=2,
+)
+
+
+def _mk(seed=0):
+    import torch
+    from transformers import Gemma2Config, Gemma2ForCausalLM
+
+    torch.manual_seed(seed)
+    hf = Gemma2ForCausalLM(Gemma2Config(
+        **{k: v for k, v in CFG.items() if k != "architectures"})).eval()
+    return hf, _torch_state_dict_to_np(hf.state_dict())
+
+
+def _engine(tensors, **kw):
+    mc = ModelConfig(model_path="", hf_config=dict(CFG))
+    sa = ServerArgs(model_path="tiny-g2r", page_size=8,
+                    max_total_tokens=kw.pop("max_total_tokens", 512),
+                    chunked_prefill_size=kw.pop("chunked_prefill_size", 32),
+                    max_running_requests=4, **kw)
+    return Engine(server_args=sa, model_config=mc, tensors=tensors,
+                  tokenizer=None)
+
+
+def test_rings_engaged_and_pool_split():
+    _, tensors = _mk()
+    eng = _engine(tensors)
+    try:
+        runner = eng.scheduler.runner
+        model = runner.model
+        assert getattr(model, "_swa_rings", False), "rings not engaged"
+        kv = runner.kv_cache
+        assert set(kv.keys()) == {"pool", "swa"}
+        # half the layers are SWA; the full pool carries only global layers
+        assert kv["pool"].shape[0] == 2 and kv["swa"].shape[0] == 2
+        # SWA bytes are O(window): rows * nring pages, independent of the
+        # pool's context capacity
+        nring = model._swa_nring
+        rows = model._swa_rows
+        assert kv["swa"].shape[1] == rows * nring
+        swa_shape = kv["swa"].shape
+    finally:
+        eng.shutdown()
+
+    # ring bytes are O(window), independent of the pool's context
+    # capacity: doubling the token budget must not grow the swa pool
+    eng2 = _engine(tensors, max_total_tokens=1024)
+    try:
+        kv2 = eng2.scheduler.runner.kv_cache
+        assert kv2["swa"].shape == swa_shape
+        assert kv2["pool"].shape[1] > kv["pool"].shape[1]
+    finally:
+        eng2.shutdown()
+
+
+def test_rings_match_hf_greedy_long_prompt():
+    """Greedy generation matches HF with prompt >> window (41 tokens,
+    W=16) across chunked prefill + decode: the ring overwrite policy and
+    cyclic page tables must reproduce full-pool SWA attention exactly."""
+    import torch
+
+    hf, tensors = _mk()
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(3, 500, 41).tolist()
+    n_new = 8
+    with torch.no_grad():
+        ref = hf.generate(
+            torch.tensor([prompt]), max_new_tokens=n_new, do_sample=False,
+        )[0, len(prompt):].tolist()
+    eng = _engine(tensors)
+    try:
+        out = eng.generate(
+            input_ids=prompt,
+            sampling_params={"max_new_tokens": n_new, "temperature": 0.0,
+                             "ignore_eos": True},
+        )["output_ids"]
+    finally:
+        eng.shutdown()
+    assert out == ref, (out, ref)
+
+
+def test_rings_vs_single_pool_identical():
+    """--disable-swa-rings must produce identical greedy output (the ring
+    layout is purely a memory-layout change)."""
+    _, tensors = _mk(seed=1)
+    rng = np.random.default_rng(1)
+    prompt = rng.integers(3, 500, 37).tolist()
+    sp = {"max_new_tokens": 6, "temperature": 0.0, "ignore_eos": True}
+    outs = []
+    for disable in (False, True):
+        eng = _engine(tensors, disable_swa_rings=disable)
+        try:
+            outs.append(eng.generate(input_ids=prompt,
+                                     sampling_params=sp)["output_ids"])
+        finally:
+            eng.shutdown()
+    assert outs[0] == outs[1], outs
+
+
+def test_rings_prefill_past_ring_wrap():
+    """Prefill longer than the whole ring (100 tokens > nring*ps = 56
+    slots at W=16, chunk=32): chunked prefill must overwrite expired ring
+    pages while later chunks still read the in-window ones."""
+    import torch
+
+    hf, tensors = _mk(seed=2)
+    rng = np.random.default_rng(2)
+    prompt = rng.integers(3, 500, 100).tolist()
+    n_new = 4
+    with torch.no_grad():
+        ref = hf.generate(
+            torch.tensor([prompt]), max_new_tokens=n_new, do_sample=False,
+        )[0, len(prompt):].tolist()
+    eng = _engine(tensors)
+    try:
+        out = eng.generate(
+            input_ids=prompt,
+            sampling_params={"max_new_tokens": n_new, "temperature": 0.0,
+                             "ignore_eos": True},
+        )["output_ids"]
+    finally:
+        eng.shutdown()
+    assert out == ref, (out, ref)
+
+
+def test_rings_decode_past_ring_wrap():
+    """Decode past the ring capacity (prompt 11 + 70 > 56 ring slots).
+
+    Long greedy runs on a random tiny model hit near-tied argmaxes that
+    bf16 executable differences legitimately flip, so a divergence is
+    accepted ONLY if HF's top-2 logit gap at that point is a near-tie;
+    the continuation is then re-checked teacher-forced.
+    """
+    import torch
+
+    hf, tensors = _mk(seed=2)
+    rng = np.random.default_rng(2)
+    prompt = rng.integers(3, 500, 11).tolist()
+    n_new = 70
+    with torch.no_grad():
+        ref = hf.generate(
+            torch.tensor([prompt]), max_new_tokens=n_new, do_sample=False,
+        )[0, len(prompt):].tolist()
+    eng = _engine(tensors)
+    try:
+        out = eng.generate(
+            input_ids=prompt,
+            sampling_params={"max_new_tokens": n_new, "temperature": 0.0,
+                             "ignore_eos": True},
+        )["output_ids"]
+        div = next(
+            (i for i, (x, y) in enumerate(zip(out, ref)) if x != y), None)
+        if div is not None:
+            # must be a drift-flippable near-tie, not a correctness bug
+            with torch.no_grad():
+                lg = hf(torch.tensor([prompt + ref[:div]])).logits[0, -1]
+            top2 = torch.topk(lg, 2)
+            assert out[div] in top2.indices.tolist(), (div, out[div], ref[div])
+            assert float(top2.values[0] - top2.values[1]) < 0.05, (
+                div, float(top2.values[0] - top2.values[1]))
+            # teacher-force past the tie: the next stretch must match again
+            forced = prompt + ref[: div + 1]
+            with torch.no_grad():
+                ref2 = hf.generate(
+                    torch.tensor([forced]), max_new_tokens=8,
+                    do_sample=False,
+                )[0, len(forced):].tolist()
+            out2 = eng.generate(
+                input_ids=forced,
+                sampling_params={"max_new_tokens": 8, "temperature": 0.0,
+                                 "ignore_eos": True},
+            )["output_ids"]
+            assert out2 == ref2, (out2, ref2)
+    finally:
+        eng.shutdown()
+
+
+def test_rings_concurrent_isolation():
+    """Interleaved requests keep independent rings."""
+    import threading
+
+    _, tensors = _mk(seed=3)
+    rng = np.random.default_rng(3)
+    p1 = rng.integers(3, 500, 21).tolist()
+    p2 = rng.integers(3, 500, 29).tolist()
+    sp = {"max_new_tokens": 5, "temperature": 0.0, "ignore_eos": True}
+    eng = _engine(tensors)
+    try:
+        solo1 = eng.generate(input_ids=p1, sampling_params=sp)["output_ids"]
+        solo2 = eng.generate(input_ids=p2, sampling_params=sp)["output_ids"]
+        res = {}
+
+        def run(name, p):
+            res[name] = eng.generate(input_ids=p, sampling_params=sp)[
+                "output_ids"]
+
+        th = [threading.Thread(target=run, args=("a", p1)),
+              threading.Thread(target=run, args=("b", p2))]
+        for x in th:
+            x.start()
+        for x in th:
+            x.join()
+    finally:
+        eng.shutdown()
+    assert res["a"] == solo1 and res["b"] == solo2, (res, solo1, solo2)
