@@ -699,12 +699,213 @@ def _decode_kernel_split_with_stats(
     )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("sm_scale", "pages_per_chunk", "interpret", "raw_layout",
-                     "softcap", "want_stats"),
-)
-def ragged_decode(
+def _decode_tail_kernel(
+    # scalar prefetch
+    layer_ref,  # [1]
+    lengths_ref,  # [B] REAL walk lengths
+    tstart_ref,  # [B] first tail token (chunk-aligned main-walk boundary)
+    ntp_ref,  # [B] live tail pages (0..tpp)
+    hm_ref,  # [B] 1 if the main walk emitted stats for this row
+    order_ref,  # [B] live row indices first (index order), then pads
+    nrows_ref,  # [1] live row count
+    pt_ref,  # [B * pmax]
+    # inputs
+    q_ref,  # [B, KVH, R, D]
+    kv_hbm_ref,  # [L, P, 2, ps, fcK, XrK] (ANY)
+    o1_ref,  # [B, KVH, R, D] f32 main-walk output (normalized)
+    m1_ref,  # [B, KVH*R, 128] f32 main-walk softmax max
+    l1_ref,  # [B, KVH*R, 128] f32 main-walk softmax sum
+    sink_ref,  # [KVH*R or 8, 128] f32
+    # outputs
+    o_ref,  # [B, KVH, R, D] f32
+    # scratch
+    qbd_ref,  # [KVH*R, Xr] bf16
+    m_ref,  # [KVH*R, 128] f32
+    l_ref,  # [KVH*R, 128] f32
+    acc_ref,  # [KVH*R, Xr] f32
+    cb_ref,  # [KVH*R, fcK*ps] f32
+    tj_ref,  # [8, fcK*ps] i32
+    k_buf,  # [2, tpp, ps, fcK, XrK]
+    v_buf,
+    sem,  # [2, 2]
+    *,
+    batch_size: int,
+    tpp: int,  # max tail pages per row
+    pmax: int,
+    sm_scale: float,
+    gp: int,
+    kvh: int,
+    softcap: float,
+    has_sinks: bool,
+    interpret: bool,
+):
+    """Partial-tail walk for split-tail decode attention (round 5).
+
+    The main walk covers whole ck-token chunks with no dead columns; this
+    kernel scores the last (length % ck) tokens PER PAGE — dead pages cost
+    nothing — and merges with the main walk's (o1, m1, l1) softmax stats.
+    Reference role: the tail-block handling of paged FlashDecoding
+    (`sgl-kernel` triton decode splits by full/partial blocks the same
+    way).  Serving decode lengths almost always sit mid-chunk, and the
+    single-pass kernel paid FULL-chunk masked compute for the tail — ~30%
+    of the whole walk at bs=64/ctx~512 (docs/kernels.md round 5)."""
+    ps = k_buf.shape[2]
+    fck = k_buf.shape[3]
+    hph = kvh // fck
+    d = q_ref.shape[-1]
+    r = q_ref.shape[2]
+    layer = layer_ref[0]
+
+    def start_pages(bb, slot):
+        ntp = ntp_ref[bb]
+        p0 = tstart_ref[bb] // ps
+        for i in range(tpp):
+
+            @pl.when(i < ntp)
+            def _():
+                page = pt_ref[bb * pmax + p0 + i]
+                pltpu.make_async_copy(
+                    kv_hbm_ref.at[layer, page, 0], k_buf.at[slot, i],
+                    sem.at[slot, 0],
+                ).start()
+                pltpu.make_async_copy(
+                    kv_hbm_ref.at[layer, page, 1], v_buf.at[slot, i],
+                    sem.at[slot, 1],
+                ).start()
+
+    def wait_pages(bb, slot):
+        ntp = ntp_ref[bb]
+        for i in range(tpp):
+
+            @pl.when(i < ntp)
+            def _():
+                pltpu.make_async_copy(
+                    kv_hbm_ref.at[0, 0, 0], k_buf.at[slot, i], sem.at[slot, 0]
+                ).wait()
+                pltpu.make_async_copy(
+                    kv_hbm_ref.at[0, 0, 0], v_buf.at[slot, i], sem.at[slot, 1]
+                ).wait()
+
+    jc = lax.broadcasted_iota(jnp.int32, cb_ref.shape, 1)
+    chc = lax.broadcasted_iota(jnp.int32, cb_ref.shape, 0) // (r * hph)
+    cb_ref[...] = jnp.where((jc % fck) == chc, 0.0, MASK_VALUE)
+    tj_ref[...] = lax.broadcasted_iota(jnp.int32, tj_ref.shape, 1) // fck
+
+    nrows = nrows_ref[0]
+    NPF = 4  # buffer ring depth: rows ahead in flight (hides DMA latency —
+    # a 2-slot ring stalled ~1.4 us/row on completion latency, round 5)
+
+    for j in range(NPF - 1):
+
+        @pl.when(j < nrows)
+        def _prime():
+            start_pages(order_ref[j], j)
+
+    def body(i, _):
+        b = order_ref[i]
+        slot = lax.rem(i, NPF)
+
+        @pl.when(i + NPF - 1 < nrows)
+        def _prefetch():
+            start_pages(
+                order_ref[jnp.minimum(i + NPF - 1, batch_size - 1)],
+                lax.rem(i + NPF - 1, NPF),
+            )
+
+        if True:  # row body (order lists live rows only)
+            wait_pages(b, slot)
+            length = lengths_ref[b]
+            tstart = tstart_ref[b]
+            ntp = ntp_ref[b]
+            hm = hm_ref[b] > 0
+
+            qbd_ref[...] = jnp.zeros_like(qbd_ref)
+            for h in range(kvh):
+                hl = (h % hph) * d
+                qbd_ref[h * r : (h + 1) * r, hl : hl + d] = (
+                    q_ref[b, h] * jnp.asarray(sm_scale, q_ref.dtype)
+                )
+            # seed the online softmax with the main walk's state:
+            # acc = o1 * l1 (un-normalize), m = m1, l = l1
+            m1 = jnp.where(hm, m1_ref[b][:, :1], -jnp.inf)
+            l1 = jnp.where(hm, l1_ref[b][:, :1], 0.0)
+            m_ref[...] = jnp.broadcast_to(m1, m_ref.shape)
+            l_ref[...] = jnp.broadcast_to(l1, l_ref.shape)
+            strips = []
+            for h in range(kvh):
+                o1h = jnp.where(hm, o1_ref[b, h].astype(jnp.float32), 0.0)
+                o1h = o1h * l1[h * r : (h + 1) * r]
+                hl = (h % hph) * d
+                strips.append(jnp.pad(
+                    o1h, ((0, 0), (hl, qbd_ref.shape[1] - hl - d))))
+            acc_ref[...] = jnp.concatenate(strips, axis=0)
+
+            for i in range(tpp):
+
+                @pl.when(i < ntp)
+                def _page():
+                    kc = k_buf[slot, i].reshape(fck * ps, k_buf.shape[-1])
+                    vc = v_buf[slot, i].reshape(fck * ps, v_buf.shape[-1])
+                    if kc.dtype != jnp.bfloat16:
+                        kc2 = chunk_to_bf16(kc)
+                        vc2 = chunk_to_bf16(vc)
+                    else:
+                        kc2, vc2 = kc, vc
+                    qk = lax.dot_general(
+                        qbd_ref[...], kc2, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # [KVH*R, fcK*ps]
+                    if softcap:
+                        qk = softcap * jnp.tanh(qk / softcap)
+                    qk = qk + cb_ref[...]
+                    tj = tj_ref[:1] + (tstart + i * ps)
+                    qk = jnp.where(tj < length, qk, MASK_VALUE)
+                    m_prev = m_ref[:, :1]
+                    l_prev = l_ref[:, :1]
+                    m_cur = jnp.max(qk, axis=-1, keepdims=True)
+                    m_next = jnp.maximum(m_prev, m_cur)
+                    p = jnp.exp(qk - m_next)
+                    l_cur = jnp.sum(p, axis=-1, keepdims=True)
+                    alpha = jnp.exp(m_prev - m_next)
+                    m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
+                    l_ref[...] = jnp.broadcast_to(
+                        alpha * l_prev + l_cur, l_ref.shape)
+                    pv = lax.dot_general(
+                        p.astype(jnp.bfloat16), vc2, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    acc_ref[...] = acc_ref[...] * alpha + pv
+
+            lh = l_ref[:, :1]
+            if has_sinks:
+                lh = lh + jnp.exp(sink_ref[:, :1] - m_ref[:, :1])
+            lh = jnp.where(lh == 0.0, 1.0, lh)
+            on = acc_ref[...] / lh
+            for h in range(kvh):
+                hl = (h % hph) * d
+                o_ref[b, h] = on[h * r : (h + 1) * r, hl : hl + d].astype(
+                    o_ref.dtype
+                )
+
+        return _
+
+    lax.fori_loop(0, nrows, body, None)
+
+
+def ragged_decode(*args, window: "jax.Array | int" = 0, **kw):
+    """Dispatcher: a LITERAL window rides a static-window jit so the body's
+    `isinstance(window, int)` specializations (mask-op elision for full
+    attention, split-tail eligibility) actually fire.  Round-5 finding: as
+    a plain dynamic jit arg, an explicitly-passed `window=0` reached the
+    body as a tracer, so every decode call paid the window-mask ops and
+    the split-tail path never engaged — only callers relying on the
+    DEFAULT saw the static behavior."""
+    if isinstance(window, (int, np.integer)):
+        return _ragged_decode_sw(*args, window=int(window), **kw)
+    return _ragged_decode_dw(*args, window=window, **kw)
+
+
+def _ragged_decode_impl(
     q: jax.Array,  # [B, QS, QH, D] bf16
     kv_cache: jax.Array,  # [L, P, ps, 2, KVH*D]
     page_table: jax.Array,  # [B, pmax] int32
@@ -723,6 +924,7 @@ def ragged_decode(
     # (k_new [B, KVH, D], v_new [B, KVH, D], slots [B] i32) — fuse the
     # new token's pool write into this kernel (QS=1, split bf16 pools);
     # returns (out, kv_cache) instead of out.
+    _split_tail: bool = True,  # internal: False = single-pass (no tail split)
 ) -> jax.Array:
     """Decode / spec-verify attention -> [B, QS, QH, D] f32.
 
@@ -826,6 +1028,109 @@ def ragged_decode(
         knew_arr = jnp.zeros((8, 128), jnp.bfloat16)
         vnew_arr = knew_arr
         slots_arr = jnp.full((B,), -1, jnp.int32)
+    # ---- split-tail decode (round 5) ----
+    # Serving decode lengths almost always sit mid-chunk, and the single-
+    # pass walk paid FULL-chunk masked compute for the tail (~30% of the
+    # walk at bs=64/ctx~512).  Split: the main walk covers whole ck-token
+    # chunks (lengths floored, returning softmax stats); a second page-
+    # granular dispatch scores the % ck tail and merges by (m, l).
+    # Full-attention layers only (a floored length would shift the
+    # window/chunk low bound); sinks fold in at the tail's emit.
+    if (
+        _split_tail
+        and QS == 1
+        and split
+        and not fuse_new
+        and not want_stats
+        and isinstance(window, (int, np.integer))
+        and window == 0
+        # tail kernel page-slices k_buf[slot, i]: Mosaic needs whole lane
+        # tiles and sublane-aligned page rows (tiny test geometries fail)
+        and Xr % 128 == 0
+        and (ps * fc) % 16 == 0
+        and _os.environ.get("SGLT_DECODE_TAILSPLIT", "1") != "0"
+    ):
+        flen = (lengths // ck) * ck
+        o1, m1, l1 = ragged_decode(
+            qg, kv_cache, page_table, flen, layer,
+            sm_scale=sm_scale, pages_per_chunk=ppc, interpret=interpret,
+            raw_layout=True, softcap=softcap, want_stats=True,
+            _split_tail=False,
+        )
+        ntp = jnp.where(lengths > 0, (lengths - flen + ps - 1) // ps, 0)
+        hm = ((flen > 0) & (lengths > 0)).astype(jnp.int32)
+        nrows = jnp.sum(lengths > 0).astype(jnp.int32).reshape(1)
+        ar_b = jnp.arange(B, dtype=jnp.int32)
+        live_b = lengths > 0
+        # stable live-first permutation WITHOUT a sort (XLA sort on [B]
+        # cost ~2 us/layer): live row i goes to slot cumsum(live)-1, dead
+        # rows fill the back half
+        pos_b = jnp.where(
+            live_b,
+            jnp.cumsum(live_b) - 1,
+            nrows[0] + jnp.cumsum(~live_b) - 1,
+        )
+        order = jnp.zeros((B,), jnp.int32).at[pos_b].set(ar_b)
+        R = QS * gp
+        if sinks is not None:
+            sk = jnp.asarray(sinks, jnp.float32).reshape(KVH, G)
+            if gp != G:
+                sk = jnp.pad(sk, ((0, 0), (0, gp - G)), mode="edge")
+            sk = sk.reshape(KVH * gp)
+            sink_arr = jnp.broadcast_to(sk[:, None], (KVH * R, 128))
+        else:
+            sink_arr = jnp.zeros((8, 128), jnp.float32)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=8,
+            grid=(1,),
+            in_specs=[
+                pl.BlockSpec((B, KVH, R, D), lambda g, *_: (0, 0, 0, 0)),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((B, KVH, R, D), lambda g, *_: (0, 0, 0, 0)),
+                pl.BlockSpec((B, KVH * R, 128), lambda g, *_: (0, 0, 0)),
+                pl.BlockSpec((B, KVH * R, 128), lambda g, *_: (0, 0, 0)),
+                pl.BlockSpec(
+                    (sink_arr.shape[0], 128), lambda g, *_: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (B, KVH, R, D), lambda g, *_: (0, 0, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((KVH * R, Xr), jnp.bfloat16),
+                pltpu.VMEM((KVH * R, 128), jnp.float32),
+                pltpu.VMEM((KVH * R, 128), jnp.float32),
+                pltpu.VMEM((KVH * R, Xr), jnp.float32),
+                pltpu.VMEM((KVH * R, fc * ps), jnp.float32),
+                pltpu.VMEM((8, fc * ps), jnp.int32),
+                pltpu.VMEM((4, ppc, ps, fc, Xr), kv_cache.dtype),
+                pltpu.VMEM((4, ppc, ps, fc, Xr), kv_cache.dtype),
+                pltpu.SemaphoreType.DMA((4, 2)),
+            ],
+        )
+        kernel = functools.partial(
+            _decode_tail_kernel,
+            batch_size=B, tpp=ppc, pmax=pmax, sm_scale=sm_scale,
+            gp=gp, kvh=KVH, softcap=float(softcap),
+            has_sinks=sinks is not None, interpret=bool(interpret),
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((B, KVH, R, D), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(
+            layer, lengths, flen, ntp, hm, order, nrows, pt_flat,
+            qg, kv_cache, o1, m1, l1, sink_arr,
+        )
+        if raw_layout:
+            return out
+        out = out.reshape(B, KVH, QS, gp, D)[:, :, :, :G, :]
+        out = jnp.transpose(out, (0, 2, 1, 3, 4)).reshape(B, QS, QH, D)
+        return out
+
     # window > 0: the earliest position any query can see is
     # lengths - (QS-1) - window; chunks wholly below it never load
     lowest = jnp.maximum(lengths - (QS - 1) - win[0], 0)
@@ -994,6 +1299,8 @@ def ragged_decode(
         out, kv_cache = out
     if want_stats:
         out, m_raw, l_raw = out
+        if raw_layout:
+            return out, m_raw, l_raw
         # row h*R + t*gp + g -> [B, QS, QH]
         stats = []
         for raw in (m_raw, l_raw):
@@ -1007,6 +1314,16 @@ def ragged_decode(
     out = out.reshape(B, KVH, QS, gp, D)[:, :, :, :G, :]
     out = jnp.transpose(out, (0, 2, 1, 3, 4)).reshape(B, QS, QH, D)
     return (out, kv_cache) if fuse_new else out
+
+
+_RD_STATICS = ("sm_scale", "pages_per_chunk", "interpret", "raw_layout",
+               "softcap", "want_stats", "_split_tail")
+_ragged_decode_sw = functools.partial(
+    jax.jit, static_argnames=_RD_STATICS + ("window",)
+)(_ragged_decode_impl)
+_ragged_decode_dw = functools.partial(
+    jax.jit, static_argnames=_RD_STATICS
+)(_ragged_decode_impl)
 
 
 # ---------------------------------------------------------------------------
