@@ -125,7 +125,7 @@ class Scheduler:
                 )
             self.hicache = HiCacheController(
                 runner, int(server_args.hicache_size_gb * 1024**3),
-                self.page_size,
+                self.page_size, storage=server_args.hicache_storage,
             )
             self.tree.evict_hook = self.hicache.on_evict
         self.policy = SchedulePolicy(server_args.schedule_policy, self.tree)
@@ -184,6 +184,13 @@ class Scheduler:
                 "<= page_size (KV writes touch at most two tail pages)"
             )
             self._tree_mask = None  # built lazily (numpy, static per config)
+        # score-driven topology (round 5): the tree shape is chosen per
+        # request per step from cumulative draft logprobs; only EAGLE has
+        # draft scores (ngram trees stay static)
+        self.spec_tree_scored = (
+            self.spec_topk > 1 and self.eagle
+            and server_args.speculative_tree_mode == "scored"
+        )
         self.spec_accept_sum = 0
         self.spec_steps = 0
 
@@ -1479,12 +1486,15 @@ class Scheduler:
             and self.running
             and self.runner.lora is None  # tree verify has no lora plumbing
             and all(
-                r.sampling_params.is_greedy
-                and r.grammar is None
+                # sampled rows verify by draw-matching (round 5); grammar /
+                # logit-bias rows still ride the chain path's masked verify
+                r.grammar is None
                 and not r.sampling_params.has_logit_bias
                 for r in self.running
             )
         ):
+            if self.spec_tree_scored:
+                return self._run_decode_step_spec_tree_scored()
             return self._run_decode_step_spec_tree()
         QS = self.spec_width
         self._ensure_decode_memory(grow=QS)
@@ -1672,9 +1682,18 @@ class Scheduler:
             pages_np = np.asarray(r.pages, np.int32)
             slots[i] = pages_np[sp // ps] * ps + sp % ps
 
+        any_sampled = any(
+            not r.sampling_params.is_greedy for r in self.running)
         ids = self.runner.forward_spec_verify_tree(
-            tokens, positions, slots, page_table, fill_old, self._tree_mask
-        )  # [B, QS] greedy next-token per node
+            tokens, positions, slots, page_table, fill_old, self._tree_mask,
+            sampling=(
+                [r.sampling_row() for r in self.running]
+                if any_sampled else None),
+            sample_steps=(
+                np.asarray([len(r.output_ids) for r in self.running],
+                           np.int32)[:, None] + offsets[None, :]
+                if any_sampled else None),
+        )  # [B, QS] next-token per node (argmax, or a seeded draw)
 
         accepts = np.ones(B, np.int32)
         path_nodes = np.zeros((B, D), np.int32)
@@ -1733,6 +1752,146 @@ class Scheduler:
             from sglang_awq_tpu.mem_cache.kv_pool import PAD_SLOT
 
             cap = B * (D - 1)
+            m = 8
+            while m < len(src_rel) and m < cap:
+                m *= 2
+            m = min(max(m, len(src_rel)), cap)
+            src = np.zeros(m, np.int64)
+            dst = np.full(m, PAD_SLOT, np.int64)
+            src[: len(src_rel)] = src_rel
+            dst[: len(dst_rel)] = dst_rel
+            self.runner.kv_relocate(src, dst)
+
+        self.runner.eagle_tree_fixup(
+            path_nodes, path_ids, accepts, rows, fill_old, page_table
+        )
+        self.running = still_running
+        return outputs
+
+    def _run_decode_step_spec_tree_scored(self) -> List[ReqOutput]:
+        """Score-driven EAGLE tree decode step (round 5).
+
+        Reference role: `eagle_worker.py:566` + `eagle_utils.py:47
+        build_tree_kernel_efficient` — the tree topology is chosen per
+        request from cumulative draft logprobs within a static node
+        budget.  Draft: one folded frontier forward per level
+        (runner.eagle_draft_tree_scored).  Verify: one tree forward with
+        the per-request topology mask as DEVICE DATA; sampled rows verify
+        by draw-matching.  Accept: walk children by parent links."""
+        from sglang_awq_tpu.speculative.tree import tree_size
+
+        D = self.spec_width
+        K = self.spec_topk
+        QS = tree_size(K, D)  # same node budget as the static tree
+        self._ensure_decode_memory(grow=QS)
+        if not self.running:
+            return []
+        ps = self.page_size
+        B = len(self.running)
+
+        fill_old = np.zeros(B, np.int32)
+        pmax = max(len(r.pages) for r in self.running)
+        page_table = np.zeros((B, pmax), np.int32)
+        for i, r in enumerate(self.running):
+            page_table[i, : len(r.pages)] = r.pages
+            fill_old[i] = r.fill_len
+        rows = np.asarray(
+            [r.row if r.row is not None else -1 for r in self.running],
+            np.int32,
+        )
+        t0 = np.asarray([r.output_ids[-1] for r in self.running], np.int32)
+        tokens, parents, depths = self.runner.eagle_draft_tree_scored(
+            rows, t0, fill_old, page_table, K, D - 1, QS
+        )
+
+        # topology mask from parent links: anc(node) = anc(parent) + self
+        mask = np.zeros((B, QS, QS), bool)
+        mask[:, :, 0] = True
+        mask[:, 0, 0] = True
+        ar = np.arange(B)
+        for n in range(1, QS):
+            mask[:, n] = mask[ar, parents[:, n]]
+            mask[:, n, n] = True
+
+        positions = fill_old[:, None] + depths
+        slots = np.zeros((B, QS), np.int32)
+        for i, r in enumerate(self.running):
+            sp = r.fill_len + np.arange(QS)
+            pages_np = np.asarray(r.pages, np.int32)
+            slots[i] = pages_np[sp // ps] * ps + sp % ps
+
+        any_sampled = any(
+            not r.sampling_params.is_greedy for r in self.running)
+        ids = self.runner.forward_spec_verify_tree(
+            tokens, positions, slots, page_table, fill_old, mask,
+            sampling=(
+                [r.sampling_row() for r in self.running]
+                if any_sampled else None),
+            sample_steps=(
+                np.asarray([len(r.output_ids) for r in self.running],
+                           np.int32)[:, None] + depths
+                if any_sampled else None),
+        )
+
+        # children by parent link, ordered by draft score (= node index:
+        # selection is score-sorted, so the first match is the best child)
+        accepts = np.ones(B, np.int32)
+        path_nodes = np.zeros((B, D), np.int32)
+        path_ids = np.zeros((B, D), np.int32)
+        src_rel, dst_rel = [], []
+        outputs = []
+        still_running = []
+        for i, r in enumerate(self.running):
+            children = [[] for _ in range(QS)]
+            for n in range(1, QS):
+                children[int(parents[i, n])].append(n)
+            nodes = [0]
+            emit = [int(ids[i, 0])]
+            cur = 0
+            while len(nodes) < D:
+                nxt = None
+                for cnd in children[cur]:
+                    if int(tokens[i, cnd]) == emit[-1]:
+                        nxt = cnd
+                        break
+                if nxt is None:
+                    break
+                nodes.append(nxt)
+                emit.append(int(ids[i, nxt]))
+                cur = nxt
+            acc = len(emit)
+            accepts[i] = acc
+            path_nodes[i, :acc] = nodes
+            path_ids[i, :acc] = emit
+            for j in range(1, acc):
+                if nodes[j] != j:
+                    src_rel.append(int(slots[i, nodes[j]]))
+                    dst_rel.append(int(slots[i, j]))
+
+            new_tokens = []
+            for tok in emit:
+                r.output_ids.append(tok)
+                new_tokens.append(tok)
+                r.check_finished(tok)
+                if r.finished():
+                    break
+            r.fill_len += len(new_tokens)
+            self.spec_accept_sum += len(new_tokens)
+            self.spec_steps += 1
+            if self.metrics.enabled and self.spec_steps % 64 == 0:
+                self.metrics.spec_accept_length.set(
+                    self.spec_accept_sum / self.spec_steps
+                )
+            outputs.append(ReqOutput(r, new_tokens))
+            if r.finished():
+                self._finish_req(r)
+            else:
+                still_running.append(r)
+
+        if src_rel:
+            from sglang_awq_tpu.mem_cache.kv_pool import PAD_SLOT
+
+            cap = B * (QS - 1)
             m = 8
             while m < len(src_rel) and m < cap:
                 m *= 2

@@ -72,7 +72,11 @@ def _enable_compilation_cache(cache_dir: str) -> None:
     cold boot per (model, config).  "" disables (--jit-cache-dir '').
     """
     global _COMP_CACHE_SET
-    if _COMP_CACHE_SET or not cache_dir or os.environ.get("SGLT_TEST_MODE"):
+    if _COMP_CACHE_SET or not cache_dir:
+        return
+    # test mode keeps the suite off the user's default cache, but a test
+    # that passes an EXPLICIT dir gets the real behavior (warm-start test)
+    if os.environ.get("SGLT_TEST_MODE") and cache_dir.startswith("~/.cache"):
         return
     path = os.path.expanduser(cache_dir)
     try:
@@ -1604,35 +1608,56 @@ class ModelRunner:
         slots: np.ndarray,  # [B, QS]
         page_table: np.ndarray,
         prefix_lens: np.ndarray,  # [B]
-        tree_mask: np.ndarray,  # [QS, QS] bool (static topology)
+        tree_mask: np.ndarray,  # [QS, QS] or [B, QS, QS] bool topology
+        sampling: Optional[list] = None,  # SamplingRow list; None => greedy
+        sample_steps: Optional[np.ndarray] = None,  # [B, QS] draw indices
     ) -> np.ndarray:
-        """Tree verify -> per-node greedy ids [B, QS] (greedy acceptance
-        walks on the host; the [B, QS, H] hidden stays on device for the
-        path fixup)."""
+        """Tree verify -> per-node next-token ids [B, QS].
+
+        The topology mask is DEVICE DATA (round 5): score-driven trees give
+        every request its own shape without recompiling (reference
+        `build_tree_kernel_efficient` role).  With `sampling`, each node's
+        id is a temperature/top-k/p DRAW from the target's filtered
+        distribution (seeded per request, folded by the node's sample
+        step) instead of argmax; the host accept walk — "follow children
+        matching the drawn id" — then yields tokens that are exact samples
+        from the target chain distribution (every emitted token is one
+        draw from its true conditional), the draw-matching form of
+        reference tree_speculative_sampling."""
         bs, qs = tokens.shape
         bs_pad = pick_bucket(bs, self.decode_bs_buckets)
         pt_w = pick_bucket(page_table.shape[1], self.pmax_buckets)
-        key = ("spec_verify_tree", bs_pad, qs, pt_w,
-               tree_mask.astype(np.uint8).tobytes())
+        all_greedy = sampling is None
+        key = ("spec_verify_tree", bs_pad, qs, pt_w, all_greedy)
         if key not in self._fns:
             model = self.model
-            mask = np.asarray(tree_mask, bool)
             want_hidden = self.draft is not None
+            eos_ids = self._eos_ids
 
             def raw(params, kv, rope, tokens, positions, slots, page_table,
-                    prefix_lens):
+                    prefix_lens, mask, info, steps):
                 out = model.spec_verify_tree_step(
                     params, kv, rope, tokens, positions, slots, page_table,
                     prefix_lens, mask, capture_hidden=want_hidden,
                 )
                 logits, kv = out[0], out[1]
-                ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                B_, QS_, V = logits.shape
+                if all_greedy:
+                    ids = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                else:
+                    info_rep = jax.tree.map(
+                        lambda a: jnp.repeat(a, QS_, axis=0), info)
+                    ids = sample(
+                        logits.reshape(B_ * QS_, V), info_rep,
+                        steps.reshape(-1), all_greedy=False,
+                        eos_ids=eos_ids,
+                    ).reshape(B_, QS_)
                 if want_hidden:
                     return ids, out[2], kv
                 return ids, kv
 
             self._fns[key] = jax.jit(
-                self._wrap_step(raw, 5,
+                self._wrap_step(raw, 8,
                                 n_replicated_out=2 if want_hidden else 1),
                 donate_argnums=(1,),
             )
@@ -1641,6 +1666,21 @@ class ModelRunner:
             out = np.full((bs_pad, qs), fill, a.dtype)
             out[:bs] = a
             return out
+
+        mask = np.asarray(tree_mask, bool)
+        if mask.ndim == 2:
+            mask = np.broadcast_to(mask, (bs, qs, qs))
+        mask_p = np.zeros((bs_pad, qs, qs), bool)
+        mask_p[:bs] = mask
+        mask_p[bs:, :, 0] = True
+        np.einsum("bii->bi", mask_p)[bs:] = True  # pads: self+root only
+        if sampling is None:
+            info = _sampling_info(SamplingBatch.from_rows([], pad_to=bs_pad))
+            steps = np.zeros((bs_pad, qs), np.int32)
+        else:
+            info = _sampling_info(
+                SamplingBatch.from_rows(sampling, pad_to=bs_pad))
+            steps = pad2(np.asarray(sample_steps, np.int32))
 
         pt = np.zeros((bs_pad, pt_w), np.int32)
         w = min(page_table.shape[1], pt_w)
@@ -1651,6 +1691,7 @@ class ModelRunner:
             jnp.asarray(pad2(tokens)), jnp.asarray(pad2(positions)),
             jnp.asarray(pad2(slots, PAD_SLOT)), jnp.asarray(pt),
             jnp.asarray(self._pad_i32(prefix_lens, bs_pad)),
+            jnp.asarray(mask_p), info, jnp.asarray(steps),
         )
         if self.draft is not None:
             ids, self._verify_hidden, self.kv_cache = outs
@@ -1742,6 +1783,181 @@ class ModelRunner:
             jnp.asarray(pt),
         )
         return np.asarray(drafts)[:bs]
+
+    def eagle_draft_tree_scored(
+        self,
+        row_ids: np.ndarray,  # [B]
+        t0: np.ndarray,  # [B] newest accepted token
+        fill_len: np.ndarray,  # [B]
+        page_table: np.ndarray,
+        k: int,  # candidates per expansion AND frontier width
+        levels: int,  # draft-token depth (spec_width - 1)
+        num_nodes: int,  # total tree nodes incl. the root
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Score-driven EAGLE tree draft -> (tokens [B, N], parents [B, N],
+        depths [B, N]); parents index into the returned node list (0 =
+        root), sorted by descending cumulative draft logprob.
+
+        Reference role: `eagle_utils.py:47 build_tree_kernel_efficient` +
+        `eagle_worker.py:566` — topology chosen from draft scores per
+        request per step.  TPU form: all shapes static (k, levels, N bake
+        into the jit); the topology is DATA.  Each level draft-forwards the
+        k-node frontier in ONE folded call (`draft.tree_hidden`) — the
+        static-tree path runs k separate chains — and expansion K/V stays
+        in-hand rather than best-effort-overwriting the draft pool.
+        Selection: global top-(N-1) by cumulative logprob; a child's
+        cumulative score is strictly below its parent's (tie broken by a
+        per-level epsilon), so every selected node's parent is selected.
+        """
+        bs = len(t0)
+        bs_pad = pick_bucket(bs, self.decode_bs_buckets)
+        pt_w = pick_bucket(page_table.shape[1], self.pmax_buckets)
+        F = k
+        N = num_nodes
+        C = k + max(levels - 1, 0) * F * k
+        M = max(levels - 1, 0) * F
+        assert N - 1 <= C, (N, C)
+        fkey = ("eagle_tree_scored", bs_pad, pt_w, k, levels, N)
+        if fkey not in self._fns:
+            draft = self.draft
+            ps = self.page_size
+            L = draft.config.num_layers
+            kvhD = draft.kvh * draft.head_dim
+            # static per-slot depth of every candidate
+            cdepth_np = np.zeros(C, np.int32)
+            cdepth_np[:k] = 1
+            for lv in range(2, levels + 1):
+                b0 = k + (lv - 2) * F * k
+                cdepth_np[b0 : b0 + F * k] = lv
+            cdepth_c = jnp.asarray(cdepth_np)
+
+            def head_logits(head, g):
+                if "weight_q" in head:
+                    return jnp.dot(
+                        g.astype(jnp.bfloat16),
+                        head["weight_q"].astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32,
+                    ) * head["scale"][None, :]
+                return jnp.dot(
+                    g.astype(jnp.bfloat16), head["weight"],
+                    preferred_element_type=jnp.float32,
+                )
+
+            def raw(dp, dkv, drope, embed_w, head, hidden_row, rows, t0, P,
+                    pt):
+                ar = jnp.arange(bs_pad)
+                pos0 = jnp.maximum(P - 1, 0)
+                live = P > 0
+                sl0 = jnp.where(
+                    live,
+                    pt[ar, jnp.minimum(pos0 // ps, pt.shape[1] - 1)] * ps
+                    + pos0 % ps,
+                    PAD_SLOT,
+                )
+                lens0 = jnp.where(live, pos0 + 1, 0)
+                h0 = hidden_row[rows]
+                g0, dkv = draft.decode_hidden(
+                    dp, dkv, drope, embed_w, t0, h0, pos0, sl0, pt, lens0)
+                lp0 = jax.nn.log_softmax(head_logits(head, g0), axis=-1)
+                sc0, tk0 = jax.lax.top_k(lp0, k)  # [B, k]
+
+                ctok = jnp.zeros((bs_pad, C), jnp.int32)
+                cscore = jnp.full((bs_pad, C), -jnp.inf, jnp.float32)
+                cparent = jnp.full((bs_pad, C), -1, jnp.int32)
+                ctok = ctok.at[:, :k].set(tk0)
+                cscore = cscore.at[:, :k].set(sc0 - 1e-6)
+                # frontier = level-1 top-F candidates
+                fcum, fidx = jax.lax.top_k(cscore[:, :k], F)
+                ftok = jnp.take_along_axis(ctok, fidx, 1)
+                fhid = jnp.broadcast_to(
+                    g0[:, None].astype(jnp.bfloat16),
+                    (bs_pad, F, g0.shape[-1]),
+                ).astype(jnp.bfloat16)
+                fcand = fidx
+                fanc = jnp.zeros((bs_pad, F, max(M, 1)), bool)
+                nodes_k = jnp.zeros((L, bs_pad, max(M, 1), kvhD),
+                                    jnp.bfloat16)
+                nodes_v = jnp.zeros_like(nodes_k)
+
+                for lv in range(2, levels + 1):
+                    posl = pos0 + (lv - 1)
+                    g, ks, vs = draft.tree_hidden(
+                        dp, dkv, drope, embed_w, ftok, fhid, posl, pt,
+                        lens0, nodes_k[:, :, :M], nodes_v[:, :, :M],
+                        fanc[:, :, :M],
+                    )
+                    s_lo = (lv - 2) * F
+                    nodes_k = nodes_k.at[:, :, s_lo : s_lo + F].set(ks)
+                    nodes_v = nodes_v.at[:, :, s_lo : s_lo + F].set(vs)
+                    lpj = jax.nn.log_softmax(
+                        head_logits(head, g.reshape(bs_pad * F, -1)),
+                        axis=-1)
+                    scj, tkj = jax.lax.top_k(lpj, k)  # [B*F, k]
+                    scj = (scj.reshape(bs_pad, F, k)
+                           + fcum[:, :, None] - 1e-6)
+                    b0 = k + (lv - 2) * F * k
+                    ctok = ctok.at[:, b0 : b0 + F * k].set(
+                        tkj.reshape(bs_pad, F * k))
+                    cscore = cscore.at[:, b0 : b0 + F * k].set(
+                        scj.reshape(bs_pad, F * k))
+                    cparent = cparent.at[:, b0 : b0 + F * k].set(
+                        jnp.repeat(fcand, k, axis=1))
+                    if lv < levels:
+                        fcum, rel = jax.lax.top_k(
+                            scj.reshape(bs_pad, F * k), F)
+                        fcand = b0 + rel
+                        ftok = jnp.take_along_axis(ctok, fcand, 1)
+                        pf = rel // k  # frontier index of the parent
+                        fhid = jnp.take_along_axis(
+                            g.astype(jnp.bfloat16),
+                            pf[:, :, None], 1)
+                        fanc = jnp.take_along_axis(
+                            fanc, pf[:, :, None], 1)
+                        slot_of_pf = s_lo + pf  # [B, F]
+                        fanc = jnp.logical_or(
+                            fanc,
+                            jax.nn.one_hot(
+                                slot_of_pf, max(M, 1), dtype=bool
+                            ),
+                        )
+
+                # global top-(N-1) selection
+                selsc, sel = jax.lax.top_k(cscore, N - 1)  # [B, N-1]
+                onehot = sel[:, :, None] == jnp.arange(C)[None, None, :]
+                pos1 = jnp.sum(
+                    onehot * (jnp.arange(N - 1) + 1)[None, :, None],
+                    axis=1).astype(jnp.int32)  # [B, C]
+                par_c = jnp.take_along_axis(cparent, sel, 1)  # [B, N-1]
+                parents = jnp.where(
+                    par_c < 0, 0,
+                    jnp.take_along_axis(
+                        pos1, jnp.clip(par_c, 0, C - 1), 1),
+                )
+                # node 0 (the root) carries a self-parent placeholder so
+                # parents[:, n] lines up with the node index n
+                parents = jnp.concatenate(
+                    [jnp.zeros((bs_pad, 1), jnp.int32), parents], 1)
+                tokens = jnp.concatenate(
+                    [t0[:, None], jnp.take_along_axis(ctok, sel, 1)], 1)
+                depths = jnp.concatenate(
+                    [jnp.zeros((bs_pad, 1), jnp.int32), cdepth_c[sel]], 1)
+                return tokens, parents, depths, dkv
+
+            self._fns[fkey] = jax.jit(raw, donate_argnums=(1,))
+        pt = np.zeros((bs_pad, pt_w), np.int32)
+        w = min(page_table.shape[1], pt_w)
+        pt[:bs, :w] = page_table[:, :w]
+        rows = self._pad_rows(row_ids, bs, bs_pad)
+        tokens, parents, depths, self.draft_kv = self._fns[fkey](
+            self.draft_params, self.draft_kv, self.draft_rope,
+            self.params["embed"]["weight"], self.params["lm_head"],
+            self.spec_hidden_row, rows,
+            jnp.asarray(self._pad_i32(t0, bs_pad)),
+            jnp.asarray(self._pad_i32(fill_len, bs_pad)),
+            jnp.asarray(pt),
+        )
+        return (np.asarray(tokens)[:bs], np.asarray(parents)[:bs],
+                np.asarray(depths)[:bs])
 
     def kv_relocate(self, src_slots: np.ndarray, dst_slots: np.ndarray):
         """Move token KV rows src -> dst (all layers); PAD_SLOT dst rows

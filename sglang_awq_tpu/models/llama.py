@@ -1017,7 +1017,11 @@ class LlamaForCausalLM:
         )  # [B*QS, H]
         use_xla_attn = not is_tpu_backend()
         flat_slots = slots.reshape(-1)
-        mask_np = jnp.asarray(np.asarray(tree_mask, bool))
+        # topology may be a static np [QS, QS] (fixed-shape trees) or a
+        # traced [B, QS, QS] (score-driven trees: topology is DATA)
+        mask_b = jnp.asarray(tree_mask, bool)
+        if mask_b.ndim == 2:
+            mask_b = jnp.broadcast_to(mask_b, (B, QS, QS))
 
         def per_tick(x, kv, live):
             slots_t = (
@@ -1061,7 +1065,7 @@ class LlamaForCausalLM:
                         "bikgd,bjkd->bkgij", qg.astype(jnp.float32),
                         kt.astype(jnp.float32),
                     ) * self.sm_scale  # [B, KVH, G, QS, QS]
-                    s2 = jnp.where(mask_np[None, None, None], s2, -1e30)
+                    s2 = jnp.where(mask_b[:, None, None], s2, -1e30)
                     m2 = jnp.max(s2, axis=-1)  # [B, KVH, G, QS]
                     p2 = jnp.exp(s2 - m2[..., None])
                     l2 = jnp.sum(p2, axis=-1)

@@ -95,6 +95,11 @@ class ServerArgs:
     # EAGLE tree width: top-k candidates at the first draft step, each
     # continued greedily (reference --speculative-eagle-topk).  1 = chain.
     speculative_eagle_topk: int = 1
+    # topk>1 tree topology: "scored" chooses the tree from per-level draft
+    # scores within a static node budget (reference
+    # build_tree_kernel_efficient role); "static" is the fixed
+    # k-branch-roots-continued-greedily shape
+    speculative_tree_mode: str = "scored"
     speculative_draft_model_path: Optional[str] = None
     # LoRA serving: list of name=path adapter specs loaded at startup
     lora_paths: Optional[List[str]] = None
@@ -112,6 +117,10 @@ class ServerArgs:
     pp_microbatches: int = 0  # decode microbatches per step (0 = 2*pp)
     lm_head_dtype: str = "auto"  # "auto" (bf16) | "int8" (per-column scales)
     hicache_size_gb: float = 4.0
+    # L3 persistent KV store behind the host tier: "posix://<dir>" (file
+    # per page; prefix KV survives restarts).  Reference HiCacheStorage
+    # backends (mooncake/3fs/...) slot in via the same factory.
+    hicache_storage: Optional[str] = None
     grammar_backend: str = "none"
     lora_paths: Optional[List[str]] = None
 

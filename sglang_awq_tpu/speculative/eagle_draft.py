@@ -251,6 +251,108 @@ class EagleDraftModel:
         h = rms_norm(x, params["final_norm"], self.config.rms_norm_eps)
         return h.astype(jnp.float32), kv_cache
 
+    def tree_hidden(
+        self,
+        params: Dict[str, Any],
+        kv_cache: jax.Array,  # draft pool (READ-ONLY here: no tree writes)
+        rope_tab: jax.Array,
+        embed_w: jax.Array,
+        tokens: jax.Array,  # [B, F] frontier node tokens
+        hidden: jax.Array,  # [B, F, H] parent draft hiddens
+        positions: jax.Array,  # [B] draft position of this level
+        page_table: jax.Array,  # [B, PMAX]
+        lengths: jax.Array,  # [B] draft prefix length (incl. the root row)
+        nodes_k: jax.Array,  # [L, B, M, KVH*D] bf16 expanded-node K
+        nodes_v: jax.Array,  # [L, B, M, KVH*D]
+        anc: jax.Array,  # [B, F, M] bool: frontier ancestors among slots
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """Score-driven tree expansion step: draft-forward F frontier nodes
+        at once -> (hidden [B, F, H] f32, k [L, B, F, KVH*D], v [...]).
+
+        Reference role: the per-level draft forward inside
+        `eagle_worker.py:511` draft_forward with select_top_k_tokens — the
+        reference carries a growing tree mask through the draft; here the
+        PREFIX piece rides the paged megakernel via the head-fold trick
+        (all F nodes see [0, len) uniformly) and the TREE tail attends the
+        expanded nodes' K/V held in-hand, masked by ancestry, merged by
+        softmax stats — no draft-pool writes, so a rejected branch never
+        corrupts draft KV (the static-tree path's best-effort overwrite
+        weakness)."""
+        B, F = tokens.shape
+        H = hidden.shape[-1]
+        kvh, G, D = self.kvh, self.qh // self.kvh, self.head_dim
+        n = self.qh
+        M = nodes_k.shape[2]
+        self._fc_weight = params["fc"]["weight"]
+        x = self._merge(
+            embed_w, tokens.reshape(-1), hidden.reshape(B * F, H)
+        )
+        flat_pos = jnp.repeat(positions, F)
+        use_xla = not is_tpu_backend()
+
+        def body(x, xs):
+            l, nk_l, nv_l = xs
+
+            def attn(q, k, v, l):
+                st["k"], st["v"] = k, v  # [B*F, kvh, D]
+                qs = q.reshape(B, F, kvh, G, D)
+                # prefix: fold nodes into the head dim (uniform limit)
+                qf = jnp.transpose(qs, (0, 2, 1, 3, 4)).reshape(
+                    B, 1, F * n, D)
+                fn = ragged_decode_xla if use_xla else ragged_decode
+                o1, m1, l1 = fn(
+                    qf, kv_cache, page_table, lengths, l,
+                    sm_scale=self.sm_scale, want_stats=True,
+                )
+                o1 = o1.reshape(B, kvh, F, G, D)
+                o1 = jnp.transpose(o1, (0, 2, 1, 3, 4)).reshape(B, F, n, D)
+                m1 = jnp.transpose(
+                    m1.reshape(B, kvh, F, G), (0, 2, 1, 3)).reshape(B, F, n)
+                l1 = jnp.transpose(
+                    l1.reshape(B, kvh, F, G), (0, 2, 1, 3)).reshape(B, F, n)
+                if M:
+                    kt = nk_l.reshape(B, M, kvh, D)
+                    vt = nv_l.reshape(B, M, kvh, D)
+                    s2 = jnp.einsum(
+                        "bfkgd,bmkd->bkgfm", qs.astype(jnp.float32),
+                        kt.astype(jnp.float32),
+                    ) * self.sm_scale  # [B, KVH, G, F, M]
+                    s2 = jnp.where(anc[:, None, None], s2, -1e30)
+                    m2 = jnp.max(s2, axis=-1)  # [B, KVH, G, F]
+                    p2 = jnp.exp(s2 - m2[..., None])
+                    l2 = jnp.sum(p2, axis=-1)
+                    a2 = jnp.einsum(
+                        "bkgfm,bmkd->bfkgd", p2, vt.astype(jnp.float32))
+                    m2 = jnp.transpose(m2, (0, 3, 1, 2)).reshape(B, F, n)
+                    l2 = jnp.transpose(l2, (0, 3, 1, 2)).reshape(B, F, n)
+                    a2 = a2.reshape(B, F, n, D)
+                    m = jnp.maximum(m1, m2)
+                    w1 = jnp.exp(m1 - m) * l1
+                    w2 = jnp.exp(m2 - m)
+                    denom = w1 + w2 * l2
+                    denom = jnp.where(denom == 0.0, 1.0, denom)
+                    out = (o1 * w1[..., None] + a2 * w2[..., None]) / (
+                        denom[..., None])
+                else:
+                    out = o1
+                return out.reshape(B * F, n, D)
+
+            st = {}
+            x = self._layer(params, x, l, flat_pos, rope_tab, attn)
+            return x, (st["k"].reshape(B, F, kvh * D),
+                       st["v"].reshape(B, F, kvh * D))
+
+        L = self.config.num_layers
+        x, (ks, vs) = jax.lax.scan(
+            body, x, (jnp.arange(L), nodes_k, nodes_v)
+        )
+        g = rms_norm(x, params["final_norm"], self.config.rms_norm_eps)
+        return (
+            g.reshape(B, F, H).astype(jnp.float32),
+            ks.astype(jnp.bfloat16),
+            vs.astype(jnp.bfloat16),
+        )
+
     def spec_hidden(
         self,
         params: Dict[str, Any],
