@@ -107,10 +107,27 @@ class HostKVCache:
 class HiCacheController:
     """Device<->host transfer glue owned by the scheduler."""
 
-    def __init__(self, runner, capacity_bytes: int, page_size: int):
+    def __init__(self, runner, capacity_bytes: int, page_size: int,
+                 storage: Optional[str] = None):
         self.runner = runner
         self.page_size = page_size
         self.host = HostKVCache(runner.kv_spec, capacity_bytes)
+        # L3 (round 5): pluggable persistent store behind the host tier —
+        # reference HiCacheStorage ABC (hicache_storage.py:62).  Keys are
+        # restart-stable blake2b chains salted with the pool geometry.
+        self.storage = None
+        self._salt = ""
+        if storage:
+            from sglang_awq_tpu.mem_cache.hicache_storage import (
+                create_storage_backend)
+
+            self.storage = create_storage_backend(storage)
+            spec = runner.kv_spec
+            self._salt = f"{spec.shape}|{np.dtype(spec.jdtype).name}"
+            # npy files can't carry ml_dtypes (bf16/fp8): store pages as
+            # same-width unsigned-int views and view back on load
+            self._pool_dt = np.dtype(spec.jdtype)
+            self._raw_dt = np.dtype(f"u{self._pool_dt.itemsize}")
         # async writer: device->host fetches happen off the scheduler thread
         self._writes: "queue.Queue" = queue.Queue()
         self._host_lock = threading.Lock()
@@ -149,6 +166,20 @@ class HiCacheController:
                 with self._host_lock:
                     for i, pk in enumerate(full_key[len(full_key) - n:]):
                         h = self.host.put(h, pk, data[i])
+                if self.storage is not None:
+                    from sglang_awq_tpu.mem_cache.hicache_storage import (
+                        stable_chain)
+
+                    sh = ""
+                    for pk in full_key[: len(full_key) - n]:
+                        sh = stable_chain(sh, pk, self._salt)
+                    keys, vals = [], []
+                    for i, pk in enumerate(full_key[len(full_key) - n:]):
+                        sh = stable_chain(sh, pk, self._salt)
+                        keys.append(sh)
+                        vals.append(np.ascontiguousarray(
+                            data[i]).view(self._raw_dt))
+                    self.storage.batch_set(keys, vals)
             except Exception:  # noqa: BLE001
                 logger.exception("hicache writer failed (entry dropped)")
             finally:
@@ -173,13 +204,41 @@ class HiCacheController:
             h = self.host.chain(h, pk)
         slots = []
         with self._host_lock:
+            walked = matched_pages
             for pk in keys[matched_pages:]:
                 hit = self.host.get(h, pk)
                 if hit is None:
                     break
                 slot, h = hit
                 slots.append(slot)
-            return self.host.store[slots].copy()
+                walked += 1
+            out = self.host.store[slots].copy()
+        if self.storage is None:
+            return out
+        # L3 continuation: pages past the L2 match may still live in the
+        # persistent store (e.g. after a server restart, when L2 is empty)
+        from sglang_awq_tpu.mem_cache.hicache_storage import stable_chain
+
+        sh = ""
+        for pk in keys[:walked]:
+            sh = stable_chain(sh, pk, self._salt)
+        l3_keys = []
+        for pk in keys[walked:]:
+            sh = stable_chain(sh, pk, self._salt)
+            l3_keys.append(sh)
+        if not l3_keys:
+            return out
+        got = self.storage.batch_get(l3_keys)
+        extra = []
+        for g in got:
+            if g is None or g.shape != self.host.page_shape:
+                break
+            extra.append(g.view(self._pool_dt))
+        if not extra:
+            return out
+        if len(out):
+            return np.concatenate([out, np.stack(extra)], axis=0)
+        return np.stack(extra)
 
     def restore(self, data, device_pages: List[int]):
         """Upload host entries into freshly-allocated device pages through
