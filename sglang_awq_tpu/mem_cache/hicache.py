@@ -252,7 +252,10 @@ class HiCacheController:
         pool) or [2, ps, fcK, XrK] (split pool)."""
         data = np.ascontiguousarray(np.moveaxis(np.asarray(data), 1, 0))
         L, n = data.shape[0], data.shape[1]
-        if data.ndim == 6:  # split layout
+        from sglang_awq_tpu.mem_cache.kv_pool import pool_kind
+
+        kind = pool_kind(self.runner.kv_cache)
+        if kind in ("split", "wide"):  # K/V page faces
             ps = data.shape[3]
             k = np.ascontiguousarray(data[:, :, 0]).reshape(
                 L, n * ps, *data.shape[4:]
@@ -273,9 +276,13 @@ class HiCacheController:
         )
 
     def _restore_fn(self, n_pages: int):
-        split = self.runner.kv_cache.ndim == 6
-        latent = self.runner.kv_cache.ndim == 4
-        key = ("hicache_restore", n_pages, split, latent)
+        from sglang_awq_tpu.mem_cache.kv_pool import pool_kind
+
+        kind = pool_kind(self.runner.kv_cache)
+        split = kind in ("split", "wide")
+        wide = kind == "wide"
+        latent = kind == "latent"
+        key = ("hicache_restore", n_pages, split, latent, wide)
         fns = self.runner._fns
         if key not in fns:
             import jax
@@ -285,16 +292,19 @@ class HiCacheController:
                 kv_write_prefill,
                 kv_write_prefill_latent,
                 kv_write_prefill_split,
+                kv_write_prefill_wide,
             )
             if latent:
                 kv_write_prefill = kv_write_prefill_latent  # noqa: F811
+            write_faces = kv_write_prefill_wide if wide else \
+                kv_write_prefill_split
 
             if split:
 
                 def raw(kv, k, v, pages):
                     def body(kv, args):
                         l, lk, lv = args
-                        return kv_write_prefill_split(kv, lk, lv, pages, l), None
+                        return write_faces(kv, lk, lv, pages, l), None
 
                     kv, _ = jax.lax.scan(
                         body, kv, (jnp.arange(kv.shape[0]), k, v)

@@ -110,6 +110,21 @@ class KVPoolSpec:
             assert self.head_dim % 128 == 0, self.head_dim
             assert self.page_size % 8 == 0, self.page_size
             return "latent"
+        # "wide" (round 5): split K/V faces with ONE flat row per token
+        # ([L, P, 2, ps, KVH*D]) — the decode walk contracts q against
+        # [ck, KVH*D] chunks with NO class columns (fcK=1), measured 140
+        # vs 243 us/layer at ppc=8.  bf16 only: token writes are group-
+        # merged RMW of the aligned (8, 128) HBM tile rows (ops/kv_write.py
+        # wide kernels — Mosaic ps-dim DMA slices must cover whole tiles).
+        import os
+
+        if (
+            itemsize == 2
+            and (self.kv_heads * self.head_dim) % 128 == 0
+            and self.page_size % 8 == 0
+            and os.environ.get("SGLT_KV_WIDE", "1") != "0"
+        ):
+            return "wide"
         fck = 4 if itemsize == 1 else 2
         if self.kv_heads % fck != 0:
             return "combined"
@@ -130,6 +145,14 @@ class KVPoolSpec:
                 self.num_pages,
                 self.page_size,
                 self.head_dim,
+            )
+        if self.layout == "wide":
+            return (
+                self.num_layers,
+                self.num_pages,
+                2,  # 0 = K, 1 = V
+                self.page_size,
+                self.kv_heads * self.head_dim,
             )
         if self.layout == "split":
             fck = self.split_faces
@@ -166,6 +189,20 @@ class KVPoolSpec:
 
     def alloc(self) -> jax.Array:
         return jnp.zeros(self.shape, self.jdtype)
+
+
+def pool_kind(kv_cache) -> str:
+    """Layout of a pool array: latent (4D), split (6D), wide (5D with the
+    K/V face axis at dim 2), combined (5D token faces).  Wide and combined
+    are both 5-D: wide has shape[2] == 2 (faces) and shape[3] = page_size
+    >= 8; combined has shape[2] = page_size and shape[3] = face_rows <= 4."""
+    if kv_cache.ndim == 4:
+        return "latent"
+    if kv_cache.ndim == 6:
+        return "split"
+    if kv_cache.ndim == 5 and kv_cache.shape[2] == 2 and kv_cache.shape[3] > 4:
+        return "wide"
+    return "combined"
 
 
 def write_kv(
@@ -207,6 +244,38 @@ def write_kv(
         return kv_cache.at[layer, slots // ps, slots % ps].set(
             rf, mode="drop"
         )
+    if pool_kind(kv_cache) == "wide":  # [L, P, 2, ps, KVH*D]
+        L, P, _, ps, Xr = kv_cache.shape
+        kf = k_new.astype(kv_cache.dtype).reshape(T, Xr)
+        vf = v_new.astype(kv_cache.dtype).reshape(T, Xr)
+        if is_tpu_backend():
+            from sglang_awq_tpu.ops.kv_write import (
+                kv_write_prefill_wide,
+                kv_write_tokens_wide,
+            )
+
+            if mode == "prefill":
+                num_slots = P * ps
+                group_slots = slots.reshape(T // ps, ps)[:, 0]
+                valid = (group_slots >= 0) & (group_slots < num_slots)
+                pages = jnp.where(valid, group_slots // ps, -1)
+                return kv_write_prefill_wide(kv_cache, kf, vf, pages, layer)
+            if mode == "decode":
+                # one token per SEQUENCE -> distinct 8-row tile groups by
+                # construction (a page belongs to one sequence): the lean
+                # kernel skips the group-merge machinery
+                from sglang_awq_tpu.ops.kv_write import (
+                    kv_write_tokens_wide_decode)
+
+                return kv_write_tokens_wide_decode(
+                    kv_cache, kf, vf, slots, layer)
+            return kv_write_tokens_wide(kv_cache, kf, vf, slots, layer)
+        layer = jnp.asarray(layer, jnp.int32)
+        pages = slots // ps
+        offs = slots % ps
+        kv_cache = kv_cache.at[layer, pages, 0, offs].set(kf, mode="drop")
+        kv_cache = kv_cache.at[layer, pages, 1, offs].set(vf, mode="drop")
+        return kv_cache
     if kv_cache.ndim == 6:  # split layout [L, P, 2, ps, fcK, XrK]
         L, P, _, ps, fck, XrK = kv_cache.shape
         kf = k_new.astype(kv_cache.dtype).reshape(T, fck, XrK)

@@ -250,13 +250,17 @@ class ModelRunner:
             w *= 2
         self.pmax_buckets.append(self.pmax)
 
-        # per-row last target hidden (pre-final-norm): the EAGLE chain's
-        # start feature (+1 spare slot so trash-row writes land harmlessly)
-        self.spec_hidden_row = jnp.zeros(
-            (self.sampling_state.capacity + 1, model_config.hidden_size),
-            jnp.bfloat16,
-        )
         self._init_draft()
+        # per-row last target hidden: the EAGLE chain's start feature
+        # (+1 spare slot so trash-row writes land harmlessly).  EAGLE1
+        # rows hold the pre-final-norm hidden [H]; EAGLE3 rows hold the
+        # concat of the three captured aux layer hiddens [3H].
+        hid_w = model_config.hidden_size
+        if self.draft is not None and getattr(self.draft, "aux_width", 0):
+            hid_w = self.draft.aux_width
+        self.spec_hidden_row = jnp.zeros(
+            (self.sampling_state.capacity + 1, hid_w), jnp.bfloat16,
+        )
         self._init_lora()
 
     def _init_lora(self):
@@ -295,21 +299,43 @@ class ModelRunner:
             return
         assert self.tp_size == 1, "EAGLE + tp>1 lands with multi-chip spec"
         from sglang_awq_tpu.speculative.eagle_draft import (
+            Eagle3DraftModel,
             EagleDraftModel,
+            is_eagle3_checkpoint,
             load_draft_params,
+            load_draft_params_eagle3,
         )
 
         dc = self._draft_cfg
-        self.draft = EagleDraftModel(config=dc)
-        if self._draft_tensors is not None:
-            self.draft_params = load_draft_params(self.draft, self._draft_tensors)
-        elif self.server_args.random_weights:
-            self.draft_params = self.draft.random_params()
-        else:
+        tensors = self._draft_tensors
+        if tensors is None and not self.server_args.random_weights:
             from sglang_awq_tpu.model_loader.loader import iterate_safetensors
 
             tensors = dict(iterate_safetensors(dc.model_path))
-            self.draft_params = load_draft_params(self.draft, tensors)
+        eagle3 = (
+            dc.hf_config.get("eagle3", False)
+            or (tensors is not None
+                and is_eagle3_checkpoint(tensors, dc.hidden_size))
+        )
+        if eagle3:
+            self.draft = Eagle3DraftModel(
+                config=dc,
+                target_hidden_size=self.model_config.hidden_size,
+            )
+            if tensors is not None:
+                self.draft_params = load_draft_params_eagle3(
+                    self.draft, tensors)
+            else:
+                self.draft_params = self.draft.random_params()
+            # the target must expose aux hiddens at the reference's
+            # capture points (inputs of layers [2, L//2, L-3])
+            self.model.aux_capture_layers = self.model.default_aux_layers()
+        else:
+            self.draft = EagleDraftModel(config=dc)
+            if tensors is not None:
+                self.draft_params = load_draft_params(self.draft, tensors)
+            else:
+                self.draft_params = self.draft.random_params()
         from sglang_awq_tpu.layers.rotary import rope_table
 
         self.draft_rope = jax.device_put(
@@ -323,11 +349,23 @@ class ModelRunner:
             self.page_size, dc.head_dim,
         )
         self.draft_kv = dspec.alloc()
+        self._draft_head = self.draft.head_params(
+            self.draft_params, None)  # None -> use the target's at call time
         self._verify_hidden = None
         logger.info(
-            "EAGLE draft: %d layer(s), draft pool %.2f GiB",
+            "EAGLE draft: %d layer(s), draft pool %.2f GiB%s",
             dc.num_layers, self.draft_kv.nbytes / 1024**3,
+            " (EAGLE3)" if eagle3 else "",
         )
+
+    def _draft_embed_w(self):
+        """Draft input embedding: EAGLE3 checkpoints may carry their own
+        table; EAGLE1 shares the target's."""
+        w = self.draft_params.get("embed_w")
+        return w if w is not None else self.params["embed"]["weight"]
+
+    def _draft_head_p(self):
+        return self.draft.head_params(self.draft_params, self.params["lm_head"])
 
     # ------------------------------------------------------------------
     # sharding (tp > 1)
@@ -1060,6 +1098,12 @@ class ModelRunner:
          kv_lens, q_lens, qb_base, steps) = self._pad_extend(ext)
         st = self.sampling_state
         want_hidden = self.draft is not None or want_input_lp
+        if want_input_lp and getattr(self.model, "aux_capture_layers", ()):
+            raise NotImplementedError(
+                "prompt logprobs + EAGLE3 (the capture channel carries the "
+                "draft's aux hiddens, not the head hidden) — disable "
+                "speculative decoding for logprob_start_len requests"
+            )
         want_embeds = ext.input_embeds is not None
         fn = self._extend_fn(
             tq_pad, bs_pad, pt_w, ext.all_greedy(), want_logprobs,
@@ -1512,7 +1556,7 @@ class ModelRunner:
         pos = self._pad_i32(ext.positions, tq_pad)
         self.draft_kv = self._fns[key](
             self.draft_params, self.draft_kv, self.draft_rope,
-            self.params["embed"]["weight"],
+            self._draft_embed_w(),
             jnp.asarray(dtok), hidden, jnp.asarray(pos), jnp.asarray(dslots),
             pt,
             jnp.asarray(self._pad_i32(ext.draft_kv_lens, bs_pad)),
@@ -1549,7 +1593,7 @@ class ModelRunner:
 
             def raw(dp, dkv, drope, embed_w, head, hidden_row, rows,
                     t0, P, pt):
-                h = hidden_row[rows]  # [B, H]
+                h = draft.start_hidden(dp, hidden_row[rows])  # [B, H]
                 ar = jnp.arange(bs_pad)
 
                 def step(carry, j):
@@ -1567,18 +1611,20 @@ class ModelRunner:
                     g, dkv = draft.decode_hidden(
                         dp, dkv, drope, embed_w, tok, h, pos_c, slots, pt, lens
                     )
+                    gh = draft.head_input(dp, g)
                     if "weight_q" in head:  # int8 lm_head (scaled cols)
                         logits = jnp.dot(
-                            g.astype(jnp.bfloat16),
+                            gh.astype(jnp.bfloat16),
                             head["weight_q"].astype(jnp.bfloat16),
                             preferred_element_type=jnp.float32,
                         ) * head["scale"][None, :]
                     else:
                         logits = jnp.dot(
-                            g.astype(jnp.bfloat16), head["weight"],
+                            gh.astype(jnp.bfloat16), head["weight"],
                             preferred_element_type=jnp.float32,
                         )
-                    nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    nxt = draft.map_draft_ids(
+                        dp, jnp.argmax(logits, axis=-1).astype(jnp.int32))
                     return (g.astype(jnp.bfloat16), nxt, dkv), nxt
 
                 (_, _, dkv), drafts = jax.lax.scan(
@@ -1593,7 +1639,7 @@ class ModelRunner:
         rows = self._pad_rows(row_ids, bs, bs_pad)
         drafts, self.draft_kv = self._fns[("eagle_chain", bs_pad, pt_w, k)](
             self.draft_params, self.draft_kv, self.draft_rope,
-            self.params["embed"]["weight"], self.params["lm_head"],
+            self._draft_embed_w(), self._draft_head_p(),
             self.spec_hidden_row, rows,
             jnp.asarray(self._pad_i32(t0, bs_pad)),
             jnp.asarray(self._pad_i32(fill_len, bs_pad)),
@@ -1746,12 +1792,13 @@ class ModelRunner:
                         PAD_SLOT,
                     ), jnp.where(live, pos + 1, 0)
 
-                h0 = hidden_row[rows]
+                h0 = draft.start_hidden(dp, hidden_row[rows])
                 pos, sl, lens = slot_at(0)
                 g0, dkv = draft.decode_hidden(
                     dp, dkv, drope, embed_w, t0, h0, pos, sl, pt, lens)
-                cand = jax.lax.top_k(head_logits(head, g0), k)[1].astype(
-                    jnp.int32)  # [B, k]
+                cand = draft.map_draft_ids(dp, jax.lax.top_k(
+                    head_logits(head, draft.head_input(dp, g0)), k
+                )[1].astype(jnp.int32))  # [B, k]
                 branches = []
                 for bk in range(k):
                     tok = cand[:, bk]
@@ -1762,8 +1809,9 @@ class ModelRunner:
                         g, dkv = draft.decode_hidden(
                             dp, dkv, drope, embed_w, tok, h, pos, sl, pt,
                             lens)
-                        tok = jnp.argmax(
-                            head_logits(head, g), axis=-1).astype(jnp.int32)
+                        tok = draft.map_draft_ids(dp, jnp.argmax(
+                            head_logits(head, draft.head_input(dp, g)),
+                            axis=-1).astype(jnp.int32))
                         h = g.astype(jnp.bfloat16)
                         chain.append(tok)
                     branches.append(jnp.stack(chain, axis=1))  # [B, depth]
@@ -1776,7 +1824,7 @@ class ModelRunner:
         rows = self._pad_rows(row_ids, bs, bs_pad)
         drafts, self.draft_kv = self._fns[fkey](
             self.draft_params, self.draft_kv, self.draft_rope,
-            self.params["embed"]["weight"], self.params["lm_head"],
+            self._draft_embed_w(), self._draft_head_p(),
             self.spec_hidden_row, rows,
             jnp.asarray(self._pad_i32(t0, bs_pad)),
             jnp.asarray(self._pad_i32(fill_len, bs_pad)),
@@ -1855,11 +1903,13 @@ class ModelRunner:
                     PAD_SLOT,
                 )
                 lens0 = jnp.where(live, pos0 + 1, 0)
-                h0 = hidden_row[rows]
+                h0 = draft.start_hidden(dp, hidden_row[rows])
                 g0, dkv = draft.decode_hidden(
                     dp, dkv, drope, embed_w, t0, h0, pos0, sl0, pt, lens0)
-                lp0 = jax.nn.log_softmax(head_logits(head, g0), axis=-1)
+                lp0 = jax.nn.log_softmax(
+                    head_logits(head, draft.head_input(dp, g0)), axis=-1)
                 sc0, tk0 = jax.lax.top_k(lp0, k)  # [B, k]
+                tk0 = draft.map_draft_ids(dp, tk0.astype(jnp.int32))
 
                 ctok = jnp.zeros((bs_pad, C), jnp.int32)
                 cscore = jnp.full((bs_pad, C), -jnp.inf, jnp.float32)
@@ -1890,9 +1940,11 @@ class ModelRunner:
                     nodes_k = nodes_k.at[:, :, s_lo : s_lo + F].set(ks)
                     nodes_v = nodes_v.at[:, :, s_lo : s_lo + F].set(vs)
                     lpj = jax.nn.log_softmax(
-                        head_logits(head, g.reshape(bs_pad * F, -1)),
+                        head_logits(head, draft.head_input(
+                            dp, g.reshape(bs_pad * F, -1))),
                         axis=-1)
                     scj, tkj = jax.lax.top_k(lpj, k)  # [B*F, k]
+                    tkj = draft.map_draft_ids(dp, tkj.astype(jnp.int32))
                     scj = (scj.reshape(bs_pad, F, k)
                            + fcum[:, :, None] - 1e-6)
                     b0 = k + (lv - 2) * F * k
@@ -1950,7 +2002,7 @@ class ModelRunner:
         rows = self._pad_rows(row_ids, bs, bs_pad)
         tokens, parents, depths, self.draft_kv = self._fns[fkey](
             self.draft_params, self.draft_kv, self.draft_rope,
-            self.params["embed"]["weight"], self.params["lm_head"],
+            self._draft_embed_w(), self._draft_head_p(),
             self.spec_hidden_row, rows,
             jnp.asarray(self._pad_i32(t0, bs_pad)),
             jnp.asarray(self._pad_i32(fill_len, bs_pad)),
@@ -1967,17 +2019,18 @@ class ModelRunner:
         key = ("kv_relocate", M, self.kv_spec.layout)
         if key not in self._fns:
             ps = self.page_size
-            split = self.kv_spec.layout == "split"
+            split = self.kv_spec.layout in ("split", "wide")
 
             def raw(kv, src, dst):
                 sp, sr = src // ps, src % ps
                 dp_, dr = jnp.minimum(dst // ps, kv.shape[1] - 1), dst % ps
                 drop = dst >= (1 << 29)
-                if split:  # [L, P, 2, ps, fcK, XrK]
-                    g = kv[:, sp, :, sr]  # [M, L, 2, fcK, XrK]
+                if split:  # [L, P, 2, ps, fcK, XrK] or wide [L, P, 2, ps, Xr]
+                    g = kv[:, sp, :, sr]  # [M, L, 2, (fcK,) XrK]
                     dp_ = jnp.where(drop, 0, dp_)
                     cur = kv[:, dp_, :, dr]
-                    g = jnp.where(drop[:, None, None, None, None], cur, g)
+                    g = jnp.where(
+                        drop.reshape((-1,) + (1,) * (g.ndim - 1)), cur, g)
                     kv = kv.at[:, dp_, :, dr].set(g)
                 else:  # [L, P, ps, fc, Xr]
                     # adjacent advanced indices (axes 1, 2) keep their
@@ -2054,7 +2107,7 @@ class ModelRunner:
         rows = self._pad_rows(row_ids, bs, bs_pad)
         self.draft_kv, self.spec_hidden_row = self._fns[key](
             self.draft_params, self.draft_kv, self.draft_rope,
-            self.params["embed"]["weight"], self.spec_hidden_row,
+            self._draft_embed_w(), self.spec_hidden_row,
             self._verify_hidden, jnp.asarray(nodes_p), rows,
             jnp.asarray(ids_p),
             jnp.asarray(self._pad_i32(accept, bs_pad)),
@@ -2118,7 +2171,7 @@ class ModelRunner:
         rows = self._pad_rows(row_ids, bs, bs_pad)
         self.draft_kv, self.spec_hidden_row = self._fns[key](
             self.draft_params, self.draft_kv, self.draft_rope,
-            self.params["embed"]["weight"], self.spec_hidden_row,
+            self._draft_embed_w(), self.spec_hidden_row,
             self._verify_hidden, rows,
             jnp.asarray(ids_p),
             jnp.asarray(self._pad_i32(accept, bs_pad)),

@@ -61,6 +61,9 @@ class LlamaForCausalLM:
     pp_size: int = 1  # pipeline stages over the "stage" mesh axis
     stage_axis: Optional[str] = None
     pp_microbatches: int = 0  # decode microbatches per step (0 = 2*pp)
+    # EAGLE3: capture the inputs of these layers as the draft's aux
+    # hiddens (set by the runner; () = capture pre-final-norm hidden)
+    aux_capture_layers: tuple = ()
 
     def __post_init__(self):
         c = self.config
@@ -387,6 +390,38 @@ class LlamaForCausalLM:
         """Hook: learned ABSOLUTE position embeddings added to the token
         embeddings (GPT-2 wpe / OPT offset table).  Rope models: identity."""
         return x
+
+    # ---- EAGLE3 aux-hidden capture (reference llama.py:314
+    # layers_to_capture / set_eagle3_layers_to_capture) ----------------
+    # When set (by the runner for EAGLE3 drafts), capture_hidden paths
+    # return the concat of the INPUTS of these layers ([T, 3H]) instead
+    # of the pre-final-norm hidden.
+    def default_aux_layers(self):
+        L = self.config.num_layers
+        return (min(2, L - 1), L // 2, max(L - 3, 0))
+
+    def _aux_init(self, T):
+        cap = getattr(self, "aux_capture_layers", ())
+        if not cap:
+            return None
+        return jnp.zeros(
+            (len(cap), T, self.config.hidden_size), jnp.bfloat16)
+
+    def _aux_update(self, aux, l, x):
+        if aux is None:
+            return None
+        for j, cl in enumerate(self.aux_capture_layers):
+            aux = aux.at[j].set(
+                jnp.where(jnp.asarray(l) == cl, x.astype(jnp.bfloat16),
+                          aux[j]))
+        return aux
+
+    def _aux_payload(self, aux, x):
+        """The capture_hidden payload: aux concat when enabled, else the
+        pre-final-norm hidden."""
+        if aux is None:
+            return x
+        return jnp.moveaxis(aux, 0, 1).reshape(aux.shape[1], -1)
 
     def _lora_delta(self, pool, name: str, x: jax.Array, l, lora_idx):
         """Dense-over-slots LoRA: contract x against every adapter slot and
@@ -949,7 +984,7 @@ class LlamaForCausalLM:
             )
 
             def body(carry, l):
-                x, kv = carry
+                x, kv, aux = carry
 
                 def attn(q, k, v, l):
                     state["kv"] = write_kv(
@@ -966,20 +1001,25 @@ class LlamaForCausalLM:
                     return out.reshape(B * QS, self.qh, self.head_dim)
 
                 state = {"kv": kv}
+                aux = self._aux_update(aux, l, x)
                 x = self._layer(params, x, l, flat_pos, rope_tab, attn,
                                 lora_idx=flat_lora)
-                return (x, state["kv"]), None
+                return (x, state["kv"], aux), None
 
-            (x, kv), _ = jax.lax.scan(
-                body, (x, kv), jnp.arange(self.layers_local)
+            (x, kv, aux), _ = jax.lax.scan(
+                body, (x, kv, self._aux_init(x.shape[0])),
+                jnp.arange(self.layers_local)
             )
+            st["aux"] = aux
             return x, kv
 
+        st = {}
         x, kv_cache = self._run_layers(params, x, kv_cache, per_tick)
         logits = self._logits(params, x)  # [B*QS, V]
         if capture_hidden:
-            H = x.shape[-1]
-            return logits.reshape(B, QS, -1), kv_cache, x.reshape(B, QS, H)
+            hid = self._aux_payload(st.get("aux"), x)
+            return (logits.reshape(B, QS, -1), kv_cache,
+                    hid.reshape(B, QS, hid.shape[-1]))
         return logits.reshape(B, QS, -1), kv_cache
 
     def spec_verify_tree_step(
@@ -1030,7 +1070,7 @@ class LlamaForCausalLM:
             )
 
             def body(carry, l):
-                x, kv = carry
+                x, kv, aux = carry
 
                 def attn(q, k, v, l):
                     state["kv"] = write_kv(
@@ -1086,19 +1126,24 @@ class LlamaForCausalLM:
                     return out.reshape(B * QS, n, D)
 
                 state = {"kv": kv}
+                aux = self._aux_update(aux, l, x)
                 x = self._layer(params, x, l, flat_pos, rope_tab, attn)
-                return (x, state["kv"]), None
+                return (x, state["kv"], aux), None
 
-            (x, kv), _ = jax.lax.scan(
-                body, (x, kv), jnp.arange(self.layers_local)
+            (x, kv, aux), _ = jax.lax.scan(
+                body, (x, kv, self._aux_init(x.shape[0])),
+                jnp.arange(self.layers_local)
             )
+            st["aux"] = aux
             return x, kv
 
+        st = {}
         x, kv_cache = self._run_layers(params, x, kv_cache, per_tick)
         logits = self._logits(params, x)  # [B*QS, V]
         if capture_hidden:
-            H = x.shape[-1]
-            return logits.reshape(B, QS, -1), kv_cache, x.reshape(B, QS, H)
+            hid = self._aux_payload(st.get("aux"), x)
+            return (logits.reshape(B, QS, -1), kv_cache,
+                    hid.reshape(B, QS, hid.shape[-1]))
         return logits.reshape(B, QS, -1), kv_cache
 
     def extend_step(
@@ -1148,7 +1193,7 @@ class LlamaForCausalLM:
         def run_layers_once(x, kv, slots_t, positions_t, kv_lens_t,
                             q_lens_t, qb_base_t, lora_t):
             def body(carry, l):
-                x, kv = carry
+                x, kv, aux = carry
 
                 def attn(q, k, v, l):
                     io = self._kv_scale_io(params, l)
@@ -1172,15 +1217,19 @@ class LlamaForCausalLM:
                     return out
 
                 state = {"kv": kv}
+                aux = self._aux_update(aux, l, x)
                 x = self._layer(params, x, l, positions_t, rope_tab, attn,
                                 lora_idx=lora_t)
-                return (x, state["kv"]), None
+                return (x, state["kv"], aux), None
 
-            (x, kv), _ = jax.lax.scan(
-                body, (x, kv), jnp.arange(self.layers_local)
+            (x, kv, aux), _ = jax.lax.scan(
+                body, (x, kv, self._aux_init(x.shape[0])),
+                jnp.arange(self.layers_local)
             )
+            st_aux["v"] = aux
             return x, kv
 
+        st_aux = {}
         # extend-side PP microbatching (reference scheduler_pp_mixin.py:
         # micro-batches span prefill too): split the token-major buffer at
         # q-block boundaries into M chunks and GPipe-rotate them, so every
@@ -1253,5 +1302,5 @@ class LlamaForCausalLM:
             return h_norm.astype(jnp.float32), kv_cache
         logits = self._logits(params, h_last)
         if capture_hidden:
-            return logits, kv_cache, x
+            return logits, kv_cache, self._aux_payload(st_aux.get("v"), x)
         return logits, kv_cache

@@ -133,6 +133,7 @@ def _decode_kernel_split(
     interpret: bool,
     fuse_new: bool = False,
     latent: bool = False,  # 4-dim latent pool [L, P, ps, Xr]: K == V
+    wide: bool = False,  # 5-dim wide pool [L, P, 2, ps, KVH*D]: fcK == 1
     stats_out=None,  # optional (m_out, l_out) [B, KVH*R, 128] two-piece-merge stats
 ):
     """Split-pool megakernel: the _decode_kernel walk with per-half dots.
@@ -164,8 +165,9 @@ def _decode_kernel_split(
     ps = k_buf.shape[2]
     ck = pages_per_chunk * ps
     # K sublane rows per token (2 bf16 / 4 fp8-int8; 1 = latent: a single
-    # row per token serves as BOTH K and V — MLA stores one latent copy)
-    fck = 1 if latent else k_buf.shape[3]
+    # row per token serves as BOTH K and V — MLA stores one latent copy;
+    # 1 = wide: one flat row per token, no class columns)
+    fck = 1 if (latent or wide) else k_buf.shape[3]
     hph = kvh // fck  # heads per class row
     d = q_ref.shape[-1]
     r = q_ref.shape[2]
@@ -300,7 +302,8 @@ def _decode_kernel_split(
             )  # [KVH*R, fcK*ck]
             if softcap:
                 qk = softcap * jnp.tanh(qk / softcap)
-            qk = qk + cb_ref[...]
+            if fck > 1:  # wide/latent: no class columns, nothing to mask
+                qk = qk + cb_ref[...]
             base = (s0_ref[b] + c) * ck
             tj = tj_ref[:1]
             # fuse_new: lengths_ref holds the WALK length (real - 1); the
@@ -680,7 +683,7 @@ def _decode_kernel_split_with_stats(
     sem,
     *,
     batch_size, pages_per_chunk, pmax, sm_scale, q_span, gp, kvh, softcap,
-    has_window, has_sinks, interpret,
+    has_window, has_sinks, interpret, wide=False,
 ):
     """Stats shim: two extra outputs (m_out, l_out) after o_ref route into
     _decode_kernel_split's stats_out keyword.  Explicit signature — a
@@ -695,7 +698,7 @@ def _decode_kernel_split_with_stats(
         batch_size=batch_size, pages_per_chunk=pages_per_chunk, pmax=pmax,
         sm_scale=sm_scale, q_span=q_span, gp=gp, kvh=kvh, softcap=softcap,
         has_window=has_window, has_sinks=has_sinks, interpret=interpret,
-        stats_out=(m_out, l_out),
+        wide=wide, stats_out=(m_out, l_out),
     )
 
 
@@ -738,6 +741,7 @@ def _decode_tail_kernel(
     softcap: float,
     has_sinks: bool,
     interpret: bool,
+    wide: bool = False,
 ):
     """Partial-tail walk for split-tail decode attention (round 5).
 
@@ -750,7 +754,7 @@ def _decode_tail_kernel(
     single-pass kernel paid FULL-chunk masked compute for the tail — ~30%
     of the whole walk at bs=64/ctx~512 (docs/kernels.md round 5)."""
     ps = k_buf.shape[2]
-    fck = k_buf.shape[3]
+    fck = 1 if wide else k_buf.shape[3]
     hph = kvh // fck
     d = q_ref.shape[-1]
     r = q_ref.shape[2]
@@ -857,7 +861,8 @@ def _decode_tail_kernel(
                     )  # [KVH*R, fcK*ps]
                     if softcap:
                         qk = softcap * jnp.tanh(qk / softcap)
-                    qk = qk + cb_ref[...]
+                    if fck > 1:
+                        qk = qk + cb_ref[...]
                     tj = tj_ref[:1] + (tstart + i * ps)
                     qk = jnp.where(tj < length, qk, MASK_VALUE)
                     m_prev = m_ref[:, :1]
@@ -944,17 +949,27 @@ def _ragged_decode_impl(
     import os as _os
 
     _ppc_env = _os.environ.get("SGLT_DECODE_PPC")
-    split = kv_cache.ndim == 6
-    latent = kv_cache.ndim == 4  # [L, P, ps, Xr]: one row per token, K == V
+    from sglang_awq_tpu.mem_cache.kv_pool import pool_kind
+
+    kind = pool_kind(kv_cache)
+    wide = kind == "wide"  # [L, P, 2, ps, KVH*D]: one flat row per token
+    split = kind == "split" or wide
+    latent = kind == "latent"  # [L, P, ps, Xr]: one row per token, K == V
     ps_ = kv_cache.shape[3] if split else kv_cache.shape[2]
     if _ppc_env:
         pages_per_chunk = int(_ppc_env)
     elif pages_per_chunk == 8 and ps_ * 8 > 256:
         # measured sweet spot on v5e: ~256-token chunks (1 MB bf16 faces)
         # saturate the DMA pipeline (1040 GB/s pure-DMA vs 668 at 128);
-        # smaller chunks starve it, larger ones lengthen the critical path
-        pages_per_chunk = max(1, 256 // ps_)
-    if split:
+        # smaller chunks starve it, larger ones lengthen the critical path;
+        # the wide layout takes 512-token chunks (no class columns, so the
+        # per-chunk VPU work stays flat and bigger DMAs win: 140 vs 190
+        # us/layer)
+        pages_per_chunk = max(1, (512 if wide else 256) // ps_)
+    if wide:
+        L, P, _, ps, Xr = kv_cache.shape
+        fc = 1
+    elif split:
         L, P, _, ps, fc, Xr = kv_cache.shape  # fc = fcK, Xr = XrK
     elif latent:
         L, P, ps, Xr = kv_cache.shape
@@ -966,7 +981,10 @@ def _ragged_decode_impl(
         QS, QH = 1, KVH_ * R_
     else:
         B, QS, QH, D = q.shape
-    if split:
+    if wide:
+        KVH = Xr // D
+        assert Xr == KVH * D and QH % KVH == 0
+    elif split:
         KVH = fc * Xr // D
         assert fc in (2, 4) and Xr * fc == KVH * D and QH % KVH == 0
         assert KVH % fc == 0, (KVH, fc)  # a head must not straddle classes
@@ -1101,8 +1119,10 @@ def _ragged_decode_impl(
                 pltpu.VMEM((KVH * R, Xr), jnp.float32),
                 pltpu.VMEM((KVH * R, fc * ps), jnp.float32),
                 pltpu.VMEM((8, fc * ps), jnp.int32),
-                pltpu.VMEM((4, ppc, ps, fc, Xr), kv_cache.dtype),
-                pltpu.VMEM((4, ppc, ps, fc, Xr), kv_cache.dtype),
+                (pltpu.VMEM((4, ppc, ps, Xr), kv_cache.dtype) if wide
+                 else pltpu.VMEM((4, ppc, ps, fc, Xr), kv_cache.dtype)),
+                (pltpu.VMEM((4, ppc, ps, Xr), kv_cache.dtype) if wide
+                 else pltpu.VMEM((4, ppc, ps, fc, Xr), kv_cache.dtype)),
                 pltpu.SemaphoreType.DMA((4, 2)),
             ],
         )
@@ -1111,6 +1131,7 @@ def _ragged_decode_impl(
             batch_size=B, tpp=ppc, pmax=pmax, sm_scale=sm_scale,
             gp=gp, kvh=KVH, softcap=float(softcap),
             has_sinks=sinks is not None, interpret=bool(interpret),
+            wide=wide,
         )
         out = pl.pallas_call(
             kernel,
@@ -1177,7 +1198,16 @@ def _ragged_decode_impl(
         pltpu.VMEM((8, fc * ck), jnp.int32),
         pltpu.VMEM((KVH * R, 128), jnp.int32),
     ]
-    if split:
+    if wide:
+        # 4-dim face buffers: a [.., 1, Xr] second-minor of 1 would pad to
+        # a whole sublane tile in VMEM
+        scratch = common_scratch + [
+            pltpu.VMEM((2, ppc, ps, Xr), kv_cache.dtype),
+            pltpu.VMEM((2, ppc, ps, Xr), kv_cache.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ]
+        assert not fuse_new, "new_kv fusion: classed split only (row writes)"
+    elif split:
         scratch = common_scratch + [
             pltpu.VMEM((2, ppc, ps, fc, Xr), kv_cache.dtype),
             pltpu.VMEM((2, ppc, ps, fc, Xr), kv_cache.dtype),
@@ -1242,6 +1272,7 @@ def _ragged_decode_impl(
         interpret=bool(interpret),
         **({"fuse_new": True} if fuse_new else {}),
         **({"latent": True} if latent else {}),
+        **({"wide": True} if wide else {}),
     )
     if want_stats:
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1360,6 +1391,7 @@ def _extend_kernel_split(
     has_sinks: bool,
     interpret: bool,
     latent: bool = False,  # 4-dim latent pool [L, P, ps, Xr]: K == V
+    wide: bool = False,  # 5-dim wide pool [L, P, 2, ps, KVH*D]: fcK == 1
 ):
     """Split-pool ragged extend: the _extend_kernel walk, but each head's
     qk dot contracts only the K chunk's lane slice and the PV dot hits the
@@ -1373,7 +1405,7 @@ def _extend_kernel_split(
         m_ref, l_ref, acc_ref, k_buf, v_buf, sem = scratch
     ps = k_buf.shape[2]
     ck = pages_per_chunk * ps
-    fck = 1 if latent else k_buf.shape[3]
+    fck = 1 if (latent or wide) else k_buf.shape[3]
     hph = kvh // fck  # heads per class row
 
     def limit_of(bb, qbb):
@@ -1799,9 +1831,18 @@ def ragged_extend(
     if interpret is None:
         interpret = pallas_interpret_default()
     TQ, QH, D = q.shape
-    split = kv_cache.ndim == 6
-    latent = kv_cache.ndim == 4  # [L, P, ps, Xr]: one row per token, K == V
-    if split:
+    from sglang_awq_tpu.mem_cache.kv_pool import pool_kind
+
+    kind = pool_kind(kv_cache)
+    wide = kind == "wide"
+    split = kind == "split" or wide
+    latent = kind == "latent"  # [L, P, ps, Xr]: one row per token, K == V
+    if wide:
+        L, P, _, ps, Xr = kv_cache.shape
+        fc = 1
+        KVH = Xr // D
+        assert Xr == KVH * D and QH % KVH == 0
+    elif split:
         L, P, _, ps, fc, Xr = kv_cache.shape  # fc = fcK, Xr = XrK
         KVH = fc * Xr // D
         assert fc in (2, 4) and Xr * fc == KVH * D and QH % KVH == 0
@@ -1867,6 +1908,12 @@ def ragged_extend(
             pltpu.VMEM((KVH, BQ * G, D), jnp.float32),
         ] + (
             [
+                pltpu.VMEM((2, ppc, ps, Xr), kv_cache.dtype),
+                pltpu.VMEM((2, ppc, ps, Xr), kv_cache.dtype),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ]
+            if wide
+            else [
                 pltpu.VMEM((2, ppc, ps, fc, Xr), kv_cache.dtype),
                 pltpu.VMEM((2, ppc, ps, fc, Xr), kv_cache.dtype),
                 pltpu.SemaphoreType.DMA((2, 2)),
@@ -1898,6 +1945,7 @@ def ragged_extend(
         has_sinks=sinks is not None,
         interpret=bool(interpret),
         **({"latent": True} if latent else {}),
+        **({"wide": True} if wide else {}),
     )
     out = pl.pallas_call(
         kernel,
@@ -1944,6 +1992,14 @@ def _gather_seq(kv_cache, page_table, layer, head_dim):
         g = jnp.moveaxis(g, 2, 3)  # [B, pmax, ps, 2, fcK, XrK]
         g = g.reshape(B, -1, 2, KVH, head_dim)
         return g[:, :, 0], g[:, :, 1]
+    from sglang_awq_tpu.mem_cache.kv_pool import pool_kind
+
+    if pool_kind(kv_cache) == "wide":  # [L, P, 2, ps, KVH*D]
+        Xr = kv_cache.shape[-1]
+        KVH = Xr // head_dim
+        g = jnp.moveaxis(g, 2, 3)  # [B, pmax, ps, 2, Xr]
+        g = g.reshape(B, -1, 2, KVH, head_dim)
+        return g[:, :, 0], g[:, :, 1]
     L, P, ps, fc, Xr = kv_cache.shape
     KVH = fc * Xr // (2 * head_dim)
     half = fc // 2
@@ -1967,8 +2023,13 @@ def ragged_decode_xla(
     want_stats: bool = False,
 ) -> jax.Array:
     B, QS, QH, D = q.shape
-    if kv_cache.ndim == 4:  # latent: one full-width row, K == V
+    from sglang_awq_tpu.mem_cache.kv_pool import pool_kind
+
+    _kind = pool_kind(kv_cache)
+    if _kind == "latent":  # one full-width row, K == V
         KVH = 1
+    elif _kind == "wide":  # [L, P, 2, ps, KVH*D]
+        KVH = kv_cache.shape[-1] // D
     else:
         fc = kv_cache.shape[-2]
         KVH = fc * kv_cache.shape[-1] // (
@@ -2029,8 +2090,13 @@ def ragged_extend_xla(
     """Per-sequence gather + masked softmax (test oracle; also the CPU
     serving path — jit-compatible, no python data-dependent control flow)."""
     TQ, QH, D = q.shape
-    if kv_cache.ndim == 4:  # latent: one full-width row, K == V
+    from sglang_awq_tpu.mem_cache.kv_pool import pool_kind
+
+    _kind = pool_kind(kv_cache)
+    if _kind == "latent":  # one full-width row, K == V
         KVH = 1
+    elif _kind == "wide":  # [L, P, 2, ps, KVH*D]
+        KVH = kv_cache.shape[-1] // D
     else:
         fc = kv_cache.shape[-2]
         KVH = fc * kv_cache.shape[-1] // (

@@ -493,11 +493,17 @@ def _split_pool(seed=0):
 
 
 def test_split_pool_spec_shape():
+    # round 5: bf16 pools take the WIDE layout (one flat row per token,
+    # fcK == 1 — no class columns in the decode walk)
     spec = KVPoolSpec(L, KVH, PAGES, PS, D)
-    assert spec.layout == "split"
-    assert spec.shape == (L, PAGES, 2, PS, 2, KVH * D // 2)
+    assert spec.layout == "wide"
+    assert spec.shape == (L, PAGES, 2, PS, KVH * D)
+    # 1-byte dtypes keep the classed split (writes need 4-row faces)
+    i8 = KVPoolSpec(L, 4, PAGES, PS, D, dtype="int8")
+    assert i8.layout == "split"
+    assert i8.shape == (L, PAGES, 2, PS, 4, D)
     mla = KVPoolSpec(L, 1, PAGES, PS, 8 * D)
-    assert mla.layout == "combined"
+    assert mla.layout == "wide"
 
 
 def test_split_write_kv_roundtrip():
