@@ -135,6 +135,33 @@ class EagleDraftModel:
             x, self._fc_weight, preferred_element_type=jnp.float32
         ).astype(jnp.bfloat16)
 
+    def _final_hidden(self, params, x):
+        """Post-stack transform whose output is BOTH the chain-recurrence
+        hidden and the head input (EAGLE1: the final RMSNorm).  EAGLE3
+        overrides: the recurrence carries the PRE-norm hidden and the head
+        applies the norm separately (head_input)."""
+        return rms_norm(x, params["final_norm"], self.config.rms_norm_eps)
+
+    def head_input(self, params, g):
+        """Transform a recurrence hidden into the lm-head input."""
+        return g
+
+    def head_params(self, params, target_head):
+        """The lm-head weights to score drafts with (EAGLE1 shares the
+        target's; EAGLE3 checkpoints may carry their own draft-vocab
+        head)."""
+        return target_head
+
+    def map_draft_ids(self, params, ids):
+        """Draft-vocab token ids -> target-vocab ids (EAGLE3 d2t)."""
+        return ids
+
+    def start_hidden(self, params, h):
+        """Normalize a chain-START feature to the recurrence width: EAGLE3
+        fuses the [*, 3H] target aux concat through fc once; within-chain
+        hiddens pass through."""
+        return h
+
     def _layer(self, params, x, l, positions, rope_tab, attn_fn):
         c = self.config
         lp = params["layers"]
@@ -248,7 +275,7 @@ class EagleDraftModel:
         (x, kv_cache), _ = jax.lax.scan(
             body, (x, kv_cache), jnp.arange(self.config.num_layers)
         )
-        h = rms_norm(x, params["final_norm"], self.config.rms_norm_eps)
+        h = self._final_hidden(params, x)
         return h.astype(jnp.float32), kv_cache
 
     def tree_hidden(
@@ -346,7 +373,7 @@ class EagleDraftModel:
         x, (ks, vs) = jax.lax.scan(
             body, x, (jnp.arange(L), nodes_k, nodes_v)
         )
-        g = rms_norm(x, params["final_norm"], self.config.rms_norm_eps)
+        g = self._final_hidden(params, x)
         return (
             g.reshape(B, F, H).astype(jnp.float32),
             ks.astype(jnp.bfloat16),
@@ -430,3 +457,199 @@ def load_draft_params(model: EagleDraftModel, tensors: Dict[str, np.ndarray]):
     fc = t["fc.weight"]
     params["fc"] = {"weight": jnp.asarray(fc.T, jnp.bfloat16)}  # [2H, H]
     return params
+
+
+@dataclasses.dataclass
+class Eagle3DraftModel(EagleDraftModel):
+    """EAGLE3 draft (aux-hidden-fusion, reference
+    `srt/models/llama_eagle3.py:186` LlamaForCausalLMEagle3).
+
+    Differences vs EAGLE1, mapped onto the shared step functions:
+
+    * the recurrence carries TWO streams — the new token's embedding and
+      the previous hidden — normed SEPARATELY (input_layernorm on the
+      embedding, hidden_norm on the hidden) and concatenated into a 2H-in
+      qkv projection.  Here `_merge` returns the [T, 2H] concat and
+      `_layer` splits it; the layer returns [embeds ; out] so the scan
+      carry keeps its shape (a >1-layer EAGLE3 would re-consume the same
+      embedding, matching the reference's single-midlayer constraint).
+    * the FIRST draft step's hidden is fc(concat of THREE captured target
+      layer hiddens) [T, 3*target_H]; later steps feed the previous draft
+      hidden [T, H] straight through (`_merge` dispatches on width).
+    * the residual is the HIDDEN stream (not the fused input).
+    * the recurrence hidden is the PRE-final-norm output; only the head
+      input is normed (`head_input`).
+    * checkpoints may carry their own draft-vocab lm_head plus a `d2t`
+      diff table: target_id = draft_id + d2t[draft_id] (`map_draft_ids`).
+    """
+
+    target_hidden_size: int = 0  # 0 = same as draft hidden_size
+
+    def __post_init__(self):
+        super().__post_init__()
+        c = self.config
+        H = c.hidden_size
+        Ht = self.target_hidden_size or H
+        self.aux_width = 3 * Ht
+        assert c.num_layers == 1, "EAGLE3: single midlayer (reference)"
+        # qkv consumes [normed embed ; normed hidden]
+        q = c.quant_config
+        qkv_n = (self.qh + 2 * self.kvh) * self.head_dim * self.tp_size
+        self.specs["qkv"] = LinearSpec.make(
+            "qkv", 2 * H, qkv_n, q, "column", self.tp_size)
+        self.specs["fc"] = LinearSpec.make(
+            "fc", self.aux_width, H, None, None, 1)
+
+    def param_shapes(self):
+        c = self.config
+        H = c.hidden_size
+        shapes = super().param_shapes()
+        shapes["fc"] = {"weight": ((self.aux_width, H), jnp.bfloat16)}
+        shapes["layers"]["hidden_norm"] = ((c.num_layers, H), jnp.float32)
+        return shapes
+
+    def random_params(self, seed: int = 0):
+        out = super().random_params(seed)
+        out["layers"]["hidden_norm"] = jnp.ones_like(
+            out["layers"]["input_norm"])
+        return out
+
+    def _merge(self, embed_w, tokens, hidden):
+        e = embed_w[tokens].astype(jnp.bfloat16)
+        h = hidden.astype(jnp.bfloat16)
+        if h.shape[-1] == self.aux_width:
+            h = jnp.dot(
+                h, self._fc_weight, preferred_element_type=jnp.float32
+            ).astype(jnp.bfloat16)
+        return jnp.concatenate([e, h], axis=-1)  # [T, 2H]
+
+    def _layer(self, params, x, l, positions, rope_tab, attn_fn):
+        c = self.config
+        lp = params["layers"]
+        H = c.hidden_size
+        T = x.shape[0]
+        D = self.head_dim
+        e, h = x[:, :H], x[:, H:]
+        en = rms_norm(e, lp["input_norm"][l], c.rms_norm_eps)
+        hn = rms_norm(h, lp["hidden_norm"][l], c.rms_norm_eps)
+        a_in = jnp.concatenate([en, hn], axis=-1)  # [T, 2H]
+        qkv = linear_apply(self.specs["qkv"], lp["qkv"], a_in, l)
+        q, k, v = jnp.split(
+            qkv, [self.qh * D, (self.qh + self.kvh) * D], axis=-1
+        )
+        q = q.reshape(T, self.qh, D)
+        k = k.reshape(T, self.kvh, D)
+        v = v.reshape(T, self.kvh, D)
+        q, k = apply_rope(q, k, positions, rope_tab)
+        attn = attn_fn(q, k, v, l)
+        attn = attn.reshape(T, self.qh * D).astype(jnp.bfloat16)
+        o = linear_apply(self.specs["o"], lp["o"], attn, l)
+        x1 = h + self._maybe_psum(o.astype(jnp.float32)).astype(h.dtype)
+        h2 = rms_norm(x1, lp["post_norm"][l], c.rms_norm_eps)
+        gu = linear_apply(self.specs["gate_up"], lp["gate_up"], h2, l)
+        act = silu_and_mul(gu)
+        d = linear_apply(self.specs["down"], lp["down"], act, l)
+        out = x1 + self._maybe_psum(d.astype(jnp.float32)).astype(x1.dtype)
+        return jnp.concatenate([e, out], axis=-1)
+
+    def _final_hidden(self, params, x):
+        H = self.config.hidden_size
+        return x[:, H:]  # PRE-norm hidden drives the recurrence
+
+    def head_input(self, params, g):
+        return rms_norm(
+            g.astype(jnp.bfloat16), params["final_norm"],
+            self.config.rms_norm_eps,
+        )
+
+    def head_params(self, params, target_head):
+        return params.get("lm_head") or target_head
+
+    def map_draft_ids(self, params, ids):
+        d2t = params.get("d2t")
+        if d2t is None:
+            return ids
+        return (ids + d2t[ids]).astype(jnp.int32)
+
+    def start_hidden(self, params, h):
+        if h.shape[-1] != self.aux_width:
+            return h
+        return jnp.dot(
+            h.astype(jnp.bfloat16),
+            params["fc"]["weight"],
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16)
+
+
+def load_draft_params_eagle3(model: Eagle3DraftModel,
+                             tensors: Dict[str, np.ndarray]):
+    """EAGLE3 checkpoint schema (`midlayer.*`, fc [H, 3*Ht] torch layout,
+    optional draft-vocab lm_head + d2t diff table + own embed_tokens)."""
+    t = {}
+    H = model.config.hidden_size
+    hidden_norm = None
+    for k, v in tensors.items():
+        k2 = k[len("model."):] if k.startswith("model.") else k
+        if k2.startswith("midlayer."):
+            rest = k2[len("midlayer."):]
+            if rest == "hidden_norm.weight":
+                hidden_norm = v
+                continue
+            t["model.layers.0." + rest] = v
+        elif k2.startswith("layers.0."):
+            if k2.endswith("hidden_norm.weight"):
+                hidden_norm = v
+                continue
+            t["model." + k2] = v
+        elif k2 == "norm.weight":
+            t["model.norm.weight"] = v
+        elif k2 in ("fc.weight", "fc.bias"):
+            t[k2] = v
+        elif k2 in ("embed_tokens.weight", "lm_head.weight", "d2t", "t2d"):
+            t[k2] = v
+    if "model.norm.weight" not in t:
+        t["model.norm.weight"] = np.ones(H, np.float32)
+    from sglang_awq_tpu.model_loader.loader import load_params_from_tensors
+
+    lt = dict(t)
+    lt.setdefault("model.embed_tokens.weight", np.zeros((1, H), np.float32))
+    lt.setdefault("lm_head.weight", np.zeros((1, H), np.float32))
+    lt.pop("d2t", None)
+    lt.pop("t2d", None)
+    lt.pop("fc.weight", None)
+    lt.pop("fc.bias", None)
+    lt.pop("embed_tokens.weight", None)
+    params = load_params_from_tensors(model, lt)
+    del params["embed"], params["lm_head"]
+    params["fc"] = {
+        "weight": jnp.asarray(np.asarray(t["fc.weight"]).T, jnp.bfloat16)
+    }
+    assert params["fc"]["weight"].shape == (model.aux_width, H), (
+        params["fc"]["weight"].shape, model.aux_width)
+    if hidden_norm is None:
+        hidden_norm = np.ones(H, np.float32)
+    params["layers"]["hidden_norm"] = jnp.asarray(
+        hidden_norm, jnp.float32)[None]
+    if "embed_tokens.weight" in t:
+        params["embed_w"] = jnp.asarray(
+            t["embed_tokens.weight"], jnp.bfloat16)
+    if "lm_head.weight" in t:
+        params["lm_head"] = {
+            "weight": jnp.asarray(np.asarray(t["lm_head.weight"]).T,
+                                  jnp.bfloat16)
+        }
+    if "d2t" in t:
+        params["d2t"] = jnp.asarray(t["d2t"], jnp.int32)
+    return params
+
+
+def is_eagle3_checkpoint(tensors: Dict[str, np.ndarray],
+                         hidden_size: int) -> bool:
+    """Detect EAGLE3 drafts: midlayer naming, a d2t table, or a 3x-wide
+    fusion fc."""
+    for k in tensors:
+        if "midlayer." in k or k.split(".")[-1] == "d2t":
+            return True
+        if k.endswith("fc.weight") and tensors[k].shape[-1] > 2 * hidden_size:
+            return True
+    return False
