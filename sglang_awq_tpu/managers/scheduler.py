@@ -388,14 +388,22 @@ class Scheduler:
         # _deltanet_extend — per-token state resets + tail gathers)
         return self.MAX_PREFILL_REQS
 
+    def _cache_ids(self, req: Req):
+        """Token stream used as the radix/HiCache KEY.  Adapter requests
+        are NAMESPACED by salting every token with the adapter slot
+        (reference keys the radix tree by lora_path,
+        srt/mem_cache/radix_cache.py key scheme): per-adapter prefixes get
+        their own subtree — and per-adapter cache HITS — instead of the
+        old v1 behavior of opting out of the cache entirely.  The salt
+        stays in int32 range (slot < 256, vocab < 2^21)."""
+        slot = getattr(req, "lora_slot", -1)
+        if slot < 0:
+            return req.fill_ids
+        return [t + ((slot + 1) << 21) for t in req.fill_ids]
+
     def _match_fresh(self, req: Req):
         """Radix-match a fresh request's prompt and lock the prefix."""
         ps = self.page_size
-        if getattr(req, "lora_slot", -1) >= 0:
-            # adapter requests produce adapter-specific K/V — sharing pages
-            # with base-model (or other-adapter) prefixes would be wrong
-            # (reference keys the radix tree by lora_path; v1 opts out)
-            return
         if req.input_embeds is not None:
             return  # placeholder token ids carry no cache identity
         if getattr(self.runner.model, "has_linear_state", False):
@@ -417,7 +425,8 @@ class Scheduler:
             )
         # the cap is applied INSIDE the match: the SWA tree must validate
         # window liveness at the true reuse boundary
-        m = self.tree.match_prefix(req.fill_ids, max_pages=max_match // ps)
+        m = self.tree.match_prefix(
+            self._cache_ids(req), max_pages=max_match // ps)
         matched = min(m.matched_len, max_match)
         n_prefix_pages = matched // ps
         req.pages = list(m.pages[:n_prefix_pages])
@@ -499,7 +508,7 @@ class Scheduler:
         """Extend a fresh request's device-tree match with pages restored
         from the host tier (reference hiradix load-on-match)."""
         ps = self.page_size
-        keys = self.tree._page_keys(req.fill_ids)
+        keys = self.tree._page_keys(self._cache_ids(req))
         extra = self.hicache.match_extend(keys, req.prefix_pages)
         extra = extra[: max_match // ps - req.prefix_pages]
         if len(extra) == 0:
@@ -515,10 +524,11 @@ class Scheduler:
         self.hicache.restore(extra, new_pages)
         req.pages.extend(new_pages)
         total_fp = req.prefix_pages + len(extra)
+        cids = self._cache_ids(req)
         dup = self.tree.insert(
-            req.fill_ids[: total_fp * ps], req.pages[:total_fp]
+            cids[: total_fp * ps], req.pages[:total_fp]
         )
-        m2 = self.tree.match_prefix(req.fill_ids[: total_fp * ps])
+        m2 = self.tree.match_prefix(cids[: total_fp * ps])
         assert m2.matched_len == total_fp * ps
         self.allocator.free_pages(req.pages[req.prefix_pages : dup])
         req.pages[:total_fp] = m2.pages
@@ -586,10 +596,11 @@ class Scheduler:
                 and len(req.fill_ids) > ps_
                 and not req.wants_input_lp
             ):
-                key0 = tuple(req.fill_ids[:ps_])
+                key0 = tuple(self._cache_ids(req)[:ps_])
                 if (
                     key0 in batch_page0
-                    and self.tree.match_prefix(req.fill_ids).matched_len == 0
+                    and self.tree.match_prefix(
+                        self._cache_ids(req)).matched_len == 0
                 ):
                     continue  # defer: next round it rides the radix cache
                 batch_page0.add(key0)
@@ -944,15 +955,13 @@ class Scheduler:
         the tree's and freed; the path is re-locked at the deeper node."""
         if self.server_args.disable_radix_cache:
             return
-        if getattr(req, "lora_slot", -1) >= 0:
-            return  # adapter K/V must never enter the shared tree
         if req.input_embeds is not None:
             return  # placeholder ids would alias unrelated prompts
         ps = self.page_size
         fp = req.fill_len // ps
         if fp == 0:
             return
-        key = req.fill_ids[: fp * ps]
+        key = self._cache_ids(req)[: fp * ps]
         released = getattr(req, "swa_released", 0)
         dup_pos = self.tree.insert2(key, req.pages[:fp], dead_pages=released)
         start = max(req.prefix_pages, released)
@@ -1956,7 +1965,7 @@ class Scheduler:
             full_pages = fill_tokens // ps
             released = getattr(req, "swa_released", 0)
             dup_pos = self.tree.insert2(
-                req.fill_ids[: full_pages * ps],
+                self._cache_ids(req)[: full_pages * ps],
                 req.pages[:full_pages],
                 dead_pages=released,
             )
