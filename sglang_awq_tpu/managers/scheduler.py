@@ -829,8 +829,17 @@ class Scheduler:
                 list(reqs), self.runner.model_config.vocab_size
             )
         state_ckpt = None
+        ring_ckpt = None
         if self._free_ckpt_rows or self.state_ckpts:
             state_ckpt = self._hybrid_take_ckpt(reqs, kv_lens, q_lens)
+            if state_ckpt is not None and getattr(
+                    self.runner.model, "ring_ckpt_by_copy", False):
+                # SWA rings checkpoint by copying ring pages AFTER the
+                # dispatch (the ring holds window + chunk, so the whole
+                # checkpointed span is still resident); nothing rides the
+                # extend step itself
+                ring_ckpt = state_ckpt
+                state_ckpt = None
         if want_input_lp:
             ids, lp, in_lp = self.runner.forward_extend_batch(
                 ext, want_logprobs=want_lp, vocab_mask=vocab_mask,
@@ -845,6 +854,16 @@ class Scheduler:
                 update_counts=update_counts, async_result=True,
                 logit_bias=prefill_bias, state_ckpt=state_ckpt,
             )
+        if ring_ckpt is not None:
+            # SWA rings: the checkpoint is a ring-page copy dispatched
+            # AFTER the extend (data dependency on the pool orders it)
+            _, ck_rows = ring_ckpt
+            src = [reqs[i].row for i in range(len(reqs))
+                   if ck_rows[i] >= 0 and reqs[i].row is not None]
+            dst = [int(ck_rows[i]) for i in range(len(reqs))
+                   if ck_rows[i] >= 0 and reqs[i].row is not None]
+            if src:
+                self.runner.copy_state_rows(src, dst)
         # record input (prompt) logprobs per request region
         if in_lp is not None:
             chosen = np.asarray(in_lp["logprobs"])

@@ -199,7 +199,6 @@ class ModelRunner:
         # the serving config allows it — see llama.enable_swa_rings
         if (
             getattr(self.model, "swa_ring_eligible", False)
-            and server_args.tp_size == 1
             and self.pp_size == 1
             and server_args.speculative_algorithm is None
             and not server_args.lora_paths
@@ -450,12 +449,12 @@ class ModelRunner:
                 )
         # MLA (shared K/V latent row): store the latent ONCE — the 4-dim
         # "latent" pool layout halves KV bytes for DeepSeek-class models
+        # tp>1 (round 5): the latent pool is REPLICATED over the model
+        # axis (kv_a is replicated, every shard computes the same row) —
+        # kv_pspec(4) marks it; pool bytes stay 1.0x minimal per device
         use_latent = (
             bool(getattr(mc, "is_mla", False))
             and kv_dtype == "bfloat16"
-            and sa.tp_size == 1
-            # tp>1 keeps the combined layout (replicated latent sharding
-            # annotations are rank-keyed; latent-under-TP is a later step)
         )
         probe = KVPoolSpec(
             layers_local, kv_heads_local, 1, self.page_size, mc.head_dim,
@@ -493,7 +492,9 @@ class ModelRunner:
         num_pages = max(tokens // self.page_size, 8)
         self.kv_spec = KVPoolSpec(
             getattr(mc, "num_kv_layers", mc.num_layers),
-            kv_heads_local * sa.tp_size if sa.tp_size > 1 else kv_heads_local,
+            1 if use_latent else (
+                kv_heads_local * sa.tp_size if sa.tp_size > 1
+                else kv_heads_local),
             num_pages,
             self.page_size,
             mc.head_dim,
@@ -516,8 +517,29 @@ class ModelRunner:
         (`srt/mem_cache/memory_pool.py` mamba state fork)."""
         if not hasattr(self.model, "wrap_kv_state"):
             return
+        if "swa" in self.kv_cache and "conv" not in self.kv_cache:
+            # SWA page rings: a row's state is its nring ring pages
+            nring = self.model._swa_nring
+            if getattr(self, "_copy_ring_fn", None) is None:
+                @partial(jax.jit, donate_argnums=(0,), static_argnums=(3,))
+                def _copy_ring(kv, src, dst, nring):
+                    swa = kv["swa"]
+                    ar = jnp.arange(nring, dtype=jnp.int32)
+                    sp = (src[:, None] * nring + ar).reshape(-1)
+                    dp = (dst[:, None] * nring + ar).reshape(-1)
+                    swa = swa.at[:, dp].set(swa[:, sp], mode="drop")
+                    return dict(kv, swa=swa)
+
+                self._copy_ring_fn = _copy_ring
+            self.kv_cache = self._copy_ring_fn(
+                self.kv_cache,
+                jnp.asarray(np.asarray(src_rows, np.int32)),
+                jnp.asarray(np.asarray(dst_rows, np.int32)),
+                nring,
+            )
+            return
         if "conv" not in self.kv_cache:
-            return  # SWA page rings carry no copyable recurrent state
+            return
         if getattr(self, "_copy_state_fn", None) is None:
             @partial(jax.jit, donate_argnums=(0,))
             def _copy(kv, src, dst):
@@ -536,8 +558,10 @@ class ModelRunner:
 
     def _alloc_kv(self):
         if hasattr(self.model, "wrap_kv_state"):
-            assert self.mesh is None, (
-                "hybrid linear-attention models run tp=1/pp=1 (v1)")
+            rings = getattr(self.model, "_swa_rings", False)
+            assert self.mesh is None or rings, (
+                "recurrent-state hybrids run tp=1/pp=1 (v1); SWA rings "
+                "shard over the head axis")
             assert self.server_args.speculative_algorithm is None, (
                 "speculative decoding + hybrid linear attention: later")
             # mirrors DeviceSamplingState capacity (+ trash row); the pool
@@ -550,7 +574,18 @@ class ModelRunner:
                 if getattr(self.model, "has_state_ckpts", True) else 0
             )
             rows += self.n_state_ckpts
-            return self.model.wrap_kv_state(self.kv_spec.alloc(), rows)
+            state = self.model.wrap_kv_state(self.kv_spec.alloc(), rows)
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding
+
+                from sglang_awq_tpu.parallel.sharding import kv_pspec
+
+                state = jax.tree.map(
+                    lambda x: jax.device_put(
+                        x, NamedSharding(self.mesh, kv_pspec(x.ndim))),
+                    state,
+                )
+            return state
         if self.mesh is None:
             return self.kv_spec.alloc()
         from jax.sharding import NamedSharding

@@ -666,7 +666,8 @@ class LlamaForCausalLM:
             and any(not x for x in w)  # mixed global/local
             and len(ws) == 1
             and next(iter(ws)) > 0  # uniform positive window (not chunked)
-            and self.tp_size == 1
+            # tp>1 (round 5): ring pages shard over the head/lane axis
+            # exactly like the main pool (kv_pspec applies per leaf)
             and self.pp_size == 1
         )
 
@@ -692,10 +693,18 @@ class LlamaForCausalLM:
             + -(-int(chunk_tokens) // page_size) + 1
         )
         self._swa_rings = True
-        # scheduler: no radix reuse (pages alone are unusable without the
-        # ring content); no recurrent-state checkpoints either
+        # scheduler: prefix reuse rides the hybrid state-checkpoint radix
+        # (round 5, VERDICT #3): global layers' pages live in the tree,
+        # and the RING content is checkpointed by copying ring pages after
+        # a prompt-completing dispatch — valid because the ring holds
+        # window + one full chunk, so everything >= the boundary - W is
+        # still resident, and reads above the restored length are masked.
+        # (Reference keeps full radix reuse for hybrids via the two-tier
+        # swa_radix_cache; the ring form trades tree-resident SWA KV for
+        # O(window) checkpoints.)
         self.has_linear_state = True
-        self.has_state_ckpts = False
+        self.has_state_ckpts = True
+        self.ring_ckpt_by_copy = True  # scheduler: checkpoint = row copy
         # only full-attention layers own radix-managed KV pages
         self.config.num_kv_layers = len(self._swa_full)
         # INSTANCE attributes: hasattr(model, "wrap_kv_state") is the
@@ -718,9 +727,9 @@ class LlamaForCausalLM:
         assert pool.dtype == jnp.bfloat16, "SWA rings: bf16 KV only (v1)"
         self._swa_rows = rows
         spec = KVPoolSpec(
-            len(self._swa_win), self.kvh, rows * self._swa_nring,
-            self._swa_ps, self.head_dim,
-        )
+            len(self._swa_win), self.kvh * self.tp_size,
+            rows * self._swa_nring, self._swa_ps, self.head_dim,
+        )  # GLOBAL lanes; NamedSharding splits the head axis per shard
         return {"pool": pool, "swa": spec.alloc()}
 
     def _ring_pt(self, rows_b: jax.Array, pmax: int) -> jax.Array:

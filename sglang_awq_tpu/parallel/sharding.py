@@ -98,7 +98,15 @@ def kv_pspec(ndim: int = 5) -> P:
     # come from the same shard's column-sharded qkv projection, reads stay
     # local to the shard inside shard_map.
     #   combined (5D) [L, pages, ps, fc, KVH*D/(fc/2)]
+    #   wide     (5D) [L, pages, 2, ps, KVH*D] — slicing the flat row
     #   split    (6D) [L, pages, 2, ps, fcK, KVH*D/fcK] — slicing XrK
     #   slices each class row's heads, so the local pool keeps the
     #   class-block head order the local qkv projection produces.
+    #   latent   (4D) [L, pages, ps, D]: REPLICATED over the model axis —
+    #   MLA's kv_a projection is replicated, every shard computes (and
+    #   dots against) the SAME full-width latent row, so the single-copy
+    #   layout survives TP (round 5; reference stores one latent row
+    #   regardless of TP, memory_pool.py:1396).
+    if ndim == 4:
+        return P(*([STAGE_AXIS] + [None] * (ndim - 1)))
     return P(*([STAGE_AXIS] + [None] * (ndim - 2) + [MODEL_AXIS]))

@@ -231,3 +231,63 @@ def test_rings_concurrent_isolation():
     finally:
         eng.shutdown()
     assert res["a"] == solo1 and res["b"] == solo2, (res, solo1, solo2)
+
+
+def test_rings_prefix_reuse_via_state_ckpt():
+    """Round 5 (VERDICT #3): hybrid global/local models keep prefix
+    caching WITH rings — global layers reuse tree pages, the ring content
+    restores from a page-aligned ring checkpoint (copy of nring ring
+    pages taken after the prompt-completing dispatch).  Reference role:
+    swa_radix_cache.py's hybrids-keep-caching guarantee."""
+    hf, tensors = _mk()
+    rng = np.random.default_rng(9)
+    prompt = rng.integers(3, 500, 49).tolist()
+    sp = {"max_new_tokens": 6, "temperature": 0.0, "ignore_eos": True}
+
+    eng = _engine(tensors)
+    try:
+        assert eng.scheduler.runner.model._swa_rings
+        assert eng.scheduler._free_ckpt_rows, "no ring checkpoint rows"
+        out1 = eng.generate(input_ids=prompt, sampling_params=dict(sp))
+        out2 = eng.generate(input_ids=prompt, sampling_params=dict(sp))
+        assert out2["meta_info"]["cached_tokens"] > 0, out2["meta_info"]
+        assert out2["output_ids"] == out1["output_ids"]
+        # a longer prompt sharing the prefix also reuses it
+        out3 = eng.generate(input_ids=prompt + rng.integers(3, 500, 17).tolist(),
+                            sampling_params=dict(sp))
+        assert out3["meta_info"]["cached_tokens"] > 0
+    finally:
+        eng.shutdown()
+    # correctness anchor: reused-prefix output equals HF greedy
+    import torch
+
+    with torch.no_grad():
+        ref = hf.generate(torch.tensor([prompt]), max_new_tokens=6,
+                          do_sample=False, eos_token_id=None,
+                          pad_token_id=0)[0][len(prompt):].tolist()
+    assert out2["output_ids"] == ref, (out2["output_ids"], ref)
+
+
+def test_rings_tp2_matches_tp1():
+    """Round 5 (VERDICT #3): rings engage under TP — ring pages shard over
+    the head axis like the main pool (kv_pspec per state leaf)."""
+    import jax as _jax
+
+    if len(_jax.devices()) < 2:
+        import pytest as _pytest
+
+        _pytest.skip("needs 2 virtual devices")
+    _, tensors = _mk()
+    rng = np.random.default_rng(3)
+    prompt = rng.integers(3, 500, 37).tolist()
+    sp = {"max_new_tokens": 8, "temperature": 0.0, "ignore_eos": True}
+    outs = {}
+    for tp in (1, 2):
+        eng = _engine(tensors, tp_size=tp)
+        try:
+            assert eng.scheduler.runner.model._swa_rings, tp
+            outs[tp] = eng.generate(
+                input_ids=prompt, sampling_params=dict(sp))["output_ids"]
+        finally:
+            eng.shutdown()
+    assert outs[1] == outs[2], outs
