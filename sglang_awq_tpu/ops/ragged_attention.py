@@ -961,11 +961,11 @@ def _ragged_decode_impl(
     elif pages_per_chunk == 8 and ps_ * 8 > 256:
         # measured sweet spot on v5e: ~256-token chunks (1 MB bf16 faces)
         # saturate the DMA pipeline (1040 GB/s pure-DMA vs 668 at 128);
-        # smaller chunks starve it, larger ones lengthen the critical path;
-        # the wide layout takes 512-token chunks (no class columns, so the
-        # per-chunk VPU work stays flat and bigger DMAs win: 140 vs 190
-        # us/layer)
-        pages_per_chunk = max(1, (512 if wide else 256) // ps_)
+        # smaller chunks starve it, larger ones lengthen the critical
+        # path.  512-token wide chunks win ISOLATED (140 vs 190 us/layer)
+        # but lose IN-CONTEXT (3793 vs 3908 tok/s, round-5 grid) — the
+        # recurring isolated-vs-in-context inversion for big chunks.
+        pages_per_chunk = max(1, 256 // ps_)
     if wide:
         L, P, _, ps, Xr = kv_cache.shape
         fc = 1
@@ -2086,6 +2086,11 @@ def ragged_extend_xla(
     window: jax.Array | int = 0,
     softcap: float = 0.0,
     sinks: Optional[jax.Array] = None,
+    spans: Optional[jax.Array] = None,  # [TQ] i32 image-span ids (0 = text):
+    # tokens sharing a nonzero span attend each other BIDIRECTIONALLY
+    # (Gemma3-mm image spans, reference gemma3_mm.py:110); spans never
+    # split across extend chunks (scheduler invariant), so only in-chunk
+    # keys need span identity
 ) -> jax.Array:
     """Per-sequence gather + masked softmax (test oracle; also the CPU
     serving path — jit-compatible, no python data-dependent control flow)."""
@@ -2136,6 +2141,14 @@ def ragged_extend_xla(
     low = jnp.where(win > 0, qp - win + 1,
                     jnp.where(win < 0, (qp // cs) * cs, -(1 << 30)))
     mask = mask & (key_pos >= low)
+    if spans is not None:
+        sp_q = jnp.asarray(spans, jnp.int32)
+        plane = jnp.zeros((B, S), jnp.int32).at[
+            seq_of, jnp.clip(q_pos, 0, S - 1)
+        ].set(jnp.where(live_row, sp_q, 0), mode="drop")
+        sp_k = plane[seq_of]  # [TQ, S]
+        bidir = (sp_q[:, None] > 0) & (sp_k == sp_q[:, None])
+        mask = mask | bidir[:, None, None, :]
     s = jnp.where(mask, s, MASK_VALUE)
     if sinks is not None:
         sk = jnp.asarray(sinks, jnp.float32).reshape(KVH, G)
