@@ -105,7 +105,7 @@ class ModelConfig:
             self.quant_config = detect_quant_config("", c)
         archs = c.get("architectures") or ["LlamaForCausalLM"]
         if isinstance(c.get("text_config"), dict) and archs[0].startswith(
-            ("Llava", "Qwen2_5_VL")
+            ("Llava", "Qwen2_5_VL", "Gemma3")
         ):
             # VLM wrapper configs nest the language model under text_config;
             # flatten it so the LM geometry reads uniformly (vision_config

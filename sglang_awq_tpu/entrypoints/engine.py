@@ -230,7 +230,16 @@ class Engine:
             return None
         import numpy as np
 
-        from sglang_awq_tpu.multimodal.vision import preprocess_image
+        from sglang_awq_tpu.multimodal.vision import (
+            preprocess_image,
+            preprocess_image_siglip,
+        )
+
+        # per-model pixel processor (reference srt/multimodal/processors/
+        # registry role): the model names its recipe, intake stays shared
+        prep = (preprocess_image_siglip
+                if getattr(runner.model, "mm_preprocess", "clip") == "siglip"
+                else preprocess_image)
 
         def mm_embed(images, ids):
             size = runner.model.vision.image_size
@@ -241,7 +250,7 @@ class Engine:
                         arr.shape[0] == 3 and arr.shape[1] == size:
                     pix.append(np.asarray(arr, np.float32))
                 else:
-                    pix.append(preprocess_image(im, size))
+                    pix.append(prep(im, size))
             pixels = np.stack(pix)
             feats = runner.encode_images(pixels)  # [N, tok, H]
             tok = runner.model.image_token
@@ -264,6 +273,12 @@ class Engine:
             txt = np.asarray(txt, np.float32)
             pos = np.flatnonzero(np.asarray(ids) == tok)
             txt[pos] = feats.reshape(n_imgs * tpi, -1)
+            if getattr(runner.model, "mm_bidirectional_spans", False):
+                # per-image [start, end) ranges: Gemma3-mm image tokens
+                # attend each other bidirectionally (extend spans)
+                spans = [(int(pos[i * tpi]), int(pos[i * tpi] + tpi))
+                         for i in range(n_imgs)]
+                return txt, {"mm_spans": spans}
             return txt
 
         return mm_embed

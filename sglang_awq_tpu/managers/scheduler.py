@@ -611,6 +611,16 @@ class Scheduler:
                 if req.fill_len == 0 and req.prefix_len == 0:
                     self._match_fresh(req)
                 req._chunk = min(req.extend_len, room)
+                # bidirectional image spans must stay whole within a chunk
+                # (Gemma3-mm: in-chunk keys carry span identity; a split
+                # span would lose its bidirectional tail)
+                for s0, s1 in getattr(req, "mm_spans", ()) or ():
+                    end = req.fill_len + req._chunk
+                    if s0 < end < s1:
+                        req._chunk = (
+                            s0 - req.fill_len if s0 > req.fill_len
+                            else min(s1 - req.fill_len, req.extend_len)
+                        )
                 if req.is_embedding:
                     return [req]
                 reqs.append(req)
@@ -762,11 +772,21 @@ class Scheduler:
                 row_ids[i] = r.row  # device publishes the sampled id here
 
         input_embeds = None
+        spans = None
         if len(reqs) == 1 and reqs[0].input_embeds is not None:
             r0 = reqs[0]
             input_embeds = r0.input_embeds[
                 r0.fill_len : r0.fill_len + r0._chunk
             ]
+            if getattr(r0, "mm_spans", None):
+                spans = np.zeros(r0._chunk, np.int32)
+                for si, (s0, s1) in enumerate(r0.mm_spans):
+                    a = max(s0, r0.fill_len) - r0.fill_len
+                    b = min(s1, r0.fill_len + r0._chunk) - r0.fill_len
+                    if b > a:
+                        spans[a:b] = si + 1
+                if not spans.any():
+                    spans = None
         ext = ExtendBatchInput(
             tokens=tokens,
             positions=positions,
@@ -778,6 +798,7 @@ class Scheduler:
             sampling=rows,
             row_ids=row_ids,
             input_embeds=input_embeds,
+            spans=spans,
             draft_tokens=draft_tokens if eagle else None,
             draft_slots=draft_slots if eagle else None,
             draft_q_lens=draft_q_lens if eagle else None,

@@ -217,12 +217,15 @@ class TokenizerManager:
 
             req.input_embeds = _np.asarray(gin.input_embeds, _np.float32)
             extras = getattr(gin, "_mm_extras", None)
-            if extras:
+            if extras and "mrope_positions" in extras:
                 # mrope (Qwen2-VL family): [3, T] prompt position streams +
                 # the decode offset delta
                 req.mrope_positions = _np.asarray(
                     extras["mrope_positions"], _np.int32)
                 req.mrope_delta = int(extras["mrope_delta"])
+            if extras and "mm_spans" in extras:
+                # Gemma3-mm bidirectional image spans [(start, end), ...]
+                req.mm_spans = list(extras["mm_spans"])
         state = ReqState(req, detok)
         state.session_id = session_id
         state.session_ctx_len = session_ctx_len

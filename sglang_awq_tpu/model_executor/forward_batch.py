@@ -60,6 +60,9 @@ class ExtendBatchInput:
     # multimodal / embedding injection: [TQ, H] replaces the embedding
     # lookup for this (solo) batch
     input_embeds: np.ndarray = None
+    # per-token image-span ids for the chunk (0 = text; Gemma3-mm
+    # bidirectional spans); None for text-only batches
+    spans: np.ndarray = None
 
     def sampling_padded(self, bs_pad: int) -> "SamplingBatch":
         rows = [r or SamplingRow() for r in (self.sampling or [])]

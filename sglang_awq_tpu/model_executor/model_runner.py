@@ -614,9 +614,10 @@ class ModelRunner:
                    want_lp: bool, want_mask: bool = False,
                    want_pen: bool = False, want_hidden: bool = False,
                    want_embeds: bool = False, want_bias: bool = False,
-                   want_ckpt: bool = False):
+                   want_ckpt: bool = False, want_spans: bool = False):
         key = ("extend", tq, bs, pt_w, all_greedy, want_lp, want_mask,
-               want_pen, want_hidden, want_embeds, want_bias, want_ckpt)
+               want_pen, want_hidden, want_embeds, want_bias, want_ckpt,
+               want_spans)
         if key in self._fns:
             return self._fns[key]
         model = self.model
@@ -636,8 +637,11 @@ class ModelRunner:
             ckpt = (
                 (tail.pop(0), tail.pop(0)) if want_ckpt else None
             )  # (ckpt_pos, ckpt_rows)
+            spans_arr = tail.pop(0) if want_spans else None
             mask = tail
             extra = {"state_ckpt": ckpt} if want_ckpt else {}
+            if want_spans:
+                extra["spans"] = spans_arr
             step_out = model.extend_step(
                 params, kv, rope, tokens, positions, slots, page_table,
                 kv_lens, q_lens, qb_base, block_q=block_q,
@@ -1140,10 +1144,11 @@ class ModelRunner:
                 "speculative decoding for logprob_start_len requests"
             )
         want_embeds = ext.input_embeds is not None
+        want_spans = ext.spans is not None
         fn = self._extend_fn(
             tq_pad, bs_pad, pt_w, ext.all_greedy(), want_logprobs,
             vocab_mask is not None, update_counts, want_hidden, want_embeds,
-            logit_bias is not None, state_ckpt is not None,
+            logit_bias is not None, state_ckpt is not None, want_spans,
         )
         info = _sampling_info(ext.sampling_padded(bs_pad))
         rows = self._pad_rows(ext.row_ids, len(ext.kv_lens), bs_pad)
@@ -1174,6 +1179,9 @@ class ModelRunner:
             cp = self._pad_i32(state_ckpt[0], bs_pad, fill=-1)
             cr = self._pad_i32(state_ckpt[1], bs_pad, fill=-1)
             args = args + (jnp.asarray(cp), jnp.asarray(cr))
+        if want_spans:
+            args = args + (jnp.asarray(
+                self._pad_i32(ext.spans, tq_pad, fill=0)),)
         if vocab_mask is not None:
             vm = np.ones((bs_pad, vocab_mask.shape[1]), bool)
             vm[: vocab_mask.shape[0]] = vocab_mask

@@ -780,10 +780,15 @@ class LlamaForCausalLM:
 
     def _extend_step_rings(self, params, kv, rope_tab, tokens, positions,
                            slots, page_table, kv_lens, q_lens, qb_base,
-                           block_q, return_hidden, state_rows):
+                           block_q, return_hidden, state_rows, spans=None,
+                           input_embeds=None):
         assert state_rows is not None, "SWA rings need state rows"
         TQ = tokens.shape[0]
-        x = self._pos_embed(params, self._embed(params, tokens), positions)
+        if input_embeds is not None:
+            x = input_embeds.astype(jnp.bfloat16)
+        else:
+            x = self._pos_embed(params, self._embed(params, tokens),
+                                positions)
         use_xla = not is_tpu_backend()
         rows = jnp.asarray(state_rows, jnp.int32)
         B = page_table.shape[0]
@@ -813,6 +818,16 @@ class LlamaForCausalLM:
             def attn(q, k, v, _l, key=key, li=li, pt_l=pt_l, sl_l=sl_l,
                      win=win, gl=l):
                 kvd[key] = write_kv(kvd[key], k, v, sl_l, li, mode="prefill")
+                if spans is not None:
+                    # Gemma3-mm image spans attend bidirectionally on
+                    # BOTH global and sliding layers (reference
+                    # prepare_attn_masks ORs the span mask into each)
+                    return ragged_extend_xla(
+                        q, kvd[key], pt_l, kv_lens, q_lens, qb_base, li,
+                        sm_scale=self.sm_scale, block_q=block_q,
+                        window=int(win or 0), softcap=self.attn_softcap,
+                        sinks=self._sinks(params, gl), spans=spans,
+                    )
                 fn = ragged_extend_xla if use_xla else ragged_extend
                 return fn(
                     q, kvd[key], pt_l, kv_lens, q_lens, qb_base, li,
@@ -1173,6 +1188,9 @@ class LlamaForCausalLM:
         lora_idx: Optional[jax.Array] = None,  # [TQ] adapter slots
         input_embeds: Optional[jax.Array] = None,  # [TQ, H] replaces lookup
         state_rows: Optional[jax.Array] = None,  # [B] linear-state rows
+        spans: Optional[jax.Array] = None,  # [TQ] image-span ids (0 = text):
+        # same-nonzero-span tokens attend BIDIRECTIONALLY (Gemma3-mm);
+        # span batches ride the XLA attention path on every backend
     ) -> Tuple[jax.Array, ...]:
         """Batched (multi-request) chunked-prefill step -> (per-seq last-token
         logits [B, V] — or normed hidden [B, H] when return_hidden — plus kv;
@@ -1186,7 +1204,8 @@ class LlamaForCausalLM:
             return self._extend_step_rings(
                 params, kv_cache, rope_tab, tokens, positions, slots,
                 page_table, kv_lens, q_lens, qb_base, block_q,
-                return_hidden, state_rows)
+                return_hidden, state_rows, spans=spans,
+                input_embeds=input_embeds)
         del state_rows  # hybrid linear-attention models consume these
         TQ = tokens.shape[0]
         B = page_table.shape[0]
@@ -1213,6 +1232,20 @@ class LlamaForCausalLM:
                     state["kv"] = write_kv(
                         state["kv"], k, v, slots_t, l, mode="prefill"
                     )
+                    if spans is not None:
+                        # bidirectional image spans: exact via the XLA
+                        # gather path (the paged Pallas extend stays
+                        # causal; image prefills are rare and small)
+                        out = ragged_extend_xla(
+                            q, state["kv"], page_table, kv_lens_t, q_lens_t,
+                            qb_base_t, l, sm_scale=self.sm_scale,
+                            block_q=block_q, window=self._win(l),
+                            softcap=self.attn_softcap,
+                            sinks=self._sinks(params, l), spans=spans,
+                        )
+                        if io is not None:
+                            out = out * vs
+                        return out
                     fn = ragged_extend_xla if use_xla_attn else ragged_extend
                     out = fn(
                         q, state["kv"], page_table, kv_lens_t, q_lens_t,

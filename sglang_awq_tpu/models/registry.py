@@ -18,6 +18,7 @@ def get_model_class(architecture: str):
     )
     from sglang_awq_tpu.models.llama import LlamaForCausalLM
     from sglang_awq_tpu.models.llava import LlavaForCausalLM
+    from sglang_awq_tpu.models.gemma3_mm import Gemma3MMForConditionalGeneration
     from sglang_awq_tpu.models.llama4 import Llama4ForCausalLM
     from sglang_awq_tpu.models.llama_embedding import (
         LlamaEmbeddingModel,
@@ -131,6 +132,7 @@ def get_model_class(architecture: str):
         "GemmaForCausalLM": GemmaForCausalLM,
         "Gemma2ForCausalLM": Gemma2ForCausalLM,
         "Gemma3ForCausalLM": Gemma3ForCausalLM,
+        "Gemma3ForConditionalGeneration": Gemma3MMForConditionalGeneration,
         "DeepseekV2ForCausalLM": DeepseekV2ForCausalLM,
         "DeepseekV3ForCausalLM": DeepseekV3ForCausalLM,
         "GptOssForCausalLM": GptOssForCausalLM,
