@@ -149,6 +149,18 @@ class ModelConfig:
             self.full_attention_layers = [
                 i for i, ch in enumerate(pat) if ch == "*"
             ]
+        # Kimi Linear: `linear_attn_config.kda_layers` is 1-INDEXED
+        # (reference `srt/configs/kimi_linear.py:136` is_kda_layer)
+        lac = c.get("linear_attn_config")
+        if (
+            self.full_attention_layers is None
+            and isinstance(lac, dict)
+            and lac.get("kda_layers")
+        ):
+            kda = {int(i) - 1 for i in lac["kda_layers"]}
+            self.full_attention_layers = [
+                i for i in range(self.num_layers) if i not in kda
+            ]
         self.num_kv_layers = (
             len(self.full_attention_layers)
             if self.full_attention_layers is not None else self.num_layers

@@ -307,12 +307,38 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         assert lora_idx is None, "LoRA on MLA models: not supported (v1)"
         c = self.config
         lp = params["layers"]
-        T = x.shape[0]
+
+        h = rms_norm(x, lp["input_norm"][l], c.rms_norm_eps)
+        o = self._mla_attn(params, h, l, positions, rope_tab, attn_fn)
+        x = x + self._maybe_psum(o.astype(jnp.float32)).astype(x.dtype)
+
+        h2 = rms_norm(x, lp["post_norm"][l], c.rms_norm_eps)
+        d = self._mlp(lp, h2, l)
+        x = x + self._maybe_psum(d.astype(jnp.float32)).astype(x.dtype)
+        return x
+
+    def _mla_attn(
+        self,
+        params: Dict[str, Any],
+        h: jax.Array,  # [T, H] bf16 (post input-norm)
+        l,  # traced or python layer index INTO THE ATTENTION STACKS
+        positions: jax.Array,
+        rope_tab: jax.Array,
+        attn_fn,
+    ) -> jax.Array:
+        """Absorbed-MLA attention sub-block -> o-proj output [T, H].
+
+        Split out of `_layer` so hybrid models (kimi_linear) can drive it
+        per full-attention layer with compact stack indices.  When
+        `self.mla_nope` (Kimi's `mla_use_nope`, reference
+        `srt/models/deepseek_v2.py:1397` skip_rope), the pe slice passes
+        through raw — no rotation, position-independent scores."""
+        c = self.config
+        lp = params["layers"]
+        T = h.shape[0]
         rank, rope_d = self.kv_lora_rank, self.qk_rope
         nope, vd, n = self.qk_nope, self.v_dim, self.n_local
         Dp = self.head_dim  # padded latent row width (pool lane dim)
-
-        h = rms_norm(x, lp["input_norm"][l], c.rms_norm_eps)
 
         # --- queries ---
         if self.q_lora_rank:
@@ -329,12 +355,13 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         ckv = rms_norm(kva[:, :rank], lp["kv_a_norm"][l], c.rms_norm_eps)
         k_pe = kva[:, rank:]
 
-        perm = jnp.asarray(self._pe_perm)
-        q_pe = q_pe[..., perm]
-        k_pe = k_pe[:, perm]
-        q_pe, k_pe = apply_rope(
-            q_pe, k_pe[:, None, :], positions, rope_tab)
-        k_pe = k_pe[:, 0]
+        if not getattr(self, "mla_nope", False):
+            perm = jnp.asarray(self._pe_perm)
+            q_pe = q_pe[..., perm]
+            k_pe = k_pe[:, perm]
+            q_pe, k_pe = apply_rope(
+                q_pe, k_pe[:, None, :], positions, rope_tab)
+            k_pe = k_pe[:, 0]
 
         # --- absorb q into latent space ---
         kv_b = lax.dynamic_index_in_dim(
@@ -369,15 +396,9 @@ class DeepseekV2ForCausalLM(LlamaForCausalLM):
         o_h = jnp.einsum(
             "thr,rhd->thd", ctx[..., :rank].astype(jnp.bfloat16), w_uv
         )  # [T, n, vd]
-        o = linear_apply(
+        return linear_apply(
             self.specs["o"], lp["o"], o_h.reshape(T, n * vd).astype(jnp.bfloat16), l
         )
-        x = x + self._maybe_psum(o.astype(jnp.float32)).astype(x.dtype)
-
-        h2 = rms_norm(x, lp["post_norm"][l], c.rms_norm_eps)
-        d = self._mlp(lp, h2, l)
-        x = x + self._maybe_psum(d.astype(jnp.float32)).astype(x.dtype)
-        return x
 
     # ------------------------------------------------------------------
     # MoE with first-k-dense switch

@@ -46,7 +46,7 @@ from jax import lax
 from sglang_awq_tpu.layers.linear import LinearSpec, linear_apply
 from sglang_awq_tpu.layers.norm import rms_norm
 from sglang_awq_tpu.layers.rotary import apply_rope
-from sglang_awq_tpu.mem_cache.kv_pool import write_kv
+from sglang_awq_tpu.mem_cache.kv_pool import PAD_SLOT, write_kv
 from sglang_awq_tpu.models.llama import LlamaForCausalLM
 from sglang_awq_tpu.ops.ragged_attention import (
     ragged_decode,
@@ -325,7 +325,7 @@ class FalconH1ForCausalLM(LlamaForCausalLM):
             tail_c = jnp.where(
                 (lpos_c >= 0)[..., None], from_mixed_c,
                 from_old_c.astype(mixed.dtype))
-            ck_rows = jnp.where(ckpt_pos >= 0, ckpt_rows, -1)
+            ck_rows = jnp.where(ckpt_pos >= 0, ckpt_rows, PAD_SLOT)
             conv = conv.at[li, ck_rows].set(
                 tail_c.astype(conv.dtype), mode="drop")
 
@@ -340,12 +340,12 @@ class FalconH1ForCausalLM(LlamaForCausalLM):
         )  # [Bn, H, P, N]
         is_start = (p_local == 0) & live
         is_end = live & (p_local == q_lens[segc] - 1)
-        end_rows = jnp.where(is_end, rows_tok, -1)
+        end_rows = jnp.where(is_end, rows_tok, PAD_SLOT)
         if ckpt_pos is not None:
             is_ck = live & (p_local == ckpt_pos[segc])
-            ck_rows_tok = jnp.where(is_ck, ckpt_rows[segc], -1)
+            ck_rows_tok = jnp.where(is_ck, ckpt_rows[segc], PAD_SLOT)
         else:
-            ck_rows_tok = jnp.full_like(end_rows, -1)
+            ck_rows_tok = jnp.full_like(end_rows, PAD_SLOT)
 
         def step(carry, inp):
             S, rec_c = carry

@@ -382,7 +382,7 @@ class Qwen3NextForCausalLM(Qwen2MoeForCausalLM):
             tail_c = jnp.where(
                 (lpos_c >= 0)[..., None], from_mixed_c,
                 from_old_c.astype(mixed.dtype))
-            ck_rows = jnp.where(ckpt_pos >= 0, ckpt_rows, -1)
+            ck_rows = jnp.where(ckpt_pos >= 0, ckpt_rows, PAD_SLOT)
             conv = conv.at[li, ck_rows].set(
                 tail_c.astype(conv.dtype), mode="drop")
 
@@ -401,12 +401,12 @@ class Qwen3NextForCausalLM(Qwen2MoeForCausalLM):
         )  # [B, Hv, dk, dv]
         is_start = (p_local == 0) & live
         is_end = live & (p_local == q_lens[segc] - 1)
-        end_rows = jnp.where(is_end, rows_tok, -1)
+        end_rows = jnp.where(is_end, rows_tok, PAD_SLOT)
         if ckpt_pos is not None:
             is_ck = live & (p_local == ckpt_pos[segc])
-            ck_rows_tok = jnp.where(is_ck, ckpt_rows[segc], -1)
+            ck_rows_tok = jnp.where(is_ck, ckpt_rows[segc], PAD_SLOT)
         else:
-            ck_rows_tok = jnp.full_like(end_rows, -1)
+            ck_rows_tok = jnp.full_like(end_rows, PAD_SLOT)
 
         def step(carry, inp):
             S, rec_c = carry

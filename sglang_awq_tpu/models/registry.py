@@ -58,6 +58,7 @@ def get_model_class(architecture: str):
     from sglang_awq_tpu.models.falcon_h1 import FalconH1ForCausalLM
     from sglang_awq_tpu.models.nemotron_h import NemotronHForCausalLM
     from sglang_awq_tpu.models.qwen3_next import Qwen3NextForCausalLM
+    from sglang_awq_tpu.models.kimi_linear import KimiLinearForCausalLM
     from sglang_awq_tpu.models.qwen2_5_vl import Qwen2_5_VLForCausalLM
     from sglang_awq_tpu.models.baichuan import (
         BaichuanForCausalLM,
@@ -104,6 +105,7 @@ def get_model_class(architecture: str):
         "FalconH1ForCausalLM": FalconH1ForCausalLM,
         "NemotronHForCausalLM": NemotronHForCausalLM,
         "Qwen3NextForCausalLM": Qwen3NextForCausalLM,
+        "KimiLinearForCausalLM": KimiLinearForCausalLM,
         "Qwen2_5_VLForConditionalGeneration": Qwen2_5_VLForCausalLM,
         "BaichuanForCausalLM": BaichuanForCausalLM,
         "BaiChuanForCausalLM": BaichuanForCausalLM,
