@@ -897,6 +897,234 @@ def _decode_tail_kernel(
     lax.fori_loop(0, nrows, body, None)
 
 
+def _decode_tail_kernel_batched(
+    # scalar prefetch
+    layer_ref,  # [1]
+    lengths_ref,  # [B] REAL walk lengths
+    tstart_ref,  # [B] first tail token (chunk-aligned main-walk boundary)
+    ntp_ref,  # [B] live tail pages (0..tpb)
+    hm_ref,  # [B] 1 if the main walk emitted stats for this row
+    order_ref,  # [B] live row indices first (index order), then pads
+    nrows_ref,  # [1] live row count
+    pt_ref,  # [B * pmax]
+    # inputs
+    q_ref,  # [B, BR, D] bf16 (BR = KVH*R grouped rows)
+    kv_hbm_ref,  # [L, P, 2, ps, Xr] wide (ANY)
+    o1_ref,  # [B, BR, D] f32 main-walk output (normalized)
+    m1_ref,  # [B, BR, 128] f32 main-walk softmax max
+    l1_ref,  # [B, BR, 128] f32 main-walk softmax sum
+    sink_ref,  # [GR or 8, 128] f32 (already tiled over the G group rows)
+    # outputs
+    o_ref,  # [B, BR, D] f32
+    # scratch
+    qrow_ref,  # [GR, D] bf16 raw q rows for the group
+    orow_ref,  # [GR, D] f32 main-walk outputs for the group
+    qg_ref,  # [GR, Xr] bf16 block-diagonal strips
+    mg_ref,  # [GR, 128] f32
+    lg_ref,  # [GR, 128] f32
+    accg_ref,  # [GR, Xr] f32
+    k_buf,  # [2, tpb, G, ps, Xr]
+    v_buf,
+    sem,  # [2, 2]
+    *,
+    batch_size: int,
+    grp: int,  # G rows per group
+    tpb: int,  # max tail pages per row
+    pmax: int,
+    sm_scale: float,
+    kvh: int,
+    r: int,
+    softcap: float,
+    has_sinks: bool,
+    interpret: bool,
+):
+    """Row-BATCHED partial-tail walk (round-5 endgame).
+
+    The per-row tail kernel was sequencing-bound: ~1 us/row of scalar
+    DMA-wait/index/small-dot latency x bs rows = 62 us/layer at bs=64.
+    This variant processes G rows per ring slot with ONE cross-product
+    dot per page index — [G*BR, Xr] x [Xr, G*ps], block-diagonal masked
+    so row-block s only scores its own page — and builds/extracts the
+    per-head strips with vectorized one-hot selects instead of per-head
+    loops.  The G x FLOP cross waste is cheap (M rises from BR to G*BR
+    on the MXU); the sequencing cost amortizes G x.  Wide pools only
+    (fcK == 1: one flat [ps, KVH*D] face per page)."""
+    ps = k_buf.shape[3]
+    Xr = k_buf.shape[4]
+    D = q_ref.shape[-1]
+    BR = kvh * r
+    GR = grp * BR
+    layer = layer_ref[0]
+    nrows = nrows_ref[0]
+    ngroups = (nrows + grp - 1) // grp
+
+    def start_group(gi, slot):
+        for s in range(grp):
+
+            @pl.when(gi * grp + s < nrows)
+            def _():
+                b = order_ref[gi * grp + s]
+                p0 = tstart_ref[b] // ps
+                ntp = ntp_ref[b]
+                for i in range(tpb):
+
+                    @pl.when(i < ntp)
+                    def _():
+                        page = pt_ref[b * pmax + p0 + i]
+                        pltpu.make_async_copy(
+                            kv_hbm_ref.at[layer, page, 0],
+                            k_buf.at[slot, i, s], sem.at[slot, 0],
+                        ).start()
+                        pltpu.make_async_copy(
+                            kv_hbm_ref.at[layer, page, 1],
+                            v_buf.at[slot, i, s], sem.at[slot, 1],
+                        ).start()
+
+    def wait_group(gi, slot):
+        for s in range(grp):
+
+            @pl.when(gi * grp + s < nrows)
+            def _():
+                b = order_ref[gi * grp + s]
+                ntp = ntp_ref[b]
+                for i in range(tpb):
+
+                    @pl.when(i < ntp)
+                    def _():
+                        pltpu.make_async_copy(
+                            kv_hbm_ref.at[0, 0, 0], k_buf.at[slot, i, s],
+                            sem.at[slot, 0],
+                        ).wait()
+                        pltpu.make_async_copy(
+                            kv_hbm_ref.at[0, 0, 0], v_buf.at[slot, i, s],
+                            sem.at[slot, 1],
+                        ).wait()
+
+    # one-hot head-strip selector as a FULL-SHAPE f32 mask (2D only:
+    # 3D i1 broadcasts hit Mosaic relayout limits): group row rr holds
+    # head (rr % BR) // r, i.e. lanes [h*D, (h+1)*D)
+    hmask = jnp.where(
+        lax.broadcasted_iota(jnp.int32, (GR, Xr), 1) // D
+        == (lax.broadcasted_iota(jnp.int32, (GR, Xr), 0) % BR) // r,
+        1.0, 0.0)
+    rowb = lax.broadcasted_iota(jnp.int32, (GR, grp * ps), 0) // BR
+    colb = lax.broadcasted_iota(jnp.int32, (GR, grp * ps), 1) // ps
+    colp = lax.broadcasted_iota(jnp.int32, (GR, grp * ps), 1) % ps
+    diag = rowb == colb
+
+    start_group(0, 0)
+
+    def body(gi, _):
+        slot = lax.rem(gi, 2)
+
+        @pl.when(gi + 1 < ngroups)
+        def _prefetch():
+            start_group(gi + 1, lax.rem(gi + 1, 2))
+
+        wait_group(gi, slot)
+
+        # gather the group's rows (static destination slices, dynamic b)
+        for s in range(grp):
+            idx = jnp.minimum(gi * grp + s, batch_size - 1)
+            b = order_ref[idx]
+            live = gi * grp + s < nrows
+            hm = live & (hm_ref[b] > 0)
+            qrow_ref[s * BR : (s + 1) * BR] = q_ref[b]
+            orow_ref[s * BR : (s + 1) * BR] = jnp.where(
+                hm, o1_ref[b].astype(jnp.float32), 0.0)
+            mg_ref[s * BR : (s + 1) * BR] = jnp.where(
+                hm, m1_ref[b], -jnp.inf)
+            lg_ref[s * BR : (s + 1) * BR] = jnp.where(hm, l1_ref[b], 0.0)
+
+        # block-diagonal strips (lane-tile + full-shape mask, 2D ops only)
+        qt = jnp.concatenate([qrow_ref[...]] * kvh, axis=1)  # [GR, Xr]
+        qg_ref[...] = (
+            qt * jnp.asarray(sm_scale, qt.dtype)
+            * hmask.astype(qt.dtype)
+        )
+        ot = jnp.concatenate([orow_ref[...]] * kvh, axis=1)
+        accg_ref[...] = ot * hmask * lg_ref[:, :1]
+
+        # group-max live pages (scalar)
+        mx = jnp.int32(0)
+        for s in range(grp):
+            idx = jnp.minimum(gi * grp + s, batch_size - 1)
+            b = order_ref[idx]
+            mx = jnp.maximum(
+                mx, jnp.where(gi * grp + s < nrows, ntp_ref[b], 0))
+
+        for pi in range(tpb):
+
+            @pl.when(pi < mx)
+            def _page():
+                kc = k_buf[slot, pi].reshape(grp * ps, Xr)
+                vc = v_buf[slot, pi].reshape(grp * ps, Xr)
+                qk = lax.dot_general(
+                    qg_ref[...], kc, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [GR, grp*ps]
+                if softcap:
+                    qk = softcap * jnp.tanh(qk / softcap)
+                # own-block + live-token mask (per-slot scalar bounds).
+                # colv also zero-fills v columns of never-DMA'd pages —
+                # garbage (NaN) VMEM would poison the shared pv dot even
+                # under p == 0 (0 * NaN = NaN).
+                qk = jnp.where(diag, qk, MASK_VALUE)
+                colb1 = lax.broadcasted_iota(
+                    jnp.int32, (grp * ps, 1), 0) // ps
+                colv = jnp.zeros((grp * ps, 1), jnp.bool_)
+                for s in range(grp):
+                    idx = jnp.minimum(gi * grp + s, batch_size - 1)
+                    b = order_ref[idx]
+                    live = gi * grp + s < nrows
+                    vcnt = jnp.where(
+                        live,
+                        jnp.clip(
+                            lengths_ref[b] - tstart_ref[b] - pi * ps, 0, ps),
+                        0,
+                    )
+                    qk = jnp.where(
+                        (colb == s) & (colp >= vcnt), MASK_VALUE, qk)
+                    colv = colv | ((colb1 == s) & (vcnt > 0))
+                vc = jnp.where(colv, vc, 0)
+                m_prev = mg_ref[:, :1]
+                l_prev = lg_ref[:, :1]
+                m_cur = jnp.max(qk, axis=-1, keepdims=True)
+                m_next = jnp.maximum(m_prev, m_cur)
+                p = jnp.exp(qk - m_next)
+                l_cur = jnp.sum(p, axis=-1, keepdims=True)
+                alpha = jnp.exp(m_prev - m_next)
+                mg_ref[...] = jnp.broadcast_to(m_next, mg_ref.shape)
+                lg_ref[...] = jnp.broadcast_to(
+                    alpha * l_prev + l_cur, lg_ref.shape)
+                pv = lax.dot_general(
+                    p.astype(jnp.bfloat16), vc, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [GR, Xr] (cross rows contribute zero via masked p)
+                accg_ref[...] = accg_ref[...] * alpha + pv
+
+        lh = lg_ref[:, :1]
+        if has_sinks:
+            lh = lh + jnp.exp(sink_ref[:, :1] - mg_ref[:, :1])
+        lh = jnp.where(lh == 0.0, 1.0, lh)
+        on = accg_ref[...] / lh * hmask
+        # extract the diagonal strips back to [GR, D] (static lane slices)
+        od = on[:, :D]
+        for h in range(1, kvh):
+            od = od + on[:, h * D : (h + 1) * D]
+        for s in range(grp):
+            idx = jnp.minimum(gi * grp + s, batch_size - 1)
+            b = order_ref[idx]
+
+            @pl.when(gi * grp + s < nrows)
+            def _store():
+                o_ref[b] = od[s * BR : (s + 1) * BR].astype(o_ref.dtype)
+
+        return _
+
+    lax.fori_loop(0, ngroups, body, None)
+
+
 def ragged_decode(*args, window: "jax.Array | int" = 0, **kw):
     """Dispatcher: a LITERAL window rides a static-window jit so the body's
     `isinstance(window, int)` specializations (mask-op elision for full
@@ -1098,6 +1326,73 @@ def _ragged_decode_impl(
             sink_arr = jnp.broadcast_to(sk[:, None], (KVH * R, 128))
         else:
             sink_arr = jnp.zeros((8, 128), jnp.float32)
+        BR = KVH * R
+        grp_env = _os.environ.get("SGLT_TAILBATCH_G")
+        grp = int(grp_env) if grp_env else max(1, 128 // BR)
+        if (
+            wide
+            and kv_cache.dtype == jnp.bfloat16
+            and grp > 1
+            and B >= grp
+            and BR % 8 == 0
+            and _os.environ.get("SGLT_DECODE_TAILBATCH", "1") != "0"
+        ):
+            GR = grp * BR
+            sink_b = (
+                jnp.tile(sink_arr, (grp, 1)) if sinks is not None
+                else jnp.zeros((8, 128), jnp.float32)
+            )
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=8,
+                grid=(1,),
+                in_specs=[
+                    pl.BlockSpec((B, BR, D), lambda g, *_: (0, 0, 0)),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                    pl.BlockSpec((B, BR, D), lambda g, *_: (0, 0, 0)),
+                    pl.BlockSpec((B, BR, 128), lambda g, *_: (0, 0, 0)),
+                    pl.BlockSpec((B, BR, 128), lambda g, *_: (0, 0, 0)),
+                    pl.BlockSpec(
+                        (sink_b.shape[0], 128), lambda g, *_: (0, 0)),
+                ],
+                out_specs=pl.BlockSpec(
+                    (B, BR, D), lambda g, *_: (0, 0, 0)),
+                scratch_shapes=[
+                    pltpu.VMEM((GR, D), jnp.bfloat16),
+                    pltpu.VMEM((GR, D), jnp.float32),
+                    pltpu.VMEM((GR, Xr), jnp.bfloat16),
+                    pltpu.VMEM((GR, 128), jnp.float32),
+                    pltpu.VMEM((GR, 128), jnp.float32),
+                    pltpu.VMEM((GR, Xr), jnp.float32),
+                    pltpu.VMEM((2, ppc, grp, ps, Xr), kv_cache.dtype),
+                    pltpu.VMEM((2, ppc, grp, ps, Xr), kv_cache.dtype),
+                    pltpu.SemaphoreType.DMA((2, 2)),
+                ],
+            )
+            kernel = functools.partial(
+                _decode_tail_kernel_batched,
+                batch_size=B, grp=grp, tpb=ppc, pmax=pmax,
+                sm_scale=sm_scale, kvh=KVH, r=R, softcap=float(softcap),
+                has_sinks=sinks is not None, interpret=bool(interpret),
+            )
+            out = pl.pallas_call(
+                kernel,
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((B, BR, D), jnp.float32),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("arbitrary",),
+                    vmem_limit_bytes=100 * 1024 * 1024,
+                ),
+                interpret=interpret,
+            )(
+                layer, lengths, flen, ntp, hm, order, nrows, pt_flat,
+                qg.reshape(B, BR, D), kv_cache,
+                o1.reshape(B, BR, D), m1, l1, sink_b,
+            ).reshape(B, KVH, R, D)
+            if raw_layout:
+                return out
+            out = out.reshape(B, KVH, QS, gp, D)[:, :, :, :G, :]
+            out = jnp.transpose(out, (0, 2, 1, 3, 4)).reshape(B, QS, QH, D)
+            return out
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=8,
             grid=(1,),

@@ -773,3 +773,43 @@ def test_latent_ragged_decode_and_extend_match_xla():
             np.asarray(oute)[s : s + n], np.asarray(refe)[s : s + n],
             rtol=2e-2, atol=2e-2, err_msg=f"seq {b}",
         )
+
+
+@pytest.mark.slow
+def test_wide_split_tail_batched_matches_xla():
+    """Round-5 endgame: the row-BATCHED partial-tail kernel (groups of G
+    rows, one block-diagonal cross dot per page index) vs the XLA oracle
+    at a wide-pool geometry that passes the split-tail gate.  Lengths
+    cover exact-chunk boundaries, pure tails, multi-page tails and dead
+    rows; sinks fold at the tail emit."""
+    import os
+
+    rng = np.random.default_rng(21)
+    L, P, ps, kvh, d = 2, 64, 16, 2, 128
+    xr = kvh * d
+    kv = jnp.asarray(rng.normal(size=(L, P, 2, ps, xr)) * 0.3, jnp.bfloat16)
+    B, pmax = 16, 8
+    qh = 4
+    lengths = np.array(
+        [33, 32, 7, 0, 40, 63, 128, 1, 17, 96, 55, 12, 31, 64, 99, 2],
+        np.int32)
+    page_table = rng.integers(0, P, size=(B, pmax)).astype(np.int32)
+    q = jnp.asarray(rng.normal(size=(B, 1, qh, d)), jnp.bfloat16)
+    sinks = jnp.asarray(rng.normal(size=(qh,)), jnp.float32)
+    old = os.environ.get("SGLT_TAILBATCH_G")
+    try:
+        os.environ["SGLT_TAILBATCH_G"] = "4"
+        out = ragged_decode(
+            q, kv, jnp.asarray(page_table), jnp.asarray(lengths), 1,
+            sm_scale=0.125, pages_per_chunk=2, interpret=True, sinks=sinks)
+    finally:
+        if old is None:
+            os.environ.pop("SGLT_TAILBATCH_G", None)
+        else:
+            os.environ["SGLT_TAILBATCH_G"] = old
+    ref = ragged_decode_xla(
+        q, kv, jnp.asarray(page_table), jnp.asarray(lengths), 1,
+        sm_scale=0.125, sinks=sinks)
+    live = lengths > 0
+    np.testing.assert_allclose(
+        np.asarray(out)[live], np.asarray(ref)[live], rtol=2e-2, atol=2e-2)
