@@ -1150,28 +1150,41 @@ class HttpServer:
 
             sp["structural_tag"] = _json.dumps(rf)
 
-        if tok is not None and getattr(tok, "chat_template", None):
-            try:
-                ids = tok.apply_chat_template(
-                    messages, tokenize=True, add_generation_prompt=True,
-                    tools=req.tools if req.tools else None,
-                )
-            except TypeError:  # template without tools support
-                ids = tok.apply_chat_template(
-                    messages, tokenize=True, add_generation_prompt=True
-                )
+        tm = self._template_manager()
+        if tok is not None:
+            ids, stops = tm.render_ids(messages, tools=req.tools)
+            if stops:
+                cur = sp.get("stop") or []
+                if isinstance(cur, str):
+                    cur = [cur]
+                sp["stop"] = list(cur) + [
+                    s for s in stops if s not in cur]
             return GenerateReqInput(
                 input_ids=list(ids), sampling_params=sp, stream=req.stream,
                 images=images or None,
             )
-        # no template: simple role-tagged concatenation
-        text = (
-            "".join(f"{m['role']}: {m['content']}\n" for m in messages) + "assistant:"
-        )
+        # no tokenizer at all (input_ids-only test engines): plain text
+        text, stops = tm.render_text(messages)
+        if stops:
+            sp.setdefault("stop", list(stops))
         return GenerateReqInput(
             text=text, sampling_params=sp, stream=req.stream,
             images=images or None,
         )
+
+    def _template_manager(self):
+        tm = getattr(self, "_tm", None)
+        if tm is None:
+            from sglang_awq_tpu.managers.template_manager import (
+                TemplateManager,
+            )
+
+            tm = self._tm = TemplateManager(
+                self.engine.server_args.chat_template,
+                self.engine.tokenizer_manager.tokenizer,
+                self.engine.server_args.model_path,
+            )
+        return tm
 
     def _openai_error(self, message: str, status: int = 400) -> web.Response:
         return web.json_response(

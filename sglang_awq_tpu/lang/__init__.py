@@ -21,6 +21,7 @@ from sglang_awq_tpu.lang.ir import (
 )
 from sglang_awq_tpu.lang.interpreter import (
     EngineBackend,
+    OpenAIBackend,
     RuntimeEndpoint,
     function,
     set_default_backend,
@@ -34,6 +35,7 @@ __all__ = [
     "system",
     "user",
     "EngineBackend",
+    "OpenAIBackend",
     "RuntimeEndpoint",
     "set_default_backend",
 ]

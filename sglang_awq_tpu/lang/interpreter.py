@@ -107,6 +107,90 @@ class RuntimeEndpoint:
         return scores
 
 
+class OpenAIBackend:
+    """OpenAI-compatible backend: completions (+ optional chat) against
+    ANY base_url speaking the OpenAI API — including this repo's own
+    server.  Reference role: `lang/backend/openai.py` (the multi-backend
+    interpreter's second family; select scores ride the standard
+    echo+logprobs completions trick)."""
+
+    def __init__(self, base_url: str, model: str = "default",
+                 api_key: str = "", chat: bool = False,
+                 timeout: float = 600.0):
+        self.base_url = base_url.rstrip("/")
+        self.model = model
+        self.api_key = api_key
+        self.chat = chat
+        self.timeout = timeout
+
+    def _post(self, path: str, payload: dict) -> dict:
+        import httpx
+
+        headers = (
+            {"Authorization": f"Bearer {self.api_key}"} if self.api_key
+            else {}
+        )
+        r = httpx.post(self.base_url + path, json=payload, headers=headers,
+                       timeout=self.timeout)
+        r.raise_for_status()
+        return r.json()
+
+    def _params(self, sampling_params: dict) -> dict:
+        sp = dict(sampling_params)
+        out = {
+            "model": self.model,
+            "max_tokens": sp.pop("max_new_tokens", 16),
+            "temperature": sp.pop("temperature", 0.0),
+        }
+        if sp.get("stop"):
+            out["stop"] = sp["stop"]
+        if sp.get("top_p") is not None and "top_p" in sp:
+            out["top_p"] = sp["top_p"]
+        return out
+
+    def generate(self, prompt: str, sampling_params: dict) -> str:
+        payload = self._params(sampling_params)
+        if self.chat:
+            payload["messages"] = [{"role": "user", "content": prompt}]
+            out = self._post("/v1/chat/completions", payload)
+            return out["choices"][0]["message"]["content"] or ""
+        payload["prompt"] = prompt
+        out = self._post("/v1/completions", payload)
+        return out["choices"][0]["text"]
+
+    def score_continuations(self, prompt: str,
+                            choices: List[str]) -> List[float]:
+        scores = []
+        for c in choices:
+            out = self._post("/v1/completions", {
+                "model": self.model,
+                "prompt": prompt + c,
+                "max_tokens": 1,
+                "temperature": 0.0,
+                "echo": True,
+                "logprobs": 1,
+            })
+            lp = out["choices"][0].get("logprobs") or {}
+            toks = lp.get("tokens") or []
+            vals = lp.get("token_logprobs") or []
+            # echo lists prompt tokens then the generated ones — drop the
+            # generated tail, we score the prompt's choice region only
+            n_gen = (out.get("usage") or {}).get("completion_tokens", 1)
+            if n_gen:
+                toks, vals = toks[:-n_gen], vals[:-n_gen]
+            # walk back until the decoded tail covers the choice text —
+            # exact up to the single token straddling the boundary
+            covered, score = 0, 0.0
+            for t, v in zip(reversed(toks), reversed(vals)):
+                if covered >= len(c):
+                    break
+                covered += len(t)
+                if v is not None:
+                    score += v
+            scores.append(score)
+        return scores
+
+
 # ---------------------------------------------------------------------------
 # program state
 # ---------------------------------------------------------------------------

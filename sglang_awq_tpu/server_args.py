@@ -23,6 +23,9 @@ class ServerArgs:
     model_path: str = ""
     tokenizer_path: Optional[str] = None
     trust_remote_code: bool = False
+    # chat template override: a registered name (lang/chat_template.py),
+    # a .jinja file, or a .json role-pair spec (reference --chat-template)
+    chat_template: Optional[str] = None
     dtype: str = "bfloat16"  # activation dtype
     quantization: Optional[str] = None  # None => auto-detect from checkpoint
     context_length: Optional[int] = None  # None => model config default

@@ -91,3 +91,66 @@ def test_deterministic_same_program(backend):
     a = p.run(backend=backend)
     b = p.run(backend=backend)
     assert a["g"] == b["g"]
+
+
+@pytest.fixture(scope="module")
+def openai_server_url():
+    """Tiny engine behind the OpenAI-compatible HTTP server (reference
+    lang/backend/openai.py role: the DSL's second backend family)."""
+    import asyncio
+    import socket
+    import threading
+
+    from sglang_awq_tpu.entrypoints.http_server import build_app
+
+    _, tensors = tiny_hf_model_and_tensors()
+    mc = ModelConfig(model_path="", hf_config=dict(TINY_LLAMA_CFG),
+                     context_length=1024)
+    sa = ServerArgs(model_path="tiny", page_size=8, max_total_tokens=2048,
+                    chunked_prefill_size=32, max_running_requests=8)
+    eng = Engine(server_args=sa, model_config=mc, tensors=tensors,
+                 tokenizer=ByteTokenizer())
+    app = build_app(eng)
+    s = socket.socket(); s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]; s.close()
+    loop = asyncio.new_event_loop()
+    started = threading.Event()
+
+    def run():
+        asyncio.set_event_loop(loop)
+
+        async def main():
+            from aiohttp import web
+            runner = web.AppRunner(app)
+            await runner.setup()
+            await web.TCPSite(runner, "127.0.0.1", port).start()
+            started.set()
+            while True:
+                await asyncio.sleep(3600)
+
+        loop.run_until_complete(main())
+
+    threading.Thread(target=run, daemon=True).start()
+    assert started.wait(timeout=30)
+    yield f"http://127.0.0.1:{port}"
+    eng.shutdown()
+
+
+def test_openai_backend_gen_and_select(openai_server_url):
+    be = sgl.OpenAIBackend(openai_server_url, model="tiny")
+
+    @sgl.function
+    def prog(s):
+        s += "the quick brown "
+        s += sgl.select("w", choices=["fox", "zzq"])
+        s += sgl.gen("tail", max_tokens=4, temperature=0.0)
+
+    state = prog.run(backend=be)
+    assert state["w"] in ("fox", "zzq")
+    assert isinstance(state["tail"], str)
+
+
+def test_openai_backend_chat_mode(openai_server_url):
+    be = sgl.OpenAIBackend(openai_server_url, model="tiny", chat=True)
+    out = be.generate("say hi", {"max_new_tokens": 4, "temperature": 0.0})
+    assert isinstance(out, str)
