@@ -132,9 +132,10 @@ class ModelConfig:
             self.num_kv_heads = 1
             lat = self.kv_lora_rank + self.qk_rope_head_dim
             self.head_dim = (lat + 127) // 128 * 128
-        self.intermediate_size = int(
-            c.get("intermediate_size") or c.get("ffn_dim")  # OPT: ffn_dim
-        )
+        inter = c.get("intermediate_size") or c.get("ffn_dim")  # OPT: ffn_dim
+        if isinstance(inter, (list, tuple)):  # Gemma3n: per-layer list
+            inter = max(inter)
+        self.intermediate_size = int(inter)
         # hybrid linear-attention models (qwen3_next): only full-attention
         # layers own KV pages; linear layers keep per-request state rows
         lt = c.get("layer_types")

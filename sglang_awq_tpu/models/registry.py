@@ -59,6 +59,7 @@ def get_model_class(architecture: str):
     from sglang_awq_tpu.models.nemotron_h import NemotronHForCausalLM
     from sglang_awq_tpu.models.qwen3_next import Qwen3NextForCausalLM
     from sglang_awq_tpu.models.kimi_linear import KimiLinearForCausalLM
+    from sglang_awq_tpu.models.gemma3n import Gemma3nForCausalLM
     from sglang_awq_tpu.models.qwen2_5_vl import Qwen2_5_VLForCausalLM
     from sglang_awq_tpu.models.baichuan import (
         BaichuanForCausalLM,
@@ -106,6 +107,7 @@ def get_model_class(architecture: str):
         "NemotronHForCausalLM": NemotronHForCausalLM,
         "Qwen3NextForCausalLM": Qwen3NextForCausalLM,
         "KimiLinearForCausalLM": KimiLinearForCausalLM,
+        "Gemma3nForCausalLM": Gemma3nForCausalLM,
         "Qwen2_5_VLForConditionalGeneration": Qwen2_5_VLForCausalLM,
         "BaichuanForCausalLM": BaichuanForCausalLM,
         "BaiChuanForCausalLM": BaichuanForCausalLM,
