@@ -2,8 +2,8 @@
 
 Reference role models:
   `python/sglang/srt/models/baichuan.py`  — W_pack fused qkv; Baichuan2
-      normalizes the lm_head rows (NormHead) at inference; the 13B ALiBi
-      variant is rejected (our kernels are rope-based).
+      normalizes the lm_head rows (NormHead) at inference; the 13B
+      ALiBi variant serves via the kernels' per-key bias channel.
   `python/sglang/srt/models/internlm2.py` — llama graph under different
       tensor names: tok_embeddings / attention.wqkv (kv-GROUPED interleave)
       / attention.wo / feed_forward.w1|w3|w2 / attention_norm / ffn_norm /
@@ -30,20 +30,46 @@ import numpy as np
 from sglang_awq_tpu.models.llama import LlamaForCausalLM
 
 
+def _alibi_slopes(n: int) -> np.ndarray:
+    """Standard ALiBi head slopes (reference baichuan.py:52): powers of
+    the closest-power-of-two base, odd-interpolated for the remainder."""
+    cp = 2 ** int(math.floor(math.log2(n)))
+    base = 2.0 ** (-(2.0 ** -(math.log2(cp) - 3)))
+    slopes = [base ** (i + 1) for i in range(cp)]
+    if cp != n:
+        extra_base = 2.0 ** (-(2.0 ** -(math.log2(2 * cp) - 3)))
+        num_rem = min(cp, n - cp)
+        slopes += [extra_base ** i for i in range(1, 1 + 2 * num_rem, 2)]
+    return np.asarray(slopes, np.float32)
+
+
 @dataclasses.dataclass
 class BaichuanForCausalLM(LlamaForCausalLM):
     def __post_init__(self):
         hf = self.config.hf_config
-        # 13B ships ALiBi (no rope); the serving kernels are rope-paged
-        if int(hf.get("hidden_size", 0)) >= 5120 and not hf.get(
-            "rope_theta"
-        ):
-            raise NotImplementedError(
-                "Baichuan 13B uses ALiBi positional bias; only the rope "
-                "(7B-geometry) variants serve here"
-            )
+        # 13B ships ALiBi (no rope): per-head slopes ride the kernels'
+        # per-KEY bias channel (reference srt/models/baichuan.py:52
+        # _get_alibi_slopes; position_embedding == "ALIBI" at :167) and
+        # the rope table collapses to the identity rotation
+        self._use_alibi = bool(
+            str(hf.get("position_embedding", "")).upper() == "ALIBI"
+            or (int(hf.get("hidden_size", 0)) >= 5120
+                and not hf.get("rope_theta"))
+        )
         hf.setdefault("rope_theta", 10000.0)
         super().__post_init__()
+        if self._use_alibi:
+            self.alibi_slopes = _alibi_slopes(self.qh * self.tp_size)
+
+    def rope(self):
+        tab = super().rope()
+        if not self._use_alibi:
+            return tab
+        half = tab.shape[-1] // 2
+        return jnp.concatenate(
+            [jnp.ones_like(tab[:, :half]), jnp.zeros_like(tab[:, half:])],
+            axis=-1,
+        )  # identity rotation: ALiBi replaces rope entirely
 
     def pretranslate_tensors(self, tensors: Dict[str, np.ndarray]):
         out = {}

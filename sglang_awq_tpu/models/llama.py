@@ -56,6 +56,7 @@ class LlamaForCausalLM:
     mlp_act: str = "silu"  # "silu" | "gelu" (Gemma GeGLU)
     layer_windows: tuple = None  # per-layer sliding window (0/None = full)
     attn_softcap: float = 0.0  # Gemma2 attn-logit softcapping
+    alibi_slopes = None  # [QH] np.ndarray: ALiBi positional bias (baichuan 13B)
     attn_sinks: bool = False  # GPT-OSS learned per-head sink logits
     qkv_clip: float = 0.0  # clamp fused qkv outputs (OLMo/DBRX clip_qkv)
     pp_size: int = 1  # pipeline stages over the "stage" mesh axis
@@ -351,6 +352,12 @@ class LlamaForCausalLM:
         xf = xf * jax.lax.rsqrt(ss / denom + eps)
         return (xf * w).astype(x.dtype)
 
+    def _alibi(self):
+        if self.alibi_slopes is None:
+            return None
+        import jax.numpy as _jnp
+        return _jnp.asarray(self.alibi_slopes, _jnp.float32)
+
     def _sinks(self, params, l):
         """Per-head learned sink logits [QH_local] (GPT-OSS), or None."""
         if not self.attn_sinks:
@@ -582,6 +589,7 @@ class LlamaForCausalLM:
             or self.pp_size > 1
             or self.layer_windows
             or self.attn_softcap
+            or self.alibi_slopes is not None
             or self.attn_sinks
             or self.qk_norm
             or self.qk_norm_full
@@ -924,6 +932,7 @@ class LlamaForCausalLM:
                         sm_scale=self.sm_scale, window=self._win(l),
                         softcap=self.attn_softcap,
                         sinks=self._sinks(params, l),
+                        alibi=self._alibi(),
                     )  # [B, 1, QH, D]
                     if io is not None:
                         out = out * vs
@@ -992,6 +1001,7 @@ class LlamaForCausalLM:
         -> (logits [B, QS, V], kv[, hidden [B, QS, H]]).  Reference role:
         TARGET_VERIFY forward mode (forward_batch_info.py:70); hidden
         capture feeds the EAGLE draft (CaptureHiddenMode.FULL role)."""
+        assert self.alibi_slopes is None, "speculative + ALiBi: not supported"
         B, QS = tokens.shape
         flat_pos = positions.reshape(-1)
         x = self._pos_embed(
@@ -1071,6 +1081,7 @@ class LlamaForCausalLM:
         mask in XLA (QS^2 is tiny); the two merge by their (m, l) stats.
         Tree-node KV writes into the pool at distinct tail slots; the
         accepted path is relocated post-accept (runner.kv_relocate)."""
+        assert self.alibi_slopes is None, "speculative + ALiBi: not supported"
         B, QS = tokens.shape
         n, D = self.qh, self.head_dim
         kvh = self.kvh
@@ -1242,6 +1253,7 @@ class LlamaForCausalLM:
                             block_q=block_q, window=self._win(l),
                             softcap=self.attn_softcap,
                             sinks=self._sinks(params, l), spans=spans,
+                            alibi=self._alibi(),
                         )
                         if io is not None:
                             out = out * vs
@@ -1253,6 +1265,7 @@ class LlamaForCausalLM:
                         l, sm_scale=self.sm_scale, block_q=block_q,
                         window=self._win(l), softcap=self.attn_softcap,
                         sinks=self._sinks(params, l),
+                        alibi=self._alibi(),
                     )
                     if io is not None:
                         out = out * vs

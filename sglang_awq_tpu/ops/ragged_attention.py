@@ -117,6 +117,7 @@ def _decode_kernel_split(
     knew_ref,  # [B, fcK, XrK] new-token K face rows (fuse_new; else dummy)
     vnew_ref,  # [B, fcK, XrK] new-token V face rows (fuse_new; else dummy)
     sink_ref,  # [KVH*R or 8, 128] f32 per-row sink logits (dummy when off)
+    alibi_ref,  # [KVH*R or 8, 128] f32 per-row ALiBi slopes (dummy when off)
     # outputs
     o_ref,  # [B, KVH, R, D] f32 (whole batch resident)
     *rest,  # [kvout_ref (fuse_new, aliased pool)] + scratch
@@ -131,6 +132,7 @@ def _decode_kernel_split(
     has_window: bool,
     has_sinks: bool,
     interpret: bool,
+    has_alibi: bool = False,
     fuse_new: bool = False,
     latent: bool = False,  # 4-dim latent pool [L, P, ps, Xr]: K == V
     wide: bool = False,  # 5-dim wide pool [L, P, 2, ps, KVH*D]: fcK == 1
@@ -329,6 +331,10 @@ def _decode_kernel_split(
                 )
                 mask = jnp.logical_and(mask, tj >= low)
             qk = jnp.where(mask, qk, MASK_VALUE)
+            if has_alibi:
+                # ALiBi in per-KEY form: m*(j - i) == m*j up to a per-row
+                # constant that cancels in softmax; key position = base+tj
+                qk = qk + alibi_ref[:, :1] * (base + tj).astype(jnp.float32)
 
             m_prev = m_ref[:, :1]
             l_prev = l_ref[:, :1]
@@ -444,6 +450,7 @@ def _decode_kernel(
     knew_ref,  # dummy (fused writes are split-pool only)
     vnew_ref,  # dummy
     sink_ref,  # [KVH*R or 8, 128] f32 per-row sink logits (dummy when off)
+    alibi_ref,  # dummy (ALiBi serves through the split-pool kernel)
     # output
     o_ref,  # [B, KVH, R, D] f32 (whole batch resident)
     # scratch
@@ -678,12 +685,12 @@ def _decode_kernel(
 def _decode_kernel_split_with_stats(
     layer_ref, window_ref, lengths_ref, s0_ref, nck_ref, nlive_ref,
     total_ref, pt_ref, slots_ref, q_ref, kv_hbm_ref, knew_ref, vnew_ref,
-    sink_ref, o_ref, m_out, l_out,
+    sink_ref, alibi_ref, o_ref, m_out, l_out,
     qbd_ref, m_ref, l_ref, acc_ref, cb_ref, tj_ref, tr_ref, k_buf, v_buf,
     sem,
     *,
     batch_size, pages_per_chunk, pmax, sm_scale, q_span, gp, kvh, softcap,
-    has_window, has_sinks, interpret, wide=False,
+    has_window, has_sinks, interpret, has_alibi=False, wide=False,
 ):
     """Stats shim: two extra outputs (m_out, l_out) after o_ref route into
     _decode_kernel_split's stats_out keyword.  Explicit signature — a
@@ -692,13 +699,13 @@ def _decode_kernel_split_with_stats(
     _decode_kernel_split(
         layer_ref, window_ref, lengths_ref, s0_ref, nck_ref, nlive_ref,
         total_ref, pt_ref, slots_ref, q_ref, kv_hbm_ref, knew_ref, vnew_ref,
-        sink_ref, o_ref,
+        sink_ref, alibi_ref, o_ref,
         qbd_ref, m_ref, l_ref, acc_ref, cb_ref, tj_ref, tr_ref, k_buf,
         v_buf, sem,
         batch_size=batch_size, pages_per_chunk=pages_per_chunk, pmax=pmax,
         sm_scale=sm_scale, q_span=q_span, gp=gp, kvh=kvh, softcap=softcap,
         has_window=has_window, has_sinks=has_sinks, interpret=interpret,
-        wide=wide, stats_out=(m_out, l_out),
+        has_alibi=has_alibi, wide=wide, stats_out=(m_out, l_out),
     )
 
 
@@ -1152,6 +1159,8 @@ def _ragged_decode_impl(
     window: jax.Array | int = 0,  # sliding window (0 = full); may be traced
     softcap: float = 0.0,  # attn-logit softcapping (Gemma2); 0 = off
     sinks: Optional[jax.Array] = None,  # [QH] f32 per-head sink logits
+    alibi: Optional[jax.Array] = None,  # [QH] f32 ALiBi slopes (baichuan
+    # 13B; applied as the per-KEY bias m*j — see ragged_decode_xla)
     want_stats: bool = False,  # also return (m, l) [B, QS, QH] softmax stats
     new_kv: Optional[Tuple[jax.Array, jax.Array, jax.Array]] = None,
     # (k_new [B, KVH, D], v_new [B, KVH, D], slots [B] i32) — fuse the
@@ -1290,6 +1299,7 @@ def _ragged_decode_impl(
         and not want_stats
         and isinstance(window, (int, np.integer))
         and window == 0
+        and alibi is None
         # tail kernel page-slices k_buf[slot, i]: Mosaic needs whole lane
         # tiles and sublane-aligned page rows (tiny test geometries fail)
         and Xr % 128 == 0
@@ -1483,6 +1493,19 @@ def _ragged_decode_impl(
     else:
         sink_arr = jnp.zeros((8, 128), jnp.float32)
     srows = sink_arr.shape[0]
+    if alibi is not None:
+        assert split or latent or wide, (
+            "ALiBi: split/wide/latent pools only (combined falls back to "
+            "ragged_decode_xla)")
+        assert not raw_layout and not fuse_new
+        al = jnp.asarray(alibi, jnp.float32).reshape(KVH, G)
+        if gp != G:
+            al = jnp.pad(al, ((0, 0), (0, gp - G)), mode="edge")
+        al = jnp.tile(al[:, None, :], (1, QS, 1)).reshape(KVH * R)
+        alibi_arr = jnp.broadcast_to(al[:, None], (KVH * R, 128))
+    else:
+        alibi_arr = jnp.zeros((8, 128), jnp.float32)
+    arows = alibi_arr.shape[0]
 
     common_scratch = [
         pltpu.VMEM((KVH * R, Xr), jnp.bfloat16),
@@ -1541,6 +1564,7 @@ def _ragged_decode_impl(
             knew_spec,
             knew_spec,
             pl.BlockSpec((srows, 128), lambda g, *_: (0, 0)),
+            pl.BlockSpec((arows, 128), lambda g, *_: (0, 0)),
         ],
         out_specs=out_specs,
         scratch_shapes=scratch,
@@ -1565,6 +1589,7 @@ def _ragged_decode_impl(
         has_window=has_window,
         has_sinks=sinks is not None,
         interpret=bool(interpret),
+        **({"has_alibi": True} if alibi is not None else {}),
         **({"fuse_new": True} if fuse_new else {}),
         **({"latent": True} if latent else {}),
         **({"wide": True} if wide else {}),
@@ -1620,6 +1645,7 @@ def _ragged_decode_impl(
         knew_arr,
         vnew_arr,
         sink_arr,
+        alibi_arr,
     )
     if fuse_new:
         out, kv_cache = out
@@ -1671,6 +1697,7 @@ def _extend_kernel_split(
     q_ref,  # [BQ, QH, D]
     kv_hbm_ref,  # [L, P, 2, ps, fcK, XrK] (ANY)
     sink_ref,  # [KVH*G or 8, 128] f32 per-head sink logits (dummy when off)
+    alibi_ref,  # [KVH*G or 8, 128] f32 per-head ALiBi slopes (dummy)
     # output
     o_ref,  # [BQ, QH, D] f32
     # scratch: m, l, acc, k_buf [2, ppc, ps, fcK, XrK], (v_buf), sem
@@ -1685,6 +1712,7 @@ def _extend_kernel_split(
     softcap: float,
     has_sinks: bool,
     interpret: bool,
+    has_alibi: bool = False,
     latent: bool = False,  # 4-dim latent pool [L, P, ps, Xr]: K == V
     wide: bool = False,  # 5-dim wide pool [L, P, 2, ps, KVH*D]: fcK == 1
 ):
@@ -1820,6 +1848,9 @@ def _extend_kernel_split(
             kc = chunk_to_bf16(kc)
             vc = kc if latent else chunk_to_bf16(vc)
         prefix = kvlens_ref[b] - q_len
+        if has_alibi:
+            jcol = lax.broadcasted_iota(jnp.int32, (1, fck * ck), 1)
+            posf = (c * ck + jcol // fck).astype(jnp.float32)
         masks = [None] * fck  # one per class row (heads share within class)
         for h in range(kvh):
             ch = h // hph  # class row holding this head's K/V
@@ -1833,6 +1864,13 @@ def _extend_kernel_split(
             qk = qk * sm_scale
             if softcap:
                 qk = softcap * jnp.tanh(qk / softcap)
+            if has_alibi:
+                # per-KEY ALiBi bias m*j (query term cancels in softmax)
+                al = alibi_ref[h * g : (h + 1) * g, :1]  # [g, 1]
+                al = jnp.broadcast_to(
+                    al.reshape(1, g, 1), (bq, g, 1)
+                ).reshape(bq * g, 1)
+                qk = qk + al * posf
             if masks[ch] is None:
                 j = lax.broadcasted_iota(jnp.int32, qk.shape, 1)
                 pos = c * ck + j // fck
@@ -1899,6 +1937,7 @@ def _extend_kernel(
     q_ref,  # [BQ, QH, D]
     kv_hbm_ref,  # [L, P, ps, 2, KVH*D] (ANY)
     sink_ref,  # [KVH*G or 8, 128] f32 per-head sink logits (dummy when off)
+    alibi_ref,  # dummy (ALiBi serves through the split-pool kernel)
     # output
     o_ref,  # [BQ, QH, D] f32
     # scratch
@@ -2115,6 +2154,8 @@ def ragged_extend(
     window: jax.Array | int = 0,  # sliding window (0 = full)
     softcap: float = 0.0,  # attn-logit softcapping (Gemma2); 0 = off
     sinks: Optional[jax.Array] = None,  # [QH] f32 per-head sink logits
+    alibi: Optional[jax.Array] = None,  # [QH] f32 ALiBi slopes (per-key
+    # m*j form; see ragged_decode_xla)
 ) -> jax.Array:
     """Batched ragged extend attention -> [TQ, QH, D] f32.
 
@@ -2187,6 +2228,15 @@ def ragged_extend(
     else:
         sink_arr = jnp.zeros((8, 128), jnp.float32)
     srows = sink_arr.shape[0]
+    if alibi is not None:
+        assert split or latent, (
+            "ALiBi: split/wide/latent pools only (combined falls back to "
+            "ragged_extend_xla)")
+        al = jnp.asarray(alibi, jnp.float32).reshape(KVH * G)
+        alibi_arr = jnp.broadcast_to(al[:, None], (KVH * G, 128))
+    else:
+        alibi_arr = jnp.zeros((8, 128), jnp.float32)
+    arows = alibi_arr.shape[0]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=8,
@@ -2195,6 +2245,7 @@ def ragged_extend(
             pl.BlockSpec((BQ, QH, D), q_index),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((srows, 128), lambda *a: (0, 0)),
+            pl.BlockSpec((arows, 128), lambda *a: (0, 0)),
         ],
         out_specs=pl.BlockSpec((BQ, QH, D), q_index),
         scratch_shapes=[
@@ -2239,6 +2290,7 @@ def ragged_extend(
         softcap=float(softcap),
         has_sinks=sinks is not None,
         interpret=bool(interpret),
+        **({"has_alibi": True} if alibi is not None else {}),
         **({"latent": True} if latent else {}),
         **({"wide": True} if wide else {}),
     )
@@ -2263,6 +2315,7 @@ def ragged_extend(
         q,
         kv_cache,
         sink_arr,
+        alibi_arr,
     )
     return out[:TQ]
 
@@ -2315,6 +2368,9 @@ def ragged_decode_xla(
     window: jax.Array | int = 0,
     softcap: float = 0.0,
     sinks: Optional[jax.Array] = None,
+    alibi: Optional[jax.Array] = None,  # [QH] f32 ALiBi slopes: the
+    # m*(j-i) bias reduces to a PER-KEY bias m*j (the -m*i term is
+    # constant per query row and cancels in softmax)
     want_stats: bool = False,
 ) -> jax.Array:
     B, QS, QH, D = q.shape
@@ -2339,6 +2395,10 @@ def ragged_decode_xla(
     )
     if softcap:
         s = softcap * jnp.tanh(s / softcap)
+    if alibi is not None:
+        al = jnp.asarray(alibi, jnp.float32).reshape(KVH, G)
+        s = s + al[None, None, :, :, None] * jnp.arange(
+            s.shape[-1], dtype=jnp.float32)
     S = s.shape[-1]
     key_pos = jnp.arange(S)[None, None, :]
     limit = (lengths[:, None] - (QS - 1) + jnp.arange(QS)[None, :])[:, :, None]
@@ -2381,6 +2441,8 @@ def ragged_extend_xla(
     window: jax.Array | int = 0,
     softcap: float = 0.0,
     sinks: Optional[jax.Array] = None,
+    alibi: Optional[jax.Array] = None,  # [QH] f32 ALiBi slopes (per-key
+    # m*j form; see ragged_decode_xla)
     spans: Optional[jax.Array] = None,  # [TQ] i32 image-span ids (0 = text):
     # tokens sharing a nonzero span attend each other BIDIRECTIONALLY
     # (Gemma3-mm image spans, reference gemma3_mm.py:110); spans never
@@ -2428,6 +2490,9 @@ def ragged_extend_xla(
     )
     if softcap:
         s = softcap * jnp.tanh(s / softcap)
+    if alibi is not None:
+        al = jnp.asarray(alibi, jnp.float32).reshape(KVH, G)
+        s = s + al[None, :, :, None] * jnp.arange(S, dtype=jnp.float32)
     key_pos = jnp.arange(S)[None, None, None, :]
     qp = q_pos[:, None, None, None]
     mask = key_pos <= qp
