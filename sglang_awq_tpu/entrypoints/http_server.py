@@ -792,6 +792,23 @@ class HttpServer:
         except Exception as e:
             return self._openai_error(str(e))
         prompt = req.prompt
+        if req.suffix and isinstance(prompt, str):
+            # fill-in-middle (reference code_completion_parser.py role):
+            # the model's FIM sentinels frame prompt/suffix
+            name = self.engine.server_args.completion_template
+            if not name:
+                return self._openai_error(
+                    "suffix requires --completion-template "
+                    "(deepseek_coder | star_coder | qwen_coder | codellama)")
+            from sglang_awq_tpu.lang.completion_template import (
+                completion_template_registry,
+            )
+
+            if name not in completion_template_registry:
+                return self._openai_error(
+                    f"unknown completion template {name!r}")
+            prompt = completion_template_registry[name].render(
+                prompt, req.suffix)
         gin_kwargs: Dict[str, Any] = {}
         if isinstance(prompt, str):
             gin_kwargs["text"] = prompt

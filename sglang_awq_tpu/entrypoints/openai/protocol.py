@@ -17,6 +17,7 @@ from pydantic import BaseModel, Field
 class CompletionRequest(BaseModel):
     model: str = ""
     prompt: Union[str, List[str], List[int], List[List[int]]] = ""
+    suffix: Optional[str] = None  # fill-in-middle (--completion-template)
     max_tokens: Optional[int] = 16
     temperature: float = 1.0
     top_p: float = 1.0

@@ -26,6 +26,9 @@ class ServerArgs:
     # chat template override: a registered name (lang/chat_template.py),
     # a .jinja file, or a .json role-pair spec (reference --chat-template)
     chat_template: Optional[str] = None
+    # fill-in-middle template for /v1/completions `suffix`
+    # (lang/completion_template.py: deepseek_coder | star_coder | ...)
+    completion_template: Optional[str] = None
     dtype: str = "bfloat16"  # activation dtype
     quantization: Optional[str] = None  # None => auto-detect from checkpoint
     context_length: Optional[int] = None  # None => model config default

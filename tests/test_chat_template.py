@@ -136,3 +136,43 @@ def test_registry_covers_major_families():
                  "internlm2-chat", "falcon-instruct", "baichuan2-chat",
                  "exaone3-instruct", "kimi", "qwen2-vl", "default"):
         assert name in chat_template_registry, name
+
+
+def test_completion_template_fim_render():
+    from sglang_awq_tpu.lang.completion_template import (
+        completion_template_registry,
+    )
+
+    t = completion_template_registry["deepseek_coder"]
+    assert t.render("def f(", "return x") == (
+        "<｜fim▁begin｜>def f(<｜fim▁hole｜>return x<｜fim▁end｜>")
+    t = completion_template_registry["star_coder"]
+    assert t.render("a", "b") == "<fim_prefix>a<fim_suffix>b<fim_middle>"
+    assert set(completion_template_registry) >= {
+        "deepseek_coder", "star_coder", "qwen_coder", "codellama"}
+
+
+def test_completion_suffix_requires_template():
+    """/v1/completions with suffix but no --completion-template -> 400."""
+    import asyncio
+
+    from sglang_awq_tpu.entrypoints.http_server import HttpServer
+
+    class FakeEngine:
+        class server_args:
+            api_key = None
+            completion_template = None
+        class tokenizer_manager:
+            tokenizer = None
+
+    srv = HttpServer.__new__(HttpServer)
+    srv.engine = FakeEngine()
+
+    class FakeReq:
+        async def json(self):
+            return {"prompt": "def f(", "suffix": "return x",
+                    "max_tokens": 4}
+
+    resp = asyncio.new_event_loop().run_until_complete(
+        srv.v1_completions(FakeReq()))
+    assert resp.status == 400
