@@ -166,3 +166,57 @@ class Dots1ForCausalLM(Glm4MoeForCausalLM):
         hf.setdefault("partial_rotary_factor", 1.0)
         hf["use_qk_norm"] = True
         super().__post_init__()
+
+
+@dataclasses.dataclass
+class MiniMaxM2ForCausalLM(Glm4MoeForCausalLM):
+    """MiniMax-M2.  Role model: reference
+    `python/sglang/srt/models/minimax_m2.py` (MiniMaxM2Attention :329 —
+    FULL-width q/k RMSNormTP + partial rope by absolute `rotary_dim`;
+    MiniMaxM2MoE :128 — every layer sparse, sigmoid scoring with optional
+    `use_routing_bias` correction bias, renormalized top-k, no shared
+    experts; expert checkpoints use w1/w2/w3 names).
+
+    The GLM-4-MoE graph covers everything: config keys normalize to the
+    DeepSeek names, the per-head qk-norm flag swaps for the FULL-width
+    one (OLMoE machinery, TP-correct psum variance), and w1/w2/w3 expert
+    tensors pretranslate to gate/up/down."""
+
+    def __post_init__(self):
+        hf = self.config.hf_config
+        hf.setdefault("n_routed_experts", hf.get("num_local_experts"))
+        hf.setdefault("moe_intermediate_size", hf.get("intermediate_size"))
+        hf.setdefault("first_k_dense_replace", 0)
+        hf.setdefault("n_shared_experts", 0)
+        hf.setdefault("norm_topk_prob", True)
+        head_dim = int(hf.get("head_dim")
+                       or hf["hidden_size"] // hf["num_attention_heads"])
+        rd = int(hf.get("rotary_dim") or head_dim)
+        hf.setdefault("partial_rotary_factor", rd / head_dim)
+        self._m2_qk_norm = bool(hf.get("use_qk_norm", False)) and \
+            str(hf.get("qk_norm_type", "per_layer")) == "per_layer"
+        hf["use_qk_norm"] = False  # glm4 would take the PER-HEAD variant
+        super().__post_init__()
+        self.qk_norm_full = self._m2_qk_norm
+        assert str(hf.get("scoring_func", "sigmoid")) == "sigmoid"
+        if not hf.get("use_routing_bias", False):
+            self._no_router_bias = True
+
+    def pretranslate_tensors(self, tensors):
+        out = {}
+        for name, arr in tensors.items():
+            if ".experts." in name:
+                name = name.replace(".w1.", ".gate_proj.").replace(
+                    ".w2.", ".down_proj.").replace(".w3.", ".up_proj.")
+            out[name] = arr
+        return out
+
+    def extra_layer_params(self, t, L: int):
+        if not getattr(self, "_no_router_bias", False):
+            return super().extra_layer_params(t, L)
+        out = {"router": jnp.asarray(np.stack([
+            t(f"model.layers.{l}.mlp.gate.weight").T for l in range(L)
+        ]), jnp.bfloat16)}
+        out["router_bias"] = jnp.zeros(
+            (L, self.num_experts), jnp.float32)  # bias-free routing
+        return out

@@ -76,6 +76,7 @@ def get_model_class(architecture: str):
     from sglang_awq_tpu.models.glm4_moe import (
         Dots1ForCausalLM,
         Glm4MoeForCausalLM,
+        MiniMaxM2ForCausalLM,
     )
     from sglang_awq_tpu.models.ernie45_moe import Ernie45MoeForCausalLM
     from sglang_awq_tpu.models.dbrx import DbrxForCausalLM
@@ -143,6 +144,7 @@ def get_model_class(architecture: str):
         "OlmoeForCausalLM": OlmoeForCausalLM,
         "Exaone4ForCausalLM": Exaone4ForCausalLM,
         "Glm4MoeForCausalLM": Glm4MoeForCausalLM,
+        "MiniMaxM2ForCausalLM": MiniMaxM2ForCausalLM,
         "Ernie4_5_MoeForCausalLM": Ernie45MoeForCausalLM,
         "Dots1ForCausalLM": Dots1ForCausalLM,
         "DbrxForCausalLM": DbrxForCausalLM,
