@@ -439,3 +439,36 @@ def test_lm_head_int8_logits_close():
         outs[mode] = (int(ids0[0]), np.asarray(lg["top_logprobs"][0][:5]))
     assert outs["auto"][0] == outs["int8"][0]
     np.testing.assert_allclose(outs["auto"][1], outs["int8"][1], atol=0.05)
+
+
+def test_flush_cache_deletes_old_pool():
+    """/flush_cache must FREE the old pool's device buffers before the
+    replacement allocates — both pools live across the alloc doubles KV
+    HBM and ResourceExhausts at serving sizes (observed on a 7.5 GiB
+    pool; the generate-after-flush path must also still work)."""
+    import jax
+
+    from tests.utils import TINY_LLAMA_CFG, tiny_hf_model_and_tensors
+
+    _, tensors = tiny_hf_model_and_tensors()
+    mc = ModelConfig(model_path="", hf_config=dict(TINY_LLAMA_CFG))
+    sa = ServerArgs(model_path="tiny-flush", page_size=8,
+                    max_total_tokens=512, chunked_prefill_size=32,
+                    max_running_requests=2)
+    eng = Engine(server_args=sa, model_config=mc, tensors=tensors,
+                 tokenizer=None)
+    try:
+        out1 = eng.generate(
+            input_ids=list(range(3, 20)),
+            sampling_params={"max_new_tokens": 3, "temperature": 0.0,
+                             "ignore_eos": True})["output_ids"]
+        old_leaves = jax.tree.leaves(eng.scheduler.runner.kv_cache)
+        assert eng.flush_cache()
+        assert all(leaf.is_deleted() for leaf in old_leaves)
+        out2 = eng.generate(
+            input_ids=list(range(3, 20)),
+            sampling_params={"max_new_tokens": 3, "temperature": 0.0,
+                             "ignore_eos": True})["output_ids"]
+        assert out2 == out1
+    finally:
+        eng.shutdown()
