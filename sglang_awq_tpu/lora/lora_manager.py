@@ -91,29 +91,54 @@ class LoraManager:
         L, H = c.num_layers, c.hidden_size
         self._adapters: List[Optional[dict]] = [None] * max_loras
         self.pool: Dict[str, Dict[str, jnp.ndarray]] = {}
+        # GLOBAL geometry: pool arrays are global like the base weights;
+        # NamedSharding splits them over the model axis (lora_pspecs)
+        tp = model.tp_size
+        if tp > 1:
+            assert c.num_kv_heads % tp == 0, (
+                "LoRA + tp > kv heads (replicated-KV shards) not supported")
+        qh_g = model.qh * tp
+        kvh_g = model.kvh * tp
+        D = model.head_dim
+        I = c.intermediate_size
         self._geometry = {
-            "qkv": (H, (model.qh + 2 * model.kvh) * model.head_dim),
-            "o": (model.qh * model.head_dim, H),
-            "gate_up": (H, 2 * c.intermediate_size),
-            "down": (c.intermediate_size, H),
+            "qkv": (H, (qh_g + 2 * kvh_g) * D),
+            "o": (qh_g * D, H),
+            "gate_up": (H, 2 * I),
+            "down": (I, H),
         }
         self._module_offsets = {
             "qkv": {
-                "q_proj": (0, model.qh * model.head_dim),
-                "k_proj": (model.qh * model.head_dim, model.kvh * model.head_dim),
-                "v_proj": (
-                    (model.qh + model.kvh) * model.head_dim,
-                    model.kvh * model.head_dim,
-                ),
+                "q_proj": (0, qh_g * D),
+                "k_proj": (qh_g * D, kvh_g * D),
+                "v_proj": ((qh_g + kvh_g) * D, kvh_g * D),
             },
             "o": {"o_proj": (0, H)},
             "gate_up": {
-                "gate_proj": (0, c.intermediate_size),
-                "up_proj": (c.intermediate_size, c.intermediate_size),
+                "gate_proj": (0, I),
+                "up_proj": (I, I),
             },
             "down": {"down_proj": (0, H)},
         }
+        # column-parallel merged layouts are SHARD-MAJOR interleaved
+        # (loader interleave_concat): B columns must permute the same way
+        self._col_spans = {
+            "qkv": [qh_g * D, kvh_g * D, kvh_g * D],
+            "gate_up": [I, I],
+        }
         self._rebuild()
+
+    def _interleave_cols(self, B: np.ndarray, spans) -> np.ndarray:
+        tp = self.model.tp_size
+        if tp == 1:
+            return B
+        parts = np.split(B, np.cumsum(spans)[:-1], axis=-1)
+        chunks = []
+        for s in range(tp):
+            for p, w in zip(parts, spans):
+                n = w // tp
+                chunks.append(p[..., s * n : (s + 1) * n])
+        return np.concatenate(chunks, axis=-1)
 
     # ------------------------------------------------------------------
 
@@ -183,6 +208,8 @@ class LoraManager:
                         b = ad["tensors"][kb]  # [width, r]
                         A[s, l, :, :r] = a.T
                         B[s, l, :r, off : off + width] = b.T * sc
+            if tgt in self._col_spans:
+                B = self._interleave_cols(B, self._col_spans[tgt])
             pool[tgt] = {
                 "A": jnp.asarray(A, jnp.bfloat16),
                 "B": jnp.asarray(B, jnp.bfloat16),

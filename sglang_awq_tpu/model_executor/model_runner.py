@@ -271,7 +271,6 @@ class ModelRunner:
         sa = self.server_args
         if not sa.lora_paths:
             return
-        assert self.tp_size == 1, "LoRA + tp>1 lands with sharded pools"
         from sglang_awq_tpu.lora.lora_manager import LoraManager
 
         self.lora = LoraManager(
@@ -283,12 +282,31 @@ class ModelRunner:
                 name, path = os.path.basename(spec.rstrip("/")), spec
             self.lora.load_adapter(name, path)
         self.params["lora"] = self.lora.as_params()
+        self._place_lora()
 
     def refresh_lora(self):
         """Re-publish pool arrays after dynamic load/unload (shapes are
         fixed by max_lora_rank, so executables stay valid)."""
         if self.lora is not None:
             self.params["lora"] = self.lora.as_params()
+            self._place_lora()
+
+    def _place_lora(self):
+        """Lay the LoRA pool over the mesh (init runs _shard_state before
+        _init_lora, so the pool places itself)."""
+        if self.lora is None or self.mesh is None:
+            return
+        from jax.sharding import NamedSharding
+
+        from sglang_awq_tpu.parallel.sharding import lora_pspecs
+
+        specs = lora_pspecs(self.model)
+        self.params["lora"] = jax.tree.map(
+            lambda x, sp: jax.device_put(x, NamedSharding(self.mesh, sp)),
+            self.params["lora"], specs,
+        )
+        if getattr(self, "_param_specs", None) is not None:
+            self._param_specs["lora"] = specs  # shard_map in_specs pytree
 
     def _init_draft(self):
         """EAGLE draft model + its (small) KV pool + the per-row hidden

@@ -85,11 +85,33 @@ def param_pspecs(model, params: Dict[str, Any]) -> Dict[str, Any]:
     for name, arr in params["layers"].items():
         if name not in specs["layers"]:
             specs["layers"][name] = P(STAGE_AXIS, *([None] * (arr.ndim - 1)))
+    if "lora" in params:
+        specs["lora"] = lora_pspecs(model)
     # non-layer extras (vision tower, projector, ...): replicated
     for name, sub in params.items():
         if name not in specs:
             specs[name] = jax.tree.map(lambda a: P(*([None] * a.ndim)), sub)
     return specs
+
+
+def lora_pspecs(model) -> Dict[str, Dict[str, P]]:
+    """LoRA pool sharding follows the base linear it patches: B's output
+    columns shard with a column-parallel base (the delta adds to the
+    local shard's outputs, already interleave-matched by the manager);
+    A's input rows shard with a row-parallel base (the partial delta
+    joins the base output's psum)."""
+    m = MODEL_AXIS
+    out: Dict[str, Dict[str, P]] = {}
+    for name in ("qkv", "o", "gate_up", "down"):
+        if name not in model.specs:
+            continue
+        if model.specs[name].shard_axis == "column":
+            out[name] = {"A": P(None, None, None, None),
+                         "B": P(None, None, None, m)}
+        else:  # row-parallel
+            out[name] = {"A": P(None, None, m, None),
+                         "B": P(None, None, None, None)}
+    return out
 
 
 def kv_pspec(ndim: int = 5) -> P:

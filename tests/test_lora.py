@@ -242,3 +242,41 @@ def test_lora_no_prefix_cache_crosstalk(tmp_path):
         e.shutdown()
     assert a == clean, (a, clean)  # no base-KV pollution into the adapter req
     assert b == b2  # and the adapter run didn't poison the base cache
+
+
+@pytest.mark.slow
+def test_lora_tp2_matches_tp1(tmp_path):
+    """Sharded LoRA pools (round-5 endgame): tp=2 serves the same adapter
+    outputs as tp=1 — B columns interleave-match the column-parallel
+    merged base layout, A rows shard with the row-parallel inputs."""
+    from tests.utils import tiny_hf_model_and_tensors
+
+    _, tensors = tiny_hf_model_and_tensors()
+    p1 = _write_adapter(str(tmp_path), "ad1", seed=5)
+    rng = np.random.default_rng(9)
+    prompts = [rng.integers(3, 250, 21).tolist(),
+               rng.integers(3, 250, 13).tolist()]
+    sp = {"max_new_tokens": 5, "temperature": 0.0, "ignore_eos": True}
+
+    outs = {}
+    for tp in (1, 2):
+        mc = ModelConfig(model_path="", hf_config=dict(TINY_LLAMA_CFG))
+        sa = ServerArgs(
+            model_path="tiny-lora-tp", page_size=8, max_total_tokens=2048,
+            chunked_prefill_size=32, max_running_requests=8,
+            lora_paths=[f"ad1={p1}"], max_lora_rank=8, tp_size=tp,
+        )
+        eng = Engine(server_args=sa, model_config=mc, tensors=tensors,
+                     tokenizer=None)
+        try:
+            outs[tp] = [
+                eng.generate(input_ids=p,
+                             sampling_params=dict(sp, lora_path="ad1"))
+                ["output_ids"] for p in prompts
+            ] + [
+                eng.generate(input_ids=prompts[0],
+                             sampling_params=dict(sp))["output_ids"]
+            ]
+        finally:
+            eng.shutdown()
+    assert outs[2] == outs[1], (outs[2], outs[1])
