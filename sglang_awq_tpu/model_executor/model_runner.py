@@ -314,7 +314,7 @@ class ModelRunner:
         self.draft = None
         if self._draft_cfg is None:
             return
-        assert self.tp_size == 1, "EAGLE + tp>1 lands with multi-chip spec"
+        assert self.pp_size == 1, "EAGLE + pp lands later"
         from sglang_awq_tpu.speculative.eagle_draft import (
             Eagle3DraftModel,
             EagleDraftModel,
@@ -366,6 +366,19 @@ class ModelRunner:
             self.page_size, dc.head_dim,
         )
         self.draft_kv = dspec.alloc()
+        if self.mesh is not None:
+            # tp>1 (round-5 endgame): the draft is tiny — REPLICATE its
+            # params/KV/rope over the mesh and let the plain-jit draft
+            # fns run under GSPMD (the sharded target lm_head input makes
+            # XLA insert the vocab all-gather at the draft's logit dot;
+            # the target-side verify already rides the wrapped step)
+            from jax.sharding import NamedSharding, PartitionSpec as _P
+
+            rep = NamedSharding(self.mesh, _P())
+            self.draft_params = jax.tree.map(
+                lambda x: jax.device_put(x, rep), self.draft_params)
+            self.draft_kv = jax.device_put(self.draft_kv, rep)
+            self.draft_rope = jax.device_put(self.draft_rope, rep)
         self._draft_head = self.draft.head_params(
             self.draft_params, None)  # None -> use the target's at call time
         self._verify_hidden = None

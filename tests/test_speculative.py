@@ -529,3 +529,43 @@ def test_spec_coexists_with_penalty_request():
     assert results["pen"] == ref_pen, (results["pen"], ref_pen)
     # speculation must actually have been running (not silently disabled)
     assert accept_rate > 1.0, accept_rate
+
+
+@pytest.mark.slow
+def test_eagle_tp2_matches_canonical_greedy():
+    """EAGLE under tensor parallelism (round-5 endgame): the draft state
+    replicates over the mesh (plain-jit draft fns ride GSPMD against the
+    sharded target lm_head); verify is the wrapped sharded step.
+
+    Comparator note: the tp=2 PLAIN decode is NOT the ground truth here —
+    its psum reduce order lands bf16 near-ties differently from tp=1 (a
+    known tolerance, observed flipping one token on this random model).
+    The spec chain must instead reproduce the CANONICAL tp=1 greedy
+    output — which also transitively equals the tp=1 EAGLE output (the
+    existing losslessness test)."""
+    _, tensors = tiny_hf_model_and_tensors()
+    rng = np.random.default_rng(4)
+    prompt = rng.integers(3, 250, 29).tolist()
+    sp = {"max_new_tokens": 8, "temperature": 0.0, "ignore_eos": True}
+
+    outs = {}
+    for tp, eagle in ((1, False), (2, True)):
+        mc = ModelConfig(model_path="", hf_config=dict(TINY_LLAMA_CFG))
+        sa = ServerArgs(
+            model_path=f"tiny-etp{tp}{eagle}", page_size=8,
+            max_total_tokens=2048, chunked_prefill_size=64, tp_size=tp,
+            speculative_algorithm="eagle" if eagle else None,
+            speculative_num_draft_tokens=4,
+        )
+        kw = {}
+        if eagle:
+            kw = dict(draft_config=_draft_config(),
+                      draft_tensors=_tiny_draft_tensors())
+        eng = Engine(server_args=sa, model_config=mc, tensors=tensors,
+                     tokenizer=None, **kw)
+        try:
+            outs[(tp, eagle)] = eng.generate(
+                input_ids=prompt, sampling_params=dict(sp))["output_ids"]
+        finally:
+            eng.shutdown()
+    assert outs[(2, True)] == outs[(1, False)], outs
