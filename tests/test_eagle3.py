@@ -140,3 +140,35 @@ def test_eagle3_scored_tree_matches_plain_greedy():
     finally:
         eng.shutdown()
     assert out == ref, (out, ref)
+
+
+@pytest.mark.slow
+def test_eagle3_tp2_matches_canonical_greedy():
+    """EAGLE3 under tp=2 (replicated aux-fusion draft + GSPMD draft fns,
+    wrapped sharded verify with 3H aux-hidden capture) reproduces the
+    canonical tp=1 greedy chain."""
+    _, tensors = tiny_hf_model_and_tensors()
+    rng = np.random.default_rng(2)
+    prompt = rng.integers(3, 250, 27).tolist()
+    sp = {"max_new_tokens": 8, "temperature": 0.0, "ignore_eos": True}
+    outs = {}
+    for tp, e3 in ((1, False), (2, True)):
+        mc = ModelConfig(model_path="", hf_config=dict(TINY_LLAMA_CFG))
+        sa = ServerArgs(
+            model_path=f"tiny-e3tp{tp}", page_size=8, max_total_tokens=2048,
+            chunked_prefill_size=64, tp_size=tp,
+            speculative_algorithm="eagle" if e3 else None,
+            speculative_num_draft_tokens=4,
+        )
+        kw = {}
+        if e3:
+            kw = dict(draft_config=_draft_cfg(),
+                      draft_tensors=_eagle3_tensors())
+        eng = Engine(server_args=sa, model_config=mc, tensors=tensors,
+                     tokenizer=None, **kw)
+        try:
+            outs[tp] = eng.generate(
+                input_ids=prompt, sampling_params=dict(sp))["output_ids"]
+        finally:
+            eng.shutdown()
+    assert outs[2] == outs[1], outs

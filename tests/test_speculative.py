@@ -569,3 +569,29 @@ def test_eagle_tp2_matches_canonical_greedy():
         finally:
             eng.shutdown()
     assert outs[(2, True)] == outs[(1, False)], outs
+
+
+@pytest.mark.slow
+def test_ngram_tp2_matches_canonical_greedy():
+    """ngram speculation under tp=2 (host drafts + the wrapped sharded
+    verify) reproduces the canonical tp=1 greedy chain."""
+    _, tensors = tiny_hf_model_and_tensors()
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(3, 500, 8).tolist() * 4  # repetitive: drafts fire
+    sp = {"max_new_tokens": 16, "temperature": 0.0, "ignore_eos": True}
+    outs = {}
+    for tp, spec in ((1, None), (2, "ngram")):
+        mc = ModelConfig(model_path="", hf_config=dict(TINY_LLAMA_CFG))
+        sa = ServerArgs(
+            model_path=f"tiny-ntp{tp}", page_size=8, max_total_tokens=2048,
+            chunked_prefill_size=32, tp_size=tp,
+            speculative_algorithm=spec, speculative_num_draft_tokens=4,
+        )
+        eng = Engine(server_args=sa, model_config=mc, tensors=tensors,
+                     tokenizer=None)
+        try:
+            outs[tp] = eng.generate(
+                input_ids=prompt, sampling_params=dict(sp))["output_ids"]
+        finally:
+            eng.shutdown()
+    assert outs[2] == outs[1], outs
