@@ -81,6 +81,10 @@ def test_second_boot_warm_starts(tmp_path):
     script.write_text(BOOT)
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
+    # the package is run from the source tree, not installed — the fresh
+    # subprocess needs the repo root on its import path explicitly
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
 
     def boot():
         out = subprocess.run(
