@@ -943,8 +943,16 @@ class LlamaForCausalLM:
                                 lora_idx=lora_t)
                 return (x, state["kv"]), None
 
+            import os as _os
+
+            # scan-tail lever (docs/kernels.md round 4): unrolling the layer
+            # scan lets XLA overlap iteration i+1's weight-slice gathers
+            # with iteration i's tail kernels instead of re-entering the
+            # loop body cold every layer
+            unroll = int(_os.environ.get("SGLT_LAYER_UNROLL", "1"))
             (x, kv), _ = jax.lax.scan(
-                body, (x, kv), jnp.arange(self.layers_local)
+                body, (x, kv), jnp.arange(self.layers_local),
+                unroll=max(1, unroll),
             )
             return x, kv
 
